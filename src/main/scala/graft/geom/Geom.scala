@@ -1,0 +1,147 @@
+package graft.geom
+
+/** Geometry kernels, written from scratch (no JTS in product code).
+  *
+  * Coordinate model follows the reference (`/root/reference/src/converter.rs:13-17`):
+  * points are single-precision `(lat: Float, lon: Float)`; all kernel math is
+  * performed in double precision for robustness, but inputs/outputs stay f32.
+  */
+final case class Pt(lat: Float, lon: Float)
+
+/** A polygon row exactly as the reference's `Polygon` struct
+  * (`/root/reference/src/converter.rs:6-11`): `rings` is a list of stitched
+  * rings (holes are NOT subtracted — every ring is free-standing, matching
+  * `/root/reference/src/output/file_writer_geojson.rs:53-60`).
+  */
+final case class PolygonRow(
+    name: String,
+    rings: Seq[Seq[Pt]],
+    relation_id: Long,
+    admin_level: Long)
+
+object Geom {
+
+  /** Even-odd (crossing-number) ray cast: is (lat, lon) inside the ring?
+    * The ring is treated as closed (an implicit last→first edge), matching
+    * the GeoJSON emitter's auto-closure semantics. Points exactly on an edge
+    * may land on either side (standard ray-cast caveat); test fixtures avoid
+    * exact-boundary probes except where the expected value is pinned.
+    */
+  def rayCastContainsRing(ring: Seq[Pt], lat: Double, lon: Double): Boolean = {
+    var inside = false
+    val n = ring.length
+    if (n < 3) return false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = ring(i).lat.toDouble; val xi = ring(i).lon.toDouble
+      val yj = ring(j).lat.toDouble; val xj = ring(j).lon.toDouble
+      // edge (j -> i); cast ray in +lon direction at latitude `lat`
+      if (((yi > lat) != (yj > lat)) &&
+          (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) {
+        inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Union-of-rings containment: the reference emits every ring of a relation
+    * as a free-standing exterior ring (roles ignored, holes not subtracted —
+    * `/root/reference/src/osm_reader.rs:55-57`,
+    * `/root/reference/src/output/file_writer_geojson.rs:53-60`), so a point is
+    * "in the polygon" iff it is inside ANY ring.
+    */
+  def containsPoint(rings: Seq[Seq[Pt]], lat: Double, lon: Double): Boolean =
+    rings.exists(r => rayCastContainsRing(r, lat, lon))
+
+  /** (minLat, minLon, maxLat, maxLon) over all rings. */
+  def bbox(rings: Seq[Seq[Pt]]): (Double, Double, Double, Double) = {
+    var minLat = Double.MaxValue; var minLon = Double.MaxValue
+    var maxLat = Double.MinValue; var maxLon = Double.MinValue
+    rings.foreach(_.foreach { p =>
+      if (p.lat < minLat) minLat = p.lat
+      if (p.lat > maxLat) maxLat = p.lat
+      if (p.lon < minLon) minLon = p.lon
+      if (p.lon > maxLon) maxLon = p.lon
+    })
+    (minLat, minLon, maxLat, maxLon)
+  }
+
+  /** Twice the signed area of a ring (shoelace, x=lon, y=lat).
+    * >0 = counter-clockwise. Used for winding-order normalization tests.
+    */
+  def signedArea2(ring: Seq[Pt]): Double = {
+    var s = 0.0
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      val a = ring(i); val b = ring((i + 1) % n)
+      s += a.lon.toDouble * b.lat.toDouble - b.lon.toDouble * a.lat.toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Do segments (a1,a2) and (b1,b2) intersect (inclusive of endpoints)? */
+  def segmentsIntersect(
+      ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+      bx1: Double, by1: Double, bx2: Double, by2: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Int = {
+      val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    def onSeg(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    val o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSeg(ax1, ay1, ax2, ay2, bx1, by1)) ||
+      (o2 == 0 && onSeg(ax1, ay1, ax2, ay2, bx2, by2)) ||
+      (o3 == 0 && onSeg(bx1, by1, bx2, by2, ax1, ay1)) ||
+      (o4 == 0 && onSeg(bx1, by1, bx2, by2, ax2, ay2))
+  }
+
+  /** Does any ring of the polygon intersect the axis-aligned rectangle
+    * [minLat,maxLat]×[minLon,maxLon]? True when: a rect corner is inside the
+    * polygon, a polygon vertex is inside the rect, or any ring edge crosses a
+    * rect edge. Used to prune a polygon's cell cover to cells it touches.
+    */
+  def ringsIntersectRect(
+      rings: Seq[Seq[Pt]],
+      minLat: Double, minLon: Double, maxLat: Double, maxLon: Double): Boolean = {
+    // polygon vertex inside rect
+    if (rings.exists(_.exists(p =>
+        p.lat >= minLat && p.lat <= maxLat && p.lon >= minLon && p.lon <= maxLon)))
+      return true
+    // rect corner inside polygon
+    val corners = Seq((minLat, minLon), (minLat, maxLon), (maxLat, minLon), (maxLat, maxLon))
+    if (corners.exists { case (la, lo) => containsPoint(rings, la, lo) }) return true
+    // edge crossings (ring treated as closed)
+    val rectEdges = Seq(
+      (minLon, minLat, maxLon, minLat), (maxLon, minLat, maxLon, maxLat),
+      (maxLon, maxLat, minLon, maxLat), (minLon, maxLat, minLon, minLat))
+    rings.exists { ring =>
+      val n = ring.length
+      (0 until n).exists { i =>
+        val a = ring(i); val b = ring((i + 1) % n)
+        rectEdges.exists { case (x1, y1, x2, y2) =>
+          segmentsIntersect(a.lon, a.lat, b.lon, b.lat, x1, y1, x2, y2)
+        }
+      }
+    }
+  }
+
+  /** Euclidean distance in (lat, lon) degree space — the kNN metric.
+    * Deliberately planar (not haversine): SQL-expressible so the DuckDB
+    * oracle can reproduce it exactly.
+    */
+  def dist2(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dy = lat1 - lat2; val dx = lon1 - lon2
+    dy * dy + dx * dx
+  }
+}
