@@ -1,13 +1,399 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.fixtures.OsmScenes
+import graft.osm.{BoundaryExtract, AdminLevel}
+import graft.join.SpatialJoin
+import graft.functions.GraftFunctions
+import graft.geom.{Pt, PolygonRow}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), `oracleSql` in DuckDB-compatible ANSI SQL for every
+  * SQL-expressible one. Geo kernels without an ANSI form (ring assembly,
+  * arbitrary-polygon ray cast) are rows-only here and pinned by golden
+  * fixtures in `sbt test` instead (FIXTURES.md).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared fixed rectangle "polygons" for the PIP/kNN oracle queries —
+    * bounds chosen so no 3-decimal probe coordinate can land on a boundary
+    * (offset 0.0005) and f32 rounding (≤2e-5 here) cannot flip a verdict.
+    */
+  private val rects: Seq[(Long, Double, Double, Double, Double)] =
+    (0 until 8).map { i =>
+      val latMin = -80.0 + i * 20 + 0.0005
+      val lonMin = -170.0 + i * 40 + 0.0005
+      (9000L + i, latMin, lonMin, latMin + 14.0, lonMin + 30.0)
+    }
+
+  private def rectPolys: Seq[PolygonRow] = rects.map { case (id, la0, lo0, la1, lo1) =>
+    PolygonRow(s"rect_$id", Seq(Seq(
+      Pt(la0.toFloat, lo0.toFloat), Pt(la0.toFloat, lo1.toFloat),
+      Pt(la1.toFloat, lo1.toFloat), Pt(la1.toFloat, lo0.toFloat))), id, 8L)
+  }
+
+  private def rectsSqlValues: String =
+    rects.map { case (id, la0, lo0, la1, lo1) => s"($id, $la0, $lo0, $la1, $lo1)" }
+      .mkString("(VALUES ", ", ", ") AS r(relation_id, lat_min, lon_min, lat_max, lon_max)")
+
+  /** Probe points derived from orders by pure BIGINT arithmetic
+    * (FIXTURES.md §2) — reproducible in DuckDB.
+    */
+  private def probePoints(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").select(
+      col("o_orderkey"),
+      GraftFunctions.latOfKey(col("o_orderkey")).as("lat"),
+      GraftFunctions.lonOfKey(col("o_orderkey")).as("lon"))
+
+  private val probeSql =
+    """SELECT o_orderkey,
+      |  ((abs(o_orderkey*9973+12345) % 170000)/1000.0) - 85.0 AS lat,
+      |  ((abs(o_orderkey*7919+54321) % 360000)/1000.0) - 180.0 AS lon
+      |FROM orders""".stripMargin
+
+  /** Flagship: boundary extraction on a deterministic OSM grid scene →
+    * broadcast cell-indexed spatial join against orders-derived probe
+    * points → per-image polygon assignments. Driver smoke-checks rows>0 on
+    * sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val (n, w, r) = OsmScenes.grid(16, 8).toDFs(spark)
+    val polys = BoundaryExtract.extract(spark, r, w, n, 8, 8)
+    SpatialJoin.assign(spark, probePoints(spark, dir), polys, res = 6,
+      idCol = "o_orderkey")
+  }
+
+  // ——————————————————————— queries ———————————————————————
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — tag-equality filter (osm_reader.rs:94-95)
+    "q01_filter_boundary" -> ((s, dir) => {
+      table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    // F2 — parse-with-default range predicate (osm_reader.rs:45-53)
+    "q02_admin_range" -> ((s, dir) => {
+      val lvl = AdminLevel.adminLevelI8Col(substring(col("o_orderpriority"), 1, 1))
+      table(s, dir, "orders")
+        .withColumn("lvl", lvl)
+        .filter(col("lvl").between(2, 4))
+        .select(col("o_orderkey"), col("lvl"))
+    }),
+
+    // F3 — ordered member projection via posexplode (osm_reader.rs:55-57)
+    "q03_member_project" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("ms"))
+        .select(col("l_orderkey"), posexplode(col("ms")).as(Seq("pos", "m")))
+        .filter(col("pos") < 2)
+        .select(col("l_orderkey"), col("pos"), col("m.l_partkey").as("l_partkey"))
+    }),
+
+    // J1 — left-semi join (osm_reader.rs:127)
+    "q04_semi_join" -> ((s, dir) => {
+      val big = table(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      table(s, dir, "lineitem")
+        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+    }),
+
+    // J3/J4 — selectivity-ordered multi-way inner join (osm_reader.rs:26-30)
+    "q05_join_3way" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      table(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("price_cents"))
+    }),
+
+    // G1 — order-preserving re-nest: sort_array(collect_list(struct(pos, v)))
+    "q06_group_collect" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            x => x.getField("l_partkey").cast("string"))).as("parts"))
+    }),
+
+    // R1 — ring assembly (converter.rs:35-105): rows-only, pinned by golden
+    // fixtures in sbt test; summary stats per relation over the grid scene.
+    "q07_ring_assembly" -> ((s, dir) => {
+      import s.implicits._
+      val (n, w, r) = OsmScenes.grid(16, 8).toDFs(s)
+      BoundaryExtract.extract(s, r, w, n, 8, 8)
+        .map(p => (p.relation_id, p.name, p.admin_level, p.rings.length,
+          p.rings.map(_.length).sum,
+          p.rings.headOption.exists(rr => rr.head == rr.last)))
+        .toDF("relation_id", "name", "admin_level", "n_rings", "n_points", "closed")
+        .orderBy("relation_id")
+    }),
+
+    // R2 — decimicro → f64 ÷ 1e7 → f32 conversion (converter.rs:141-149)
+    "q08_coord_convert" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .withColumn("dm_lat", (col("o_orderkey") % 1800000000L - 900000000L).cast("int"))
+        .select(col("o_orderkey"),
+          (col("dm_lat").cast("double") / 10000000.0).cast("float").as("lat_f32"))
+    }),
+
+    // R3 — name/prefix/default projection (converter.rs:107-123)
+    "q09_name_project" -> ((s, dir) => {
+      val name = when(col("c_custkey") % 5 =!= 0, concat(lit("c_"), col("c_custkey")))
+      val prefix = when(col("c_mktsegment") === "BUILDING", lit("Stadt")).otherwise(lit(""))
+      table(s, dir, "customer")
+        .withColumn("nm", coalesce(name, lit("UNKNOWN_NAME")))
+        .withColumn("pfx", prefix)
+        .select(col("c_custkey"),
+          when(col("pfx") =!= "", concat(col("pfx"), lit("_"), col("nm")))
+            .otherwise(col("nm")).as("full_name"))
+    }),
+
+    // N1 — safe-name strip + case-insensitive dup suffix (output_handler.rs:101-129)
+    "q10_name_dedup" -> ((s, dir) => {
+      val base = table(s, dir, "customer")
+        .withColumn("name",
+          concat(lit("Region"), when(col("c_custkey") % 3 === 0, lit("/")).otherwise(lit("")),
+            lit("_"), (col("c_custkey") % 40).cast("string"),
+            when(col("c_custkey") % 7 === 0, lit("X")).otherwise(lit(""))))
+        .select(col("c_custkey").as("relation_id"), col("name"))
+      graft.naming.Naming.withDedupedNames(base)
+        .select(col("relation_id"), col("out_name"))
+    }),
+
+    // Cell index — cellOf as pure column arithmetic (SQL-parity with DuckDB)
+    "q11_cellof" -> ((s, dir) => {
+      probePoints(s, dir)
+        .withColumn("cell", GraftFunctions.cellOfCol(col("lat"), col("lon"), 8))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    }),
+
+    // PIP spatial join — cell cover + equi-join + native ray-cast Expression;
+    // oracle is the BETWEEN form over the same rectangles.
+    "q12_pip_join" -> ((s, dir) => {
+      import s.implicits._
+      val polys = s.createDataset(rectPolys)
+      SpatialJoin.assign(s, probePoints(s, dir), polys, res = 5, idCol = "o_orderkey")
+        .select(col("o_orderkey"), col("relation_id"))
+    }),
+
+    // kNN baseline — brute-force top-3 by planar distance, rank by (dist, id)
+    "q13_knn_brute" -> ((s, dir) => {
+      val probes = probePoints(s, dir).filter(col("o_orderkey") % 97 === 0)
+      val cents = s.createDataFrame(rects.map { case (id, la0, lo0, la1, lo1) =>
+        (id, (la0 + la1) / 2, (lo0 + lo1) / 2)
+      }).toDF("nid", "clat", "clon")
+      val d = (col("lat") - col("clat")) * (col("lat") - col("clat")) +
+        (col("lon") - col("clon")) * (col("lon") - col("clon"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("dist"), col("nid"))
+      probes.crossJoin(broadcast(cents))
+        .withColumn("dist", d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderkey"), col("nid"), col("rank"))
+    }),
+
+    // Window top-k per group
+    "q14_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("bucket")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("bucket", col("o_custkey") % 100)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("bucket"), col("rk"), col("o_orderkey"))
+    }),
+
+    // Aggregation suite (map-side partial agg; integer cents for float parity)
+    "q15_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+
+    // values_to_set — flatten + distinct (utils.rs:4-9)
+    "q16_distinct_set" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_partkey")).distinct()
+    }),
+
+    // Tumbling time window over events (epoch seconds for parity)
+    "q17_time_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+          col("n"), col("value_cents"))
+    }),
+
+    // ——— training-data pipeline ops over documents ———
+
+    // exact dedup by content hash
+    "q20_dedup_exact" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+    }),
+
+    // token count (whitespace split, empties kept — same as DuckDB)
+    "q21_token_count" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n_tokens"))
+    }),
+
+    // quality scoring: length + sentence-punct count + stopword count
+    "q22_quality" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "[^.!?]", "")).as("punct"),
+        size(filter(split(col("text"), " ", -1),
+          w => w.isin("the", "a", "of", "and"))).as("stopwords"))
+    })
+  )
+
+  // ——————————————————————— oracles ———————————————————————
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_boundary" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+
+    "q02_admin_range" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN regexp_matches(substr(o_orderpriority,1,1), '^[+-]?[0-9]+$')
+        |                 AND TRY_CAST(substr(o_orderpriority,1,1) AS BIGINT) BETWEEN -128 AND 127
+        |            THEN TRY_CAST(substr(o_orderpriority,1,1) AS INT) END, 127) AS lvl
+        |FROM orders
+        |WHERE COALESCE(CASE WHEN regexp_matches(substr(o_orderpriority,1,1), '^[+-]?[0-9]+$')
+        |                 AND TRY_CAST(substr(o_orderpriority,1,1) AS BIGINT) BETWEEN -128 AND 127
+        |            THEN TRY_CAST(substr(o_orderpriority,1,1) AS INT) END, 127) BETWEEN 2 AND 4""".stripMargin,
+
+    "q03_member_project" ->
+      """SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) - 1 AS pos, l_partkey
+        |FROM lineitem
+        |QUALIFY pos < 2""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 200000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q05_join_3way" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q06_group_collect" ->
+      """SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q08_coord_convert" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(CAST(o_orderkey % 1800000000 - 900000000 AS INT) AS DOUBLE)/10000000.0 AS REAL) AS lat_f32
+        |FROM orders""".stripMargin,
+
+    "q09_name_project" ->
+      """SELECT c_custkey,
+        |  CASE WHEN (CASE WHEN c_mktsegment = 'BUILDING' THEN 'Stadt' ELSE '' END) <> ''
+        |       THEN (CASE WHEN c_mktsegment = 'BUILDING' THEN 'Stadt' ELSE '' END) || '_' ||
+        |            COALESCE(CASE WHEN c_custkey % 5 <> 0 THEN 'c_' || CAST(c_custkey AS VARCHAR) END, 'UNKNOWN_NAME')
+        |       ELSE COALESCE(CASE WHEN c_custkey % 5 <> 0 THEN 'c_' || CAST(c_custkey AS VARCHAR) END, 'UNKNOWN_NAME')
+        |  END AS full_name
+        |FROM customer""".stripMargin,
+
+    "q10_name_dedup" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS relation_id,
+        |    'Region' || (CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END) || '_' ||
+        |    CAST(c_custkey % 40 AS VARCHAR) || (CASE WHEN c_custkey % 7 = 0 THEN 'X' ELSE '' END) AS name
+        |  FROM customer),
+        |safe AS (SELECT relation_id, regexp_replace(name, '[\\/&:<>|*]', '', 'g') AS s FROM base)
+        |SELECT relation_id,
+        |  CASE WHEN count(*) OVER (PARTITION BY lower(s)) > 1
+        |       THEN s || '_' || CAST(relation_id AS VARCHAR) ELSE s END AS out_name
+        |FROM safe""".stripMargin,
+
+    "q11_cellof" ->
+      s"""WITH pts AS ($probeSql)
+         |SELECT 8*288230376151711744 +
+         |  LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*256.0) AS BIGINT), 0), 255)*536870912 +
+         |  LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*256.0) AS BIGINT), 0), 255) AS cell,
+         |  count(*) AS n
+         |FROM pts GROUP BY 1""".stripMargin,
+
+    "q12_pip_join" ->
+      s"""WITH pts AS ($probeSql)
+         |SELECT o_orderkey, relation_id
+         |FROM pts JOIN $rectsSqlValues
+         |  ON lat > lat_min AND lat < lat_max AND lon > lon_min AND lon < lon_max""".stripMargin,
+
+    "q13_knn_brute" ->
+      s"""WITH pts AS ($probeSql),
+         |cents AS (SELECT relation_id AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
+         |          FROM $rectsSqlValues)
+         |SELECT o_orderkey, nid,
+         |  row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS rank
+         |FROM pts CROSS JOIN cents
+         |WHERE o_orderkey % 97 = 0
+         |QUALIFY rank <= 3""".stripMargin,
+
+    "q14_window_topk" ->
+      """SELECT o_custkey % 100 AS bucket,
+        |  row_number() OVER (PARTITION BY o_custkey % 100 ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |  o_orderkey
+        |FROM orders
+        |QUALIFY rk <= 2""".stripMargin,
+
+    "q15_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+        |  count(*) AS n, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q16_distinct_set" ->
+      "SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45",
+
+    "q17_time_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_s,
+        |  event_type, count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q20_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies FROM documents GROUP BY 1",
+
+    "q21_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
+
+    "q22_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len,
+        |  CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS INT) AS punct,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and'))) AS INT) AS stopwords
+        |FROM documents""".stripMargin
+  )
 }

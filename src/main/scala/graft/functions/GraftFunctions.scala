@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Engine function surface.
+  *
+  * - `cell_of` / geo derivations are PLAIN COLUMN ARITHMETIC (codegen'd,
+  *   whole-stage friendly, SQL-expressible for the DuckDB oracle) — no UDF.
+  * - ray-cast point-in-polygon is a native Catalyst `Expression` evaluating
+  *   directly over `ArrayData`/`InternalRow` (no per-row encoder round trip,
+  *   no Scala-UDF boxing); CodegenFallback for v1.
+  */
+object GraftFunctions {
+
+  /** cellOf(lat, lon, res) as pure column arithmetic — exactly
+    * graft.cell.CellIndex.cellOf: id = res*2^58 + x*2^29 + y, row-major.
+    * SQL-equivalent (DuckDB):
+    *   res*288230376151711744 + least(greatest(floor((lon+180)/360*2^res),0),2^res-1)*536870912
+    *     + least(greatest(floor((lat+90)/180*2^res),0),2^res-1)
+    */
+  def cellOfCol(lat: Column, lon: Column, res: Int): Column = {
+    val n = 1L << res
+    val x = least(greatest(floor((lon + lit(180.0)) / lit(360.0) * lit(n.toDouble)), lit(0.0)),
+      lit((n - 1).toDouble)).cast("long")
+    val y = least(greatest(floor((lat + lit(90.0)) / lit(180.0) * lit(n.toDouble)), lit(0.0)),
+      lit((n - 1).toDouble)).cast("long")
+    lit(res.toLong * 288230376151711744L) + x * lit(536870912L) + y
+  }
+
+  /** Deterministic probe geotag from an integer key — FIXTURES.md §2
+    * arithmetic, reproducible in ANSI SQL:
+    *   lat = ((abs(key*9973+12345) % 170000)/1000.0) - 85.0
+    *   lon = ((abs(key*7919+54321) % 360000)/1000.0) - 180.0
+    */
+  def latOfKey(key: Column): Column =
+    (abs(key * lit(9973L) + lit(12345L)) % lit(170000L)).cast("double") / lit(1000.0) - lit(85.0)
+
+  def lonOfKey(key: Column): Column =
+    (abs(key * lit(7919L) + lit(54321L)) % lit(360000L)).cast("double") / lit(1000.0) - lit(180.0)
+
+  /** Register engine expressions for SQL + call_function use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ray_cast_contains", exprs => RayCastContains(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  /** Column form: rings array<array<struct<lat:float,lon:float>>>, lat, lon. */
+  def rayCastContains(rings: Column, lat: Column, lon: Column): Column =
+    call_function("ray_cast_contains", rings, lat, lon)
+}
+
+/** Even-odd ray-cast containment over the union of rings (same semantics as
+  * graft.geom.Geom.containsPoint — holes NOT subtracted, matching the
+  * reference's free-standing-ring model). Operates directly on Catalyst
+  * ArrayData: no materialization of Seq[Pt].
+  */
+case class RayCastContains(rings: Expression, lat: Expression, lon: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = rings
+  override def second: Expression = lat
+  override def third: Expression = lon
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ray_cast_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    rings.dataType match {
+      case ArrayType(ArrayType(StructType(fields), _), _)
+          if fields.length == 2 && fields.forall(_.dataType == FloatType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rings must be array<array<struct<float,float>>>, got $other")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = rings.eval(input)
+    val la = lat.eval(input)
+    val lo = lon.eval(input)
+    if (r == null || la == null || lo == null) return false
+    val pLat = la match { case d: Double => d; case f: Float => f.toDouble }
+    val pLon = lo match { case d: Double => d; case f: Float => f.toDouble }
+    val arr = r.asInstanceOf[ArrayData]
+    var k = 0
+    while (k < arr.numElements()) {
+      if (!arr.isNullAt(k)) {
+        val ring = arr.getArray(k)
+        val n = ring.numElements()
+        if (n >= 3) {
+          var inside = false
+          var i = 0
+          var j = n - 1
+          while (i < n) {
+            val pi = ring.getStruct(i, 2)
+            val pj = ring.getStruct(j, 2)
+            val yi = pi.getFloat(0).toDouble; val xi = pi.getFloat(1).toDouble
+            val yj = pj.getFloat(0).toDouble; val xj = pj.getFloat(1).toDouble
+            if (((yi > pLat) != (yj > pLat)) &&
+                (pLon < (xj - xi) * (pLat - yi) / (yj - yi) + xi)) {
+              inside = !inside
+            }
+            j = i; i += 1
+          }
+          if (inside) return true
+        }
+      }
+      k += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(rings = newFirst, lat = newSecond, lon = newThird)
+}

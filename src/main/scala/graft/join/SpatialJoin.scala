@@ -1,0 +1,82 @@
+package graft.join
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cell.CellIndex
+import graft.geom.PolygonRow
+import graft.functions.GraftFunctions
+
+/** Cell-indexed point-in-polygon join (SURVEY.md §4 custom-physical item 1).
+  *
+  * Logical form `points ⋈ polygons ON contains(poly, pt)` is a theta join
+  * Catalyst would nested-loop; we rewrite it BY CONSTRUCTION:
+  *
+  *   build side:  polygons → flatMap cover(rings, res) → (cell, polygon)
+  *   probe side:  points.withColumn("cell", cellOf(lat, lon, res))
+  *   equi-join on cell  →  exact ray-cast refine (native Expression)
+  *
+  * Scale paths:
+  *  - `broadcast = true` (default): polygon×cell rows broadcast; the probe
+  *    table (the 10^12-row image table) streams map-side — NO shuffle of the
+  *    big side at all. Right whenever Σ|cover| fits an executor (the
+  *    reference's whole output is "a few hundred" boundaries).
+  *  - `broadcast = false`: shuffle hash/SMJ on cell with AQE skew splitting;
+  *    add `saltBuckets > 1` to split hot cells (dense cities): probe gets a
+  *    random-but-deterministic salt from pmod(hash(id),S), build side is
+  *    replicated ×S.
+  */
+object SpatialJoin {
+
+  final case class CellPoly(cell: Long, relation_id: Long, name: String,
+      rings: Seq[Seq[graft.geom.Pt]])
+
+  /** Build side: one row per (cover cell, polygon). */
+  def polygonCells(spark: SparkSession, polys: Dataset[PolygonRow], res: Int,
+      maxCells: Int = 4096): Dataset[CellPoly] = {
+    import spark.implicits._
+    polys.flatMap { p =>
+      CellIndex.cover(p.rings, res, maxCells).map(c =>
+        CellPoly(c, p.relation_id, p.name, p.rings))
+    }
+  }
+
+  /** Assign each probe row its containing polygons.
+    *
+    * @param probes must contain `idCol`, `latCol`, `lonCol`
+    * @return probe id + lat/lon + (relation_id, name) per containing polygon
+    *         (inner: unassigned probes dropped)
+    */
+  def assign(
+      spark: SparkSession,
+      probes: DataFrame,
+      polys: Dataset[PolygonRow],
+      res: Int,
+      idCol: String = "image_id",
+      latCol: String = "lat",
+      lonCol: String = "lon",
+      useBroadcast: Boolean = true,
+      saltBuckets: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells0 = polygonCells(spark, polys, res).toDF()
+    val p = probes.withColumn("cell", GraftFunctions.cellOfCol(col(latCol), col(lonCol), res))
+
+    val joined =
+      if (useBroadcast) {
+        p.join(broadcast(cells0), Seq("cell"))
+      } else if (saltBuckets > 1) {
+        // replicate build rows ×S; probe picks one deterministic salt
+        val salted = cells0.withColumn("salt",
+          explode(array((0 until saltBuckets).map(lit): _*)))
+        val ps = p.withColumn("salt",
+          pmod(hash(col(idCol)), lit(saltBuckets)))
+        ps.join(salted, Seq("cell", "salt")).drop("salt")
+      } else {
+        p.join(cells0, Seq("cell"))
+      }
+
+    joined
+      .filter(GraftFunctions.rayCastContains(col("rings"), col(latCol), col(lonCol)))
+      .select(col(idCol), col(latCol), col(lonCol), col("cell"),
+        col("relation_id"), col("name").as("polygon_name"))
+  }
+}

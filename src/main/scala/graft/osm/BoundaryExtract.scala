@@ -1,0 +1,173 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{Pt, PolygonRow}
+import graft.ring.RingAssembler
+import graft.ring.RingAssembler.SegNode
+
+/** The reference's entire program as ONE declarative Spark query
+  * (SURVEY.md §3): three scans → filters → order-preserving joins →
+  * one shuffle re-nest → per-relation ring-assembly kernel → projection.
+  *
+  * Scale design (100 TB): `relations` after the F1/F2 filter is tiny
+  * relative to `ways`/`nodes` (admin boundaries are a vanishing fraction of
+  * OSM), so the exploded member list is BROADCAST into both big-table joins
+  * — the big sides stream map-side with no shuffle (the distributed form of
+  * the reference's HashSet semi-joins, `/root/reference/src/utils.rs:4-9`).
+  * The only shuffle is the final groupBy(relation_id) re-nest, whose key
+  * cardinality = number of boundaries (small) and whose per-key payload =
+  * one boundary's vertices (bounded). Ring assembly is embarrassingly
+  * parallel per relation (narrow map).
+  */
+object BoundaryExtract {
+
+  /** One flattened vertex after the joins: enough to re-nest segments in
+    * exact relation-member × way-node order.
+    */
+  final case class SegPoint(member_pos: Int, node_pos: Int, node_id: Long,
+      lat_dm: Int, lon_dm: Int)
+
+  final case class RelSegments(relation_id: Long, tags: Map[String, String],
+      pts: Seq[SegPoint])
+
+  /** F1 + F2 — boundary=administrative ∧ admin_level ∈ [min,max] with the
+    * reference's parse-default-127 semantics
+    * (`/root/reference/src/osm_reader.rs:45-53,94-96`).
+    */
+  def filterAdminRelations(relations: DataFrame, minAdmin: Int, maxAdmin: Int): DataFrame =
+    relations
+      .filter(element_at(col("tags"), "boundary") === "administrative")
+      .filter(AdminLevel.adminLevelI8Col(element_at(col("tags"), "admin_level"))
+        .between(minAdmin, maxAdmin))
+
+  /** F3 — member projection: way members only, ANY role, member order kept
+    * via posexplode (`/root/reference/src/osm_reader.rs:55-57`).
+    */
+  def memberWays(filteredRelations: DataFrame): DataFrame =
+    filteredRelations
+      .select(col("id").as("relation_id"),
+        posexplode(col("members")).as(Seq("member_pos", "m")))
+      .filter(col("m.member_type") === "way")
+      .select(col("relation_id"), col("member_pos"), col("m.member_id").as("way_id"))
+
+  /** Full pipeline: (relations, ways, nodes) → typed Dataset[PolygonRow].
+    *
+    * Join semantics: INNER both times — dangling way refs and dangling node
+    * refs are silently dropped (`filter_map`, osm_reader.rs:59-81). A way
+    * whose nodes ALL dangle yields no rows ≡ the empty segment our ring
+    * assembler drops (documented divergence, SURVEY.md §7.4.4). Relations
+    * with zero surviving segments are KEPT (left join back) — the reference
+    * emits a Polygon with an empty points list for them.
+    */
+  def extract(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): Dataset[PolygonRow] = {
+    import spark.implicits._
+
+    val rels = filterAdminRelations(relations, minAdmin, maxAdmin)
+    val members = memberWays(rels)
+
+    // J1+J3: big `ways` streams against the broadcast member list; pos kept.
+    val waySegs = ways
+      .join(broadcast(members), col("id") === col("way_id"))
+      .select(col("relation_id"), col("member_pos"),
+        posexplode(col("node_ids")).as(Seq("node_pos", "node_id")))
+
+    // J2+J4: big `nodes` streams against the broadcast surviving refs.
+    val verts = nodes
+      .join(broadcast(waySegs), nodes("id") === waySegs("node_id"))
+      .select(col("relation_id"), col("member_pos"), col("node_pos"),
+        col("node_id"), col("decimicro_lat").as("lat_dm"), col("decimicro_lon").as("lon_dm"))
+
+    // G1+G2: ONE shuffle — re-nest all of a relation's vertices, ordered by
+    // (member_pos, node_pos). sort_array on the struct gives lexicographic
+    // order over leading fields — collect_list alone is NOT ordered.
+    val grouped = verts
+      .groupBy(col("relation_id"))
+      .agg(sort_array(collect_list(struct(
+        col("member_pos"), col("node_pos"), col("node_id"),
+        col("lat_dm"), col("lon_dm")))).as("pts"))
+
+    // keep zero-segment relations: left join from the filtered relation set
+    val withTags = rels
+      .select(col("id").as("relation_id"), col("tags"))
+      .join(grouped, Seq("relation_id"), "left")
+      .select(col("relation_id"), col("tags"),
+        coalesce(col("pts"), array().cast(
+          "array<struct<member_pos:int,node_pos:int,node_id:bigint,lat_dm:int,lon_dm:int>>"))
+          .as("pts"))
+      .as[RelSegments]
+
+    // R1+R2+R3 — narrow typed map, no further shuffle.
+    withTags.map(assemblePolygon)
+  }
+
+  /** Per-relation kernel: split flat vertices back into member-ordered
+    * segments, run the exact greedy stitch, convert coords, project name
+    * and admin_level (`/root/reference/src/converter.rs:31-149`).
+    */
+  def assemblePolygon(rs: RelSegments): PolygonRow = {
+    // pts arrive sorted by (member_pos, node_pos); split on member_pos
+    val segments: Seq[Seq[SegNode]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[SegNode]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[SegNode]
+      var curPos = Int.MinValue
+      rs.pts.foreach { p =>
+        if (p.member_pos != curPos && cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+        curPos = p.member_pos
+        cur += SegNode(p.node_id, p.lat_dm, p.lon_dm)
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val rings = RingAssembler.assemble(segments).map(_.map(n =>
+      // exact reference conversion: (decimicro as f64 / 1e7) as f32
+      // (/root/reference/src/converter.rs:141-149)
+      Pt((n.latDm.toDouble / 10000000.0).toFloat, (n.lonDm.toDouble / 10000000.0).toFloat)))
+    PolygonRow(
+      name = fullName(rs.tags),
+      rings = rings,
+      relation_id = rs.relation_id,
+      admin_level = rs.tags.get("admin_level")
+        .flatMap(s => if (s.matches("[+-]?[0-9]+")) scala.util.Try(s.toLong).toOption else None)
+        .getOrElse(0L))
+  }
+
+  /** `get_full_name` (`/root/reference/src/converter.rs:107-123`):
+    * name default "UNKNOWN_NAME"; "{prefix}_{name}" when name:prefix
+    * non-empty.
+    */
+  def fullName(tags: Map[String, String]): String = {
+    val name = tags.getOrElse("name", "UNKNOWN_NAME")
+    val prefix = tags.getOrElse("name:prefix", "")
+    if (prefix.nonEmpty) s"${prefix}_$name" else name
+  }
+
+  /** Full output row: polygon + deduped filename + both sink columns —
+    * one row per boundary (the distributed form of one file per boundary,
+    * SURVEY.md §3.3). Sorted by relation_id for reproducibility (the
+    * reference's cross-file order is nondeterministic HashMap order).
+    */
+  def extractWithSinks(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): DataFrame = {
+    import spark.implicits._
+    val polys = extract(spark, relations, ways, nodes, minAdmin, maxAdmin)
+    val withText = polys.map { p =>
+      (p.name, p.rings, p.relation_id, p.admin_level,
+        graft.emit.Emitters.polyText(p),
+        graft.emit.Emitters.geoJson(p).orNull)
+    }.toDF("name", "rings", "relation_id", "admin_level", "poly_text", "geojson")
+    graft.naming.Naming.withDedupedNames(withText)
+      .orderBy("relation_id")
+  }
+}
