@@ -269,8 +269,105 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[^.!?]", "")).as("punct"),
         size(filter(split(col("text"), " ", -1),
           w => w.isin("the", "a", "of", "and"))).as("stopwords"))
+    }),
+
+    // MinHash+LSH near-dup pairs (rows-only; recall pinned in sbt test):
+    // planted near-dups = docs with doc_id%10==0, lightly perturbed
+    "q23_minhash_pairs" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      graft.dedup.Dedup.minhashPairs(s, docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (rows-only)
+    "q24_simhash_pairs" -> ((s, dir) => {
+      graft.dedup.Dedup.simhashPairs(s, docsWithPlantedDups(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // BPE-ish regex token count (oracle: DuckDB regexp_extract_all)
+    "q25_regex_tokens" -> ((s, dir) => {
+      table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextOps.regexTokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // language-ID heuristic vs labeled lang (rows-only confusion counts)
+    "q26_lang_id" -> ((s, dir) => {
+      graft.text.TextOps.withLang(s, table(s, dir, "documents"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")
+    }),
+
+    // embedding cosine top-5 brute force (oracle: DuckDB list_cosine_similarity)
+    "q27_embed_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // embedding near-dup pairs via sign-LSH (rows-only; recall in sbt test)
+    "q28_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      // plant near-dups: copies of vec_id%25==0 with one component nudged
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          (id + 1000000L, v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
+        }.toDF("vec_id", "embedding")
+      graft.sim.Similarity.nearDupPairs(s, e.select("vec_id", "embedding").union(planted), 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // winnowing fingerprints: docs sharing a fingerprint (rows-only)
+    "q29_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val fps = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) => graft.text.TextOps.winnow(t).map(f => (id, f)) }
+        .toDF("doc_id", "fp")
+      fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .agg(count(lit(1)).as("shared_fps"), sum(col("n_docs")).as("doc_slots"))
+    }),
+
+    // LSH-bucketed ANN (approximate — rows-only; recall pinned in sbt test)
+    "q30_ann_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.lshTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // image-table synthesis (rows-only; bytes-level invariants in sbt test)
+    "q31_image_table" -> ((s, dir) => {
+      graft.img.ImageTable.generate(s, 2000, 16).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
+    }),
+
+    // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
+    "q32_tile_pyramid" -> ((s, dir) => {
+      val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
+        .withColumn("relation_id", pmod(col("phash"), lit(64)))
+      graft.tile.Tiling.tile(s, imgs).toDF()
+        .select(col("image_id"), col("relation_id"), col("level"),
+          col("tx"), col("ty"), col("tw"), col("th"))
     })
   )
+
+  /** documents ∪ perturbed copies of doc_id%10==0 (id+100000, one word
+    * appended) — deterministic planted near-duplicates for dedup queries.
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" perturbed")).as("text"))
+    base.union(dups)
+  }
 
   // ——————————————————————— oracles ———————————————————————
 
@@ -388,6 +485,18 @@ object SparkEntry {
 
     "q21_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
+
+    "q25_regex_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q27_embed_knn" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |FROM embeddings q CROSS JOIN embeddings c
+        |WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

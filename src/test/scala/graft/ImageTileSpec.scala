@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.img.ImageTable
+import graft.tile.{Tiling, TileManifest}
+import org.apache.spark.sql.functions._
+
+class ImageTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("generation is deterministic and decode is bit-exact (PSNR = inf >= 40dB)") {
+    for (i <- 0L until 20L) {
+      val row = ImageTable.makeRow(i)
+      val (px, w, h) = ImageTable.decode(row.bytes)
+      assert(w == row.w && h == row.h)
+      val expected = ImageTable.renderPixels(i, row.w, row.h)
+      assert(px.sameElements(expected), s"image $i decode differs")
+      assert(ImageTable.psnrDb(px, expected).isPosInfinity)
+      assert(ImageTable.makeRow(i).bytes.sameElements(row.bytes), "non-deterministic encode")
+    }
+  }
+
+  test("both png and bmp containers appear and are JDK-decodable") {
+    val rows = (0L until 10L).map(ImageTable.makeRow)
+    assert(rows.map(_.fmt).toSet == Set("png", "bmp"))
+    rows.foreach(r => assert(ImageTable.decode(r.bytes)._1.nonEmpty))
+  }
+
+  test("distributed generation matches local kernel") {
+    val ds = ImageTable.generate(spark, 40, partitions = 7).collect()
+    assert(ds.length == 40)
+    ds.foreach { r =>
+      val i = r.image_id.stripPrefix("img_").toLong
+      assert(r.phash == ImageTable.splitmix64(i))
+      assert(r.caption == s"caption_$i of cell ${math.abs(r.phash) % 97}")
+    }
+  }
+
+  test("psnr measures degradation when pixels differ") {
+    val a = Array.fill(256)(0x808080)
+    val b = a.clone(); b(0) = 0x818080 // one +1 delta in one channel
+    val p = ImageTable.psnrDb(a, b)
+    assert(p > 40 && !p.isInfinite) // tiny error → high but finite
+    val c = Array.fill(256)(0x000000)
+    assert(ImageTable.psnrDb(a, c) < 10)
+  }
+}
+
+class TilingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pyramid levels shrink to a single tile; level0 tiles cover the image") {
+    val row = ImageTable.makeRow(5) // some w,h in 16..63
+    val tiles = Tiling.pyramid(row.image_id, 1L, row.bytes)
+    val top = tiles.map(_.level).max
+    val topTiles = tiles.filter(_.level == top)
+    assert(topTiles.length == 1)
+    val lvl0 = tiles.filter(_.level == 0)
+    assert(lvl0.map(t => t.tw * t.th).sum == row.w * row.h)
+  }
+
+  test("downsample2x is an exact integer box filter") {
+    val px = Array(10, 20, 30, 40).map(v => (v << 16) | (v << 8) | v)
+    val (out, nw, nh) = Tiling.downsample2x(px, 2, 2)
+    assert(nw == 1 && nh == 1)
+    assert(out(0) == ((25 << 16) | (25 << 8) | 25))
+    // odd width: partial box
+    val px2 = Array(10, 20, 30).map(v => (v << 16) | (v << 8) | v)
+    val (out2, nw2, _) = Tiling.downsample2x(px2, 3, 1)
+    assert(nw2 == 2 && ((out2(0) >> 16) & 0xFF) == 15 && ((out2(1) >> 16) & 0xFF) == 30)
+  }
+
+  test("tile reconstruction satisfies the PSNR>=40dB + caption invariant") {
+    val images = ImageTable.generate(spark, 12, 4).toDF()
+    val assigned = images.withColumn("relation_id", lit(7L))
+    val tiles = Tiling.tile(spark, assigned)
+    val violations = Tiling.verifyTiles(spark, images, tiles)
+    assert(violations.count() == 0)
+  }
+
+  test("manifest: second run skips all; deleting one entry recomputes only that batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiles").toString
+    val images = ImageTable.generate(spark, 30, 4).toDF()
+      .withColumn("relation_id", lit(1L))
+    val r1 = TileManifest.run(spark, images, dir, nBatches = 4)
+    assert(r1.forall(!_.skipped))
+    assert(r1.map(_.images).sum == 30)
+    val totalTiles = r1.map(_.tiles).sum
+
+    val r2 = TileManifest.run(spark, images, dir, nBatches = 4)
+    assert(r2.forall(_.skipped))
+
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifest", "batch-2.json"))
+    val r3 = TileManifest.run(spark, images, dir, nBatches = 4)
+    assert(r3.count(!_.skipped) == 1 && !r3(2).skipped)
+    assert(r3(2).tiles == r1(2).tiles)
+
+    // lineage rows recorded with task-level metrics
+    val lin = spark.read.parquet(s"$dir/_lineage")
+    assert(lin.count() > 0)
+    assert(lin.select("job").distinct().count() >= 4)
+    // tiles on disk = sum of manifest counts
+    val onDisk = spark.read.parquet(s"$dir/tiles").count()
+    assert(onDisk == totalTiles)
+  }
+}
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cell-indexed join equals brute-force ray cast over all probe/polygon pairs") {
+    val (n, w, r) = graft.fixtures.OsmScenes.grid(6, 4).toDFs(spark)
+    val polys = graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
+    val polyList = polys.collect()
+    val probes = spark.range(0, 500).select(
+      col("id").as("pid"),
+      graft.functions.GraftFunctions.latOfKey(col("id")).as("lat"),
+      graft.functions.GraftFunctions.lonOfKey(col("id")).as("lon"))
+
+    val got = graft.join.SpatialJoin.assign(spark, probes, polys, res = 7, idCol = "pid")
+      .select("pid", "relation_id").as[(Long, Long)].collect().toSet
+
+    val probeRows = probes.as[(Long, Double, Double)].collect()
+    val want = (for {
+      (pid, la, lo) <- probeRows
+      p <- polyList if graft.geom.Geom.containsPoint(p.rings, la, lo)
+    } yield (pid, p.relation_id)).toSet
+
+    assert(got == want)
+  }
+
+  test("salted shuffle path returns identical assignments") {
+    val (n, w, r) = graft.fixtures.OsmScenes.grid(4, 3).toDFs(spark)
+    val polys = graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
+    val probes = spark.range(0, 300).select(
+      col("id").as("pid"),
+      graft.functions.GraftFunctions.latOfKey(col("id")).as("lat"),
+      graft.functions.GraftFunctions.lonOfKey(col("id")).as("lon"))
+    val a = graft.join.SpatialJoin.assign(spark, probes, polys, res = 6, idCol = "pid")
+      .select("pid", "relation_id").as[(Long, Long)].collect().toSet
+    val b = graft.join.SpatialJoin.assign(spark, probes, polys, res = 6, idCol = "pid",
+      useBroadcast = false, saltBuckets = 4)
+      .select("pid", "relation_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
