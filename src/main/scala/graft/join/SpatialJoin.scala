@@ -58,6 +58,7 @@ object SpatialJoin {
       saltBuckets: Int = 1): DataFrame = {
     GraftFunctions.register(spark)
     val cells0 = polygonCells(spark, polys, res).toDF()
+      .withColumnRenamed("name", "polygon_name")
     val p = probes.withColumn("cell", GraftFunctions.cellOfCol(col(latCol), col(lonCol), res))
 
     val joined =
@@ -74,9 +75,10 @@ object SpatialJoin {
         p.join(cells0, Seq("cell"))
       }
 
+    // all probe columns pass through — the big side is read ONCE (an extra
+    // self-join to re-attach payloads would double the 100 TB scan)
     joined
       .filter(GraftFunctions.rayCastContains(col("rings"), col(latCol), col(lonCol)))
-      .select(col(idCol), col(latCol), col(lonCol), col("cell"),
-        col("relation_id"), col("name").as("polygon_name"))
+      .drop("rings")
   }
 }

@@ -76,9 +76,9 @@ object Tiling {
     var done = false
     while (!done) {
       tileGrid(w, h).foreach { case (tx, ty, tw, th) =>
-        val t = crop(px, w, tx * TileSize, ty * TileSize, tw, th)
+        // encode straight out of the level buffer — no crop copy
         out += TileRow(imageId, relationId, level, tx, ty, tw, th,
-          ImageTable.encode(t, tw, th, "png"))
+          graft.img.Codecs.encodePngRegion(px, w, tx * TileSize, ty * TileSize, tw, th))
       }
       if (w <= TileSize && h <= TileSize) done = true
       else {
