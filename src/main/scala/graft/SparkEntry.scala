@@ -348,6 +348,18 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
     }),
 
+    // kNN via cell-index ring expansion — EXACT (certified radius), so it
+    // shares q13's brute-force oracle: same result, scale-path plan
+    "q33_knn_cell" -> ((s, dir) => {
+      val probes = probePoints(s, dir).filter(col("o_orderkey") % 97 === 0)
+        .withColumnRenamed("o_orderkey", "probe_id")
+      val cents = s.createDataFrame(rects.map { case (id, la0, lo0, la1, lo1) =>
+        (id, (la0 + la1) / 2, (lo0 + lo1) / 2)
+      }).toDF("nid", "clat", "clon")
+      graft.join.Knn.knnPoints(s, probes, cents, k = 3, res = 4)
+        .select(col("probe_id").as("o_orderkey"), col("nid"), col("rank"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -448,6 +460,17 @@ object SparkEntry {
          |  ON lat > lat_min AND lat < lat_max AND lon > lon_min AND lon < lon_max""".stripMargin,
 
     "q13_knn_brute" ->
+      s"""WITH pts AS ($probeSql),
+         |cents AS (SELECT relation_id AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
+         |          FROM $rectsSqlValues)
+         |SELECT o_orderkey, nid,
+         |  row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS rank
+         |FROM pts CROSS JOIN cents
+         |WHERE o_orderkey % 97 = 0
+         |QUALIFY rank <= 3""".stripMargin,
+
+    "q33_knn_cell" ->
       s"""WITH pts AS ($probeSql),
          |cents AS (SELECT relation_id AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
          |          FROM $rectsSqlValues)
