@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg over a file source equals the batch result") {
+    val batchDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = batchDf.schema
+    // the file stream source wants a DIRECTORY; stage the single parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.windowedAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // append mode only emits windows the watermark has passed — compare on
+    // the emitted set (all but the trailing windows for this finite input)
+    val got = spark.table("win_out")
+      .select("bucket_s", "event_type", "n", "value_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val want = EventStream.windowedAgg(batchDf) // same plan, batch source
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got.subsetOf(want), s"streaming emitted rows not in batch: ${got -- want}")
+    assert(got.nonEmpty)
+    // everything the watermark closed must have been emitted
+    val maxTs = batchDf.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val closed = want.filter { case (b, _, _, _) => b + 300 <= maxTs - 600 }
+    assert(closed.subsetOf(got), s"closed windows missing: ${closed -- got}")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on the gap") {
+    import graft.streaming.EventStream.EventRow
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      EventRow(id, new java.sql.Timestamp(1700000000000L + minute * 60000), user, "x", v, "{}")
+    // user 1: two sessions separated by a 90-minute gap; user 2: one session
+    val rows = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 100, 4.0), ev(4, 1, 110, 8.0),
+      ev(5, 2, 0, 5.0), ev(6, 2, 20, 5.0),
+      // sentinel far in the future advances the watermark so earlier
+      // sessions time out and emit
+      ev(99, 9, 10000, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    rows.toDS().write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in").as[EventRow]
+    val q = EventStream.sessionize(spark, stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out")
+      .as[graft.streaming.EventStream.SessionOut].collect()
+      .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(got.contains((1L, 2, 3.0)), s"first session of user 1 missing: $got")
+    assert(got.contains((1L, 2, 12.0)), s"second session of user 1 missing: $got")
+    assert(got.contains((2L, 2, 10.0)), s"user 2 session missing: $got")
+  }
+}
