@@ -360,6 +360,16 @@ object SparkEntry {
         .select(col("probe_id").as("o_orderkey"), col("nid"), col("rank"))
     }),
 
+    // K1/K2 + N1 — full sink row: deduped filename, .poly text, GeoJSON
+    // (rows-only; byte-exact content pinned by golden tests in sbt)
+    "q34_sink_rows" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.golden.toDFs(s)
+      BoundaryExtract.extractWithSinks(s, r, w, n, 8, 8)
+        .select(col("relation_id"), col("out_name"),
+          length(col("poly_text")).as("poly_len"),
+          length(col("geojson")).as("geojson_len"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
