@@ -370,6 +370,39 @@ object SparkEntry {
           length(col("geojson")).as("geojson_len"))
     }),
 
+    // rollup aggregation (grouping-sets family the reference lacks)
+    "q35_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("qty_cents"))
+    }),
+
+    // JSON extraction from the events props column
+    "q36_json_extract" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }),
+
+    // multimodal plumbing: audio feature extraction over opaque binary
+    // (codec stubbed deterministically — container has no audio libs;
+    // schema/batching real, see graft.img.Multimodal)
+    "q37_audio_features" -> ((s, dir) => {
+      graft.img.Multimodal.audioFeatures(s, graft.img.Multimodal.synthAudio(s, 500)).toDF()
+        .select(col("audio_id"), round(col("rms"), 3).as("rms"),
+          col("zero_crossings"), col("caption"))
+    }),
+
+    // multimodal plumbing: video frame sampling (generator-shaped)
+    "q38_frame_sample" -> ((s, dir) => {
+      graft.img.Multimodal.sampleFrames(s,
+        graft.img.Multimodal.synthVideo(s, 100), stride = 2).toDF()
+        .select(col("video_id"), col("frame_idx"), length(col("frame_png")).as("png_len"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -515,6 +548,14 @@ object SparkEntry {
 
     "q20_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS copies FROM documents GROUP BY 1",
+
+    "q35_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q36_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
 
     "q21_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
