@@ -32,6 +32,16 @@ import graft.functions.RayCastContains
   */
 object PipJoinRewrite extends Rule[LogicalPlan] {
 
+  /** Install on a LIVE session (extensions configs only apply at session
+    * construction; `getOrCreate` silently ignores them on reuse). Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(PipJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PipJoinRewrite
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(rc: RayCastContains), hint) =>
       val res = conf.getConfString("spark.graft.pip.res", "7").toInt

@@ -6,17 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
 class PipJoinRewriteSpec extends AnyFunSuite {
-  // separate session: extensions apply at session build time
+  // the suite-shared session may already exist (getOrCreate would silently
+  // drop an extensions config) — install the rule on the live session
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = SparkTestSession.spark
+    graft.plans.PipJoinRewrite.install(s)
     s
   }
 
