@@ -403,6 +403,16 @@ object SparkEntry {
         .select(col("video_id"), col("frame_idx"), length(col("frame_png")).as("png_len"))
     }),
 
+    // role-aware hole handling + RFC7946 winding (extension beyond the
+    // reference's ignore-roles semantics; rows-only, pinned in HolesSpec)
+    "q39_holes_rfc7946" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.golden.toDFs(s)
+      BoundaryExtract.extractRfc7946(s, r, w, n, 8, 8)
+        .select(col("relation_id"), col("name"), col("n_polygons"), col("n_holes"),
+          length(col("geometry_rfc7946")).as("geom_len"))
+        .orderBy("relation_id")
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()

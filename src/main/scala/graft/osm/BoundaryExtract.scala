@@ -96,7 +96,7 @@ object BoundaryExtract {
     // keep zero-segment relations: left join from the filtered relation set
     val withTags = rels
       .select(col("id").as("relation_id"), col("tags"))
-      .join(grouped, Seq("relation_id"), "left")
+      .join(broadcast(grouped), Seq("relation_id"), "left")
       .select(col("relation_id"), col("tags"),
         coalesce(col("pts"), array().cast(
           "array<struct<member_pos:int,node_pos:int,node_id:bigint,lat_dm:int,lon_dm:int>>"))
@@ -146,6 +146,59 @@ object BoundaryExtract {
     val name = tags.getOrElse("name", "UNKNOWN_NAME")
     val prefix = tags.getOrElse("name:prefix", "")
     if (prefix.nonEmpty) s"${prefix}_$name" else name
+  }
+
+  /** EXTENSION (north-star capability, opt-in — the reference ignores
+    * roles): role-aware extraction. Inner-role rings become holes of the
+    * outer ring containing them; winding normalized per RFC 7946
+    * (graft.geom.Holes). Same join/re-nest plan as `extract`, with `role`
+    * carried through.
+    */
+  def extractRfc7946(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rels = filterAdminRelations(relations, minAdmin, maxAdmin)
+    val members = rels
+      .select(col("id").as("relation_id"),
+        posexplode(col("members")).as(Seq("member_pos", "m")))
+      .filter(col("m.member_type") === "way")
+      .select(col("relation_id"), col("member_pos"),
+        col("m.member_id").as("way_id"),
+        (col("m.role") === "inner").as("inner"))
+    val waySegs = ways
+      .join(broadcast(members), col("id") === col("way_id"))
+      .select(col("relation_id"), col("member_pos"), col("inner"),
+        posexplode(col("node_ids")).as(Seq("node_pos", "node_id")))
+    val verts = nodes
+      .join(broadcast(waySegs), nodes("id") === waySegs("node_id"))
+      .select(col("relation_id"), col("member_pos"), col("node_pos"), col("inner"),
+        col("node_id"), col("decimicro_lat").as("lat_dm"), col("decimicro_lon").as("lon_dm"))
+    val grouped = verts
+      .groupBy(col("relation_id"))
+      .agg(sort_array(collect_list(struct(
+        col("member_pos"), col("node_pos"), col("node_id"),
+        col("lat_dm"), col("lon_dm"), col("inner")))).as("pts"))
+    rels.select(col("id").as("relation_id"), col("tags"))
+      .join(broadcast(grouped), Seq("relation_id"))
+      .as[(Long, Map[String, String], Seq[(Int, Int, Long, Int, Int, Boolean)])]
+      .map { case (relId, tags, pts) =>
+        def ringsOf(inner: Boolean): Seq[Seq[graft.geom.Pt]] = {
+          val segs = pts.filter(_._6 == inner)
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map(_._2.sortBy(_._2).map(p => SegNode(p._3, p._4, p._5)))
+          RingAssembler.assemble(segs).map(_.map(n =>
+            graft.geom.Pt((n.latDm.toDouble / 1e7).toFloat, (n.lonDm.toDouble / 1e7).toFloat)))
+        }
+        val polys = graft.geom.Holes.assignHoles(ringsOf(false), ringsOf(true))
+        val geom = graft.geom.Holes.geoJsonRfc7946(polys).orNull
+        (relId, fullName(tags), polys.length, polys.map(_.holes.length).sum, geom)
+      }
+      .toDF("relation_id", "name", "n_polygons", "n_holes", "geometry_rfc7946")
   }
 
   /** Full output row: polygon + deduped filename + both sink columns —

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Prop}
+import org.scalacheck.Prop.forAll
+import graft.ring.RingAssembler
+import graft.ring.RingAssembler.SegNode
+import graft.cell.CellIndex
+import graft.emit.FloatFmt
+import graft.geom.{Geom, Pt}
+
+/** ScalaCheck properties (SURVEY.md §5 test plan): ring reassembly under
+  * random segmentation/reversal/shuffle, cell-index invariants, float
+  * round-trip, PIP vs cover consistency.
+  */
+object RingProperties extends Properties("RingAssembler") {
+
+  private val ringGen: Gen[Seq[SegNode]] = for {
+    n <- Gen.choose(3, 24)
+  } yield (1L to n.toLong).map(i => SegNode(i, (i * 31 % 997).toInt, -(i * 17 % 991).toInt))
+
+  private def segmented(full: Seq[SegNode], seed: Long): Seq[Seq[SegNode]] = {
+    val rnd = new scala.util.Random(seed)
+    val closed = full :+ full.head
+    val cuts = (1 until closed.length - 1).filter(_ => rnd.nextBoolean())
+    val bounds = (0 +: cuts :+ (closed.length - 1)).distinct.sorted
+    val segs = bounds.sliding(2).map { case Seq(a, b) => closed.slice(a, b + 1) }.toSeq
+    rnd.shuffle(segs).map(s => if (rnd.nextBoolean()) s.reverse else s)
+  }
+
+  property("random segmentation reassembles to one closed ring over the same ids") =
+    forAll(ringGen, Gen.choose(0L, 10000L)) { (ring, seed) =>
+      val out = RingAssembler.assemble(segmented(ring, seed))
+      out.length == 1 &&
+        out.head.head.id == out.head.last.id &&
+        out.head.map(_.id).toSet == ring.map(_.id).toSet
+    }
+
+  property("assembly is deterministic for a fixed segment order") =
+    forAll(ringGen, Gen.choose(0L, 10000L)) { (ring, seed) =>
+      val segs = segmented(ring, seed)
+      RingAssembler.assemble(segs) == RingAssembler.assemble(segs)
+    }
+
+  property("two disjoint rings come back as two paths") =
+    forAll(ringGen, Gen.choose(0L, 1000L)) { (ring, seed) =>
+      val other = ring.map(n => n.copy(id = n.id + 1000))
+      val segs = segmented(ring, seed) ++ segmented(other, seed + 1)
+      RingAssembler.assemble(segs).length == 2
+    }
+}
+
+object CellProperties extends Properties("CellIndex") {
+  private val latGen = Gen.choose(-89.999, 89.999)
+  private val lonGen = Gen.choose(-179.999, 179.999)
+  private val resGen = Gen.choose(1, 20)
+
+  property("point lies inside its own cell bounds") =
+    forAll(latGen, lonGen, resGen) { (lat, lon, res) =>
+      val (la0, lo0, la1, lo1) = CellIndex.bounds(CellIndex.cellOf(lat, lon, res))
+      lat >= la0 && lat <= la1 && lon >= lo0 && lon <= lo1
+    }
+
+  property("parent contains child") =
+    forAll(latGen, lonGen, resGen) { (lat, lon, res) =>
+      val c = CellIndex.cellOf(lat, lon, res)
+      CellIndex.parent(c) == CellIndex.cellOf(lat, lon, res - 1)
+    }
+
+  property("kRing contains the center and is symmetric in size away from poles") =
+    forAll(latGen, lonGen, Gen.choose(1, 4)) { (lat, lon, k) =>
+      val c = CellIndex.cellOf(lat, lon, 8)
+      CellIndex.kRing(c, k).contains(c)
+    }
+
+  property("cover contains the cell of every vertex") =
+    forAll(latGen, lonGen, Gen.choose(0.01, 2.0)) { (lat, lon, s) =>
+      val la1 = math.min(lat + s, 89.999); val lo1 = math.min(lon + s, 179.999)
+      val ring = Seq(Pt(lat.toFloat, lon.toFloat), Pt(lat.toFloat, lo1.toFloat),
+        Pt(la1.toFloat, lo1.toFloat), Pt(la1.toFloat, lon.toFloat))
+      val cov = CellIndex.cover(Seq(ring), 7).toSet
+      ring.forall(p => cov.contains(CellIndex.cellOf(p.lat, p.lon, 7)))
+    }
+}
+
+object FloatFmtProperties extends Properties("FloatFmt") {
+  property("rendered value parses back bit-identical (coordinate range)") =
+    forAll(Gen.choose(-180.0, 180.0)) { d =>
+      val f = d.toFloat
+      java.lang.Float.parseFloat(FloatFmt.fmtF32(f)) == f
+    }
+  property("rendering arbitrary finite floats round-trips") =
+    forAll { (f: Float) =>
+      !java.lang.Float.isFinite(f) || java.lang.Float.parseFloat(FloatFmt.fmtF32(f)) == f
+    }
+}
+
+object GeomProperties extends Properties("Geom") {
+  property("ray cast agrees with rectangle membership for axis-aligned boxes") =
+    forAll(Gen.choose(-80.0, 70.0), Gen.choose(-170.0, 160.0),
+      Gen.choose(0.5, 9.0), Gen.choose(-89.0, 89.0), Gen.choose(-179.0, 179.0)) {
+      (la0, lo0, s, pla, plo) =>
+        val ring = Seq(Pt(la0.toFloat, lo0.toFloat), Pt(la0.toFloat, (lo0 + s).toFloat),
+          Pt((la0 + s).toFloat, (lo0 + s).toFloat), Pt((la0 + s).toFloat, lo0.toFloat))
+        val onBoundary = // skip undefined boundary cases
+          math.abs(pla - la0) < 1e-6 || math.abs(pla - (la0 + s)) < 1e-6 ||
+            math.abs(plo - lo0) < 1e-6 || math.abs(plo - (lo0 + s)) < 1e-6
+        val expected = pla > ring.head.lat && pla < ring(2).lat &&
+          plo > ring.head.lon && plo < ring(2).lon
+        onBoundary || Geom.rayCastContainsRing(ring, pla, plo) == expected
+    }
+}
