@@ -60,6 +60,13 @@ object Bench {
 
     var spark = session(cpus)
 
+    // JIT/codegen warmup so the first measured query isn't charged the
+    // whole session bring-up
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+      spatialTileJob(spark, 500, cpus)
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+
     // per-operator query timings (count() forces full execution)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time {
