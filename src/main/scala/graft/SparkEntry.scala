@@ -413,6 +413,36 @@ object SparkEntry {
         .orderBy("relation_id")
     }),
 
+    // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
+    "q40_training_select" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      table(s, dir, "documents")
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper"))
+        .withColumn("n_tokens", size(split(col("text"), " ", -1)))
+        .filter(col("n_tokens").between(20, 120))
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
+    // batch sessionization (gap = 30 min) — lag + cumulative session ids
+    "q41_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tsSec = col("ts").cast("timestamp").cast("double") // exact micros
+      table(s, dir, "events")
+        .withColumn("ts_s", tsSec)
+        .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800.0, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          floor(min(col("ts_s"))).cast("long").as("first_s"),
+          floor(max(col("ts_s"))).cast("long").as("last_s"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -566,6 +596,35 @@ object SparkEntry {
 
     "q36_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+
+    "q40_training_select" ->
+      """WITH kept AS (
+        |  SELECT doc_id, lang, text,
+        |         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM kept
+        |WHERE doc_id = keeper
+        |  AND len(string_split(text, ' ')) BETWEEN 20 AND 120
+        |  AND length(text) >= 100""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(floor(min(epoch(ts))) AS BIGINT) AS first_s,
+        |  CAST(floor(max(epoch(ts))) AS BIGINT) AS last_s,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q21_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
