@@ -109,7 +109,11 @@ object Bench {
           "-Dspark.ui.enabled=false",
           "-cp", System.getProperty("java.class.path"),
           "graft.ScaleRunner", cores.toString, nScale.toString, reps.toString)
-        val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(false)
+        // stderr must not back up into a full pipe (Spark's startup logging
+        // alone can fill the 64KB buffer and BLOCK the child mid-benchmark —
+        // measured as a phantom 7x slowdown); inherit it instead
+        val pb = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         proc.waitFor()
@@ -119,8 +123,14 @@ object Bench {
           (s""""$k":([0-9.eE+]+)""").r.findFirstMatchIn(json).get.group(1).toDouble
         (num("sec"), num("spin_ops_per_sec"))
       }
-      val (t8, spin8) = timedRun(8)
-      val (t32, spin32) = timedRun(32)
+      // interleave cluster sizes across repetitions: background tenant load
+      // on this shared host comes in multi-minute spikes, so back-to-back
+      // blocks expose one size to a spike the other never sees (observed
+      // inverted speedups); min over interleaved pairs is robust
+      val pairReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
+      val runs = (1 to pairReps).map(_ => (timedRun(8), timedRun(32)))
+      val (t8, spin8) = runs.map(_._1).minBy(_._1)
+      val (t32, spin32) = runs.map(_._2).minBy(_._1)
       val speedup = t8 / t32
       val eff = speedup / 4.0
       // pure-CPU host ceiling: what an embarrassingly parallel register-only

@@ -356,7 +356,9 @@ object SparkEntry {
       val cents = s.createDataFrame(rects.map { case (id, la0, lo0, la1, lo1) =>
         (id, (la0 + la1) / 2, (lo0 + lo1) / 2)
       }).toDF("nid", "clat", "clon")
-      graft.join.Knn.knnPoints(s, probes, cents, k = 3, res = 4)
+      // res matched to corpus density (8 global centroids → coarse cells so
+      // the 1-ring already certifies; a fine res burns rounds on overhead)
+      graft.join.Knn.knnPoints(s, probes, cents, k = 3, res = 2)
         .select(col("probe_id").as("o_orderkey"), col("nid"), col("rank"))
     }),
 

