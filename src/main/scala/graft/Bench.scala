@@ -80,6 +80,13 @@ object Bench {
     val ((_, nTiles), headlineSec) = time(spatialTileJob(spark, nImages, cpus))
     val imagesPerSec = nImages / headlineSec
 
+    // secondary: boundary-extraction throughput (the reference's whole
+    // program) over a 5000-relation grid scene
+    val (nBoundaries, boundarySec) = time {
+      val (n, w, r) = graft.fixtures.OsmScenes.grid(100, 50).toDFs(spark)
+      graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8).count()
+    }
+
     // scaling: same job, same input, local[8] vs local[32]. A larger image
     // count than the headline amortizes fixed costs (session, JIT, polygon
     // build) that would otherwise cap measurable speedup; a small warmup run
@@ -148,7 +155,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + headlineSec
     println(
-      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}""")
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -445,6 +445,34 @@ object SparkEntry {
           sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
     }),
 
+    // set operations: intersect / except over derived key sets
+    "q42_set_ops" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val highQty = li.filter(col("l_quantity") > 40).select(col("l_partkey")).distinct()
+      val lowTax = li.filter(col("l_tax") < 0.02).select(col("l_partkey")).distinct()
+      highQty.intersect(lowTax).withColumn("src", lit("both"))
+        .unionAll(highQty.except(lowTax).withColumn("src", lit("high_only")))
+    }),
+
+    // approximate distinct (HLL) next to exact — rows-only (sketch values
+    // are engine-specific; the sbt test pins the error bound)
+    "q43_approx_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+    }),
+
+    // SQL API: the literal SAME SQL text runs on Spark SQL and DuckDB
+    "q44_sql_api" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+          |  count(DISTINCT l_partkey) AS n_parts
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -598,6 +626,19 @@ object SparkEntry {
 
     "q36_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+
+    "q42_set_ops" ->
+      """WITH hq AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 40),
+        |lt AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_tax < 0.02)
+        |SELECT l_partkey, 'both' AS src FROM (SELECT l_partkey FROM hq INTERSECT SELECT l_partkey FROM lt)
+        |UNION ALL
+        |SELECT l_partkey, 'high_only' AS src FROM (SELECT l_partkey FROM hq EXCEPT SELECT l_partkey FROM lt)""".stripMargin,
+
+    "q44_sql_api" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q40_training_select" ->
       """WITH kept AS (
