@@ -68,8 +68,11 @@ object Tiling {
     out
   }
 
-  /** All pyramid tiles of one image (pure kernel). */
-  def pyramid(imageId: String, relationId: Long, bytes: Array[Byte]): Seq[TileRow] = {
+  /** All pyramid tiles of one image (pure kernel). `pngLevel` 0 trades ~3x
+    * tile size for ~6x encode speed (see Codecs.encodePngRegion).
+    */
+  def pyramid(imageId: String, relationId: Long, bytes: Array[Byte],
+      pngLevel: Int = java.util.zip.Deflater.BEST_SPEED): Seq[TileRow] = {
     val (px0, w0, h0) = ImageTable.decode(bytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[TileRow]
     var px = px0; var w = w0; var h = h0; var level = 0
@@ -78,7 +81,7 @@ object Tiling {
       tileGrid(w, h).foreach { case (tx, ty, tw, th) =>
         // encode straight out of the level buffer — no crop copy
         out += TileRow(imageId, relationId, level, tx, ty, tw, th,
-          graft.img.Codecs.encodePngRegion(px, w, tx * TileSize, ty * TileSize, tw, th))
+          graft.img.Codecs.encodePngRegion(px, w, tx * TileSize, ty * TileSize, tw, th, pngLevel))
       }
       if (w <= TileSize && h <= TileSize) done = true
       else {

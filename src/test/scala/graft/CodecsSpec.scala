@@ -53,6 +53,19 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("level-0 (stored) PNG decodes identically (and via ImageIO)") {
+    val px = randomPixels(9, 23, 17)
+    val bytes = Codecs.encodePngRegion(px, 23, 0, 0, 23, 17, level = 0)
+    assert(Codecs.decodePng(bytes)._1.sameElements(px))
+    assert(ImageTable.decodeViaImageIO(bytes)._1.sameElements(px))
+    // size check needs COMPRESSIBLE content (random pixels compress to
+    // nothing at any level); use the banded synthetic gradient
+    val grad = ImageTable.renderPixels(5, 32, 32)
+    val stored = Codecs.encodePngRegion(grad, 32, 0, 0, 32, 32, level = 0)
+    assert(stored.length > Codecs.encodePng(grad, 32, 32).length)
+    assert(Codecs.decodePng(stored)._1.sameElements(grad))
+  }
+
   test("malformed inputs fail cleanly") {
     intercept[Exception](Codecs.decode(Array[Byte](1, 2, 3)))
     intercept[Exception](Codecs.decodePng(Codecs.encodeBmp(Array(1), 1, 1)))
