@@ -109,6 +109,23 @@ class BoundaryExtractSpec extends AnyFunSuite {
     assert(a == result)
   }
 
+  test("admin range spanning levels includes 7..9; degenerate min==max excludes neighbors") {
+    val (n, w, r) = OsmScenes.golden.toDFs(spark)
+    val wide = BoundaryExtract.extract(spark, r, w, n, 7, 9)
+      .collect().map(_.relation_id).toSet
+    assert(wide.contains(171L) && wide.contains(172L) && wide.contains(173L)) // 7, 9, 8
+    assert(!wide.contains(151L)) // garbage level → 127, outside 7..9
+    val exact = BoundaryExtract.extract(spark, r, w, n, 9, 9)
+      .collect().map(_.relation_id).toSet
+    assert(exact == Set(172L))
+    // degenerate empty range
+    assert(BoundaryExtract.extract(spark, r, w, n, 50, 60).count() == 0)
+    // max 127 admits parse-failures (the reference default)
+    val all = BoundaryExtract.extract(spark, r, w, n, 1, 127)
+      .collect().map(_.relation_id).toSet
+    assert(all.contains(151L) && all.contains(152L))
+  }
+
   test("grid scene: every relation yields one closed ring; scales linearly in rows") {
     val (n, w, r) = OsmScenes.grid(8, 4).toDFs(spark)
     val polys = BoundaryExtract.extract(spark, r, w, n, 8, 8).collect()
