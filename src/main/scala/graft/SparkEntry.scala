@@ -473,6 +473,33 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // as-of join (operator Spark lacks): each purchase matched to the most
+    // recent prior-or-equal signup of the same user — composed from a
+    // union-tag + running last_value window (preference (a): built-ins);
+    // the oracle uses DuckDB's NATIVE ASOF JOIN
+    "q45_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("ts_s", col("ts").cast("timestamp").cast("double"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts_s"))
+      val tagged = purchases
+        .withColumn("kind", lit(1)).withColumn("signup_id", lit(null).cast("long"))
+        .select(col("user_id"), col("ts_s"), col("kind"), col("event_id"), col("signup_id"))
+        .unionByName(signups
+          .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
+          .select(col("user_id"), col("ts_s"), col("kind"), col("event_id"), col("signup_id")))
+      // order by (ts, kind): a signup at the same instant sorts BEFORE the
+      // purchase → "prior-or-equal" matches ASOF JOIN's >= semantics
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("last_signup", last(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_signup").isNotNull)
+        .select(col("user_id"), col("event_id"), col("last_signup"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -639,6 +666,12 @@ object SparkEntry {
         |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, event_id AS last_signup, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, s.last_signup
+        |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q40_training_select" ->
       """WITH kept AS (
