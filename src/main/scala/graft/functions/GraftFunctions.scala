@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -57,10 +57,12 @@ object GraftFunctions {
 /** Even-odd ray-cast containment over the union of rings (same semantics as
   * graft.geom.Geom.containsPoint — holes NOT subtracted, matching the
   * reference's free-standing-ring model). Operates directly on Catalyst
-  * ArrayData: no materialization of Seq[Pt].
+  * ArrayData — no materialization of Seq[Pt] — and participates in
+  * whole-stage codegen via a static kernel call (doGenCode), so the refine
+  * filter stays inside the probe scan's generated loop.
   */
 case class RayCastContains(rings: Expression, lat: Expression, lon: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def first: Expression = rings
   override def second: Expression = lat
@@ -87,7 +89,37 @@ case class RayCastContains(rings: Expression, lat: Expression, lon: Expression)
     if (r == null || la == null || lo == null) return false
     val pLat = la match { case d: Double => d; case f: Float => f.toDouble }
     val pLon = lo match { case d: Double => d; case f: Float => f.toDouble }
-    val arr = r.asInstanceOf[ArrayData]
+    RayCastKernel.contains(r.asInstanceOf[ArrayData], pLat, pLon)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val r = rings.genCode(ctx)
+    val la = lat.genCode(ctx)
+    val lo = lon.genCode(ctx)
+    val code =
+      code"""
+        ${r.code}
+        ${la.code}
+        ${lo.code}
+        boolean ${ev.value} = false;
+        if (!${r.isNull} && !${la.isNull} && !${lo.isNull}) {
+          ${ev.value} = graft.functions.RayCastKernel.contains(
+            ${r.value}, (double)(${la.value}), (double)(${lo.value}));
+        }
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(rings = newFirst, lat = newSecond, lon = newThird)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object RayCastKernel {
+  def contains(arr: ArrayData, pLat: Double, pLon: Double): Boolean = {
     var k = 0
     while (k < arr.numElements()) {
       if (!arr.isNullAt(k)) {
@@ -115,8 +147,4 @@ case class RayCastContains(rings: Expression, lat: Expression, lon: Expression)
     }
     false
   }
-
-  override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
-    copy(rings = newFirst, lat = newSecond, lon = newThird)
 }
