@@ -500,6 +500,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("last_signup"))
     }),
 
+    // exact n-gram (word-trigram) Jaccard between each doc and its planted
+    // near-dup — pure set algebra on both engines (DuckDB oracle)
+    "q46_ngram_jaccard" -> ((s, dir) => {
+      val toks = split(col("text"), " ", -1)
+      val grams = array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      val g = docsWithPlantedDups(s, dir).select(col("doc_id"), grams.as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      a.join(b, col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))))
+            .as("jaccard"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -666,6 +683,21 @@ object SparkEntry {
         |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q46_ngram_jaccard" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS grams
+        |  FROM docs2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 100000""".stripMargin,
 
     "q45_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
