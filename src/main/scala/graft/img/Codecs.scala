@@ -57,19 +57,14 @@ object Codecs {
     * on typical tiles; 0 (stored blocks) is ~6.5x faster per tile — a
     * CPU-vs-storage knob for tile farms where the sink is cheap.
     */
+  // per-thread scratch for the deflated IDAT body (exact-size output array
+  // is assembled in ONE final copy — no ByteArrayOutputStream growth chains
+  // in the tile hot path)
+  private val compScratch = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16 * 1024))
+
   def encodePngRegion(pixels: Array[Int], srcW: Int, x0: Int, y0: Int, w: Int, h: Int,
       level: Int = Deflater.BEST_SPEED): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 128)
-    out.write(PngSig)
-    val ihdr = new Array[Byte](13)
-    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
-    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
-    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
-    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
-    ihdr(8) = 8 // bit depth
-    ihdr(9) = 2 // color type RGB
-    writeChunk(out, "IHDR", ihdr)
-
+    // 1. scanlines into thread-local scratch
     val rawLen = h * (1 + 3 * w)
     var raw = scanScratch.get()
     if (raw.length < rawLen) {
@@ -89,16 +84,53 @@ object Codecs {
       }
       y += 1
     }
+    // 2. deflate into thread-local scratch (grow on demand)
     val d = deflaters.get()
     d.setLevel(level) // applied by the following reset
     d.reset()
     d.setInput(raw, 0, rawLen); d.finish()
-    val comp = new java.io.ByteArrayOutputStream(rawLen / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
-    writeChunk(out, "IDAT", comp.toByteArray)
-    writeChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    var comp = compScratch.get()
+    var compLen = 0
+    while (!d.finished()) {
+      if (compLen == comp.length) {
+        comp = java.util.Arrays.copyOf(comp, comp.length * 2)
+        compScratch.set(comp)
+      }
+      compLen += d.deflate(comp, compLen, comp.length - compLen)
+    }
+    // 3. assemble the exact-size PNG in one pass
+    val total = 8 + (12 + 13) + (12 + compLen) + 12
+    val out = new Array[Byte](total)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    var p = 8
+    def be(v: Int): Unit = {
+      out(p) = (v >>> 24).toByte; out(p + 1) = (v >>> 16).toByte
+      out(p + 2) = (v >>> 8).toByte; out(p + 3) = v.toByte
+      p += 4
+    }
+    def chunk(tag: String, body: Array[Byte], bodyLen: Int): Unit = {
+      be(bodyLen)
+      val tagStart = p
+      out(p) = tag.charAt(0).toByte; out(p + 1) = tag.charAt(1).toByte
+      out(p + 2) = tag.charAt(2).toByte; out(p + 3) = tag.charAt(3).toByte
+      p += 4
+      System.arraycopy(body, 0, out, p, bodyLen)
+      p += bodyLen
+      val crc = new CRC32()
+      crc.update(out, tagStart, 4 + bodyLen)
+      be(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type RGB
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", comp, compLen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out
   }
 
   private def be32(b: Array[Byte], o: Int): Int =
