@@ -517,6 +517,26 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+    "q47_percentile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+    }),
+
+    // cube (full grouping-sets lattice)
+    "q48_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("price_cents"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("price_cents"))
+    }),
+
     // tile pyramid over assigned images (rows-only; PSNR invariant in sbt test)
     "q32_tile_pyramid" -> ((s, dir) => {
       val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
@@ -683,6 +703,17 @@ object SparkEntry {
         |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q47_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q48_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS pri, COALESCE(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS price_cents
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q46_ngram_jaccard" ->
       """WITH docs2 AS (
