@@ -27,24 +27,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.PipJoinRewrite.install(s)
     s
   }
 
-  /** The north-rule job: synth images (with real bytes) → geotag → cell
-    * cover broadcast spatial join against grid-scene boundary polygons →
-    * tile pyramid per assignment → count tiles. Returns (images, tiles).
+  /** Build side of the north-rule job: the grid-scene boundary polygons. */
+  def buildPolys(spark: SparkSession): org.apache.spark.sql.Dataset[graft.geom.PolygonRow] = {
+    val (n, w, r) = graft.fixtures.OsmScenes.grid(32, 16).toDFs(spark)
+    graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
+  }
+
+  /** Streaming phase of the north-rule job: synth images (with real bytes)
+    * → geotag → cell-cover broadcast spatial join → tile pyramid per
+    * assignment → count tiles. This is the part that scales with the image
+    * count (the polygon index is a fixed, once-per-run build at any scale —
+    * the 10^12-image run amortizes it to nothing). Returns tile count.
     */
-  def spatialTileJob(spark: SparkSession, nImages: Long, partitions: Int): (Long, Long) = {
+  def spatialTilePhase(spark: SparkSession,
+      polys: org.apache.spark.sql.Dataset[graft.geom.PolygonRow],
+      nImages: Long, partitions: Int): Long = {
     val imgs = graft.img.ImageTable.generate(spark, nImages, partitions).toDF()
       .withColumn("idx", substring(col("image_id"), 5, 9).cast("long"))
       .withColumn("lat", graft.functions.GraftFunctions.latOfKey(col("idx")))
       .withColumn("lon", graft.functions.GraftFunctions.lonOfKey(col("idx")))
-    val (n, w, r) = graft.fixtures.OsmScenes.grid(32, 16).toDFs(spark)
-    val polys = graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
     // bytes ride through the broadcast join — the image table streams once
     val assigned = graft.join.SpatialJoin.assign(spark, imgs, polys, res = 7)
-    val tiles = graft.tile.Tiling.tile(spark, assigned)
-    val nt = tiles.count()
+    graft.tile.Tiling.tile(spark, assigned).count()
+  }
+
+  /** Full job: polygon build + streaming phase. Returns (images, tiles). */
+  def spatialTileJob(spark: SparkSession, nImages: Long, partitions: Int): (Long, Long) = {
+    val nt = spatialTilePhase(spark, buildPolys(spark), nImages, partitions)
     (nImages, nt)
   }
 
@@ -155,12 +168,19 @@ object Bench {
       val (t32, spin32) = runs.map(_._2).minBy(_._1)
       val speedup = t8 / t32
       val eff = speedup / factor
-      val perPair = runs.map { case ((a, sa), (b, sb)) => ((a / b) / factor, (sb / sa) / factor) }
+      val perPair = runs.map { case ((a, sa), (b, sb)) =>
+        ((a / b) / factor, math.min(1.0, (sb / sa) / factor))
+      }
       val (effBestPair, ceilBestPair) = perPair.maxBy(_._1)
       // pure-CPU host ceiling: what an embarrassingly parallel register-only
       // loop achieves lo→hi cores on this shared/virtualized box — scaling
-      // efficiency is reported raw AND against that physical ceiling
-      val ceiling = (spin32 / spin8) / factor
+      // efficiency is reported raw AND against that physical ceiling. Each
+      // child reports max(spin_before, spin_after) (its least-loaded
+      // window), the parent takes each side's best across reps, and the
+      // ratio is CLAMPED to 1.0: a super-linear "ceiling" is physically
+      // impossible and can only mean residual measurement noise (r1
+      // recorded 1.798 from a single pre-run spin hit by a load spike).
+      val ceiling = math.min(1.0, (spin32 / spin8) / factor)
       val pairsJson = runs.map { case ((a, _), (b, _)) =>
         f"""{"sec_lo":$a%.3f,"sec_hi":$b%.3f,"eff":${(a / b) / factor}%.3f}"""
       }.mkString("[", ",", "]")
@@ -169,15 +189,23 @@ object Bench {
           f""""images_per_sec_lo":${nScale / t8}%.1f,"images_per_sec_hi":${nScale / t32}%.1f,""" +
           f""""speedup":$speedup%.3f,"efficiency":$eff%.3f,""" +
           f""""efficiency_best_pair":$effBestPair%.3f,"ceiling_best_pair":$ceilBestPair%.3f,""" +
-          f""""host_cpu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,""" +
+          f""""host_cpu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${math.min(1.0, eff / ceiling)}%.3f,""" +
           f""""pairs":$pairsJson}"""
       spark = session(cpus)
     }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + headlineSec
-    println(
-      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}""")
+    val json =
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
+    // The contract is ONE machine-parseable JSON line. Under `sbt runMain`
+    // the forked child's stdout passes through sbt's logger and gains an
+    // "[info] " prefix (r1's BENCH artifact recorded parsed:null), so the
+    // line is ALSO written to a file — parsers should prefer the file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    println(json)
     spark.stop()
   }
 }

@@ -183,12 +183,16 @@ object SparkEntry {
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     }),
 
-    // PIP spatial join — cell cover + equi-join + native ray-cast Expression;
-    // oracle is the BETWEEN form over the same rectangles.
+    // PIP spatial join — written DECLARATIVELY as the ray-cast theta join so
+    // the PipJoinRewrite optimizer rule (not the hand-built SpatialJoin
+    // plan, which the flagship covers) produces the cell-indexed form under
+    // the oracle; oracle is the BETWEEN form over the same rectangles.
     "q12_pip_join" -> ((s, dir) => {
       import s.implicits._
-      val polys = s.createDataset(rectPolys)
-      SpatialJoin.assign(s, probePoints(s, dir), polys, res = 5, idCol = "o_orderkey")
+      graft.plans.PipJoinRewrite.install(s)
+      val polys = s.createDataset(rectPolys).toDF()
+      probePoints(s, dir)
+        .join(polys, GraftFunctions.rayCastContains(col("rings"), col("lat"), col("lon")))
         .select(col("o_orderkey"), col("relation_id"))
     }),
 
@@ -468,7 +472,7 @@ object SparkEntry {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
-          |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+          |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
           |  count(DISTINCT l_partkey) AS n_parts
           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
     }),
@@ -575,19 +579,19 @@ object SparkEntry {
         |            THEN TRY_CAST(substr(o_orderpriority,1,1) AS INT) END, 127) BETWEEN 2 AND 4""".stripMargin,
 
     "q03_member_project" ->
-      """SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) - 1 AS pos, l_partkey
+      """SELECT l_orderkey, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) - 1 AS INT) AS pos, l_partkey
         |FROM lineitem
         |QUALIFY pos < 2""".stripMargin,
 
     "q04_semi_join" ->
-      """SELECT l_returnflag, count(*) AS n, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 200000)
         |GROUP BY l_returnflag""".stripMargin,
 
     "q05_join_3way" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-        |       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |              JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
@@ -632,43 +636,43 @@ object SparkEntry {
 
     "q12_pip_join" ->
       s"""WITH pts AS ($probeSql)
-         |SELECT o_orderkey, relation_id
+         |SELECT o_orderkey, CAST(relation_id AS BIGINT) AS relation_id
          |FROM pts JOIN $rectsSqlValues
          |  ON lat > lat_min AND lat < lat_max AND lon > lon_min AND lon < lon_max""".stripMargin,
 
     "q13_knn_brute" ->
       s"""WITH pts AS ($probeSql),
-         |cents AS (SELECT relation_id AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
+         |cents AS (SELECT CAST(relation_id AS BIGINT) AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
          |          FROM $rectsSqlValues)
          |SELECT o_orderkey, nid,
-         |  row_number() OVER (PARTITION BY o_orderkey
-         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS rank
+         |  CAST(row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS INT) AS rank
          |FROM pts CROSS JOIN cents
          |WHERE o_orderkey % 97 = 0
          |QUALIFY rank <= 3""".stripMargin,
 
     "q33_knn_cell" ->
       s"""WITH pts AS ($probeSql),
-         |cents AS (SELECT relation_id AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
+         |cents AS (SELECT CAST(relation_id AS BIGINT) AS nid, (lat_min+lat_max)/2 AS clat, (lon_min+lon_max)/2 AS clon
          |          FROM $rectsSqlValues)
          |SELECT o_orderkey, nid,
-         |  row_number() OVER (PARTITION BY o_orderkey
-         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS rank
+         |  CAST(row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY (lat-clat)*(lat-clat)+(lon-clon)*(lon-clon), nid) AS INT) AS rank
          |FROM pts CROSS JOIN cents
          |WHERE o_orderkey % 97 = 0
          |QUALIFY rank <= 3""".stripMargin,
 
     "q14_window_topk" ->
       """SELECT o_custkey % 100 AS bucket,
-        |  row_number() OVER (PARTITION BY o_custkey % 100 ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey % 100 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
         |  o_orderkey
         |FROM orders
         |QUALIFY rk <= 2""".stripMargin,
 
     "q15_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  count(*) AS n, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -677,7 +681,7 @@ object SparkEntry {
 
     "q17_time_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_s,
-        |  event_type, count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q20_dedup_exact" ->
@@ -685,7 +689,7 @@ object SparkEntry {
 
     "q35_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
+        |  count(*) AS n, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q36_json_extract" ->
@@ -700,7 +704,7 @@ object SparkEntry {
 
     "q44_sql_api" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
         |  count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -712,7 +716,7 @@ object SparkEntry {
 
     "q48_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS pri, COALESCE(o_orderstatus, 'ALL') AS status,
-        |  count(*) AS n, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS price_cents
+        |  count(*) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q46_ngram_jaccard" ->
@@ -756,13 +760,13 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, event_id, ts, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(floor(min(epoch(ts))) AS BIGINT) AS first_s,
         |  CAST(floor(max(epoch(ts))) AS BIGINT) AS last_s,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q21_token_count" ->
@@ -774,8 +778,8 @@ object SparkEntry {
 
     "q27_embed_knn" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
         |QUALIFY rank <= 5""".stripMargin,

@@ -12,8 +12,13 @@ import graft.img.ImageTable.splitmix64
   * keys) → (groupBy band bucket) → (pairs within bucket) → (verify join).
   * The only shuffles are the bucket groupBy and the verify join, both keyed
   * on content hashes (uniform). Degenerate buckets (mass-duplicated
-  * boilerplate) are capped at `maxBucket` candidates with a logged drop —
-  * at 100 TB an uncapped quadratic bucket is the failure mode that matters.
+  * boilerplate) are capped at `maxBucket` candidates — at 100 TB an
+  * uncapped quadratic bucket is the failure mode that matters. Over-cap
+  * buckets are NOT dropped: they emit star pairs against the bucket's
+  * min-id hub (O(n) pairs, keeps mass-dup clusters connected for the
+  * verify stage), and every pipeline `observe`s bucket counts
+  * (`graft_*_buckets`: buckets / oversized_buckets / oversized_members) so
+  * the degradation is visible in query metrics rather than silent.
   */
 object Dedup {
 
@@ -109,13 +114,26 @@ object Dedup {
         s"hash(b, slice(sig, b*$rows + 1, $rows)))")).as(Seq("band", "bkey")))
 
     val buckets = banded.groupBy("band", "bkey")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .observe("graft_minhash_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"),
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
+          .otherwise(0L)).as("oversized_members"))
 
+    // ≤ maxBucket: all pairs (quadratic but bounded). Over the cap: star
+    // pairs against the min-id hub — linear, and a true duplicate cluster
+    // stays connected through its hub instead of vanishing.
     val pairs = buckets.select(explode(expr(
-      """flatten(transform(ids, (a, i) ->
-        |  transform(slice(ids, i + 2, size(ids)), b ->
-        |    struct(least(a, b) as id_a, greatest(a, b) as id_b))))""".stripMargin)).as("p"))
+      s"""CASE WHEN size(ids) <= $maxBucket THEN
+         |  flatten(transform(ids, (a, i) ->
+         |    transform(slice(ids, i + 2, size(ids)), b ->
+         |      struct(least(a, b) as id_a, greatest(a, b) as id_b))))
+         |ELSE
+         |  transform(slice(ids, 2, size(ids)), b ->
+         |    struct(ids[0] as id_a, b as id_b))
+         |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
 
     // verify: exact n-gram Jaccard on the candidate pairs only
@@ -143,13 +161,24 @@ object Dedup {
         "struct(b as band, shiftright(fp, b*16) & 65535 as bkey))")).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
     val buckets = banded.groupBy("band", "bkey")
-      .agg(collect_list(struct(col("id"), col("fp"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
+      .agg(array_sort(collect_list(struct(col("id"), col("fp")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .observe("graft_simhash_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("xs")) > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"),
+        sum(when(size(col("xs")) > maxBucket, size(col("xs")).cast("long"))
+          .otherwise(0L)).as("oversized_members"))
+    // same cap policy as minhashPairs: bounded all-pairs, star hub above cap
     buckets.select(explode(expr(
-      """flatten(transform(xs, (a, i) ->
-        |  transform(slice(xs, i + 2, size(xs)), b -> struct(
-        |    least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
-        |    a.fp as fp_a, b.fp as fp_b))))""".stripMargin)).as("p"))
+      s"""CASE WHEN size(xs) <= $maxBucket THEN
+         |  flatten(transform(xs, (a, i) ->
+         |    transform(slice(xs, i + 2, size(xs)), b -> struct(
+         |      least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+         |      a.fp as fp_a, b.fp as fp_b))))
+         |ELSE
+         |  transform(slice(xs, 2, size(xs)), b -> struct(
+         |    xs[0].id as id_a, b.id as id_b, xs[0].fp as fp_a, b.fp as fp_b))
+         |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
       .distinct()

@@ -28,6 +28,14 @@ object Knn {
   /** @param probes (idCol, lat, lon); @param corpus (nidCol, clat, clon) —
     * corpus is broadcast (the polygon/centroid side is small at any scale
     * where exact kNN per image is sane).
+    * @param bruteCorpusThreshold corpora at or below this size take the
+    *   broadcast cross-join directly: with few, widely spread points the
+    *   certification bound r·minDim can't be met at small radii, so every
+    *   ring round is a wasted Spark job before the inevitable brute
+    *   fallback (r1 measured q33 at 10× its brute twin for exactly this
+    *   shape). Per-probe cost of brute is |corpus| ops — cheaper than ring
+    *   bookkeeping until the corpus is dense relative to the cell grid.
+    *   Set 0 to force the ring path.
     * @return (idCol, nid, rank, dist)
     */
   def knnPoints(
@@ -37,7 +45,8 @@ object Knn {
       k: Int,
       res: Int = 6,
       maxRounds: Int = 5,
-      idCol: String = "probe_id"): DataFrame = {
+      idCol: String = "probe_id",
+      bruteCorpusThreshold: Long = 4096): DataFrame = {
     val n = CellIndex.side(res)
     val cellW = 360.0 / n
     val cellH = 180.0 / n
@@ -58,15 +67,29 @@ object Knn {
     val dist2 = (col("lat") - col("clat")) * (col("lat") - col("clat")) +
       (col("lon") - col("clon")) * (col("lon") - col("clon"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("nid"))
+    val wAll = Window.partitionBy(col(idCol))
 
     def topkFrom(cands: DataFrame): DataFrame =
       cands.withColumn("dist", sqrt(dist2))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
 
-    // each round MATERIALIZES pending (persist + count): the anti-join
-    // chain otherwise recomputes every prior round per iteration —
-    // measured 14x slowdown on the lazy form
+    // small-corpus cutover: exact, single-pass, zero driver rounds
+    if (bruteCorpusThreshold > 0 &&
+        corpus.limit(math.min(bruteCorpusThreshold + 1, Int.MaxValue.toLong).toInt)
+          .count() <= bruteCorpusThreshold)
+      return topkFrom(probes.select(col(idCol), col("lat"), col("lon"))
+        .crossJoin(broadcast(corpus)))
+        .select(col(idCol), col("nid"), col("rank"), col("dist"))
+
+    // Each round is ONE materialization (persist + single count): topk and
+    // its certification flag are computed in the same window pass, so the
+    // round costs one shuffle job instead of three (the r1 shape persisted
+    // topk, certified, and pending separately — 3 jobs/round of pure
+    // overhead on small frames). The anti-join chain still must materialize
+    // per round or every prior round recomputes (measured 14x on the lazy
+    // form). Persisted `marked` frames stay cached until the final result
+    // is materialized because resultParts reference them.
     var pending = probes.select(col(idCol), col("lat"), col("lon"))
       .withColumn("cell", GraftFunctions.cellOfCol(col("lat"), col("lon"), res))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -77,26 +100,24 @@ object Knn {
     var r = 1
     var round = 0
     while (round < maxRounds && nPending > 0) {
-      val cands = pending
+      // a probe is certified when it HAS k candidates and the k-th distance
+      // is within the ring-r exactness bound — both computable in the same
+      // window partition as the rank itself
+      val marked = topkFrom(pending
         .withColumn("ccell", ringCells(col("cell"), r))
         .filter(col("ccell").isNotNull)
-        .join(broadcast(corpusCells), Seq("ccell"))
-      val topk = topkFrom(cands)
-      // a probe is certified when it HAS k candidates and the k-th distance
-      // is within the ring-r exactness bound
-      val certified = topk.groupBy(col(idCol))
-        .agg(max(col("dist")).as("dk"), count(lit(1)).as("nc"))
-        .filter(col("nc") === k && col("dk") <= lit(r * minDim))
-        .select(col(idCol))
-      resultParts += topk.join(certified, Seq(idCol), "left_semi")
-        .select(col(idCol), col("nid"), col("rank"), col("dist"))
+        .join(broadcast(corpusCells), Seq("ccell")))
+        .withColumn("certified",
+          count(lit(1)).over(wAll) === k && max(col("dist")).over(wAll) <= lit(r * minDim))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      toUnpersist += resultParts.last
-      resultParts.last.count() // materialize before pending is replaced
+      toUnpersist += marked
+      resultParts += marked.filter(col("certified"))
+        .select(col(idCol), col("nid"), col("rank"), col("dist"))
+      val certified = marked.filter(col("certified")).select(col(idCol)).distinct()
       pending = pending.join(certified, Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toUnpersist += pending
-      nPending = pending.count()
+      nPending = pending.count() // materializes marked + new pending in one job
       r *= 2
       round += 1
     }

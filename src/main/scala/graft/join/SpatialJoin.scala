@@ -27,17 +27,27 @@ import graft.functions.GraftFunctions
   */
 object SpatialJoin {
 
-  final case class CellPoly(cell: Long, relation_id: Long, name: String,
-      rings: Seq[Seq[graft.geom.Pt]])
+  final case class CellPoly(cell: Long, relation_id: Long, name: String)
 
-  /** Build side: one row per (cover cell, polygon). */
+  /** Build side: one row per (cover cell, polygon id). Rings are NOT
+    * duplicated per cover cell — a detailed polygon (10⁵ vertices) covering
+    * 10³ cells would otherwise put vertices×cells into the broadcast, a
+    * scale-killer. They ride in a second, per-polygon-unique frame
+    * (`polygonRings`) attached after the cell match.
+    */
   def polygonCells(spark: SparkSession, polys: Dataset[PolygonRow], res: Int,
       maxCells: Int = 4096): Dataset[CellPoly] = {
     import spark.implicits._
     polys.flatMap { p =>
       CellIndex.cover(p.rings, res, maxCells).map(c =>
-        CellPoly(c, p.relation_id, p.name, p.rings))
+        CellPoly(c, p.relation_id, p.name))
     }
+  }
+
+  /** One row per polygon: (relation_id, rings) — the exact-refine side. */
+  def polygonRings(spark: SparkSession, polys: Dataset[PolygonRow]): DataFrame = {
+    import spark.implicits._
+    polys.map(p => (p.relation_id, p.rings)).toDF("relation_id", "rings")
   }
 
   /** Assign each probe row its containing polygons.
@@ -59,6 +69,7 @@ object SpatialJoin {
     GraftFunctions.register(spark)
     val cells0 = polygonCells(spark, polys, res).toDF()
       .withColumnRenamed("name", "polygon_name")
+    val rings0 = polygonRings(spark, polys)
     val p = probes.withColumn("cell", GraftFunctions.cellOfCol(col(latCol), col(lonCol), res))
 
     val joined =
@@ -76,8 +87,12 @@ object SpatialJoin {
       }
 
     // all probe columns pass through — the big side is read ONCE (an extra
-    // self-join to re-attach payloads would double the 100 TB scan)
+    // self-join to re-attach payloads would double the 100 TB scan). Rings
+    // attach here via a second broadcast keyed per polygon (unique — one
+    // copy each regardless of cover size); the broadcast hint keeps the
+    // probe side map-side-only even when the candidate join shuffled.
     joined
+      .join(broadcast(rings0), Seq("relation_id"))
       .filter(GraftFunctions.rayCastContains(col("rings"), col(latCol), col(lonCol)))
       .drop("rings")
   }

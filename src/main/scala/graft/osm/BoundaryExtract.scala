@@ -60,27 +60,51 @@ object BoundaryExtract {
     * with zero surviving segments are KEPT (left join back) — the reference
     * emits a Polygon with an empty points list for them.
     */
+  /** @param maxBroadcastMembers auto-switch threshold: when the exploded
+    *   member list exceeds this many rows, BOTH big joins (and the final
+    *   re-nest re-attach) run as shuffle joins instead of broadcasts — at
+    *   planet scale (~10⁷-10⁸ boundary way refs, each way ≤2000 nodes by the
+    *   OSM data model) the per-vertex `waySegs` frame exceeds any sane
+    *   broadcast. The vertex-side decision uses `members × 64` (conservative
+    *   mean way length) against the same threshold so a small member list
+    *   over long ways also degrades gracefully. `Long.MaxValue` forces
+    *   broadcast (skips the sizing count); 0 forces shuffle.
+    */
   def extract(
       spark: SparkSession,
       relations: DataFrame,
       ways: DataFrame,
       nodes: DataFrame,
       minAdmin: Int = 8,
-      maxAdmin: Int = 8): Dataset[PolygonRow] = {
+      maxAdmin: Int = 8,
+      maxBroadcastMembers: Long = 10000000L): Dataset[PolygonRow] = {
     import spark.implicits._
 
     val rels = filterAdminRelations(relations, minAdmin, maxAdmin)
     val members = memberWays(rels)
 
-    // J1+J3: big `ways` streams against the broadcast member list; pos kept.
+    val nMembers =
+      if (maxBroadcastMembers == Long.MaxValue || maxBroadcastMembers <= 0) -1L
+      else members.count() // cheap: relations scan + filter + explode
+    val bcastMembers = maxBroadcastMembers == Long.MaxValue ||
+      (maxBroadcastMembers > 0 && nMembers <= maxBroadcastMembers)
+    val bcastSegs = maxBroadcastMembers == Long.MaxValue ||
+      (maxBroadcastMembers > 0 && nMembers * 64 <= maxBroadcastMembers)
+    def maybeBroadcast(df: DataFrame, on: Boolean): DataFrame =
+      if (on) broadcast(df) else df
+
+    // J1+J3: big `ways` streams against the (broadcast when small) member
+    // list; pos kept. Shuffle fallback keys on way id — uniform.
     val waySegs = ways
-      .join(broadcast(members), col("id") === col("way_id"))
+      .join(maybeBroadcast(members, bcastMembers), col("id") === col("way_id"))
       .select(col("relation_id"), col("member_pos"),
         posexplode(col("node_ids")).as(Seq("node_pos", "node_id")))
 
-    // J2+J4: big `nodes` streams against the broadcast surviving refs.
+    // J2+J4: big `nodes` streams against the surviving refs. waySegs is
+    // per-VERTEX (one row per way-node ref) so its broadcast ceiling is much
+    // lower than the member list's.
     val verts = nodes
-      .join(broadcast(waySegs), nodes("id") === waySegs("node_id"))
+      .join(maybeBroadcast(waySegs, bcastSegs), nodes("id") === waySegs("node_id"))
       .select(col("relation_id"), col("member_pos"), col("node_pos"),
         col("node_id"), col("decimicro_lat").as("lat_dm"), col("decimicro_lon").as("lon_dm"))
 
@@ -93,10 +117,12 @@ object BoundaryExtract {
         col("member_pos"), col("node_pos"), col("node_id"),
         col("lat_dm"), col("lon_dm")))).as("pts"))
 
-    // keep zero-segment relations: left join from the filtered relation set
+    // keep zero-segment relations: left join from the filtered relation set.
+    // In shuffle mode grouped is already hash-partitioned on relation_id by
+    // the aggregation, so this join adds no exchange on the big side.
     val withTags = rels
       .select(col("id").as("relation_id"), col("tags"))
-      .join(broadcast(grouped), Seq("relation_id"), "left")
+      .join(maybeBroadcast(grouped, bcastSegs), Seq("relation_id"), "left")
       .select(col("relation_id"), col("tags"),
         coalesce(col("pts"), array().cast(
           "array<struct<member_pos:int,node_pos:int,node_id:bigint,lat_dm:int,lon_dm:int>>"))

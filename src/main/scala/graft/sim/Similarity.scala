@@ -80,10 +80,18 @@ object Similarity {
     val cb = banded(corpus, cId, "neighbor_id", "ce")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // Band collisions duplicate a candidate pair up to `bands` times; dedup
+    // on the ID PAIR, never on the embedding arrays — wide arrays as shuffle
+    // keys ship the whole vector through the exchange. Cosine is computed
+    // per banded row (≤ bands× redundant flops, all map-side) so the shuffle
+    // carries only (ids, cosine); max() is exact since cosine is
+    // deterministic per pair, and partial aggregation collapses duplicates
+    // before the exchange.
     qb.join(cb, Seq("bi", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce")).distinct()
       .withColumn("cosine", cosineCol(col("qe"), col("ce")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -99,13 +107,23 @@ object Similarity {
     val sigs = vecs.select(col(idCol).cast("long").as("id"), col("embedding"))
       .withColumn("sig", sigUdf(col("embedding")))
     val buckets = sigs.groupBy("sig")
-      .agg(collect_list(struct(col("id"), col("embedding"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
+      .agg(array_sort(collect_list(struct(col("id"), col("embedding")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .observe("graft_embdup_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("xs")) > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"))
+    // over-cap buckets emit star pairs vs the min-id hub (O(n)) instead of
+    // being dropped — see graft.dedup.Dedup for the policy rationale
     buckets.select(explode(expr(
-      """flatten(transform(xs, (a, i) ->
-        |  transform(slice(xs, i + 2, size(xs)), b -> struct(
-        |    least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
-        |    a.embedding as ea, b.embedding as eb))))""".stripMargin)).as("p"))
+      s"""CASE WHEN size(xs) <= $maxBucket THEN
+         |  flatten(transform(xs, (a, i) ->
+         |    transform(slice(xs, i + 2, size(xs)), b -> struct(
+         |      least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+         |      a.embedding as ea, b.embedding as eb))))
+         |ELSE
+         |  transform(slice(xs, 2, size(xs)), b -> struct(
+         |    xs[0].id as id_a, b.id as id_b, xs[0].embedding as ea, b.embedding as eb))
+         |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         (dotCol(col("p.ea"), col("p.eb")) /
           (normCol(col("p.ea")) * normCol(col("p.eb")))).as("cosine"))

@@ -36,6 +36,29 @@ class DedupSpec extends AnyFunSuite {
     assert(j.forall(_ >= 0.7))
   }
 
+  test("mass-duplicated boilerplate survives the bucket cap via star pairs") {
+    // 200 identical docs → every LSH bucket holds all 200, far over
+    // maxBucket=16. r1 dropped such buckets silently (recall 0 on exactly
+    // the mass-dup cluster a dedup pass most needs to kill); the star-hub
+    // policy must keep every copy connected to the min-id hub.
+    val boiler = (0 until 40).map(j => s"copy${j % 7} boilerplate tok$j").mkString(" ")
+    val d = docs((0L until 200L).map(i => (i, boiler)): _*)
+    val pairs = Dedup.minhashPairs(spark, d, threshold = 0.9, maxBucket = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val connected = pairs.flatMap(p => Set(p._1, p._2))
+    assert((0L until 200L).toSet.subsetOf(connected),
+      s"missing docs: ${(0L until 200L).toSet -- connected}")
+    // every doc reaches the hub directly (star shape ⇒ one dedup cluster)
+    assert((1L until 200L).forall(j => pairs.contains((0L, j))))
+    // pair count stays LINEAR in the cluster size, not quadratic
+    assert(pairs.size < 2 * 200, s"expected O(n) pairs, got ${pairs.size}")
+
+    // same policy on the simhash pipeline
+    val sp = Dedup.simhashPairs(spark, d, maxHamming = 3, maxBucket = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 200L).toSet.subsetOf(sp.flatMap(p => Set(p._1, p._2))))
+  }
+
   test("simhash: tiny edits on long docs stay within hamming 3; random texts far") {
     // a 1-token edit flips only margin-zero bits; P(margin=0) shrinks with
     // doc length, so hamming<=3 LSH targets LONG docs with TINY edits

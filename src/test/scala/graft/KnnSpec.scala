@@ -30,10 +30,16 @@ class KnnSpec extends AnyFunSuite {
     val pDf = probes.toDF("probe_id", "lat", "lon")
     val cDf = corpus.toDF("nid", "clat", "clon")
     for (k <- Seq(1, 3, 5)) {
-      val got = Knn.knnPoints(spark, pDf, cDf, k, res = 5)
+      // threshold 0 forces the ring-expansion path (the default cutover
+      // would route this 43-point corpus to the brute twin)
+      val got = Knn.knnPoints(spark, pDf, cDf, k, res = 5, bruteCorpusThreshold = 0)
         .select("probe_id", "nid", "rank").as[(Long, Long, Int)].collect().toSet
       assert(got == bruteTopK(probes, corpus, k), s"k=$k")
     }
+    // and the default small-corpus cutover returns the identical result
+    val viaCutover = Knn.knnPoints(spark, pDf, cDf, 3, res = 5)
+      .select("probe_id", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaCutover == bruteTopK(probes, corpus, 3))
   }
 
   test("k larger than corpus returns whole corpus ranked") {
@@ -49,7 +55,7 @@ class KnnSpec extends AnyFunSuite {
     val corpus = (0L until 20L).map(i => (i, (i * 7 % 13).toDouble, (i * 11 % 17).toDouble))
     val probes = (0L until 30L).map(i => (i + 500, (i % 9).toDouble + 0.1, (i % 6).toDouble + 0.2))
     val a = Knn.knnPoints(spark, probes.toDF("probe_id", "lat", "lon").repartition(7),
-      corpus.toDF("nid", "clat", "clon"), 3, res = 6)
+      corpus.toDF("nid", "clat", "clon"), 3, res = 6, bruteCorpusThreshold = 0)
       .select("probe_id", "nid", "rank").as[(Long, Long, Int)].collect().toSet
     assert(a == bruteTopK(probes, corpus, 3))
   }

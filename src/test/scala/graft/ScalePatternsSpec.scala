@@ -86,4 +86,31 @@ class ScalePatternsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bkt")
     }
   }
+
+  test("BoundaryExtract auto-switches broadcast→shuffle at the member threshold, same output") {
+    val (n, w, r) = graft.fixtures.OsmScenes.grid(8, 4).toDFs(spark)
+    def rows(maxBroadcastMembers: Long) = {
+      val ds = graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8,
+        maxBroadcastMembers = maxBroadcastMembers)
+      val plan = ds.queryExecution.executedPlan.toString
+      (ds.collect().map(p => (p.relation_id, p.name, p.rings)).sortBy(_._1).toSeq, plan)
+    }
+    // disable Catalyst's size-based auto-broadcast so the engine's own
+    // threshold decision is what the plan shows (at 100 TB the stats-based
+    // estimate can't see through the filter either — the explicit count can)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (bRows, bPlan) = rows(Long.MaxValue) // force broadcast
+      val (sRows, sPlan) = rows(0L)            // force shuffle
+      assert(bPlan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$bPlan")
+      assert(!sPlan.contains("BroadcastHashJoin"), s"expected shuffle joins:\n$sPlan")
+      assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join:\n$sPlan")
+      assert(bRows == sRows, "broadcast and shuffle paths must produce identical polygons")
+      // auto path: the grid scene's member list is far under 10M → broadcast
+      val (aRows, aPlan) = rows(10000000L)
+      assert(aPlan.contains("BroadcastHashJoin"))
+      assert(aRows == bRows)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

@@ -43,6 +43,16 @@ def main(sf_dir, out_dir):
         ocols = sorted(odf.column_names); scols = sorted(sdf.column_names)
         if ocols != scols:
             print(f"{name}: SCHEMA MISMATCH oracle={ocols} spark={scols}"); n_fail += 1; continue
+        # PHYSICAL arrow types must match too: the driver's hash sees physical
+        # types, so e.g. DuckDB widening sum(BIGINT)->decimal128(38,0) vs
+        # Spark's int64 is a hash-red even when every value is identical
+        # (this exact class caused 8 false reds in round 1). str() canon
+        # below cannot catch it.
+        otypes = {c: str(odf.schema.field(c).type) for c in ocols}
+        stypes = {c: str(sdf.schema.field(c).type) for c in scols}
+        tdiff = {c: (otypes[c], stypes[c]) for c in ocols if otypes[c] != stypes[c]}
+        if tdiff:
+            print(f"{name}: ARROW TYPE MISMATCH {tdiff}"); n_fail += 1; continue
         orows = canon(odf.select(ocols).to_pylist() and
                       [tuple(d[c] for c in ocols) for d in odf.select(ocols).to_pylist()], ocols)
         srows = canon([tuple(d[c] for c in scols) for d in sdf.select(scols).to_pylist()], scols)
