@@ -59,9 +59,13 @@ object ScaleRunner {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     polys.count()
     Bench.spatialTilePhase(spark, polys, 2000, cores) // warmup: JIT + codegen
+    // 128 partitions at BOTH cluster sizes (identical input, identical
+    // plan): fine granularity keeps all cores busy through stragglers —
+    // at 16 cores, 32 partitions is 2 task waves and one background-load
+    // hiccup idles half the cluster for the rest of the wave
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      Bench.spatialTilePhase(spark, polys, n, 32)
+      Bench.spatialTilePhase(spark, polys, n, 128)
       (System.nanoTime() - t0) / 1e9
     }
     val best = times.min

@@ -467,6 +467,14 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx"))
     }),
 
+    // exact companion of q43 — the HLL estimate is rows-only by nature
+    // (Spark's HLL++ ≠ DuckDB's approx engine), the exact side is oracled
+    "q49_exact_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+    }),
+
     // SQL API: the literal SAME SQL text runs on Spark SQL and DuckDB
     "q44_sql_api" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -783,6 +791,47 @@ object SparkEntry {
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q49_exact_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact FROM lineitem GROUP BY 1",
+
+    // q31 — the image table's metadata columns are a pure function of the
+    // row index through splitmix64; reproduced here in DuckDB with HUGEINT
+    // arithmetic mod 2^64 (32-bit-limb multiply — DuckDB raises on BIGINT
+    // overflow, and a 64×64-bit product can overflow even HUGEINT).
+    // Verifies generate()'s metadata end-to-end (bytes are pinned by the
+    // codec round-trip tests in sbt).
+    "q31_image_table" -> {
+      def mul(a: String, b: String): String =
+        s"((($a % 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT) + " +
+          s"((($a % 4294967296::HUGEINT) * ($b // 4294967296::HUGEINT) + " +
+          s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
+          s" % 18446744073709551616::HUGEINT)"
+      val m1 = mul("x", "13787848793156543929::HUGEINT")
+      val m2 = mul("x", "10723151780598845931::HUGEINT")
+      s"""WITH ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, 2000)),
+         |seeds AS (
+         |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
+         |  UNION ALL SELECT i, 'h', (3*i+2) FROM ids
+         |  UNION ALL SELECT i, 'p', i FROM ids),
+         |s0 AS (SELECT i, k, (s + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM seeds),
+         |s1 AS (SELECT i, k, $m1 AS z FROM (SELECT i, k, xor(z, z >> 30) AS x FROM s0)),
+         |s2 AS (SELECT i, k, $m2 AS z FROM (SELECT i, k, xor(z, z >> 27) AS x FROM s1)),
+         |s3 AS (SELECT i, k, xor(z, z >> 31) AS z FROM s2),
+         |vals AS (
+         |  SELECT i,
+         |    CAST(16 + (max(CASE WHEN k='w' THEN z END) & 47::HUGEINT) AS INT) AS w,
+         |    CAST(16 + (max(CASE WHEN k='h' THEN z END) & 47::HUGEINT) AS INT) AS h,
+         |    CAST(CASE WHEN max(CASE WHEN k='p' THEN z END) >= 9223372036854775808::HUGEINT
+         |              THEN max(CASE WHEN k='p' THEN z END) - 18446744073709551616::HUGEINT
+         |              ELSE max(CASE WHEN k='p' THEN z END) END AS BIGINT) AS phash
+         |  FROM s3 GROUP BY i)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+         |  'caption_' || CAST(i AS BIGINT) || ' of cell ' || CAST(abs(phash) % 97 AS BIGINT) AS caption,
+         |  phash
+         |FROM vals""".stripMargin
+    },
 
     "q22_quality" ->
       """SELECT doc_id,
