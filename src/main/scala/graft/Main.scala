@@ -6,7 +6,10 @@ import graft.emit.BoundaryWriter
 /** spark-submit entry point with the reference CLI's semantics
   * (`/root/reference/src/main.rs:21-133`):
   *
-  *   --input DIR         directory with nodes/ways/relations parquet
+  *   --input DIR         directory with nodes/ways/relations parquet, OR a
+  *                       .osm.pbf file / directory of .pbf files (the
+  *                       reference's own input container, read by
+  *                       graft.osm.pbf.PbfSource — reference -f)
   *   --min-admin N       default 8   (reference -m)
   *   --max-admin N       default 8   (reference -x)
   *   --path DIR          output dir, default "{input}_polygons" (main.rs:131)
@@ -53,10 +56,18 @@ object Main {
           .config("spark.sql.extensions", "graft.plans.GraftExtensions")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val out = c.path.getOrElse(s"${c.input.stripSuffix("/")}_polygons")
-        val rel = spark.read.parquet(s"${c.input}/relations.parquet")
-        val ways = spark.read.parquet(s"${c.input}/ways.parquet")
-        val nodes = spark.read.parquet(s"${c.input}/nodes.parquet")
+        val out = c.path.getOrElse(
+          s"${c.input.stripSuffix("/").stripSuffix(".osm.pbf").stripSuffix(".pbf")}_polygons")
+        val isPbf = c.input.endsWith(".pbf") || {
+          val f = new java.io.File(c.input)
+          f.isDirectory && f.listFiles().exists(_.getName.endsWith(".pbf"))
+        }
+        val (rel, ways, nodes) =
+          if (isPbf) graft.osm.pbf.PbfSource.readTriple(spark, c.input)
+          else (
+            spark.read.parquet(s"${c.input}/relations.parquet"),
+            spark.read.parquet(s"${c.input}/ways.parquet"),
+            spark.read.parquet(s"${c.input}/nodes.parquet"))
         val t0 = System.nanoTime()
         val df = graft.osm.BoundaryExtract
           .extractWithSinks(spark, rel, ways, nodes, c.minAdmin, c.maxAdmin)

@@ -475,6 +475,20 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("exact"))
     }),
 
+    // real .osm.pbf container ingestion (the reference's own input format,
+    // osm_reader.rs:83-152): deterministic grid scene → PBF bytes on disk →
+    // blob-parallel decode → extract. Rows-only here (DuckDB reads no PBF);
+    // byte-level round-trip + extract-parity pinned in PbfSpec.
+    "q50_pbf_extract" -> ((s, dir) => {
+      val scene = OsmScenes.grid(12, 6)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_q50.osm.pbf")
+      graft.osm.pbf.PbfSource.writeFixture(tmp.getPath, scene.nodes, scene.ways,
+        scene.relations, chunk = 64)
+      val (r, w, n) = graft.osm.pbf.PbfSource.readTriple(s, tmp.getPath, partitions = 8)
+      BoundaryExtract.extract(s, r, w, n, 8, 8).toDF()
+        .select(col("relation_id"), col("name"), size(col("rings")).as("n_rings"))
+    }),
+
     // SQL API: the literal SAME SQL text runs on Spark SQL and DuckDB
     "q44_sql_api" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")

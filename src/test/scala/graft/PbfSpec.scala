@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.OsmScenes
+import graft.fixtures.OsmScenes.{Member, NodeRow, RelationRow, WayRow}
+import graft.osm.pbf.{OsmPbf, PbfReader, PbfSource, PbfWriter}
+
+class PbfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("wire: varint/zigzag round-trip at the edges") {
+    val vals = Seq(0L, 1L, -1L, 127L, 128L, 300L, Int.MaxValue.toLong,
+      Long.MaxValue, Long.MinValue, -1234567890123L)
+    val w = new PbfWriter
+    vals.foreach(w.writeVarint)
+    vals.foreach(w.writeZigzagVal)
+    val r = new PbfReader(w.result())
+    vals.foreach(v => assert(r.readVarint() == v, s"varint $v"))
+    vals.foreach(v => assert(r.readZigzag() == v, s"zigzag $v"))
+    assert(!r.hasRemaining)
+  }
+
+  private def roundTrip(scene: OsmScenes.Scene, zlib: Boolean, chunk: Int):
+      (Seq[NodeRow], Seq[WayRow], Seq[RelationRow]) = {
+    val bytes = OsmPbf.encode(scene.nodes, scene.ways, scene.relations, zlib, chunk)
+    val f = java.io.File.createTempFile("graft", ".osm.pbf")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val idx = PbfSource.blobIndex(f.getPath)
+    val blocks = idx.map(ref => OsmPbf.decodePrimitiveBlock(OsmPbf.decodeBlob({
+      val raf = new java.io.RandomAccessFile(ref.path, "r")
+      try { raf.seek(ref.offset); val b = new Array[Byte](ref.length); raf.readFully(b); b }
+      finally raf.close()
+    })))
+    (blocks.flatMap(_.nodes), blocks.flatMap(_.ways), blocks.flatMap(_.relations))
+  }
+
+  test("encode → decode round-trips the golden scene exactly (zlib and raw)") {
+    val scene = OsmScenes.golden
+    for (zlib <- Seq(true, false)) {
+      val (n, w, r) = roundTrip(scene, zlib, chunk = 8000)
+      assert(n == scene.nodes, s"nodes zlib=$zlib")
+      assert(w == scene.ways, s"ways zlib=$zlib")
+      assert(r == scene.relations, s"relations zlib=$zlib")
+    }
+  }
+
+  test("multi-blob chunking preserves content and order; negative coords survive") {
+    val scene = OsmScenes.grid(6, 5) // includes negative lat/lon corners
+    assert(scene.nodes.exists(_.decimicro_lat < 0))
+    assert(scene.nodes.exists(_.decimicro_lon < 0))
+    val (n, w, r) = roundTrip(scene, zlib = true, chunk = 7) // many tiny blobs
+    assert(n == scene.nodes)
+    assert(w == scene.ways)
+    assert(r == scene.relations)
+    val bytes = OsmPbf.encode(scene.nodes, scene.ways, scene.relations, zlib = true, chunk = 7)
+    val f = java.io.File.createTempFile("graft-chunk", ".osm.pbf")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val expectBlobs = Seq(scene.nodes, scene.ways, scene.relations)
+      .map(s => (s.size + 6) / 7).sum
+    assert(PbfSource.blobIndex(f.getPath).size == expectBlobs)
+  }
+
+  test("plain (non-dense) Node messages decode too") {
+    // hand-encode a PrimitiveGroup with a plain Node (field 1): the fixture
+    // writer only emits DenseNodes, but real files may carry either
+    val block = new PbfWriter
+    block.message(1) { st => Seq("", "k", "v").foreach(s => st.string(1, s)) }
+    block.message(2) { grp =>
+      grp.message(1) { n =>
+        n.zigzag(1, 42L)           // id
+        n.packedVarints(2, Seq(1L)) // keys
+        n.packedVarints(3, Seq(2L)) // vals
+        n.zigzag(8, -123456789L)   // lat (granularity units of nano)
+        n.zigzag(9, 987654321L)    // lon
+      }
+    }
+    block.int(17, 100L)
+    val b = OsmPbf.decodePrimitiveBlock(block.result())
+    assert(b.nodes == Seq(NodeRow(42L, -123456789, 987654321, Map("k" -> "v"))))
+  }
+
+  test("Want selection wire-skips the other kinds") {
+    val scene = OsmScenes.golden
+    val bytes = OsmPbf.encode(scene.nodes, scene.ways, scene.relations)
+    val f = java.io.File.createTempFile("graft-want", ".osm.pbf")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val onlyRels = PbfSource.blobIndex(f.getPath).map { ref =>
+      val raf = new java.io.RandomAccessFile(ref.path, "r")
+      val b = try { raf.seek(ref.offset); val x = new Array[Byte](ref.length); raf.readFully(x); x }
+      finally raf.close()
+      OsmPbf.decodePrimitiveBlock(OsmPbf.decodeBlob(b),
+        OsmPbf.Want(nodes = false, ways = false, relations = true))
+    }
+    assert(onlyRels.flatMap(_.nodes).isEmpty)
+    assert(onlyRels.flatMap(_.ways).isEmpty)
+    assert(onlyRels.flatMap(_.relations) == scene.relations)
+  }
+
+  test("end-to-end: PBF file → PbfSource triple → extract equals direct extract") {
+    val scene = OsmScenes.grid(5, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbf").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "scene.osm.pbf").getPath
+    PbfSource.writeFixture(path, scene.nodes, scene.ways, scene.relations, chunk = 16)
+
+    val (rp, wp, np) = PbfSource.readTriple(spark, path, partitions = 4)
+    val (nd, wd, rd) = scene.toDFs(spark)
+
+    def polys(r: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.DataFrame,
+        n: org.apache.spark.sql.DataFrame) =
+      graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8)
+        .collect().map(p => (p.relation_id, p.name, p.rings)).sortBy(_._1).toSeq
+
+    assert(polys(rp, wp, np) == polys(rd, wd, nd))
+
+    // member order, roles, and tags survive the container byte-exactly
+    val relsBack = rp.orderBy("id").collect()
+    val relsDirect = rd.orderBy("id").collect()
+    assert(relsBack.toSeq == relsDirect.toSeq)
+  }
+}
