@@ -47,11 +47,21 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ray_cast_contains", exprs => RayCastContains(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column form: rings array<array<struct<lat:float,lon:float>>>, lat, lon. */
   def rayCastContains(rings: Column, lat: Column, lon: Column): Column =
     call_function("ray_cast_contains", rings, lat, lon)
+
+  /** Cosine similarity of two array<float> columns — native codegen'd
+    * Expression; call `register(spark)` first (idempotent, cheap).
+    */
+  def cosineF32(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("cosine_f32", a, b)
+  }
 }
 
 /** Even-odd ray-cast containment over the union of rings (same semantics as
@@ -115,6 +125,85 @@ case class RayCastContains(rings: Expression, lat: Expression, lon: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(rings = newFirst, lat = newSecond, lon = newThird)
+}
+
+/** Cosine similarity over two `array<float>` embeddings as a native
+  * Catalyst expression. The `aggregate(zip_with(...))` built-in form it
+  * replaces evaluates three interpreted higher-order lambdas per row (one
+  * closure call per element per pass); this kernel is one fused loop over
+  * the raw ArrayData inside whole-stage codegen. Same math, same order:
+  * per-element products accumulated in double, array order — results are
+  * bit-identical to the HOF form (pinned in SimilaritySpec).
+  */
+case class CosineF32(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cosine_f32"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (a.dataType, b.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_f32 needs two array<float> inputs, got $other")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val av = a.eval(input)
+    val bv = b.eval(input)
+    if (av == null || bv == null) return 0.0
+    CosineKernel.cosine(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ac = a.genCode(ctx)
+    val bc = b.genCode(ctx)
+    val code =
+      code"""
+        ${ac.code}
+        ${bc.code}
+        double ${ev.value} = 0.0;
+        if (!${ac.isNull} && !${bc.isNull}) {
+          ${ev.value} = graft.functions.CosineKernel.cosine(${ac.value}, ${bc.value});
+        }
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+object CosineKernel {
+  /** dot/(‖a‖·‖b‖) with double accumulation in array order — identical
+    * per-element op order to aggregate(zip_with(a,b,_*_), 0.0, _+_) /
+    * sqrt-norm composition, so results match bit-for-bit.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // norms over each FULL array (the HOF form norms a and b separately)
+    var j = n
+    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    j = n
+    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 /** Static kernel shared by interpreted eval and generated code. */

@@ -14,7 +14,10 @@ import graft.img.ImageTable.splitmix64
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, array-order summation. */
+  /** dot(a, b) in double precision, array-order summation (built-in HOF
+    * form — kept as the readable reference implementation; the pipelines
+    * below use the codegen'd native kernel, which is bit-identical).
+    */
   def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -22,6 +25,12 @@ object Similarity {
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   def cosineCol(a: Column, b: Column): Column = dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Native codegen'd cosine (graft.functions.CosineF32): one fused loop
+    * over the raw ArrayData instead of three interpreted lambda passes.
+    */
+  def cosineFast(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineF32(spark, a, b)
 
   /** Brute-force top-k by cosine: every query row scans the corpus.
     * Correctness baseline + small-query path (broadcast the queries, stream
@@ -35,7 +44,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qe"), col("ce")))
+      .withColumn("cosine", cosineFast(corpus.sparkSession, col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -89,7 +98,7 @@ object Similarity {
     // before the exchange.
     qb.join(cb, Seq("bi", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qe"), col("ce")))
+      .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -125,8 +134,7 @@ object Similarity {
          |    xs[0].id as id_a, b.id as id_b, xs[0].embedding as ea, b.embedding as eb))
          |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
-        (dotCol(col("p.ea"), col("p.eb")) /
-          (normCol(col("p.ea")) * normCol(col("p.eb")))).as("cosine"))
+        cosineFast(spark, col("p.ea"), col("p.eb")).as("cosine"))
       .distinct()
       .filter(col("cosine") >= minCosine)
   }

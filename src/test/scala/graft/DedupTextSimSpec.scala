@@ -126,6 +126,19 @@ class SimilaritySpec extends AnyFunSuite {
       (graft.img.ImageTable.splitmix64(i * 100 + d).toDouble / Long.MaxValue).toFloat))
   }.toDF("vec_id", "embedding")
 
+  test("native cosine_f32 kernel is bit-identical to the HOF reference form") {
+    val v = vecs(60)
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .select(
+        Similarity.cosineCol(col("a.embedding"), col("b.embedding")).as("hof"),
+        Similarity.cosineFast(spark, col("a.embedding"), col("b.embedding")).as("native"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (h, n) =>
+      assert(java.lang.Double.doubleToRawLongBits(h) == java.lang.Double.doubleToRawLongBits(n))
+    }
+  }
+
   test("brute-force top-k: self excluded, ranks contiguous, cosine descending") {
     val v = vecs(50)
     val r = Similarity.bruteForceTopK(v.filter($"vec_id" < 5), v, 3)

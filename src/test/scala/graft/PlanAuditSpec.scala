@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the plan properties the 100 TB design depends on — not just that
+  * queries return the right rows, but that they produce the PLAN a 1000-
+  * executor cluster needs: filters and projections reaching the parquet
+  * scan, broadcast joins where the build side is small, and no shuffle in
+  * the narrow image→tile streaming phase.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filter and projection push down to the parquet scan (q01 shape)") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter must reach the scan:\n$plan")
+    // ReadSchema carries only the needed columns (projection + filter col),
+    // not the full events schema
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).get.group(1)
+    assert(readSchema.contains("event_id") && readSchema.contains("event_type"))
+    assert(!readSchema.contains("props"), s"unused column read: $readSchema")
+  }
+
+  test("column pruning: 2-column aggregate reads 2 of 16 lineitem columns") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).get.group(1)
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads more than the projection needs: $readSchema")
+  }
+
+  test("flagship spatial join is broadcast on the polygon side, never SMJ/NLJ") {
+    val plan = SparkEntry.flagship(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "the 10^12-row probe side must not sort-shuffle")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "PIP must not degenerate to NLJ")
+  }
+
+  test("image→assign→tile streaming phase has no exchange except the final count") {
+    val imgs = graft.img.ImageTable.generate(spark, 200, 4).toDF()
+      .withColumn("idx", substring(col("image_id"), 5, 9).cast("long"))
+      .withColumn("lat", graft.functions.GraftFunctions.latOfKey(col("idx")))
+      .withColumn("lon", graft.functions.GraftFunctions.lonOfKey(col("idx")))
+    // a PRE-BUILT polygon set (the polygon-index build legitimately
+    // shuffles once at fixed cost; here we audit the per-image path only)
+    import spark.implicits._
+    val polys = spark.createDataset(Seq(graft.geom.PolygonRow("world", Seq(Seq(
+      graft.geom.Pt(-89f, -179f), graft.geom.Pt(-89f, 179f),
+      graft.geom.Pt(89f, 179f), graft.geom.Pt(89f, -179f))), 1L, 8L)))
+    val assigned = graft.join.SpatialJoin.assign(spark, imgs, polys, res = 7)
+    val tiles = graft.tile.Tiling.tile(spark, assigned)
+    val plan = tiles.groupBy().count().queryExecution.executedPlan.toString
+    // broadcast exchanges are fine (tiny build sides); the big image stream
+    // itself must never hash-repartition before the final 1-row count
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+    assert(shuffles == 0, s"streaming phase must not shuffle the image stream:\n$plan")
+  }
+
+  test("whole-stage codegen covers the probe-side refine filter (native expression)") {
+    // AQE wraps stages in QueryStageExec, which the codegen-explain walker
+    // does not descend into — audit the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.flagship(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the ray-cast filter must appear INSIDE the plan (not as an
+      // interpreted fallback wrapper)
+      assert(plan.contains("ray_cast_contains"))
+      // "*(n)" node prefixes mark whole-stage-codegen'd operators
+      assert(plan.contains("*("), s"refine fell out of codegen:\n$plan")
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      val m = "Found (\\d+) WholeStageCodegen subtrees".r.findFirstMatchIn(codegen)
+      assert(m.isDefined && m.get.group(1).toInt >= 1, s"no codegen subtrees:\n${codegen.take(800)}")
+      // and the generated code really calls the native kernel (codegen'd
+      // doGenCode path, not CodegenFallback)
+      assert(codegen.contains("RayCastKernel.contains"),
+        "ray-cast should be generated as a static kernel call")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
