@@ -109,3 +109,61 @@ object GeomProperties extends Properties("Geom") {
         onBoundary || Geom.rayCastContainsRing(ring, pla, plo) == expected
     }
 }
+
+object PbfProperties extends Properties("OsmPbf") {
+  import graft.fixtures.OsmScenes.{Member, NodeRow, RelationRow, WayRow}
+  import graft.osm.pbf.OsmPbf
+
+  private val tagGen: Gen[Map[String, String]] = Gen.oneOf(
+    Gen.const(Map.empty[String, String]),
+    Gen.mapOfN(2, Gen.zip(Gen.alphaStr.map("k" + _.take(6)), Gen.alphaStr.map("v" + _.take(6)))))
+
+  private val nodeGen: Gen[NodeRow] = for {
+    id <- Gen.choose(0L, 1L << 40)
+    la <- Gen.choose(-900000000, 900000000)
+    lo <- Gen.choose(-1800000000, 1800000000)
+    tags <- tagGen
+  } yield NodeRow(id, la, lo, tags)
+
+  private val wayGen: Gen[WayRow] = for {
+    id <- Gen.choose(0L, 1L << 40)
+    refs <- Gen.listOfN(4, Gen.choose(0L, 1L << 40))
+    tags <- tagGen
+  } yield WayRow(id, refs, tags)
+
+  private val relGen: Gen[RelationRow] = for {
+    id <- Gen.choose(0L, 1L << 40)
+    ms <- Gen.listOfN(3, for {
+      t <- Gen.oneOf("node", "way", "relation")
+      m <- Gen.choose(0L, 1L << 40)
+      r <- Gen.oneOf("", "outer", "inner", "role x")
+    } yield Member(t, m, r))
+    tags <- tagGen
+  } yield RelationRow(id, ms, tags)
+
+  property("encode → decode round-trips arbitrary triples (zlib + chunked)") =
+    forAll(Gen.listOfN(5, nodeGen), Gen.listOfN(4, wayGen), Gen.listOfN(3, relGen),
+      Gen.oneOf(true, false), Gen.choose(1, 4)) { (ns, ws, rs, zlib, chunk) =>
+      val bytes = OsmPbf.encode(ns, ws, rs, zlib, chunk)
+      // walk frames in-memory: 4-byte BE len + header + blob
+      var pos = 0
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[OsmPbf.Block]
+      while (pos < bytes.length) {
+        val hlen = ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
+          ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        val hr = new graft.osm.pbf.PbfReader(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + hlen))
+        var htype = ""; var dsize = 0
+        while (hr.hasRemaining) hr.readTag() match {
+          case (1, 2) => htype = hr.readString()
+          case (3, 0) => dsize = hr.readVarint().toInt
+          case (_, w) => hr.skipField(w)
+        }
+        val blob = java.util.Arrays.copyOfRange(bytes, pos + 4 + hlen, pos + 4 + hlen + dsize)
+        if (htype == "OSMData") blocks += OsmPbf.decodePrimitiveBlock(OsmPbf.decodeBlob(blob))
+        pos += 4 + hlen + dsize
+      }
+      blocks.flatMap(_.nodes).toList == ns &&
+        blocks.flatMap(_.ways).toList == ws &&
+        blocks.flatMap(_.relations).toList == rs
+    }
+}
