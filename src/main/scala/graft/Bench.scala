@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Benchmark main (driver contract): per-query seconds over
   * SPARK_GRAFT_SF_DIR, plus the headline north-rule metric — spatial-join +
   * tile-assignment throughput in images/sec — and the two-parallelism
-  * scaling evidence (pinned local[4] vs local[16] JVMs by default as the
+  * scaling evidence (pinned local[2] vs local[8] JVMs by default as the
   * sandbox proxy for N vs 4N executors; see BASELINE.md for methodology).
-  * One JSON line on stdout.
+  * One JSON line on stdout AND in SPARK_GRAFT_BENCH_OUT.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
   * SPARK_GRAFT_BENCH_IMAGES (default 50000), SPARK_GRAFT_SCALE_LO/HI
-  * (default 4/16), SPARK_GRAFT_SCALE_IMAGES/REPS/PAIRS,
-  * SPARK_GRAFT_SCALING=0 to skip the scaling section.
+  * (default 2/8), SPARK_GRAFT_SCALE_IMAGES/REPS/PAIRS,
+  * SPARK_GRAFT_SCALING=0 to skip the scaling section,
+  * SPARK_GRAFT_BENCH_OUT (default bench_result.json).
   */
 object Bench {
 
@@ -102,6 +103,31 @@ object Bench {
       graft.osm.BoundaryExtract.extract(spark, r, w, n, 8, 8).count()
     }
 
+    // tertiary: .osm.pbf ingestion throughput — synthesize a dense-node
+    // file once (driver-side, untimed), then time the blob-parallel decode
+    // of all three typed passes (the reference's whole read phase)
+    val (pbfEntities, pbfSec) = {
+      import graft.fixtures.OsmScenes.{NodeRow, WayRow, RelationRow, Member}
+      val nN = 400000
+      val nodes = (0L until nN).map(i => NodeRow(i,
+        ((i * 9973 + 12345) % 1700000000L - 850000000L).toInt,
+        ((i * 7919 + 54321) % 3500000000L - 1750000000L).toInt, Map.empty[String, String]))
+      val ways = (0L until nN / 8).map(i => WayRow(i,
+        (0 until 8).map(j => (i * 8 + j) % nN), Map.empty[String, String]))
+      val rels = (0L until nN / 80).map(i => RelationRow(i,
+        (0 until 4).map(j => Member("way", (i * 4 + j) % (nN / 8), "outer")),
+        Map("boundary" -> "administrative", "admin_level" -> "8")))
+      val pbfPath = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_${ProcessHandle.current().pid()}.osm.pbf").getPath
+      graft.osm.pbf.PbfSource.writeFixture(pbfPath, nodes, ways, rels)
+      val total = nodes.size.toLong + ways.size + rels.size
+      val (_, sec) = time {
+        val (r, w, n) = graft.osm.pbf.PbfSource.readTriple(spark, pbfPath, cpus)
+        assert(n.count() + w.count() + r.count() == total)
+      }
+      (total, sec)
+    }
+
     // scaling: same job, same input, local[8] vs local[32]. A larger image
     // count than the headline amortizes fixed costs (session, JIT, polygon
     // build) that would otherwise cap measurable speedup; a small warmup run
@@ -167,8 +193,13 @@ object Bench {
       val pairReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
       val runs = (1 to pairReps).map(_ => (timedRun(loresCores), timedRun(hiresCores)))
       val factor = hiresCores.toDouble / loresCores
-      val (t8, spin8) = runs.map(_._1).minBy(_._1)
-      val (t32, spin32) = runs.map(_._2).minBy(_._1)
+      val t8 = runs.map(_._1._1).min
+      val t32 = runs.map(_._2._1).min
+      // each side's best (least-loaded) spin across ALL reps — taking the
+      // spin of the min-TIME rep would understate the ceiling whenever a
+      // spike hit that rep's calibration window but not its job window
+      val spin8 = runs.map(_._1._2).max
+      val spin32 = runs.map(_._2._2).max
       val speedup = t8 / t32
       val eff = speedup / factor
       val perPair = runs.map { case ((a, sa), (b, sb)) =>
@@ -200,7 +231,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + headlineSec
     val json =
-      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"pbf_entities_per_sec":${pbfEntities / pbfSec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
     // The contract is ONE machine-parseable JSON line. Under `sbt runMain`
     // the forked child's stdout passes through sbt's logger and gains an
     // "[info] " prefix (r1's BENCH artifact recorded parsed:null), so the

@@ -481,7 +481,11 @@ object SparkEntry {
     // byte-level round-trip + extract-parity pinned in PbfSpec.
     "q50_pbf_extract" -> ((s, dir) => {
       val scene = OsmScenes.grid(12, 6)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"), "graft_q50.osm.pbf")
+      // per-process filename: a fixed shared path races when two JVMs (e.g.
+      // Bench and Verify) rewrite it while each other's executors read
+      // blob ranges from an already-built index
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q50_${ProcessHandle.current().pid()}.osm.pbf")
       graft.osm.pbf.PbfSource.writeFixture(tmp.getPath, scene.nodes, scene.ways,
         scene.relations, chunk = 64)
       val (r, w, n) = graft.osm.pbf.PbfSource.readTriple(s, tmp.getPath, partitions = 8)

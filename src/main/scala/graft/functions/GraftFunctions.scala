@@ -141,7 +141,10 @@ case class CosineF32(a: Expression, b: Expression)
   override def left: Expression = a
   override def right: Expression = b
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // null when either input is null OR lengths mismatch — the same rows the
+  // HOF form nulls out (zip_with pads the shorter array with nulls, which
+  // poison the aggregate sum), so corrupt embeddings never rank
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_f32"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -157,38 +160,35 @@ case class CosineF32(a: Expression, b: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val av = a.eval(input)
     val bv = b.eval(input)
-    if (av == null || bv == null) return 0.0
-    CosineKernel.cosine(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
+    if (av == null || bv == null) return null
+    val aa = av.asInstanceOf[ArrayData]
+    val ba = bv.asInstanceOf[ArrayData]
+    if (aa.numElements() != ba.numElements()) null
+    else CosineKernel.cosine(aa, ba)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    val ac = a.genCode(ctx)
-    val bc = b.genCode(ctx)
-    val code =
-      code"""
-        ${ac.code}
-        ${bc.code}
-        double ${ev.value} = 0.0;
-        if (!${ac.isNull} && !${bc.isNull}) {
-          ${ev.value} = graft.functions.CosineKernel.cosine(${ac.value}, ${bc.value});
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) =>
+      s"""
+        if ($av.numElements() != $bv.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.CosineKernel.cosine($av, $bv);
         }
-      """
-    ev.copy(code = code, isNull = FalseLiteral)
-  }
+      """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(a = l, b = r)
 }
 
 object CosineKernel {
-  /** dot/(‖a‖·‖b‖) with double accumulation in array order — identical
-    * per-element op order to aggregate(zip_with(a,b,_*_), 0.0, _+_) /
-    * sqrt-norm composition, so results match bit-for-bit.
+  /** dot/(‖a‖·‖b‖) over equal-length arrays, double accumulation in array
+    * order — identical per-element op order to the
+    * aggregate(zip_with(a,b,_*_), 0.0, _+_) / sqrt-norm composition, so
+    * results match bit-for-bit (pinned in SimilaritySpec).
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -197,11 +197,6 @@ object CosineKernel {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // norms over each FULL array (the HOF form norms a and b separately)
-    var j = n
-    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
-    j = n
-    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

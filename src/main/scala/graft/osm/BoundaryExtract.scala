@@ -80,8 +80,15 @@ object BoundaryExtract {
       maxBroadcastMembers: Long = 10000000L): Dataset[PolygonRow] = {
     import spark.implicits._
 
+    // rels feeds two subtrees (member explode + the final tags join) and
+    // members feeds the sizing count + the ways join: persist both so a
+    // recompute-heavy source (e.g. a PBF decode) pays one relations pass,
+    // not three. Both are post-filter boundary-sized (tiny); LRU handles
+    // eviction if a caller loops extract.
     val rels = filterAdminRelations(relations, minAdmin, maxAdmin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = memberWays(rels)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nMembers =
       if (maxBroadcastMembers == Long.MaxValue || maxBroadcastMembers <= 0) -1L

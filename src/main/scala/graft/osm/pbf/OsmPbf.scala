@@ -34,12 +34,21 @@ object OsmPbf {
   // ————————————————— decode —————————————————
 
   def inflate(data: Array[Byte], rawSize: Int): Array[Byte] = {
+    require(rawSize >= 0, s"blob missing/negative raw_size ($rawSize)")
     val inf = new Inflater()
     inf.setInput(data)
     val out = new Array[Byte](rawSize)
     var off = 0
-    while (off < rawSize && !inf.finished()) off += inf.inflate(out, off, rawSize - off)
-    inf.end()
+    try {
+      while (off < rawSize && !inf.finished()) {
+        val n = inf.inflate(out, off, rawSize - off)
+        // zero progress + not finished = truncated/corrupt stream; fail
+        // loudly instead of spinning the task forever
+        require(n > 0 || inf.finished(),
+          s"truncated/corrupt zlib stream at $off of $rawSize bytes")
+        off += n
+      }
+    } finally inf.end()
     require(off == rawSize, s"inflate produced $off of $rawSize bytes")
     out
   }
@@ -169,7 +178,10 @@ object OsmPbf {
           var acc = 0L
           val members = memids.indices.map { i =>
             acc += memids(i)
-            Member(MemberTypes(types(i).toInt), acc, strings(roles(i).toInt))
+            val t = types(i).toInt
+            require(t >= 0 && t < MemberTypes.length,
+              s"relation $id: unknown member type id $t at member $i")
+            Member(MemberTypes(t), acc, strings(roles(i).toInt))
           }
           rels += RelationRow(id, members, tagsOf(keys, vals))
         case (_, w) => g.skipField(w)
@@ -296,8 +308,12 @@ object OsmPbf {
               w.packedZigzags(9, rel.members.map { m =>
                 val v = m.member_id - prev; prev = m.member_id; v
               })
-              w.packedVarints(10, rel.members.map(m =>
-                MemberTypes.indexOf(m.member_type).toLong))
+              w.packedVarints(10, rel.members.map { m =>
+                val t = MemberTypes.indexOf(m.member_type)
+                require(t >= 0, s"relation ${rel.id}: member_type '${m.member_type}' " +
+                  "must be node|way|relation")
+                t.toLong
+              })
             }
           }
         }

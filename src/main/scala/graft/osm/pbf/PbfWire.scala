@@ -20,6 +20,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     var out = 0L
     var b = 0
     do {
+      require(pos < end, s"varint runs past message end $end")
       b = buf(pos) & 0xFF
       pos += 1
       out |= (b & 0x7FL) << shift
@@ -44,6 +45,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     */
   def readMessage(): PbfReader = {
     val len = readVarint().toInt
+    require(len >= 0 && pos + len <= end, s"message length $len overruns end $end at $pos")
     val r = new PbfReader(buf, pos, pos + len)
     pos += len
     r
@@ -51,6 +53,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   def readBytes(): Array[Byte] = {
     val len = readVarint().toInt
+    require(len >= 0 && pos + len <= end, s"bytes length $len overruns end $end at $pos")
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
     pos += len
     out
@@ -65,6 +68,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
       // NOT `pos += readVarint().toInt`: Scala evaluates the old `pos`
       // before the call, silently dropping the varint's own bytes
       val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, s"skip length $len overruns end $end at $pos")
       pos += len
     case 5 => pos += 4
     case w => throw new IllegalArgumentException(s"unsupported wire type $w at $pos")

@@ -33,14 +33,17 @@ object TileIngest {
     val dir = Paths.get(outDir, "_manifest")
     if (!Files.isDirectory(dir)) Set.empty
     else {
-      val it = Files.list(dir).iterator()
-      val out = scala.collection.mutable.Set.empty[Long]
-      while (it.hasNext) {
-        val f = it.next().getFileName.toString
-        if (f.startsWith("stream-batch-") && f.endsWith(".json"))
-          out += f.stripPrefix("stream-batch-").stripSuffix(".json").toLong
-      }
-      out.toSet
+      val s = Files.list(dir) // close the directory stream — fd leak otherwise
+      try {
+        val it = s.iterator()
+        val out = scala.collection.mutable.Set.empty[Long]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("stream-batch-") && f.endsWith(".json"))
+            out += f.stripPrefix("stream-batch-").stripSuffix(".json").toLong
+        }
+        out.toSet
+      } finally s.close()
     }
   }
 
@@ -86,7 +89,10 @@ object TileIngest {
         val tiles = graft.tile.Tiling.tile(spark, df)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nTiles = tiles.count()
-        val nImages = df.select("image_id").distinct().count()
+        // image count from the persisted tiles (each image has exactly one
+        // level-0 origin tile) — counting from `df` would re-read the batch
+        // input and re-run both broadcast joins a second time
+        val nImages = tiles.filter(t => t.level == 0 && t.tx == 0 && t.ty == 0).count()
         tiles.write.mode("overwrite").parquet(s"$outDir/tiles/stream_batch=$batchId")
         tiles.unpersist(blocking = false)
         commit(outDir, batchId, nImages, nTiles)

@@ -24,14 +24,17 @@ object TileManifest {
     val dir = Paths.get(outDir, "_manifest")
     if (!Files.isDirectory(dir)) Set.empty
     else {
-      val it = Files.list(dir).iterator()
-      val out = scala.collection.mutable.Set.empty[Int]
-      while (it.hasNext) {
-        val f = it.next().getFileName.toString
-        if (f.startsWith("batch-") && f.endsWith(".json"))
-          out += f.stripPrefix("batch-").stripSuffix(".json").toInt
-      }
-      out.toSet
+      val s = Files.list(dir) // close the directory stream — fd leak otherwise
+      try {
+        val it = s.iterator()
+        val out = scala.collection.mutable.Set.empty[Int]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("batch-") && f.endsWith(".json"))
+            out += f.stripPrefix("batch-").stripSuffix(".json").toInt
+        }
+        out.toSet
+      } finally s.close()
     }
   }
 
