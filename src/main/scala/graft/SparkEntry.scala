@@ -590,6 +590,39 @@ object SparkEntry {
 
   // ——————————————————————— oracles ———————————————————————
 
+  /** CTE block reproducing ImageTable's splitmix64-derived metadata
+    * (w, h, phash per image index) in DuckDB. splitmix64 needs mod-2^64
+    * wraparound; DuckDB raises on BIGINT overflow and a 64×64-bit product
+    * can overflow even HUGEINT, so multiplication runs on 32-bit limbs in
+    * HUGEINT. Yields a `dims(i, w, h, phash)` CTE over `range(0, n)`.
+    */
+  private def splitmixDimsCtes(n: Int): String = {
+    def mul(a: String, b: String): String =
+      s"((($a % 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT) + " +
+        s"((($a % 4294967296::HUGEINT) * ($b // 4294967296::HUGEINT) + " +
+        s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
+        s" % 18446744073709551616::HUGEINT)"
+    val m1 = mul("x", "13787848793156543929::HUGEINT")
+    val m2 = mul("x", "10723151780598845931::HUGEINT")
+    s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
+       |seeds AS (
+       |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
+       |  UNION ALL SELECT i, 'h', (3*i+2) FROM ids
+       |  UNION ALL SELECT i, 'p', i FROM ids),
+       |s0 AS (SELECT i, k, (s + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM seeds),
+       |s1 AS (SELECT i, k, $m1 AS z FROM (SELECT i, k, xor(z, z >> 30) AS x FROM s0)),
+       |s2 AS (SELECT i, k, $m2 AS z FROM (SELECT i, k, xor(z, z >> 27) AS x FROM s1)),
+       |s3 AS (SELECT i, k, xor(z, z >> 31) AS z FROM s2),
+       |dims AS (
+       |  SELECT i,
+       |    CAST(16 + (max(CASE WHEN k='w' THEN z END) & 47::HUGEINT) AS INT) AS w,
+       |    CAST(16 + (max(CASE WHEN k='h' THEN z END) & 47::HUGEINT) AS INT) AS h,
+       |    CAST(CASE WHEN max(CASE WHEN k='p' THEN z END) >= 9223372036854775808::HUGEINT
+       |              THEN max(CASE WHEN k='p' THEN z END) - 18446744073709551616::HUGEINT
+       |              ELSE max(CASE WHEN k='p' THEN z END) END AS BIGINT) AS phash
+       |  FROM s3 GROUP BY i)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_boundary" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
@@ -815,41 +848,37 @@ object SparkEntry {
 
     // q31 — the image table's metadata columns are a pure function of the
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
-    // arithmetic mod 2^64 (32-bit-limb multiply — DuckDB raises on BIGINT
-    // overflow, and a 64×64-bit product can overflow even HUGEINT).
-    // Verifies generate()'s metadata end-to-end (bytes are pinned by the
-    // codec round-trip tests in sbt).
-    "q31_image_table" -> {
-      def mul(a: String, b: String): String =
-        s"((($a % 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT) + " +
-          s"((($a % 4294967296::HUGEINT) * ($b // 4294967296::HUGEINT) + " +
-          s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
-          s" % 18446744073709551616::HUGEINT)"
-      val m1 = mul("x", "13787848793156543929::HUGEINT")
-      val m2 = mul("x", "10723151780598845931::HUGEINT")
-      s"""WITH ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, 2000)),
-         |seeds AS (
-         |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
-         |  UNION ALL SELECT i, 'h', (3*i+2) FROM ids
-         |  UNION ALL SELECT i, 'p', i FROM ids),
-         |s0 AS (SELECT i, k, (s + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM seeds),
-         |s1 AS (SELECT i, k, $m1 AS z FROM (SELECT i, k, xor(z, z >> 30) AS x FROM s0)),
-         |s2 AS (SELECT i, k, $m2 AS z FROM (SELECT i, k, xor(z, z >> 27) AS x FROM s1)),
-         |s3 AS (SELECT i, k, xor(z, z >> 31) AS z FROM s2),
-         |vals AS (
-         |  SELECT i,
-         |    CAST(16 + (max(CASE WHEN k='w' THEN z END) & 47::HUGEINT) AS INT) AS w,
-         |    CAST(16 + (max(CASE WHEN k='h' THEN z END) & 47::HUGEINT) AS INT) AS h,
-         |    CAST(CASE WHEN max(CASE WHEN k='p' THEN z END) >= 9223372036854775808::HUGEINT
-         |              THEN max(CASE WHEN k='p' THEN z END) - 18446744073709551616::HUGEINT
-         |              ELSE max(CASE WHEN k='p' THEN z END) END AS BIGINT) AS phash
-         |  FROM s3 GROUP BY i)
+    // arithmetic mod 2^64 (see splitmixDimsCtes). Verifies generate()'s
+    // metadata end-to-end (bytes are pinned by the codec tests in sbt).
+    "q31_image_table" ->
+      s"""WITH ${splitmixDimsCtes(2000)}
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
          |  CASE WHEN i % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
          |  'caption_' || CAST(i AS BIGINT) || ' of cell ' || CAST(abs(phash) % 97 AS BIGINT) AS caption,
          |  phash
-         |FROM vals""".stripMargin
-    },
+         |FROM dims""".stripMargin,
+
+    // q32 — the FULL tile-pyramid geometry (every level, tile coordinate,
+    // and crop size for every image) recomputed relationally: splitmix dims
+    // → recursive 2× downsample levels ((w+1)//2 — exactly
+    // Tiling.downsample2x) → unnest tile grids. Pixel bytes stay pinned by
+    // the PSNR tests; the pyramid STRUCTURE is driver-oracled.
+    "q32_tile_pyramid" ->
+      s"""WITH RECURSIVE ${splitmixDimsCtes(200)},
+         |lv AS (
+         |  SELECT i, w, h, phash, 0 AS level FROM dims
+         |  UNION ALL
+         |  SELECT i, (w+1)//2, (h+1)//2, phash, level+1 FROM lv WHERE NOT (w <= 16 AND h <= 16)
+         |),
+         |t1 AS (SELECT *, unnest(range((w+15)//16)) AS tx FROM lv),
+         |t2 AS (SELECT *, unnest(range((h+15)//16)) AS ty FROM t1)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  ((phash % 64) + 64) % 64 AS relation_id,
+         |  CAST(level AS INT) AS level,
+         |  CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+         |  CAST(least(16, w - tx*16) AS INT) AS tw,
+         |  CAST(least(16, h - ty*16) AS INT) AS th
+         |FROM t2""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,
