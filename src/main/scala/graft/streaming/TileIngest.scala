@@ -86,15 +86,20 @@ object TileIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val tiles = graft.tile.Tiling.tile(spark, df)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nTiles = tiles.count()
-        // image count from the persisted tiles (each image has exactly one
-        // level-0 origin tile) — counting from `df` would re-read the batch
-        // input and re-run both broadcast joins a second time
-        val nImages = tiles.filter(t => t.level == 0 && t.tx == 0 && t.ty == 0).count()
-        tiles.write.mode("overwrite").parquet(s"$outDir/tiles/stream_batch=$batchId")
-        tiles.unpersist(blocking = false)
+        val ((nImages, nTiles), lineage) =
+          graft.lineage.Lineage.capture(spark, s"stream-batch-$batchId") {
+            val tiles = graft.tile.Tiling.tile(spark, df)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val nT = tiles.count()
+            // image count from the persisted tiles (each image has exactly
+            // one level-0 origin tile) — counting from `df` would re-read
+            // the batch input and re-run both broadcast joins a second time
+            val nI = tiles.filter(t => t.level == 0 && t.tx == 0 && t.ty == 0).count()
+            tiles.write.mode("overwrite").parquet(s"$outDir/tiles/stream_batch=$batchId")
+            tiles.unpersist(blocking = false)
+            (nI, nT)
+          }
+        lineage.write.mode("append").parquet(s"$outDir/_lineage")
         commit(outDir, batchId, nImages, nTiles)
         ()
       }

@@ -99,6 +99,21 @@ class PbfSpec extends AnyFunSuite {
     assert(onlyRels.flatMap(_.relations) == scene.relations)
   }
 
+  test("directory input: blobs fan out across multiple .pbf files") {
+    val a = OsmScenes.grid(3, 3)
+    val b = OsmScenes.golden
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbf-dir").toFile
+    dir.deleteOnExit()
+    PbfSource.writeFixture(new java.io.File(dir, "a.osm.pbf").getPath,
+      a.nodes, a.ways, a.relations, chunk = 8)
+    PbfSource.writeFixture(new java.io.File(dir, "b.osm.pbf").getPath,
+      b.nodes, b.ways, b.relations, chunk = 8)
+    val (r, w, n) = PbfSource.readTriple(spark, dir.getPath, partitions = 4)
+    assert(n.count() == a.nodes.size + b.nodes.size)
+    assert(w.count() == a.ways.size + b.ways.size)
+    assert(r.count() == a.relations.size + b.relations.size)
+  }
+
   test("end-to-end: PBF file → PbfSource triple → extract equals direct extract") {
     val scene = OsmScenes.grid(5, 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-pbf").toFile
