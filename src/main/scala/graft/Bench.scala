@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * One JSON line on stdout AND in SPARK_GRAFT_BENCH_OUT.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_BENCH_IMAGES (default 50000), SPARK_GRAFT_SCALE_LO/HI
+  * SPARK_GRAFT_BENCH_IMAGES (default 150000), SPARK_GRAFT_SCALE_LO/HI
   * (default 2/8), SPARK_GRAFT_SCALE_IMAGES/REPS/PAIRS,
   * SPARK_GRAFT_SCALING=0 to skip the scaling section,
   * SPARK_GRAFT_BENCH_OUT (default bench_result.json).
@@ -71,7 +71,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "50000").toLong
+    // 150k amortizes the job's fixed costs (polygon build + two broadcast
+    // distributions, ~0.7 s) to <15% of the run — the 50k default
+    // understated steady-state throughput by ~2x
+    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "150000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     var spark = session(cpus)
