@@ -60,6 +60,25 @@ object BoundaryExtract {
     * with zero surviving segments are KEPT (left join back) — the reference
     * emits a Polygon with an empty points list for them.
     */
+  /** Broadcast/shuffle auto-switch: (broadcast member list?, broadcast
+    * per-vertex frames?). The vertex side uses members × 64 (conservative
+    * mean way length; OSM caps ways at 2000 nodes) against the same
+    * threshold. `Long.MaxValue` forces broadcast without counting; ≤ 0
+    * forces shuffle.
+    */
+  private def broadcastDecision(members: DataFrame,
+      maxBroadcastMembers: Long): (Boolean, Boolean) = {
+    if (maxBroadcastMembers == Long.MaxValue) (true, true)
+    else if (maxBroadcastMembers <= 0) (false, false)
+    else {
+      val n = members.count()
+      (n <= maxBroadcastMembers, n * 64 <= maxBroadcastMembers)
+    }
+  }
+
+  private def maybeBroadcast(df: DataFrame, on: Boolean): DataFrame =
+    if (on) broadcast(df) else df
+
   /** @param maxBroadcastMembers auto-switch threshold: when the exploded
     *   member list exceeds this many rows, BOTH big joins (and the final
     *   re-nest re-attach) run as shuffle joins instead of broadcasts — at
@@ -89,16 +108,7 @@ object BoundaryExtract {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = memberWays(rels)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val nMembers =
-      if (maxBroadcastMembers == Long.MaxValue || maxBroadcastMembers <= 0) -1L
-      else members.count() // cheap: relations scan + filter + explode
-    val bcastMembers = maxBroadcastMembers == Long.MaxValue ||
-      (maxBroadcastMembers > 0 && nMembers <= maxBroadcastMembers)
-    val bcastSegs = maxBroadcastMembers == Long.MaxValue ||
-      (maxBroadcastMembers > 0 && nMembers * 64 <= maxBroadcastMembers)
-    def maybeBroadcast(df: DataFrame, on: Boolean): DataFrame =
-      if (on) broadcast(df) else df
+    val (bcastMembers, bcastSegs) = broadcastDecision(members, maxBroadcastMembers)
 
     // J1+J3: big `ways` streams against the (broadcast when small) member
     // list; pos kept. Shuffle fallback keys on way id — uniform.
@@ -193,9 +203,11 @@ object BoundaryExtract {
       ways: DataFrame,
       nodes: DataFrame,
       minAdmin: Int = 8,
-      maxAdmin: Int = 8): DataFrame = {
+      maxAdmin: Int = 8,
+      maxBroadcastMembers: Long = 10000000L): DataFrame = {
     import spark.implicits._
     val rels = filterAdminRelations(relations, minAdmin, maxAdmin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = rels
       .select(col("id").as("relation_id"),
         posexplode(col("members")).as(Seq("member_pos", "m")))
@@ -203,12 +215,15 @@ object BoundaryExtract {
       .select(col("relation_id"), col("member_pos"),
         col("m.member_id").as("way_id"),
         (col("m.role") === "inner").as("inner"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same broadcast→shuffle auto-switch as extract (see its scaladoc)
+    val (bcastMembers, bcastSegs) = broadcastDecision(members, maxBroadcastMembers)
     val waySegs = ways
-      .join(broadcast(members), col("id") === col("way_id"))
+      .join(maybeBroadcast(members, bcastMembers), col("id") === col("way_id"))
       .select(col("relation_id"), col("member_pos"), col("inner"),
         posexplode(col("node_ids")).as(Seq("node_pos", "node_id")))
     val verts = nodes
-      .join(broadcast(waySegs), nodes("id") === waySegs("node_id"))
+      .join(maybeBroadcast(waySegs, bcastSegs), nodes("id") === waySegs("node_id"))
       .select(col("relation_id"), col("member_pos"), col("node_pos"), col("inner"),
         col("node_id"), col("decimicro_lat").as("lat_dm"), col("decimicro_lon").as("lon_dm"))
     val grouped = verts
@@ -217,7 +232,7 @@ object BoundaryExtract {
         col("member_pos"), col("node_pos"), col("node_id"),
         col("lat_dm"), col("lon_dm"), col("inner")))).as("pts"))
     rels.select(col("id").as("relation_id"), col("tags"))
-      .join(broadcast(grouped), Seq("relation_id"))
+      .join(maybeBroadcast(grouped, bcastSegs), Seq("relation_id"))
       .as[(Long, Map[String, String], Seq[(Int, Int, Long, Int, Int, Boolean)])]
       .map { case (relId, tags, pts) =>
         def ringsOf(inner: Boolean): Seq[Seq[graft.geom.Pt]] = {

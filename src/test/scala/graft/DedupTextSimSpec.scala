@@ -139,6 +139,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_f32 nulls out null and length-mismatched inputs like the HOF form") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),     // valid
+      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f, 3f))), // length mismatch
+      (None, Some(Seq(1f, 2f)))                   // null input
+    ).toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosineCol(col("a"), col("b")).as("hof"),
+      Similarity.cosineFast(spark, col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(1)) == 2)
+  }
+
   test("brute-force top-k: self excluded, ranks contiguous, cosine descending") {
     val v = vecs(50)
     val r = Similarity.bruteForceTopK(v.filter($"vec_id" < 5), v, 3)
