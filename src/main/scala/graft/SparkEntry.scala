@@ -475,6 +475,33 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("exact"))
     }),
 
+    // duplicate-cluster assembly: verified near-dup pairs → connected
+    // components (min-label propagation; the step that turns pairs into one
+    // keeper per cluster). Three planted tiers chained A–B–C by adjacent
+    // pairs only, so the component requires TRANSITIVE closure — oracled
+    // against a DuckDB recursive-CTE reachability fixpoint.
+    "q51_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      def tier(k: Int, suffix: String) = docs0.select(
+        (col("doc_id") + k * 100000L).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+      val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
+      val cand = tiers.select(col("doc_id").as("src"), col("text").as("ta"))
+        .join(tiers.select(col("doc_id").as("dst"), col("text").as("tb")),
+          col("dst") === col("src") + 100000L)
+      val edges = cand.as[(Long, String, Long, String)]
+        .map { case (src, ta, dst, tb) =>
+          (src, dst, graft.dedup.Dedup.jaccard(
+            graft.dedup.Dedup.shingles(ta), graft.dedup.Dedup.shingles(tb)))
+        }.toDF("src", "dst", "jaccard")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("src"), col("dst"))
+      graft.dedup.Dedup.connectedComponents(s, edges)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // real .osm.pbf container ingestion (the reference's own input format,
     // osm_reader.rs:83-152): deterministic grid scene → PBF bytes on disk →
     // blob-parallel decode → extract. Rows-only here (DuckDB reads no PBF);
@@ -792,6 +819,34 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 100000""".stripMargin,
+
+    "q51_dedup_clusters" ->
+      """WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tiers AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM docs0
+        |  UNION ALL SELECT doc_id + 200000, text || ' perturbed perturbed' FROM docs0),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS grams
+        |  FROM tiers),
+        |cand AS (
+        |  SELECT doc_id AS src, doc_id + 100000 AS dst FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM docs0),
+        |edges AS (
+        |  SELECT src, dst FROM cand
+        |  JOIN g ga ON ga.doc_id = src
+        |  JOIN g gb ON gb.doc_id = dst
+        |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+        |        (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM und),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r)
+        |SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
 
     "q45_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

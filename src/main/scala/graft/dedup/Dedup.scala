@@ -163,6 +163,59 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step that
+    * turns verified pairs into DUPLICATE CLUSTERS (one keeper per
+    * component). Iterative min-label propagation: every node adopts the
+    * minimum label in its closed neighborhood until fixpoint.
+    *
+    * Scale shape: each round is one self-equi-join on node id + one
+    * groupBy-min — both shuffles keyed on ids (uniform); state is one
+    * (node, label) row per node, persisted per round with the previous
+    * round released. Rounds ≤ graph diameter; near-dup graphs are
+    * star/clique-like (diameter ~2-3), so planet-scale runs converge in a
+    * handful of rounds. (For adversarial long-chain graphs, switch to the
+    * large-star/small-star alternation — same building blocks, O(log n)
+    * rounds.)
+    *
+    * @param edges columns (src: bigint, dst: bigint), undirected pairs
+    * @return (id, component) where component = min node id reachable
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(lvl)
+    // localCheckpoint (eager), not persist: each round's plan references the
+    // previous round's twice (self join + neighbor agg), so the UNTRUNCATED
+    // lineage doubles per round and overflows the stack by ~iteration 10;
+    // checkpointing cuts the plan at materialized state. (On a cluster with
+    // unreliable executors, swap for reliable checkpoint() + checkpoint dir.)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // min over self-label and every neighbor's label
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          (col("nbr") < col("component")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band LSH + Hamming-distance verify. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text", maxBucket: Int = 64): DataFrame = {

@@ -59,6 +59,40 @@ class DedupSpec extends AnyFunSuite {
     assert((0L until 200L).toSet.subsetOf(sp.flatMap(p => Set(p._1, p._2))))
   }
 
+  test("connected components equal union-find on random graphs and long chains") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id in the component
+      val groups = nodes.groupBy(find)
+      groups.values.flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
+    }
+    // deterministic pseudo-random graphs of varying density
+    for (seed <- 0 until 4) {
+      val n = 30
+      val edges = (0 until 40).map { i =>
+        val h = graft.img.ImageTable.splitmix64(seed * 1000 + i)
+        ((h & 0x7FFFFFFF) % n, ((h >>> 32) & 0x7FFFFFFF) % n)
+      }.filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(spark, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"seed=$seed")
+    }
+    // a 12-node chain needs label propagation across the full diameter
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val gotChain = Dedup.connectedComponents(spark, chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotChain == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
   test("simhash: tiny edits on long docs stay within hamming 3; random texts far") {
     // a 1-token edit flips only margin-zero bits; P(margin=0) shrinks with
     // doc length, so hamming<=3 LSH targets LONG docs with TINY edits
