@@ -475,6 +475,15 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("exact"))
     }),
 
+    // IVF-flat ANN (the second scale path next to q30's LSH): coarse
+    // k-means quantizer → inverted lists → nprobe exact rerank. Approximate
+    // and k-means-dependent → rows-only; recall floor pinned in sbt.
+    "q52_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.ivfTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent

@@ -106,6 +106,108 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Element-wise vector MEAN with map-side partial aggregation — the
+    * reduction IVF training needs: the shuffle carries one (dim+1)-length
+    * partial per (partition, centroid), never per-row vectors. Buffer slot
+    * `dim` holds the count.
+    */
+  final class VecMeanAgg(dim: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Seq[Float]), Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim + 1)
+    override def reduce(acc: Array[Double], row: (Int, Seq[Float])): Array[Double] = {
+      val v = row._2
+      var i = 0
+      while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
+      acc(dim) += 1
+      acc
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i <= dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(acc: Array[Double]): Seq[Double] = {
+      val n = math.max(acc(dim), 1.0)
+      (0 until dim).map(i => acc(i) / n)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Double]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** IVF-flat ANN (the other scale path the driver prompt names next to
+    * LSH): a coarse quantizer (Lloyd's k-means over a deterministic seed
+    * sample, trained with the map-side-combining VecSumAgg) partitions the
+    * corpus into `nlist` inverted lists; each query exactly reranks only
+    * the `nprobe` nearest lists. Corpus never shuffles at query time — the
+    * (tiny) probe assignments broadcast into the list-filtered scan; at
+    * 100 TB the corpus would be written bucketed by `cid` so the filter
+    * prunes files. Recall < 1 by design; floor pinned in SimilaritySpec.
+    */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
+      col("embedding").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("ce"))).as[Int].head()
+
+    // deterministic init: the nlist corpus vectors with smallest
+    // splitmix64(id) — a seedless, order-independent pseudo-random sample
+    var centroids: Array[(Int, Array[Double])] = c
+      .withColumn("h", udf((id: Long) => graft.img.ImageTable.splitmix64(id)).apply(col("neighbor_id")))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("ce")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble).toArray) }
+
+    def nearestCid(cents: Array[(Int, Array[Double])]) = udf { (v: Seq[Float]) =>
+      var best = -1; var bestD = Double.MaxValue
+      cents.foreach { case (ci, cv) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD || (d == bestD && ci < best)) { best = ci; bestD = d }
+      }
+      best
+    }
+
+    val mean = new VecMeanAgg(dim).toColumn
+    var it = 0
+    while (it < iters) {
+      val assigned = c.withColumn("cid", nearestCid(centroids)(col("ce")))
+        .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
+      // lists that lose every point simply drop out (k shrinks); cid values
+      // are labels, not indexes
+      centroids = assigned.groupByKey(_._1).agg(mean).collect()
+        .map { case (cid, m) => (cid, m.toArray) }
+      it += 1
+    }
+
+    val bcCentroids = centroids
+    val probesOf = udf { (v: Seq[Float]) =>
+      bcCentroids.map { case (ci, cv) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (d, ci)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    }
+
+    val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cid", explode(probesOf(col("qe"))))
+    val cc = c.withColumn("cid", nearestCid(centroids)(col("ce")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val out = cc.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    c.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
     * candidates (all bands equal ⇒ very similar) verified by exact cosine.
     */
