@@ -146,7 +146,7 @@ object Similarity {
     * prunes files. Recall < 1 by design; floor pinned in SimilaritySpec.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
     import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
