@@ -497,15 +497,21 @@ object SparkEntry {
         (col("doc_id") + k * 100000L).as("doc_id"),
         concat(col("text"), lit(suffix)).as("text"))
       val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
-      val cand = tiers.select(col("doc_id").as("src"), col("text").as("ta"))
-        .join(tiers.select(col("doc_id").as("dst"), col("text").as("tb")),
+      // word-trigram set built with the SAME list algebra as the DuckDB
+      // oracle (split on single space, 1-based 3-slices, distinct) so the
+      // ≥0.5 edge decision cannot diverge on tokenization
+      def grams(c: org.apache.spark.sql.Column) = {
+        val toks = split(c, " ")
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+      }
+      val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
+        .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
           col("dst") === col("src") + 100000L)
-      val edges = cand.as[(Long, String, Long, String)]
-        .map { case (src, ta, dst, tb) =>
-          (src, dst, graft.dedup.Dedup.jaccard(
-            graft.dedup.Dedup.shingles(ta), graft.dedup.Dedup.shingles(tb)))
-        }.toDF("src", "dst", "jaccard")
-        .filter(col("jaccard") >= 0.5)
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+      val edges = cand
+        .filter(inter / (size(col("ga")) + size(col("gb")) - inter) >= 0.5)
         .select(col("src"), col("dst"))
       graft.dedup.Dedup.connectedComponents(s, edges)
         .select(col("id").as("doc_id"), col("component"))

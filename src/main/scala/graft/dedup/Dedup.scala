@@ -187,14 +187,18 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(lvl)
-    // localCheckpoint (eager), not persist: each round's plan references the
-    // previous round's twice (self join + neighbor agg), so the UNTRUNCATED
+    // State management: each round persists its output and releases the
+    // previous round's cache once materialized. Every 4th round ALSO cuts
+    // lineage with an eager localCheckpoint — the plan references the
+    // previous round twice (self join + neighbor agg), so untruncated
     // lineage doubles per round and overflows the stack by ~iteration 10;
-    // checkpointing cuts the plan at materialized state. (On a cluster with
-    // unreliable executors, swap for reliable checkpoint() + checkpoint dir.)
+    // bounded 2^4 plan growth between cuts keeps recompute-on-eviction
+    // cheap. (On a cluster with unreliable executors, swap for reliable
+    // checkpoint() + a checkpoint dir.)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .persist(lvl)
+    var cachedPrev: Option[DataFrame] = Some(labels)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -207,12 +211,26 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
           (col("nbr") < col("component")).as("moved"))
-        .localCheckpoint(true)
-      changed = next.filter(col("moved")).count()
-      labels = next.drop("moved")
+        .persist(lvl)
+      changed = next.filter(col("moved")).count() // materializes next
+      cachedPrev.foreach(_.unpersist(blocking = false))
+      if (it % 4 == 3) {
+        labels = next.drop("moved").localCheckpoint(true)
+        next.unpersist(blocking = false)
+        cachedPrev = None
+      } else {
+        labels = next.drop("moved") // backed by next's cache
+        cachedPrev = Some(next)
+      }
       it += 1
     }
     und.unpersist(blocking = false)
+    if (changed > 0)
+      // wrong-but-silent labels are worse than a visible warning: a chain
+      // longer than maxIter rounds leaves one true component split
+      System.err.println(s"[graft.Dedup] connectedComponents did NOT converge " +
+        s"after $maxIter rounds ($changed labels still moving) — raise maxIter " +
+        s"or use log-round star contraction for long-chain graphs")
     labels
   }
 

@@ -138,12 +138,15 @@ object Similarity {
 
   /** IVF-flat ANN (the other scale path the driver prompt names next to
     * LSH): a coarse quantizer (Lloyd's k-means over a deterministic seed
-    * sample, trained with the map-side-combining VecSumAgg) partitions the
+    * sample, trained with the map-side-combining VecMeanAgg) partitions the
     * corpus into `nlist` inverted lists; each query exactly reranks only
     * the `nprobe` nearest lists. Corpus never shuffles at query time — the
     * (tiny) probe assignments broadcast into the list-filtered scan; at
     * 100 TB the corpus would be written bucketed by `cid` so the filter
-    * prunes files. Recall < 1 by design; floor pinned in SimilaritySpec.
+    * prunes files. The centroid array (nlist × dim doubles) rides in task
+    * closures — fine at coarse-quantizer sizes; wrap in sc.broadcast if
+    * nlist×dim grows past ~10⁶. Recall < 1 by design; floor pinned in
+    * SimilaritySpec.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,

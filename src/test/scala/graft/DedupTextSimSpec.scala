@@ -207,15 +207,14 @@ class SimilaritySpec extends AnyFunSuite {
     val q = v.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceTopK(q, v, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(spark, q, v, 5, nlist = 8, nprobe = 3)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.ivfTopK(spark, q, v, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val ivf = rows.map(r => (r._1, r._2)).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall") // approximate by design; floor pins regressions
     // every returned rank list is well-formed
-    val ranks = Similarity.ivfTopK(spark, q, v, 5, nlist = 8, nprobe = 3)
-      .select("query_id", "rank").as[(Long, Int)].collect()
-      .groupBy(_._1).values
-    ranks.foreach(rs => assert(rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    rows.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
   test("LSH top-k achieves reasonable recall@5 vs brute force") {
