@@ -193,7 +193,10 @@ object Bench {
       // penalties in load spikes)
       val loresCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
       val hiresCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-      val pairReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+      // 2 interleaved pairs: enough for the per-pair estimator while keeping
+      // the whole bench under ~450 s even through a host load spike (a
+      // 3-pair run measured 554 s against a 570 s harness timeout)
+      val pairReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
       val runs = (1 to pairReps).map(_ => (timedRun(loresCores), timedRun(hiresCores)))
       val factor = hiresCores.toDouble / loresCores
       val t8 = runs.map(_._1._1).min
