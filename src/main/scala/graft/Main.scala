@@ -50,6 +50,10 @@ object Main {
         System.err.println(s"error: $err")
         sys.exit(2)
       case Right(c) =>
+        // under spark-submit there is no session yet and we own the one we
+        // build; embedded in a host app (or a test), reuse and DON'T stop
+        val hadActive = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession).isDefined
         val spark = SparkSession.builder()
           .appName("graft-boundary-extract")
           .config("spark.sql.session.timeZone", "UTC")
@@ -77,7 +81,7 @@ object Main {
         val mode = if (c.overwrite) BoundaryWriter.OverwriteAll else BoundaryWriter.SkipAll
         val files = BoundaryWriter.write(df, s"$out/files", mode, c.geojson)
         println(f"$nBoundaries boundaries, $files files written in ${(System.nanoTime() - t0) / 1e9}%.1f s → $out")
-        spark.stop()
+        if (!hadActive) spark.stop()
     }
   }
 }
