@@ -701,6 +701,20 @@ object SparkEntry {
       """SELECT l_orderkey, string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
+    // q07 — closed-form expected value of ring assembly over the grid
+    // scene: the stitch must survive the scene's deterministic per-cell way
+    // reversals and member permutations and still yield exactly one closed
+    // 12-point ring per relation with the reference's name projection.
+    // (Ring COORDINATES are pinned byte-exact by the golden sbt fixtures —
+    // this row makes the structural outcome driver-checkable too.)
+    "q07_ring_assembly" ->
+      """WITH ids AS (SELECT range AS i FROM range(0, 128))
+        |SELECT CAST(1000000 + i AS BIGINT) AS relation_id,
+        |  (CASE WHEN i % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(i % 16 AS BIGINT) || '_' || CAST(i // 16 AS BIGINT) AS name,
+        |  CAST(8 AS BIGINT) AS admin_level,
+        |  CAST(1 AS INT) AS n_rings, CAST(12 AS INT) AS n_points, true AS closed
+        |FROM ids""".stripMargin,
+
     "q08_coord_convert" ->
       """SELECT o_orderkey,
         |  CAST(CAST(CAST(o_orderkey % 1800000000 - 900000000 AS INT) AS DOUBLE)/10000000.0 AS REAL) AS lat_f32
