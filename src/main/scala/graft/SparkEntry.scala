@@ -930,6 +930,16 @@ object SparkEntry {
     "q49_exact_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact FROM lineitem GROUP BY 1",
 
+    // q50 — closed-form expected value of the PBF round trip: container
+    // encode → blob-parallel decode → extract must reproduce the grid
+    // scene's boundary set exactly (same derivation as q07's oracle).
+    "q50_pbf_extract" ->
+      """WITH ids AS (SELECT range AS i FROM range(0, 72))
+        |SELECT CAST(1000000 + i AS BIGINT) AS relation_id,
+        |  (CASE WHEN i % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(i % 12 AS BIGINT) || '_' || CAST(i // 12 AS BIGINT) AS name,
+        |  CAST(1 AS INT) AS n_rings
+        |FROM ids""".stripMargin,
+
     // q31 — the image table's metadata columns are a pure function of the
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
     // arithmetic mod 2^64 (see splitmixDimsCtes). Verifies generate()'s
