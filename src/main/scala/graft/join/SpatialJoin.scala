@@ -34,12 +34,17 @@ object SpatialJoin {
     * 10³ cells would otherwise put vertices×cells into the broadcast, a
     * scale-killer. They ride in a second, per-polygon-unique frame
     * (`polygonRings`) attached after the cell match.
+    *
+    * Multi-resolution: each polygon covers at the FINEST res ≤ `res` whose
+    * cover stays under `maxCells` (CellIndex.coverAuto) — small polygons
+    * get fine cells, a continent gets coarse ones, and nothing throws. The
+    * probe side must then encode at every res present (assign does).
     */
   def polygonCells(spark: SparkSession, polys: Dataset[PolygonRow], res: Int,
       maxCells: Int = 4096): Dataset[CellPoly] = {
     import spark.implicits._
     polys.flatMap { p =>
-      CellIndex.cover(p.rings, res, maxCells).map(c =>
+      CellIndex.coverAuto(p.rings, res, maxCells)._2.map(c =>
         CellPoly(c, p.relation_id, p.name))
     }
   }
@@ -70,7 +75,18 @@ object SpatialJoin {
     val cells0 = polygonCells(spark, polys, res).toDF()
       .withColumnRenamed("name", "polygon_name")
     val rings0 = polygonRings(spark, polys)
-    val p = probes.withColumn("cell", GraftFunctions.cellOfCol(col(latCol), col(lonCol), res))
+    // resolutions actually present on the (small) build side — metadata-
+    // sized collect, ≤ res+1 values. The probe encodes one cell per
+    // distinct res (usually 1, occasionally 2-3 with mixed polygon sizes)
+    // so every polygon is matchable at ITS cover resolution.
+    import spark.implicits._
+    val resList = cells0.select(shiftright(col("cell"), 58).cast("int"))
+      .distinct().as[Int].collect().sorted.toSeq match {
+      case Seq() => Seq(res)
+      case rs    => rs
+    }
+    val p = probes.withColumn("cell", explode(array(
+      resList.map(r => GraftFunctions.cellOfCol(col(latCol), col(lonCol), r)): _*)))
 
     val joined =
       if (useBroadcast) {

@@ -27,7 +27,9 @@ class TileIngestSpec extends AnyFunSuite {
     writeImages(imagesDir, 0, 12)
     writeImages(imagesDir, 12, 20)
 
-    val q1 = TileIngest.run(spark, imagesDir, worldPolys, outDir, ckpt, res = 3)
+    // default res 7: the world-sized polygon exceeds the fine-res cover cap
+    // and must auto-coarsen (coverAuto) instead of throwing
+    val q1 = TileIngest.run(spark, imagesDir, worldPolys, outDir, ckpt)
     q1.awaitTermination(120000)
     assert(!q1.isActive)
 
@@ -44,7 +46,7 @@ class TileIngestSpec extends AnyFunSuite {
     // land a NEW file and restart with the SAME checkpoint: only the new
     // file is processed (old batches keep their manifests; new batch id)
     writeImages(imagesDir, 20, 26)
-    val q2 = TileIngest.run(spark, imagesDir, worldPolys, outDir, ckpt, res = 3)
+    val q2 = TileIngest.run(spark, imagesDir, worldPolys, outDir, ckpt)
     q2.awaitTermination(120000)
     assert(!q2.isActive)
 
