@@ -207,11 +207,17 @@ object Bench {
       val spin8 = runs.map(_._1._2).max
       val spin32 = runs.map(_._2._2).max
       val speedup = t8 / t32
-      val eff = speedup / factor
+      // published efficiencies are CLAMPED to 1.0 (super-linear scaling of
+      // a fixed-work job is physically impossible — a >1.0 reading can only
+      // be residual measurement noise between the pair's two windows); the
+      // unclamped values ship alongside as *_raw so nothing is hidden
+      val effRaw = speedup / factor
+      val eff = math.min(1.0, effRaw)
       val perPair = runs.map { case ((a, sa), (b, sb)) =>
         ((a / b) / factor, math.min(1.0, (sb / sa) / factor))
       }
-      val (effBestPair, ceilBestPair) = perPair.maxBy(_._1)
+      val (effBestPairRaw, ceilBestPair) = perPair.maxBy(_._1)
+      val effBestPair = math.min(1.0, effBestPairRaw)
       // pure-CPU host ceiling: what an embarrassingly parallel register-only
       // loop achieves lo→hi cores on this shared/virtualized box — scaling
       // efficiency is reported raw AND against that physical ceiling. Each
@@ -227,8 +233,9 @@ object Bench {
       scalingJson =
         f""","scaling":{"cores_lo":$loresCores,"cores_hi":$hiresCores,"images":$nScale,"sec_lo":$t8%.3f,"sec_hi":$t32%.3f,""" +
           f""""images_per_sec_lo":${nScale / t8}%.1f,"images_per_sec_hi":${nScale / t32}%.1f,""" +
-          f""""speedup":$speedup%.3f,"efficiency":$eff%.3f,""" +
-          f""""efficiency_best_pair":$effBestPair%.3f,"ceiling_best_pair":$ceilBestPair%.3f,""" +
+          f""""speedup":$speedup%.3f,"efficiency":$eff%.3f,"efficiency_raw":$effRaw%.3f,""" +
+          f""""efficiency_best_pair":$effBestPair%.3f,"efficiency_best_pair_raw":$effBestPairRaw%.3f,""" +
+          f""""ceiling_best_pair":$ceilBestPair%.3f,""" +
           f""""host_cpu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${math.min(1.0, eff / ceiling)}%.3f,""" +
           f""""pairs":$pairsJson}"""
       spark = session(cpus)

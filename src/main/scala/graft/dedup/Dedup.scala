@@ -148,9 +148,13 @@ object Dedup {
          |  transform(slice(ids, 2, size(ids)), b ->
          |    struct(ids[0] as id_a, b as id_b))
          |END""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("p.id_a"), col("p.id_b"))
 
-    // verify: exact n-gram Jaccard on the candidate pairs only
+    // verify: exact n-gram Jaccard on the candidate pairs only. A pair that
+    // collided in several bands is verified redundantly (bounded ×bands,
+    // all map-side flops) and deduped by ONE groupBy exchange at the end —
+    // a standalone distinct() before the verify would cost a second
+    // exchange for the same result (the q23 r2 regression).
     val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("t"))
     pairs
       .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "ta"), Seq("id_a"))
@@ -159,29 +163,93 @@ object Dedup {
       .map { case (b, a, ta, tb) => (a, b, jaccard(shingles(ta), shingles(tb))) }
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard")) // deterministic per pair — max = the value
   }
 
   /** Connected components over a near-duplicate pair graph — the step that
     * turns verified pairs into DUPLICATE CLUSTERS (one keeper per
-    * component). Iterative min-label propagation: every node adopts the
-    * minimum label in its closed neighborhood until fixpoint.
+    * component).
     *
-    * Scale shape: each round is one self-equi-join on node id + one
-    * groupBy-min — both shuffles keyed on ids (uniform); state is one
-    * (node, label) row per node, persisted per round with the previous
-    * round released. Rounds ≤ graph diameter; near-dup graphs are
-    * star/clique-like (diameter ~2-3), so planet-scale runs converge in a
-    * handful of rounds. (For adversarial long-chain graphs, switch to the
-    * large-star/small-star alternation — same building blocks, O(log n)
-    * rounds.)
+    * Three execution paths, picked by graph size and `algorithm`:
+    *
+    *  1. Driver union-find cutover (`smallGraphEdges` > 0, default 1M): the
+    *     verified-pair graph is METADATA-sized relative to any corpus (it
+    *     exists only where near-dups were confirmed), so when an
+    *     early-terminating `limit(cap+1)` scan proves the edge list fits,
+    *     union-find on the driver replaces 3-20 rounds of Spark jobs — the
+    *     same medicine that took the cell-kNN query from 7.6 s to 0.6 s.
+    *  2. `algorithm = "propagate"`: iterative min-label propagation — one
+    *     self-equi-join + groupBy-min per round, O(diameter) rounds. Right
+    *     for star/clique-shaped near-dup graphs (diameter 2-3).
+    *  3. `algorithm = "star"`: large-star/small-star alternation (Kiveris
+    *     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    *     O(log n)-ish rounds on ADVERSARIAL long-chain graphs where
+    *     propagation would pay the full diameter. See [[starContraction]].
+    *
+    * Scale shape (distributed paths): every shuffle is keyed on node ids
+    * (uniform); state is one row per node (propagate) or per edge (star),
+    * persisted per round with the previous round released and lineage cut
+    * every 4th round.
     *
     * @param edges columns (src: bigint, dst: bigint), undirected pairs
+    * @param smallGraphEdges driver cutover cap (edges); 0 disables
+    * @param algorithm "propagate" (diameter-bound) or "star" (log-bound)
     * @return (id, component) where component = min node id reachable
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, smallGraphEdges: Int = 1000000,
+      algorithm: String = "propagate"): DataFrame = {
+    if (smallGraphEdges > 0) {
+      // limit() terminates the scan early: a planet-scale edge set costs one
+      // truncated pass here, never a full count
+      val sample = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(smallGraphEdges + 1).collect()
+      if (sample.length <= smallGraphEdges)
+        return driverUnionFind(spark, sample.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    algorithm match {
+      case "star"      => starContraction(spark, edges, maxIter)._1
+      case "propagate" => ccPropagate(spark, edges, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents algorithm must be 'propagate' or 'star', got '$other'")
+    }
+  }
+
+  /** Union-find with smaller-root-wins linking: the final root of every
+    * component is its minimum node id (the min never loses a union), so
+    * labels match the distributed paths exactly.
+    */
+  private def driverUnionFind(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while ({ val p = parent.get(x); p != null && p.longValue() != x }) {
+        val p = parent.get(x).longValue()
+        val gp = parent.get(p)
+        if (gp != null) parent.put(x, gp) // path halving
+        x = p
+      }
+      if (parent.get(x) == null) parent.put(x, x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.toSeq.map(id => (id, find(id))).toDF("id", "component")
+  }
+
+  /** Min-label propagation: every node adopts the minimum label in its
+    * closed neighborhood until fixpoint. Rounds ≤ graph diameter.
+    */
+  private def ccPropagate(spark: SparkSession, edges: DataFrame,
+      maxIter: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -230,8 +298,88 @@ object Dedup {
       // longer than maxIter rounds leaves one true component split
       System.err.println(s"[graft.Dedup] connectedComponents did NOT converge " +
         s"after $maxIter rounds ($changed labels still moving) — raise maxIter " +
-        s"or use log-round star contraction for long-chain graphs")
+        s"or pass algorithm=\"star\" (log-round contraction) for long-chain graphs")
     labels
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al., SoCC'14): converges
+    * in O(log² n) rounds worst-case (empirically ~log n) regardless of graph
+    * diameter — the path a 10⁶-link chain needs, where propagation would pay
+    * 10⁶ rounds.
+    *
+    * Invariant: edges are kept directed (hi → lo, hi > lo).
+    *  - large-star: each node attaches its strictly-LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: each node attaches its smaller-or-equal neighbors (and
+    *    itself) to that set's minimum.
+    * Both steps preserve component connectivity; the fixpoint is a forest of
+    * stars rooted at each component's minimum id. Convergence is detected by
+    * edge-set equality (count + one anti-join on the persisted frames — the
+    * set can both grow and shrink in one round, so a count alone is not
+    * enough).
+    *
+    * @return (labels (id, component), rounds used)
+    */
+  def starContraction(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ids = edges.select(col("src").cast("long").as("id"))
+      .union(edges.select(col("dst").cast("long").as("id")))
+      .distinct()
+    // Lineage is cut with an eager localCheckpoint EVERY round: one round's
+    // plan references the previous edge set ~8 times (both → e ×2, mins →
+    // both, ls → both+mins, next → ls ×3), so an uncut plan tree grows ~8^k
+    // and even its debug-string rendering OOMs by round 5. With per-round
+    // cuts the plan is constant-size and the checkpointed state is one row
+    // per edge. (On a cluster with unreliable executors, swap for reliable
+    // checkpoint() + a checkpoint dir.)
+    var e = edges.select(
+        greatest(col("src"), col("dst")).cast("long").as("hi"),
+        least(col("src"), col("dst")).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var rounds = 0
+    var converged = eCount == 0
+    while (!converged && rounds < maxIter) {
+      val both = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      // m = min(Γ(u) ∪ {u}); attach every neighbor v > u to m
+      val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = both.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .persist(lvl) // read three times below (mins2 + join + union)
+      // small-star over the directed (hi → smaller lo) edges
+      val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = ls.join(mins2, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true) // eager: materializes + truncates lineage
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
+      ls.unpersist(blocking = false)
+      e = next // previous checkpoint RDDs are released by the ContextCleaner
+      eCount = nextCount
+      rounds += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft.Dedup] starContraction did NOT converge " +
+        s"after $maxIter rounds — labels may split one true component")
+    // fixpoint edges are (member → component-min) stars; roots self-label.
+    // Materialized (node-sized) so the returned frame doesn't re-run the
+    // final join against checkpoint state the cleaner may already release.
+    val labels = ids
+      .join(e.select(col("hi").as("id"), col("lo").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    (labels, rounds)
   }
 
   /** SimHash near-dup pairs: 4×16-bit band LSH + Hamming-distance verify. */
@@ -266,7 +414,10 @@ object Dedup {
          |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      // cross-band dedup folded into one aggregation exchange (hamming is
+      // deterministic per pair) instead of a separate distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }

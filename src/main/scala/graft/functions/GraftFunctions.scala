@@ -141,11 +141,19 @@ case class CosineF32(a: Expression, b: Expression)
   override def left: Expression = a
   override def right: Expression = b
   override def dataType: DataType = DoubleType
-  // null when either input is null OR lengths mismatch — the same rows the
-  // HOF form nulls out (zip_with pads the shorter array with nulls, which
-  // poison the aggregate sum), so corrupt embeddings never rank
+  // null when either input is null, lengths mismatch, OR any element is
+  // null — the same rows the HOF form nulls out (zip_with pads the shorter
+  // array with nulls and null elements poison the aggregate sum), so
+  // corrupt embeddings never rank
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_f32"
+
+  // the per-element null scan is only paid when the schema admits null
+  // elements — a plan-time constant, so the generated code branches never
+  private lazy val elementsNullable: Boolean = (a.dataType, b.dataType) match {
+    case (ArrayType(_, an), ArrayType(_, bn)) => an || bn
+    case _ => true
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (a.dataType, b.dataType) match {
@@ -164,18 +172,35 @@ case class CosineF32(a: Expression, b: Expression)
     val aa = av.asInstanceOf[ArrayData]
     val ba = bv.asInstanceOf[ArrayData]
     if (aa.numElements() != ba.numElements()) null
+    else if (elementsNullable) CosineKernel.cosineNullable(aa, ba)
     else CosineKernel.cosine(aa, ba)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("graftCosRes")
     nullSafeCodeGen(ctx, ev, (av, bv) =>
-      s"""
-        if ($av.numElements() != $bv.numElements()) {
-          ${ev.isNull} = true;
-        } else {
-          ${ev.value} = graft.functions.CosineKernel.cosine($av, $bv);
-        }
-      """)
+      if (elementsNullable)
+        s"""
+          if ($av.numElements() != $bv.numElements()) {
+            ${ev.isNull} = true;
+          } else {
+            java.lang.Double $res = graft.functions.CosineKernel.cosineNullable($av, $bv);
+            if ($res == null) {
+              ${ev.isNull} = true;
+            } else {
+              ${ev.value} = $res.doubleValue();
+            }
+          }
+        """
+      else
+        s"""
+          if ($av.numElements() != $bv.numElements()) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = graft.functions.CosineKernel.cosine($av, $bv);
+          }
+        """)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(a = l, b = r)
@@ -187,6 +212,21 @@ object CosineKernel {
     * aggregate(zip_with(a,b,_*_), 0.0, _+_) / sqrt-norm composition, so
     * results match bit-for-bit (pinned in SimilaritySpec).
     */
+  /** Null-element-aware wrapper: returns null if ANY slot of either array
+    * is null (zip_with/aggregate semantics — a null element poisons the
+    * sum), otherwise delegates to the bit-identical fast kernel. Called
+    * only when the array schema admits null elements.
+    */
+  def cosineNullable(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    java.lang.Double.valueOf(cosine(a, b))
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0

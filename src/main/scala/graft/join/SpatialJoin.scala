@@ -72,19 +72,38 @@ object SpatialJoin {
       useBroadcast: Boolean = true,
       saltBuckets: Int = 1): DataFrame = {
     GraftFunctions.register(spark)
-    val cells0 = polygonCells(spark, polys, res).toDF()
-      .withColumnRenamed("name", "polygon_name")
-    val rings0 = polygonRings(spark, polys)
-    // resolutions actually present on the (small) build side — metadata-
-    // sized collect, ≤ res+1 values. The probe encodes one cell per
-    // distinct res (usually 1, occasionally 2-3 with mixed polygon sizes)
-    // so every polygon is matchable at ITS cover resolution.
     import spark.implicits._
-    val resList = cells0.select(shiftright(col("cell"), 58).cast("int"))
-      .distinct().as[Int].collect().sorted.toSeq match {
-      case Seq() => Seq(res)
-      case rs    => rs
-    }
+    val rings0 = polygonRings(spark, polys)
+    // The probe must encode one cell per distinct cover resolution present
+    // on the build side (usually 1, occasionally 2-3 with mixed polygon
+    // sizes) so every polygon is matchable at ITS cover resolution. That
+    // res list and the build rows must come from ONE cover computation —
+    // coverAuto's bbox descent + per-cell ring intersection is the
+    // expensive part for detailed polygons, and a naive metadata collect
+    // would re-run it per assign call.
+    val (cells0, resList) =
+      if (useBroadcast) {
+        // build side is broadcast-sized by design: collect it once on the
+        // driver and serve both the res list and the broadcast from the
+        // same array (the executors then receive it via the broadcast —
+        // the cover flatMap runs exactly once per assign)
+        val arr = polygonCells(spark, polys, res).collect()
+        val rs = arr.iterator.map(c => (c.cell >>> 58).toInt).toSet.toSeq.sorted
+        (spark.createDataset(arr.toIndexedSeq).toDF()
+          .withColumnRenamed("name", "polygon_name"),
+          if (rs.isEmpty) Seq(res) else rs)
+      } else {
+        // shuffle path: the build side may exceed driver memory — persist
+        // so the res-list collect and the join read one cover computation.
+        // Stays cached for the query's lifetime (callers running many
+        // assigns release via spark.catalog.clearCache()).
+        val df = polygonCells(spark, polys, res).toDF()
+          .withColumnRenamed("name", "polygon_name")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rs = df.select(shiftright(col("cell"), 58).cast("int"))
+          .distinct().as[Int].collect().sorted.toSeq
+        (df, if (rs.isEmpty) Seq(res) else rs)
+      }
     val p = probes.withColumn("cell", explode(array(
       resList.map(r => GraftFunctions.cellOfCol(col(latCol), col(lonCol), r)): _*)))
 

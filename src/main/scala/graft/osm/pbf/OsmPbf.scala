@@ -246,12 +246,12 @@ object OsmPbf {
     * per blob so multi-blob indexing and parallel decode are exercised.
     */
   def encode(nodes: Seq[NodeRow], ways: Seq[WayRow], relations: Seq[RelationRow],
-      zlib: Boolean = true, chunk: Int = 8000): Array[Byte] = {
+      zlib: Boolean = true, chunk: Int = 8000,
+      requiredFeatures: Seq[String] = Seq("OsmSchema-V0.6", "DenseNodes")): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val header = {
       val w = new PbfWriter
-      w.string(4, "OsmSchema-V0.6") // required_features
-      w.string(4, "DenseNodes")
+      requiredFeatures.foreach(w.string(4, _)) // required_features
       w.string(16, "graft-fixture-writer") // writingprogram
       w.result()
     }

@@ -23,8 +23,37 @@ object PbfSource {
   /** One OSMData blob: where to read it and how to frame it. */
   final case class BlobRef(path: String, offset: Long, length: Int)
 
+  /** Feature set this decoder implements. The OSM PBF contract
+    * (osmformat.proto HeaderBlock.required_features) is that a reader MUST
+    * reject a file requiring a feature it does not understand — e.g.
+    * `HistoricalInformation` changes entity semantics, so decoding it
+    * silently-wrong is worse than erroring (the reference's osmpbfreader
+    * enforces the same).
+    */
+  val SupportedFeatures: Set[String] = Set("OsmSchema-V0.6", "DenseNodes")
+
+  // spec limits (OSM PBF fileformat): BlobHeader ≤ 64 KiB, blob ≤ 32 MiB.
+  // Validated BEFORE allocation — a corrupt 4-byte frame length would
+  // otherwise drive a NegativeArraySizeException or a ~2 GiB allocation
+  // deep inside readFully.
+  private val MaxBlobHeader = 64 * 1024
+  private val MaxBlobSize = 32 * 1024 * 1024
+
+  /** HeaderBlock.required_features (field 4, repeated string). */
+  private def requiredFeaturesOf(headerPayload: Array[Byte]): Seq[String] = {
+    val r = new PbfReader(headerPayload)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (r.hasRemaining) r.readTag() match {
+      case (4, 2) => out += r.readString()
+      case (_, w) => r.skipField(w)
+    }
+    out.toSeq
+  }
+
   /** Driver-side index walk: reads only the framing (4-byte length +
-    * BlobHeader, tens of bytes per ~8 MiB blob).
+    * BlobHeader, tens of bytes per ~8 MiB blob) — plus the one OSMHeader
+    * blob, whose required_features are validated against
+    * [[SupportedFeatures]].
     */
   def blobIndex(path: String): Seq[BlobRef] = {
     val f = new RandomAccessFile(path, "r")
@@ -35,6 +64,8 @@ object PbfSource {
       while (pos + 4 <= len) {
         f.seek(pos)
         val hlen = f.readInt()
+        require(hlen > 0 && hlen <= MaxBlobHeader,
+          s"corrupt BlobHeader length $hlen at offset $pos in $path (spec max $MaxBlobHeader)")
         val hbytes = new Array[Byte](hlen)
         f.readFully(hbytes)
         val r = new PbfReader(hbytes)
@@ -46,8 +77,21 @@ object PbfSource {
           case (_, w) => r.skipField(w)
         }
         require(datasize >= 0, s"BlobHeader without datasize at $pos in $path")
+        require(datasize <= MaxBlobSize,
+          s"corrupt blob datasize $datasize at offset $pos in $path (spec max $MaxBlobSize)")
         val dataOff = pos + 4 + hlen
         if (htype == "OSMData") out += BlobRef(path, dataOff, datasize)
+        else if (htype == "OSMHeader") {
+          val hb = new Array[Byte](datasize)
+          f.seek(dataOff)
+          f.readFully(hb)
+          val unknown = requiredFeaturesOf(OsmPbf.decodeBlob(hb))
+            .filterNot(SupportedFeatures.contains)
+          require(unknown.isEmpty,
+            s"$path requires unsupported PBF feature(s) ${unknown.mkString(", ")} " +
+              s"(supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) — " +
+              "decoding would be silently wrong, refusing")
+        }
         pos = dataOff + datasize
       }
       out.toSeq
@@ -106,10 +150,14 @@ object PbfSource {
     (relations(spark, path, partitions), ways(spark, path, partitions),
       nodes(spark, path, partitions))
 
-  /** Write a .osm.pbf fixture file (test/bench synthesis only). */
+  /** Write a .osm.pbf fixture file (test/bench synthesis only).
+    * `requiredFeatures` is injectable so tests can exercise the
+    * unsupported-feature rejection path.
+    */
   def writeFixture(path: String, nodes: Seq[NodeRow], ways: Seq[WayRow],
-      relations: Seq[RelationRow], zlib: Boolean = true, chunk: Int = 8000): Unit = {
-    val bytes = OsmPbf.encode(nodes, ways, relations, zlib, chunk)
+      relations: Seq[RelationRow], zlib: Boolean = true, chunk: Int = 8000,
+      requiredFeatures: Seq[String] = Seq("OsmSchema-V0.6", "DenseNodes")): Unit = {
+    val bytes = OsmPbf.encode(nodes, ways, relations, zlib, chunk, requiredFeatures)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
   }
 }

@@ -136,58 +136,115 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Same nearest-centroid math on the driver and in the executor UDF —
+    * one kernel so assignment can never diverge between train and query.
+    */
+  private def nearestCidOf(cents: Array[(Int, Array[Double])], v: Seq[Float]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    cents.foreach { case (ci, cv) =>
+      var d = 0.0; var i = 0
+      while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD || (d == bestD && ci < best)) { best = ci; bestD = d }
+    }
+    best
+  }
+
+  /** Driver-side Lloyd's k-means over an already-collected sample. A coarse
+    * quantizer needs only a sketch of the distribution — nlist×64 vectors —
+    * so training costs ZERO Spark jobs (the r2 version ran 2 jobs per
+    * iteration plus a dim probe against the full corpus). Clusters that
+    * lose every point drop out (cid values are labels, not indexes).
+    */
+  private[sim] def kmeansDriver(sample: Array[Array[Float]], nlist: Int,
+      iters: Int): Array[(Int, Array[Double])] = {
+    var cents: Array[(Int, Array[Double])] =
+      sample.take(nlist).zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    var it = 0
+    while (it < iters) {
+      val acc = scala.collection.mutable.Map.empty[Int, Array[Double]] // slot dim = count
+      sample.foreach { v =>
+        val cid = nearestCidOf(cents, scala.collection.immutable.ArraySeq.unsafeWrapArray(v))
+        val a = acc.getOrElseUpdate(cid, new Array[Double](dim + 1))
+        var i = 0
+        while (i < dim && i < v.length) { a(i) += v(i); i += 1 }
+        a(dim) += 1
+      }
+      cents = acc.toArray.sortBy(_._1).map { case (cid, a) =>
+        val n = math.max(a(dim), 1.0)
+        (cid, Array.tabulate(dim)(i => a(i) / n))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Distributed quantizer training over the FULL corpus with the
+    * map-side-combining VecMeanAgg — the shuffle carries one (dim+1)-length
+    * partial per (partition, centroid), never per-row vectors. Costs
+    * 2 Spark jobs per Lloyd iteration; reach for it only when the quantizer
+    * must see every vector rather than a bounded sample.
+    */
+  private[sim] def trainIvfDistributed(spark: SparkSession, c: DataFrame,
+      init: Array[(Int, Array[Double])], dim: Int, iters: Int): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val mean = new VecMeanAgg(dim).toColumn
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val cents = centroids
+      val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+      val assigned = c.withColumn("cid", nearest(col("ce")))
+        .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
+      centroids = assigned.groupByKey(_._1).agg(mean).collect()
+        .map { case (cid, m) => (cid, m.toArray) }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF-flat ANN (the other scale path the driver prompt names next to
-    * LSH): a coarse quantizer (Lloyd's k-means over a deterministic seed
-    * sample, trained with the map-side-combining VecMeanAgg) partitions the
-    * corpus into `nlist` inverted lists; each query exactly reranks only
-    * the `nprobe` nearest lists. Corpus never shuffles at query time — the
-    * (tiny) probe assignments broadcast into the list-filtered scan; at
-    * 100 TB the corpus would be written bucketed by `cid` so the filter
-    * prunes files. The centroid array (nlist × dim doubles) rides in task
+    * LSH): a coarse quantizer (Lloyd's k-means, trained on a deterministic
+    * bounded sample on the driver — or on the full corpus via
+    * `distributedTrain`) partitions the corpus into `nlist` inverted lists;
+    * each query exactly reranks only the `nprobe` nearest lists.
+    *
+    * Query-time scale shape: the corpus never shuffles — the (tiny) probe
+    * assignments broadcast into the list-filtered scan; at 100 TB the
+    * corpus would be written bucketed by `cid` so the filter prunes files.
+    * The sample is fetched with one TakeOrdered pass (smallest
+    * splitmix64(id) — seedless, order-independent); dim comes from the
+    * sample, so the whole function runs ONE Spark job before the query
+    * itself. The centroid array (nlist × dim doubles) rides in task
     * closures — fine at coarse-quantizer sizes; wrap in sc.broadcast if
     * nlist×dim grows past ~10⁶. Recall < 1 by design; floor pinned in
     * SimilaritySpec.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+      qId: String = "vec_id", cId: String = "vec_id",
+      distributedTrain: Boolean = false): DataFrame = {
     import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
       col("embedding").as("ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = c.select(size(col("ce"))).as[Int].head()
 
-    // deterministic init: the nlist corpus vectors with smallest
-    // splitmix64(id) — a seedless, order-independent pseudo-random sample
-    var centroids: Array[(Int, Array[Double])] = c
-      .withColumn("h", udf((id: Long) => graft.img.ImageTable.splitmix64(id)).apply(col("neighbor_id")))
-      .orderBy(col("h")).limit(nlist)
-      .select(col("ce")).as[Seq[Float]].collect()
-      .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble).toArray) }
+    val sampleN = math.max(nlist * 64, 1024)
+    val hUdf = udf((id: Long) => splitmix64(id))
+    val sample: Array[Array[Float]] = c.withColumn("h", hUdf(col("neighbor_id")))
+      .orderBy(col("h"), col("neighbor_id")).limit(sampleN)
+      .select(col("ce")).as[Seq[Float]].collect().map(_.toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val dim = sample.head.length
 
-    def nearestCid(cents: Array[(Int, Array[Double])]) = udf { (v: Seq[Float]) =>
-      var best = -1; var bestD = Double.MaxValue
-      cents.foreach { case (ci, cv) =>
-        var d = 0.0; var i = 0
-        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD || (d == bestD && ci < best)) { best = ci; bestD = d }
-      }
-      best
-    }
-
-    val mean = new VecMeanAgg(dim).toColumn
-    var it = 0
-    while (it < iters) {
-      val assigned = c.withColumn("cid", nearestCid(centroids)(col("ce")))
-        .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
-      // lists that lose every point simply drop out (k shrinks); cid values
-      // are labels, not indexes
-      centroids = assigned.groupByKey(_._1).agg(mean).collect()
-        .map { case (cid, m) => (cid, m.toArray) }
-      it += 1
-    }
+    val centroids =
+      if (distributedTrain)
+        trainIvfDistributed(spark, c,
+          sample.take(nlist).zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) },
+          dim, iters)
+      else kmeansDriver(sample, nlist, iters)
 
     val bcCentroids = centroids
+    val nearestCid = udf((v: Seq[Float]) => nearestCidOf(bcCentroids, v))
     val probesOf = udf { (v: Seq[Float]) =>
       bcCentroids.map { case (ci, cv) =>
         var d = 0.0; var i = 0
@@ -198,17 +255,15 @@ object Similarity {
 
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
       .withColumn("cid", explode(probesOf(col("qe"))))
-    val cc = c.withColumn("cid", nearestCid(centroids)(col("ce")))
+    val cc = c.withColumn("cid", nearestCid(col("ce")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val out = cc.join(broadcast(q), Seq("cid"))
+    cc.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-    c.unpersist(blocking = false)
-    out
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
@@ -240,7 +295,10 @@ object Similarity {
          |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         cosineFast(spark, col("p.ea"), col("p.eb")).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= minCosine)
+      // id-pair dedup via one aggregation exchange (cosine deterministic),
+      // never a distinct over rows still carrying embedding arrays
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
   }
 }

@@ -99,7 +99,11 @@ object TileIngest {
             tiles.unpersist(blocking = false)
             (nI, nT)
           }
-        lineage.write.mode("append").parquet(s"$outDir/_lineage")
+        // batchId-keyed overwrite, mirroring the tiles path: an append here
+        // would duplicate lineage rows when a batch is replayed after a
+        // crash between this write and commit() — tiles and manifest were
+        // idempotent under replay, lineage must be too
+        lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/stream_batch=$batchId")
         commit(outDir, batchId, nImages, nTiles)
         ()
       }

@@ -50,26 +50,47 @@ object TileManifest {
 
   /** Run (or resume) the tiling job. `assigned` needs image_id, relation_id,
     * bytes. Returns per-batch results including skips.
+    *
+    * Scale shape: the input is scanned ONCE for the whole run — `assigned`
+    * is persisted (memory-and-disk) before the batch loop, each batch
+    * filter reads the cache, and per-batch image counts are derived from
+    * the tiles that were just written (every image emits exactly one
+    * level-0 origin tile) instead of a separate `count()` over the input.
+    * The r2 version re-ran the full upstream join twice per batch (one
+    * count + one tile pass × nBatches ≈ 16 input scans at 8 batches — a
+    * genuine 100 TB scale-killer hiding behind resumability). On a real
+    * cluster with a bucketed source, swap the persist for writing
+    * `assigned` partitioned by `batch` once and letting partition pruning
+    * serve each batch filter.
     */
   def run(spark: SparkSession, assigned: DataFrame, outDir: String,
       nBatches: Int = 8): Seq[BatchResult] = {
     val done = completedBatches(outDir)
-    val withBatch = assigned.withColumn("batch", pmod(hash(col("image_id")), lit(nBatches)))
-    (0 until nBatches).map { b =>
-      if (done.contains(b)) BatchResult(b, 0, 0, skipped = true)
-      else {
-        val slice = withBatch.filter(col("batch") === b).drop("batch")
-        val ((nImages, nTiles), lineage) = Lineage.capture(spark, s"tile-batch-$b") {
-          val n = slice.count()
-          val tiles = Tiling.tile(spark, slice)
-          tiles.write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
-          val t = spark.read.parquet(s"$outDir/tiles/batch=$b").count()
-          (n, t)
+    val todo = (0 until nBatches).filterNot(done.contains)
+    if (todo.isEmpty) return (0 until nBatches).map(BatchResult(_, 0, 0, skipped = true))
+    val withBatch = assigned
+      .withColumn("batch", pmod(hash(col("image_id")), lit(nBatches)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until nBatches).map { b =>
+        if (done.contains(b)) BatchResult(b, 0, 0, skipped = true)
+        else {
+          val slice = withBatch.filter(col("batch") === b).drop("batch")
+          val ((nImages, nTiles), lineage) = Lineage.capture(spark, s"tile-batch-$b") {
+            Tiling.tile(spark, slice).write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
+            val written = spark.read.parquet(s"$outDir/tiles/batch=$b")
+            val t = written.count()
+            val n = written
+              .filter(col("level") === 0 && col("tx") === 0 && col("ty") === 0).count()
+            (n, t)
+          }
+          // batch-keyed overwrite (not append): a batch replayed after a
+          // crash between this write and commitManifest stays idempotent
+          lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/batch=$b")
+          commitManifest(outDir, b, nImages, nTiles)
+          BatchResult(b, nImages, nTiles, skipped = false)
         }
-        lineage.write.mode("append").parquet(s"$outDir/_lineage")
-        commitManifest(outDir, b, nImages, nTiles)
-        BatchResult(b, nImages, nTiles, skipped = false)
       }
-    }
+    } finally withBatch.unpersist(blocking = false)
   }
 }

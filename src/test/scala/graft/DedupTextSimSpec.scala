@@ -75,22 +75,47 @@ class DedupSpec extends AnyFunSuite {
       val groups = nodes.groupBy(find)
       groups.values.flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
     }
-    // deterministic pseudo-random graphs of varying density
+    // deterministic pseudo-random graphs of varying density — checked on
+    // ALL THREE execution paths (driver union-find cutover, distributed
+    // min-label propagation, distributed star contraction)
     for (seed <- 0 until 4) {
       val n = 30
       val edges = (0 until 40).map { i =>
         val h = graft.img.ImageTable.splitmix64(seed * 1000 + i)
         ((h & 0x7FFFFFFF) % n, ((h >>> 32) & 0x7FFFFFFF) % n)
       }.filter(e => e._1 != e._2)
-      val got = Dedup.connectedComponents(spark, edges.toDF("src", "dst"))
+      val expected = unionFind(edges)
+      val gotDriver = Dedup.connectedComponents(spark, edges.toDF("src", "dst"))
         .as[(Long, Long)].collect().toMap
-      assert(got == unionFind(edges), s"seed=$seed")
+      assert(gotDriver == expected, s"driver cutover, seed=$seed")
+      val gotProp = Dedup.connectedComponents(spark, edges.toDF("src", "dst"),
+        smallGraphEdges = 0, algorithm = "propagate")
+        .as[(Long, Long)].collect().toMap
+      assert(gotProp == expected, s"propagate, seed=$seed")
+      val gotStar = Dedup.connectedComponents(spark, edges.toDF("src", "dst"),
+        smallGraphEdges = 0, algorithm = "star")
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expected, s"star, seed=$seed")
     }
     // a 12-node chain needs label propagation across the full diameter
     val chain = (0L until 11L).map(i => (i, i + 1))
     val gotChain = Dedup.connectedComponents(spark, chain.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
     assert(gotChain == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction: a 10k-node path graph converges in O(log n) rounds") {
+    // the adversarial case for min-label propagation (diameter 10k →
+    // 10k rounds); large-star/small-star must finish in ~log n
+    val n = 10000
+    val path = spark.range(0, n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (labels, rounds) = Dedup.starContraction(spark, path, maxIter = 40)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 4 // 2·⌈log₂n⌉+slack
+    assert(rounds <= bound, s"took $rounds rounds (bound $bound)")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), s"non-min labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
   }
 
   test("simhash: tiny edits on long docs stay within hamming 3; random texts far") {
@@ -190,6 +215,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 2)
   }
 
+  test("cosine_f32 nulls out arrays containing NULL ELEMENTS like the HOF form") {
+    // a corrupt embedding with a null slot must not rank with a garbage
+    // numeric cosine — zip_with→aggregate nulls the row, so must the kernel
+    val df = Seq(
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](null, 2f, 3f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosineCol(col("a"), col("b")).as("hof"),
+      Similarity.cosineFast(spark, col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(1)) == 2)
+  }
+
   test("brute-force top-k: self excluded, ranks contiguous, cosine descending") {
     val v = vecs(50)
     val r = Similarity.bruteForceTopK(v.filter($"vec_id" < 5), v, 3)
@@ -215,6 +259,14 @@ class SimilaritySpec extends AnyFunSuite {
     // every returned rank list is well-formed
     rows.groupBy(_._1).values.foreach(rs =>
       assert(rs.map(_._3).sorted.sameElements(1 to rs.length)))
+
+    // the distributed-training path (full-corpus VecMeanAgg k-means) must
+    // hit the same floor
+    val distRows = Similarity.ivfTopK(spark, q, v, 5, nlist = 8, nprobe = 3,
+      distributedTrain = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val distRecall = (brute intersect distRows).size.toDouble / brute.size
+    assert(distRecall >= 0.5, s"distributed-train recall $distRecall")
   }
 
   test("LSH top-k achieves reasonable recall@5 vs brute force") {

@@ -163,6 +163,43 @@ class PbfSpec extends AnyFunSuite {
     assert(failures > 0, "no corruption was ever detected by bounds checks")
   }
 
+  test("OSMHeader with an unsupported required feature is rejected at index time") {
+    val scene = OsmScenes.grid(2, 2)
+    val f = java.io.File.createTempFile("graft-histfeat", ".osm.pbf")
+    f.deleteOnExit()
+    PbfSource.writeFixture(f.getPath, scene.nodes, scene.ways, scene.relations,
+      requiredFeatures = Seq("OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"))
+    val e = intercept[IllegalArgumentException](PbfSource.blobIndex(f.getPath))
+    assert(e.getMessage.contains("HistoricalInformation"), e.getMessage)
+    // supported features (even a subset) still pass
+    val g = java.io.File.createTempFile("graft-okfeat", ".osm.pbf")
+    g.deleteOnExit()
+    PbfSource.writeFixture(g.getPath, scene.nodes, scene.ways, scene.relations,
+      requiredFeatures = Seq("OsmSchema-V0.6"))
+    assert(PbfSource.blobIndex(g.getPath).nonEmpty)
+  }
+
+  test("corrupt frame lengths are rejected before any allocation") {
+    val scene = OsmScenes.grid(2, 2)
+    val good = OsmPbf.encode(scene.nodes, scene.ways, scene.relations)
+    // negative 4-byte BlobHeader length
+    val neg = good.clone()
+    neg(0) = 0xFF.toByte; neg(1) = 0xFF.toByte; neg(2) = 0xFF.toByte; neg(3) = 0xFF.toByte
+    val f1 = java.io.File.createTempFile("graft-neglen", ".osm.pbf")
+    f1.deleteOnExit()
+    java.nio.file.Files.write(f1.toPath, neg)
+    val e1 = intercept[IllegalArgumentException](PbfSource.blobIndex(f1.getPath))
+    assert(e1.getMessage.contains("BlobHeader length"), e1.getMessage)
+    // absurdly large header length (over the 64 KiB spec cap)
+    val big = good.clone()
+    big(0) = 0x7F.toByte; big(1) = 0xFF.toByte; big(2) = 0xFF.toByte; big(3) = 0xFF.toByte
+    val f2 = java.io.File.createTempFile("graft-biglen", ".osm.pbf")
+    f2.deleteOnExit()
+    java.nio.file.Files.write(f2.toPath, big)
+    val e2 = intercept[IllegalArgumentException](PbfSource.blobIndex(f2.getPath))
+    assert(e2.getMessage.contains("BlobHeader length"), e2.getMessage)
+  }
+
   test("CLI end-to-end: --input <file.osm.pbf> writes boundary files") {
     val _ = spark.sparkContext // active session up front: Main must reuse it
     val scene = OsmScenes.grid(3, 3)
