@@ -366,8 +366,9 @@ object SparkEntry {
         .select(col("probe_id").as("o_orderkey"), col("nid"), col("rank"))
     }),
 
-    // K1/K2 + N1 — full sink row: deduped filename, .poly text, GeoJSON
-    // (rows-only; byte-exact content pinned by golden tests in sbt)
+    // K1/K2 + N1 — full sink row: deduped filename, .poly text, GeoJSON.
+    // Driver-oracled closed-form (names + exact emitted-string lengths of
+    // the golden scene); byte-exact content pinned by golden tests in sbt.
     "q34_sink_rows" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.golden.toDFs(s)
       BoundaryExtract.extractWithSinks(s, r, w, n, 8, 8)
@@ -410,7 +411,8 @@ object SparkEntry {
     }),
 
     // role-aware hole handling + RFC7946 winding (extension beyond the
-    // reference's ignore-roles semantics; rows-only, pinned in HolesSpec)
+    // reference's ignore-roles semantics). Driver-oracled closed-form
+    // (polygon/hole counts + geometry lengths); bytes pinned in HolesSpec.
     "q39_holes_rfc7946" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.golden.toDFs(s)
       BoundaryExtract.extractRfc7946(s, r, w, n, 8, 8)
@@ -939,6 +941,49 @@ object SparkEntry {
         |  (CASE WHEN i % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(i % 12 AS BIGINT) || '_' || CAST(i // 12 AS BIGINT) AS name,
         |  CAST(1 AS INT) AS n_rings
         |FROM ids""".stripMargin,
+
+    // q34 — closed-form expected value of the full sink row over the golden
+    // scene (same derivation style as q07/q50): the deduped output names
+    // follow N1's deterministic rules and the emitted `.poly`/GeoJSON string
+    // lengths are exact consequences of the byte-exact goldens pinned in
+    // GoldenFileSpec — so the whole sink row is driver-checkable.
+    "q34_sink_rows" ->
+      """SELECT CAST(relation_id AS BIGINT) AS relation_id, out_name,
+        |  CAST(poly_len AS INT) AS poly_len, CAST(geojson_len AS INT) AS geojson_len
+        |FROM (VALUES
+        |  (11, 'Alpha', 84, 192),
+        |  (12, 'Beta', 83, 191),
+        |  (13, 'Gamma', 144, 252),
+        |  (14, 'Delta', 81, 189),
+        |  (15, 'Stadt_UNKNOWN_NAME', 82, 190),
+        |  (161, 'Vimianzo_161', 72, 181),
+        |  (162, 'vimianzo_162', 72, 181),
+        |  (163, 'Vimianzo_163', 72, 181),
+        |  (164, 'Unique', 70, 179),
+        |  (165, 'abc', 75, 185),
+        |  (173, 'Exact', 69, 178)
+        |) AS t(relation_id, out_name, poly_len, geojson_len)""".stripMargin,
+
+    // q39 — closed-form expected value of the RFC7946 extension over the
+    // golden scene: polygon/hole counts and the exact geometry-string
+    // length per relation (byte-level geometry pinned in HolesSpec).
+    "q39_holes_rfc7946" ->
+      """SELECT CAST(relation_id AS BIGINT) AS relation_id, name,
+        |  CAST(n_polygons AS INT) AS n_polygons, CAST(n_holes AS INT) AS n_holes,
+        |  CAST(geom_len AS INT) AS geom_len
+        |FROM (VALUES
+        |  (11, 'Alpha', 1, 0, 99),
+        |  (12, 'Beta', 1, 0, 99),
+        |  (13, 'Gamma', 2, 0, 159),
+        |  (14, 'Delta', 1, 0, 96),
+        |  (15, 'Stadt_UNKNOWN_NAME', 1, 0, 84),
+        |  (161, 'Vimianzo', 1, 0, 84),
+        |  (162, 'vimianzo', 1, 0, 84),
+        |  (163, 'Vimianzo', 1, 0, 84),
+        |  (164, 'Unique', 1, 0, 84),
+        |  (165, 'ab\/&:<>|*c', 1, 0, 84),
+        |  (173, 'Exact', 1, 0, 84)
+        |) AS t(relation_id, name, n_polygons, n_holes, geom_len)""".stripMargin,
 
     // q31 — the image table's metadata columns are a pure function of the
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
