@@ -13,7 +13,11 @@ import graft.emit.BoundaryWriter
   *   --min-admin N       default 8   (reference -m)
   *   --max-admin N       default 8   (reference -x)
   *   --path DIR          output dir, default "{input}_polygons" (main.rs:131)
-  *   --overwrite | --skip  mutually exclusive (main.rs:109-112); default skip
+  *   --overwrite | --skip  mutually exclusive (main.rs:109-112); with
+  *                       neither flag the reference ASKS per conflicting
+  *                       file (file_creator.rs:32-63) — mirrored here when
+  *                       a console is attached; headless (spark-submit in
+  *                       batch, CI) falls back to skip with a notice
   *   --geojson           also write .geojson (reference -g)
   *
   * Validation mirrors the reference: min > max is an error (main.rs:98-104);
@@ -78,7 +82,15 @@ object Main {
           .cache()
         val nBoundaries = df.count()
         df.write.mode("overwrite").parquet(s"$out/boundaries.parquet")
-        val mode = if (c.overwrite) BoundaryWriter.OverwriteAll else BoundaryWriter.SkipAll
+        val mode: BoundaryWriter.OverwriteMode =
+          if (c.overwrite) BoundaryWriter.OverwriteAll
+          else if (c.skip) BoundaryWriter.SkipAll
+          else if (System.console() != null) BoundaryWriter.Ask()
+          else {
+            System.err.println("no console attached: defaulting --skip " +
+              "(pass --overwrite or --skip explicitly for headless runs)")
+            BoundaryWriter.SkipAll
+          }
         val files = BoundaryWriter.write(df, s"$out/files", mode, c.geojson)
         println(f"$nBoundaries boundaries, $files files written in ${(System.nanoTime() - t0) / 1e9}%.1f s → $out")
         if (!hadActive) spark.stop()

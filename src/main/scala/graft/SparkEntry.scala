@@ -279,15 +279,15 @@ object SparkEntry {
     // planted near-dups = docs with doc_id%10==0, lightly perturbed
     "q23_minhash_pairs" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
+      // no orderBy: the driver compare canonicalizes row order itself, and a
+      // cosmetic global sort costs a sample + range exchange per run
       graft.dedup.Dedup.minhashPairs(s, docs, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
     }),
 
     // SimHash near-dup pairs (rows-only)
     "q24_simhash_pairs" -> ((s, dir) => {
       graft.dedup.Dedup.simhashPairs(s, docsWithPlantedDups(s, dir), maxHamming = 3)
-        .orderBy("id_a", "id_b")
     }),
 
     // BPE-ish regex token count (oracle: DuckDB regexp_extract_all)
@@ -324,7 +324,6 @@ object SparkEntry {
         }.toDF("vec_id", "embedding")
       graft.sim.Similarity.nearDupPairs(s, e.select("vec_id", "embedding").union(planted), 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("id_a", "id_b")
     }),
 
     // winnowing fingerprints: docs sharing a fingerprint (rows-only)
