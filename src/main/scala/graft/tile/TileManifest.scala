@@ -58,10 +58,10 @@ object TileManifest {
     * level-0 origin tile) instead of a separate `count()` over the input.
     * The r2 version re-ran the full upstream join twice per batch (one
     * count + one tile pass × nBatches ≈ 16 input scans at 8 batches — a
-    * genuine 100 TB scale-killer hiding behind resumability). On a real
-    * cluster with a bucketed source, swap the persist for writing
-    * `assigned` partitioned by `batch` once and letting partition pruning
-    * serve each batch filter.
+    * genuine 100 TB scale-killer hiding behind resumability). For inputs
+    * too large to cache — or when resume must survive a JVM crash — use
+    * [[runStaged]], which materializes the joined frame once as
+    * batch-partitioned parquet and lets partition pruning serve each batch.
     */
   def run(spark: SparkSession, assigned: DataFrame, outDir: String,
       nBatches: Int = 8): Seq[BatchResult] = {
@@ -74,23 +74,52 @@ object TileManifest {
     try {
       (0 until nBatches).map { b =>
         if (done.contains(b)) BatchResult(b, 0, 0, skipped = true)
-        else {
-          val slice = withBatch.filter(col("batch") === b).drop("batch")
-          val ((nImages, nTiles), lineage) = Lineage.capture(spark, s"tile-batch-$b") {
-            Tiling.tile(spark, slice).write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
-            val written = spark.read.parquet(s"$outDir/tiles/batch=$b")
-            val t = written.count()
-            val n = written
-              .filter(col("level") === 0 && col("tx") === 0 && col("ty") === 0).count()
-            (n, t)
-          }
-          // batch-keyed overwrite (not append): a batch replayed after a
-          // crash between this write and commitManifest stays idempotent
-          lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/batch=$b")
-          commitManifest(outDir, b, nImages, nTiles)
-          BatchResult(b, nImages, nTiles, skipped = false)
-        }
+        else tileBatch(spark, withBatch.filter(col("batch") === b).drop("batch"), outDir, b)
       }
     } finally withBatch.unpersist(blocking = false)
+  }
+
+  /** One batch: tile, write, count from the written tiles, commit. */
+  private def tileBatch(spark: SparkSession, slice: DataFrame, outDir: String,
+      b: Int): BatchResult = {
+    val ((nImages, nTiles), lineage) = Lineage.capture(spark, s"tile-batch-$b") {
+      Tiling.tile(spark, slice).write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
+      val written = spark.read.parquet(s"$outDir/tiles/batch=$b")
+      val t = written.count()
+      val n = written
+        .filter(col("level") === 0 && col("tx") === 0 && col("ty") === 0).count()
+      (n, t)
+    }
+    // batch-keyed overwrite (not append): a batch replayed after a
+    // crash between this write and commitManifest stays idempotent
+    lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/batch=$b")
+    commitManifest(outDir, b, nImages, nTiles)
+    BatchResult(b, nImages, nTiles, skipped = false)
+  }
+
+  /** Durable variant for genuinely huge inputs: materialize `assigned` ONCE
+    * as parquet partitioned by `batch` (skipped when already staged), then
+    * each batch reads its slice back with partition pruning — the filter
+    * becomes a directory prune, never a scan of other batches.
+    *
+    * vs `run`: the in-memory persist dies with the JVM, so a CRASHED run
+    * re-executes the upstream join for the remaining batches on restart;
+    * the staging survives, making resume zero-upstream-cost — at 100 TB
+    * (where the upstream is a multi-hour join) this is the shape that
+    * matters, at the price of one durable copy of the joined frame.
+    */
+  def runStaged(spark: SparkSession, assigned: DataFrame, outDir: String,
+      nBatches: Int = 8): Seq[BatchResult] = {
+    val done = completedBatches(outDir)
+    val stagedDir = s"$outDir/_staged"
+    if (!Files.exists(Paths.get(stagedDir, "_SUCCESS"))) {
+      assigned.withColumn("batch", pmod(hash(col("image_id")), lit(nBatches)))
+        .write.mode("overwrite").partitionBy("batch").parquet(stagedDir)
+    }
+    val staged = spark.read.parquet(stagedDir)
+    (0 until nBatches).map { b =>
+      if (done.contains(b)) BatchResult(b, 0, 0, skipped = true)
+      else tileBatch(spark, staged.filter(col("batch") === b).drop("batch"), outDir, b)
+    }
   }
 }

@@ -104,6 +104,29 @@ class TilingSpec extends AnyFunSuite {
     val onDisk = spark.read.parquet(s"$dir/tiles").count()
     assert(onDisk == totalTiles)
   }
+
+  test("runStaged: upstream materialized once, batches partition-pruned, crash-resume skips upstream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staged").toString
+    val images = ImageTable.generate(spark, 30, 4).toDF()
+      .withColumn("relation_id", lit(1L))
+    val r1 = TileManifest.runStaged(spark, images, dir, nBatches = 4)
+    assert(r1.forall(!_.skipped) && r1.map(_.images).sum == 30)
+
+    // the batch slice is served by PARTITION PRUNING on the staged parquet
+    val staged = spark.read.parquet(s"$dir/_staged").filter(col("batch") === 2)
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(batch"),
+      s"batch filter must prune partitions:\n$plan")
+
+    // simulate a crashed run: delete one manifest entry AND poison the
+    // upstream frame — resume must read only the staging, never re-running
+    // the upstream join
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifest", "batch-1.json"))
+    val poisoned = images.filter(col("image_id") =!= col("image_id")) // empty if re-read
+    val r2 = TileManifest.runStaged(spark, poisoned, dir, nBatches = 4)
+    assert(r2.count(!_.skipped) == 1 && !r2(1).skipped)
+    assert(r2(1).tiles == r1(1).tiles, "resumed batch must equal the original (from staging)")
+  }
 }
 
 class SpatialJoinSpec extends AnyFunSuite {
