@@ -138,17 +138,27 @@ object Dedup {
 
     // ≤ maxBucket: all pairs (quadratic but bounded). Over the cap: star
     // pairs against the min-id hub — linear, and a true duplicate cluster
-    // stays connected through its hub instead of vanishing.
-    val pairs = buckets.select(explode(expr(
-      s"""CASE WHEN size(ids) <= $maxBucket THEN
-         |  flatten(transform(ids, (a, i) ->
-         |    transform(slice(ids, i + 2, size(ids)), b ->
-         |      struct(least(a, b) as id_a, greatest(a, b) as id_b))))
-         |ELSE
-         |  transform(slice(ids, 2, size(ids)), b ->
-         |    struct(ids[0] as id_a, b as id_b))
-         |END""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // stays connected through its hub instead of vanishing. A typed flatMap
+    // beats the equivalent SQL CASE-over-nested-transform here: the bucket
+    // loop is a plain JVM loop instead of a large generated expression
+    // whose codegen compile alone cost a visible slice of every fresh run.
+    val cap = maxBucket
+    val pairs = buckets.select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        // ids are array_sort'ed ascending ⇒ (ids(i), ids(j)) i<j is already
+        // (id_a < id_b) and ids.head is the min-id hub
+        if (ids.length <= cap) {
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+            ids.length * (ids.length - 1) / 2)
+          var i = 0
+          while (i < ids.length) {
+            var j = i + 1
+            while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+            i += 1
+          }
+          out
+        } else ids.view.drop(1).map(b => (ids.head, b))
+      }.toDF("id_a", "id_b")
 
     // verify: exact n-gram Jaccard on the candidate pairs only. A pair that
     // collided in several bands is verified redundantly (bounded ×bands,
