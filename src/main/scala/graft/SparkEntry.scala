@@ -518,6 +518,39 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // end-to-end FUZZY-dedup training-set selection (the pipeline a
+    // training-data engine actually runs): near-dup edges → connected
+    // components → keep ONE doc per duplicate cluster (the min id) plus
+    // every unclustered singleton. Composes q51's cluster assembly with
+    // q40's keeper-selection shape; oracled by extending the recursive-CTE
+    // reachability fixpoint with the keeper anti-join.
+    "q53_fuzzy_select" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      def tier(k: Int, suffix: String) = docs0.select(
+        (col("doc_id") + k * 100000L).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+      val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
+      def grams(c: org.apache.spark.sql.Column) = {
+        val toks = split(c, " ")
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+      }
+      val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
+        .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
+          col("dst") === col("src") + 100000L)
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+      val edges = cand
+        .filter(inter / (size(col("ga")) + size(col("gb")) - inter) >= 0.5)
+        .select(col("src"), col("dst"))
+      val labels = graft.dedup.Dedup.connectedComponents(s, edges)
+      tiers.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("component").isNull || col("doc_id") === col("component"))
+        .select(col("doc_id"))
+    }),
+
     // real .osm.pbf container ingestion (the reference's own input format,
     // osm_reader.rs:83-152): deterministic grid scene → PBF bytes on disk →
     // blob-parallel decode → extract. Rows-only here (DuckDB reads no PBF);
@@ -877,6 +910,39 @@ object SparkEntry {
         |  UNION
         |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r)
         |SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
+
+    // q53 — q51's reachability fixpoint + keeper selection: keep cluster
+    // minima and unclustered singletons
+    "q53_fuzzy_select" ->
+      """WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tiers AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM docs0
+        |  UNION ALL SELECT doc_id + 200000, text || ' perturbed perturbed' FROM docs0),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS grams
+        |  FROM tiers),
+        |cand AS (
+        |  SELECT doc_id AS src, doc_id + 100000 AS dst FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM docs0),
+        |edges AS (
+        |  SELECT src, dst FROM cand
+        |  JOIN g ga ON ga.doc_id = src
+        |  JOIN g gb ON gb.doc_id = dst
+        |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+        |        (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM und),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+        |labels AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+        |SELECT t.doc_id
+        |FROM tiers t LEFT JOIN labels l ON l.id = t.doc_id
+        |WHERE l.component IS NULL OR t.doc_id = l.component""".stripMargin,
 
     "q45_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
