@@ -27,8 +27,63 @@ class MultimodalSpec extends AnyFunSuite {
       val (px, w, h) = graft.img.Codecs.decodePng(f.frame_png)
       assert(w == 16 && h == 16)
       // frame pixels are the deterministic render for (video*1000 + frame)
+      // — surviving the real AVI DIB round trip bit-exactly
       val vid = f.video_id.stripPrefix("vid_").toLong
       assert(px.sameElements(graft.img.ImageTable.renderPixels(vid * 1000 + f.frame_idx, 16, 16)))
     }
+  }
+
+  test("WAV codec: PCM16 round-trips exactly; unknown chunks skipped; corrupt rejected") {
+    val samples = Array.tabulate(777)(i => ((i * 2654435761L) & 0xFFFF).toInt.toShort)
+    val wav = Multimodal.Wav.encode(samples, 16000)
+    // standard header bytes: RIFF/WAVE magic, 44 + 2n total
+    assert(wav.length == 44 + samples.length * 2)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (back, rate) = Multimodal.Wav.decode(wav)
+    assert(rate == 16000 && back.sameElements(samples))
+
+    // a LIST chunk between fmt and data must be skipped, not crash
+    val withList = {
+      val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(wav, 0, 36)           // through end of fmt chunk
+      out.write(list)
+      out.write(wav, 36, wav.length - 36) // data chunk
+      val b = out.toByteArray
+      // fix RIFF size
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, b.length - 8)
+      b
+    }
+    val (back2, _) = Multimodal.Wav.decode(withList)
+    assert(back2.sameElements(samples))
+
+    intercept[IllegalArgumentException](Multimodal.Wav.decode("nonsense".getBytes))
+    // stereo/8-bit rejected loudly, not mis-decoded
+    val stereo = wav.clone()
+    java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 2.toShort)
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(stereo))
+  }
+
+  test("AVI codec: DIB frames round-trip exactly with header metadata intact") {
+    val frames = (0 until 5).map(f => graft.img.ImageTable.renderPixels(f * 7 + 1, 20, 12))
+    val avi = Multimodal.Avi.encode(frames, 20, 12, 10)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    // idx1 present (players need the index)
+    assert(new String(avi, "ISO-8859-1").contains("idx1"))
+    val (back, w, h, fps) = Multimodal.Avi.decode(avi)
+    assert(w == 20 && h == 12 && fps == 10 && back.length == 5)
+    back.zip(frames).foreach { case (b, f) => assert(b.sameElements(f)) }
+    intercept[IllegalArgumentException](Multimodal.Avi.decode("RIFFxxxxJUNK".getBytes))
+  }
+
+  test("compressed-format stub path still dispatches by fmt (pngseq)") {
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.synthVideoPngSeq(spark, 4, frames = 6), 3).collect()
+    assert(frames.length == 4 * 2)
+    frames.foreach(f => assert(graft.img.Codecs.decodePng(f.frame_png)._2 == 16))
   }
 }
