@@ -393,20 +393,24 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
     }),
 
-    // multimodal plumbing: audio feature extraction over opaque binary
-    // (codec stubbed deterministically — container has no audio libs;
-    // schema/batching real, see graft.img.Multimodal)
+    // multimodal: audio feature extraction through the REAL RIFF/WAVE
+    // codec (graft.img.Multimodal.Wav). Driver-oracled: the WAV round trip
+    // must reproduce the splitmix-derived sample stream exactly — RMS and
+    // zero-crossings are recomputed relationally in DuckDB.
     "q37_audio_features" -> ((s, dir) => {
       graft.img.Multimodal.audioFeatures(s, graft.img.Multimodal.synthAudio(s, 500)).toDF()
         .select(col("audio_id"), round(col("rms"), 3).as("rms"),
           col("zero_crossings"), col("caption"))
     }),
 
-    // multimodal plumbing: video frame sampling (generator-shaped)
+    // multimodal: video frame sampling through the REAL AVI/DIB container
+    // (generator-shaped flatMap). Driver-oracled on the sampled-frame
+    // structure; the frame BYTES (PNG re-encode of the DIB round trip) are
+    // pinned bit-exactly in MultimodalSpec.
     "q38_frame_sample" -> ((s, dir) => {
       graft.img.Multimodal.sampleFrames(s,
         graft.img.Multimodal.synthVideo(s, 100), stride = 2).toDF()
-        .select(col("video_id"), col("frame_idx"), length(col("frame_png")).as("png_len"))
+        .select(col("video_id"), col("frame_idx"), col("w"), col("h"))
     }),
 
     // role-aware hole handling + RFC7946 winding (extension beyond the
@@ -672,14 +676,18 @@ object SparkEntry {
     * can overflow even HUGEINT, so multiplication runs on 32-bit limbs in
     * HUGEINT. Yields a `dims(i, w, h, phash)` CTE over `range(0, n)`.
     */
+  /** 64×64→low-64 multiply on 32-bit limbs in HUGEINT (DuckDB raises on
+    * BIGINT overflow and a full 64×64 product can overflow even HUGEINT).
+    */
+  private def hugMul(a: String, b: String): String =
+    s"((($a % 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT) + " +
+      s"((($a % 4294967296::HUGEINT) * ($b // 4294967296::HUGEINT) + " +
+      s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
+      s" % 18446744073709551616::HUGEINT)"
+
   private def splitmixDimsCtes(n: Int): String = {
-    def mul(a: String, b: String): String =
-      s"((($a % 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT) + " +
-        s"((($a % 4294967296::HUGEINT) * ($b // 4294967296::HUGEINT) + " +
-        s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
-        s" % 18446744073709551616::HUGEINT)"
-    val m1 = mul("x", "13787848793156543929::HUGEINT")
-    val m2 = mul("x", "10723151780598845931::HUGEINT")
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
        |seeds AS (
        |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
@@ -697,6 +705,32 @@ object SparkEntry {
        |              THEN max(CASE WHEN k='p' THEN z END) - 18446744073709551616::HUGEINT
        |              ELSE max(CASE WHEN k='p' THEN z END) END AS BIGINT) AS phash
        |  FROM s3 GROUP BY i)""".stripMargin
+  }
+
+  /** CTE block reproducing Multimodal.synthAudio's splitmix64-derived WAV
+    * sample stream in DuckDB: len(i) = 256 + (splitmix64(i) & 255),
+    * sample(i,k) = (splitmix64(i·100000+k) & 65535) − 32768. Yields a
+    * `samples(i, len, k, s)` CTE. Exactness note: the per-row squared sum
+    * is a sum of integers < 2^42, exactly representable at every partial in
+    * an IEEE double, so Spark's double accumulation and DuckDB's agree
+    * bit-for-bit and the rounded RMS cannot diverge.
+    */
+  private def splitmixAudioCtes(n: Int): String = {
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
+       |l0 AS (SELECT i, (i + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM ids),
+       |l1 AS (SELECT i, $m1 AS z FROM (SELECT i, xor(z, z >> 30) AS x FROM l0)),
+       |l2 AS (SELECT i, $m2 AS z FROM (SELECT i, xor(z, z >> 27) AS x FROM l1)),
+       |l3 AS (SELECT i, xor(z, z >> 31) AS z FROM l2),
+       |lens AS (SELECT i, 256 + CAST(z & 255::HUGEINT AS INT) AS len FROM l3),
+       |ks AS (SELECT i, len, unnest(range(len)) AS k FROM lens),
+       |a0 AS (SELECT i, len, k, (i * 100000::HUGEINT + CAST(k AS HUGEINT) + 11400714819323198485::HUGEINT)
+       |       % 18446744073709551616::HUGEINT AS z FROM ks),
+       |a1 AS (SELECT i, len, k, $m1 AS z FROM (SELECT i, len, k, xor(z, z >> 30) AS x FROM a0)),
+       |a2 AS (SELECT i, len, k, $m2 AS z FROM (SELECT i, len, k, xor(z, z >> 27) AS x FROM a1)),
+       |a3 AS (SELECT i, len, k, xor(z, z >> 31) AS z FROM a2),
+       |samples AS (SELECT i, len, k, CAST(z & 65535::HUGEINT AS BIGINT) - 32768 AS s FROM a3)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1083,6 +1117,34 @@ object SparkEntry {
          |  CAST(least(16, w - tx*16) AS INT) AS tw,
          |  CAST(least(16, h - ty*16) AS INT) AS th
          |FROM t2""".stripMargin,
+
+    // q37 — the audio pipeline end-to-end: synthAudio's WAV encode → real
+    // RIFF decode → feature kernel must equal DuckDB's relational recompute
+    // of the same splitmix sample stream (see splitmixAudioCtes for why the
+    // rounded RMS is exact, not approximately equal).
+    "q37_audio_features" ->
+      s"""WITH ${splitmixAudioCtes(500)},
+         |flips AS (
+         |  SELECT i, len, k, s, lag(s) OVER (PARTITION BY i ORDER BY k) AS ps
+         |  FROM samples),
+         |feats AS (
+         |  SELECT i, max(len) AS len,
+         |    sqrt(CAST(sum(s * s) AS DOUBLE) / max(len)) AS rms,
+         |    CAST(sum(CASE WHEN ps IS NOT NULL AND ((s >= 0) <> (ps >= 0))
+         |                  THEN 1 ELSE 0 END) AS INT) AS zc
+         |  FROM flips GROUP BY i)
+         |SELECT printf('aud_%09d', CAST(i AS BIGINT)) AS audio_id,
+         |  round(rms, 3) AS rms, zc AS zero_crossings,
+         |  'audio caption_' || CAST(i AS BIGINT) AS caption
+         |FROM feats""".stripMargin,
+
+    // q38 — sampled-frame structure is closed-form (every stride-th frame
+    // of each 8-frame 16x16 synthetic video)
+    "q38_frame_sample" ->
+      """SELECT printf('vid_%09d', v.range) AS video_id,
+        |  CAST(f.range AS INT) AS frame_idx, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h
+        |FROM range(0, 100) v, range(0, 8) f
+        |WHERE f.range % 2 = 0""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,
