@@ -296,7 +296,9 @@ object SparkEntry {
         graft.text.TextOps.regexTokenCount(col("text")).as("n_tokens"))
     }),
 
-    // language-ID heuristic vs labeled lang (rows-only confusion counts)
+    // language-ID heuristic vs labeled lang (confusion counts). Driver-
+    // oracled: the heuristic (CJK script share, else argmax stopword hits
+    // with alphabetical tie-break) is replicated relationally in DuckDB.
     "q26_lang_id" -> ((s, dir) => {
       graft.text.TextOps.withLang(s, table(s, dir, "documents"))
         .groupBy(col("lang"), col("predicted_lang"))
@@ -1015,6 +1017,40 @@ object SparkEntry {
 
     "q21_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents",
+
+    // q26 — TextOps.langId replicated relationally: CJK share first, then
+    // argmax stopword hits over the same public profiles, ties to the
+    // alphabetically-first language, und when nothing matches
+    "q26_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws,
+        |    length(text) AS n,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang, n, cjk, ws,
+        |    len(list_filter(ws, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+        |    len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de,
+        |    len(list_filter(ws, t -> t IN ('el','la','los','las','y','es','en','que','de','un'))) AS h_es,
+        |    len(list_filter(ws, t -> t IN ('le','la','les','et','est','en','que','un','une','des'))) AS h_fr,
+        |    len(list_filter(ws, t -> t IN ('il','la','di','e','che','un','per','con','del','sono'))) AS h_it
+        |  FROM toks),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN n = 0 THEN 'und'
+        |      WHEN cjk * 5 > n THEN 'zh'
+        |      WHEN len(ws) = 0 THEN 'und'
+        |      WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
+        |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_it THEN 'de'
+        |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it THEN 'en'
+        |      WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
+        |      WHEN h_fr >= h_it THEN 'fr'
+        |      ELSE 'it'
+        |    END AS predicted_lang
+        |  FROM scored)
+        |SELECT lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2""".stripMargin,
 
     "q25_regex_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
