@@ -328,7 +328,11 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
-    // winnowing fingerprints: docs sharing a fingerprint (rows-only)
+    // winnowing fingerprints: docs sharing a fingerprint. Driver-oracled:
+    // the k-gram rolling hash (h·31+char, splitmix-mixed) and window-min
+    // selection are recomputed relationally in DuckDB (the selected fp is
+    // the window's signed MIN VALUE, so the rightmost-position rule never
+    // affects the fingerprint set).
     "q29_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val fps = table(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -735,7 +739,59 @@ object SparkEntry {
        |samples AS (SELECT i, len, k, CAST(z & 65535::HUGEINT AS BIGINT) - 32768 AS s FROM a3)""".stripMargin
   }
 
+  /** DuckDB replica of TextOps.winnow over the documents table (k=8, w=4):
+    * char-explode → 8-gram polynomial hash (h·31+c from base
+    * 1125899906842597, i.e. base·31⁸ + Σc·31^j mod 2^64) → splitmix64 →
+    * signed window-min per 4-window → distinct fps per doc. Valid while
+    * every doc is ≥ k chars with > w grams after whitespace collapse (all
+    * testdata docs are ≥48 chars); shorter docs take winnow's edge paths,
+    * which this replica intentionally omits — the checker would catch any
+    * divergence. The rightmost-min POSITION rule doesn't affect the fp SET
+    * (the fp is the window's min value), so no argmax is needed.
+    */
+  private def winnowFpCte: String = {
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    // (1125899906842597 · 31^8) mod 2^64
+    val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
+    val pow31 = Array.iterate(1L, 8)(_ * 31L) // 31^0 .. 31^7, exact
+    val poly = (0 until 8).map { j =>
+      val src = if (j == 0) "c" else s"lead(c, $j) OVER w"
+      s"CAST($src AS BIGINT) * ${pow31(7 - j)}"
+    }.mkString(" + ")
+    s"""docs AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents),
+       |codes AS (
+       |  SELECT doc_id, unnest(range(length(s))) AS pos,
+       |         unnest(list_transform(range(length(s)), p -> unicode(substr(s, CAST(p+1 AS INT), 1)))) AS c
+       |  FROM docs),
+       |grams AS (
+       |  SELECT doc_id, pos AS g, $poly AS poly
+       |  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(c, 7) OVER w IS NOT NULL),
+       |g0 AS (SELECT doc_id, g, ($head::HUGEINT + CAST(poly AS HUGEINT) + 11400714819323198485::HUGEINT)
+       |       % 18446744073709551616::HUGEINT AS z FROM grams),
+       |g1 AS (SELECT doc_id, g, $m1 AS z FROM (SELECT doc_id, g, xor(z, z >> 30) AS x FROM g0)),
+       |g2 AS (SELECT doc_id, g, $m2 AS z FROM (SELECT doc_id, g, xor(z, z >> 27) AS x FROM g1)),
+       |g3 AS (SELECT doc_id, g, xor(z, z >> 31) AS z FROM g2),
+       |hs AS (SELECT doc_id, g,
+       |  CAST(CASE WHEN z >= 9223372036854775808::HUGEINT THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT) AS h
+       |  FROM g3),
+       |wins AS (
+       |  SELECT doc_id, least(h, lead(h,1) OVER w, lead(h,2) OVER w, lead(h,3) OVER w) AS fp
+       |  FROM hs WINDOW w AS (PARTITION BY doc_id ORDER BY g)
+       |  QUALIFY lead(h,3) OVER w IS NOT NULL),
+       |dfps AS (SELECT DISTINCT doc_id, fp FROM wins)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q29 — winnowing fingerprint sharing recomputed relationally (see
+    // winnowFpCte for the hash derivation and validity domain)
+    "q29_fingerprint" ->
+      s"""WITH $winnowFpCte,
+         |counts AS (SELECT fp, count(*) AS n_docs FROM dfps GROUP BY fp)
+         |SELECT count(*) AS shared_fps, CAST(sum(n_docs) AS BIGINT) AS doc_slots
+         |FROM counts WHERE n_docs > 1""".stripMargin,
     "q01_filter_boundary" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
 
