@@ -744,10 +744,14 @@ object SparkEntry {
     * 1125899906842597, i.e. base·31⁸ + Σc·31^j mod 2^64) → splitmix64 →
     * signed window-min per 4-window → distinct fps per doc. Valid while
     * every doc is ≥ k chars with > w grams after whitespace collapse (all
-    * testdata docs are ≥48 chars); shorter docs take winnow's edge paths,
-    * which this replica intentionally omits — the checker would catch any
-    * divergence. The rightmost-min POSITION rule doesn't affect the fp SET
-    * (the fp is the window's min value), so no argmax is needed.
+    * testdata docs are ≥48 chars) AND the text stays in the Basic
+    * Multilingual Plane: the kernel hashes UTF-16 code units (charAt)
+    * while this replica hashes codepoints — identical for BMP, divergent
+    * for supplementary-plane characters. Shorter docs take winnow's edge
+    * paths, which this replica intentionally omits. Either violation
+    * surfaces as a checker red, never a silent pass. The rightmost-min
+    * POSITION rule doesn't affect the fp SET (the fp is the window's min
+    * value), so no argmax is needed.
     */
   private def winnowFpCte: String = {
     val m1 = hugMul("x", "13787848793156543929::HUGEINT")
@@ -1076,11 +1080,14 @@ object SparkEntry {
 
     // q26 — TextOps.langId replicated relationally: CJK share first, then
     // argmax stopword hits over the same public profiles, ties to the
-    // alphabetically-first language, und when nothing matches
+    // alphabetically-first language, und when nothing matches (incl. NULL
+    // text). Tokenizer fidelity: RE2's \p{L} matches Java's for BMP
+    // letters; known residual divergence = supplementary-plane characters
+    // (UTF-16 length vs codepoints) — out of this corpus's charset.
     "q26_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), t -> t <> '') AS ws,
         |    length(text) AS n,
         |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
         |  FROM documents),
@@ -1095,7 +1102,7 @@ object SparkEntry {
         |pred AS (
         |  SELECT lang,
         |    CASE
-        |      WHEN n = 0 THEN 'und'
+        |      WHEN n IS NULL OR n = 0 THEN 'und'
         |      WHEN cjk * 5 > n THEN 'zh'
         |      WHEN len(ws) = 0 THEN 'und'
         |      WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'

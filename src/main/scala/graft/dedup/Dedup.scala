@@ -183,12 +183,15 @@ object Dedup {
     *
     * Three execution paths, picked by graph size and `algorithm`:
     *
-    *  1. Driver union-find cutover (`smallGraphEdges` > 0, default 1M): the
-    *     verified-pair graph is METADATA-sized relative to any corpus (it
-    *     exists only where near-dups were confirmed), so when an
-    *     early-terminating `limit(cap+1)` scan proves the edge list fits,
-    *     union-find on the driver replaces 3-20 rounds of Spark jobs — the
-    *     same medicine that took the cell-kNN query from 7.6 s to 0.6 s.
+    *  1. Driver union-find cutover (`smallGraphEdges` > 0, default 250k —
+    *     sized so the collected Rows + boxed union-find state stay well
+    *     under a default 1g driver heap): the verified-pair graph is
+    *     METADATA-sized relative to any corpus (it exists only where
+    *     near-dups were confirmed), so when an early-terminating
+    *     `limit(cap+1)` scan proves the edge list fits, union-find on the
+    *     driver replaces 3-20 rounds of Spark jobs — the same medicine
+    *     that took the cell-kNN query from 7.6 s to 0.6 s. Raise the cap
+    *     only alongside driver memory.
     *  2. `algorithm = "propagate"`: iterative min-label propagation — one
     *     self-equi-join + groupBy-min per round, O(diameter) rounds. Right
     *     for star/clique-shaped near-dup graphs (diameter 2-3).
@@ -208,7 +211,7 @@ object Dedup {
     * @return (id, component) where component = min node id reachable
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20, smallGraphEdges: Int = 1000000,
+      maxIter: Int = 20, smallGraphEdges: Int = 250000,
       algorithm: String = "propagate"): DataFrame = {
     if (smallGraphEdges > 0) {
       // limit() terminates the scan early: a planet-scale edge set costs one
@@ -333,8 +336,17 @@ object Dedup {
   def starContraction(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ids = edges.select(col("src").cast("long").as("id"))
-      .union(edges.select(col("dst").cast("long").as("id")))
+    // ONE upstream execution: the canonicalized edge set (self-loops kept
+    // so their nodes stay known) is checkpointed first, and both the node
+    // list and the working edge set derive from that checkpoint — deriving
+    // `ids` from the raw frame would re-run the (possibly expensive)
+    // upstream edge computation a second time at the final labels join.
+    val canon = edges.select(
+        greatest(col("src"), col("dst")).cast("long").as("hi"),
+        least(col("src"), col("dst")).cast("long").as("lo"))
+      .distinct().localCheckpoint(true)
+    val ids = canon.select(col("hi").as("id"))
+      .union(canon.select(col("lo").as("id")))
       .distinct()
     // Lineage is cut with an eager localCheckpoint EVERY round: one round's
     // plan references the previous edge set ~8 times (both → e ×2, mins →
@@ -343,11 +355,7 @@ object Dedup {
     // cuts the plan is constant-size and the checkpointed state is one row
     // per edge. (On a cluster with unreliable executors, swap for reliable
     // checkpoint() + a checkpoint dir.)
-    var e = edges.select(
-        greatest(col("src"), col("dst")).cast("long").as("hi"),
-        least(col("src"), col("dst")).cast("long").as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .distinct().localCheckpoint(true)
+    var e: DataFrame = canon.filter(col("hi") =!= col("lo"))
     var eCount = e.count()
     var rounds = 0
     var converged = eCount == 0

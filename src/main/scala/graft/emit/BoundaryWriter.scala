@@ -63,7 +63,13 @@ object BoundaryWriter {
   def write(df: DataFrame, folder: String, mode: OverwriteMode,
       geojson: Boolean = false): Long = {
     Files.createDirectories(Paths.get(folder))
-    val rows = df.select("out_name", "poly_text", "geojson")
+    val rows0 = df.select("out_name", "poly_text", "geojson")
+    // Ask needs two passes (conflict scan + write) — persist so an
+    // uncached upstream extraction isn't executed twice
+    val rows = mode match {
+      case _: Ask => rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _      => rows0
+    }
 
     // (per-file decisions, default for conflicts discovered only at write
     // time — e.g. a file created after the driver's scan). Ask's default is
@@ -93,7 +99,7 @@ object BoundaryWriter {
 
     // local[(N)] → executors share the driver FS; on a cluster this targets
     // a shared mount. Count successes with an accumulator-free reduce.
-    rows.rdd.mapPartitions { it =>
+    val nWritten = rows.rdd.mapPartitions { it =>
       var written = 0L
       it.foreach { r =>
         val name = r.getString(0)
@@ -119,5 +125,10 @@ object BoundaryWriter {
       }
       Iterator.single(written)
     }.sum().toLong
+    mode match {
+      case _: Ask => rows.unpersist(blocking = false)
+      case _      =>
+    }
+    nWritten
   }
 }

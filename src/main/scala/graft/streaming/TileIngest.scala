@@ -102,8 +102,11 @@ object TileIngest {
         // batchId-keyed overwrite, mirroring the tiles path: an append here
         // would duplicate lineage rows when a batch is replayed after a
         // crash between this write and commit() — tiles and manifest were
-        // idempotent under replay, lineage must be too
-        lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/stream_batch=$batchId")
+        // idempotent under replay, lineage must be too. Partition column
+        // name is shared with TileManifest (see tileBatch there) so batch
+        // and streaming lineage can coexist under one _lineage root.
+        lineage.write.mode("overwrite")
+          .parquet(s"$outDir/_lineage/lineage_batch=stream-$batchId")
         commit(outDir, batchId, nImages, nTiles)
         ()
       }

@@ -91,8 +91,12 @@ object TileManifest {
       (n, t)
     }
     // batch-keyed overwrite (not append): a batch replayed after a
-    // crash between this write and commitManifest stays idempotent
-    lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/batch=$b")
+    // crash between this write and commitManifest stays idempotent.
+    // Partition column `lineage_batch` is shared with TileIngest's
+    // streaming writer so both can land in one _lineage dir — two
+    // different partition-column names under one root would make
+    // spark.read.parquet(_lineage) throw on partition discovery.
+    lineage.write.mode("overwrite").parquet(s"$outDir/_lineage/lineage_batch=batch-$b")
     commitManifest(outDir, b, nImages, nTiles)
     BatchResult(b, nImages, nTiles, skipped = false)
   }
@@ -112,9 +116,25 @@ object TileManifest {
       nBatches: Int = 8): Seq[BatchResult] = {
     val done = completedBatches(outDir)
     val stagedDir = s"$outDir/_staged"
+    val metaPath = Paths.get(outDir, "_staged_meta.json")
     if (!Files.exists(Paths.get(stagedDir, "_SUCCESS"))) {
       assigned.withColumn("batch", pmod(hash(col("image_id")), lit(nBatches)))
         .write.mode("overwrite").partitionBy("batch").parquet(stagedDir)
+      val tmp = Paths.get(outDir, "._staged_meta.json.tmp")
+      Files.writeString(tmp, s"""{"n_batches":$nBatches,"schema_v":1}""")
+      Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // the batch split is baked into the staging — a resume with a
+      // different nBatches would silently never tile the extra batches
+      val meta = Files.readString(metaPath)
+      val staged = """"n_batches":(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"unreadable $metaPath: $meta"))
+      require(staged == nBatches,
+        s"$outDir was staged with n_batches=$staged but resumed with " +
+          s"n_batches=$nBatches — delete $stagedDir to restage, or resume " +
+          "with the original batch count")
     }
     val staged = spark.read.parquet(stagedDir)
     (0 until nBatches).map { b =>

@@ -126,6 +126,12 @@ class TilingSpec extends AnyFunSuite {
     val r2 = TileManifest.runStaged(spark, poisoned, dir, nBatches = 4)
     assert(r2.count(!_.skipped) == 1 && !r2(1).skipped)
     assert(r2(1).tiles == r1(1).tiles, "resumed batch must equal the original (from staging)")
+
+    // the batch split is baked into the staging: resuming with a different
+    // nBatches must fail loudly, never silently drop batches
+    val e = intercept[IllegalArgumentException](
+      TileManifest.runStaged(spark, images, dir, nBatches = 8))
+    assert(e.getMessage.contains("n_batches=4"), e.getMessage)
   }
 }
 
