@@ -275,14 +275,18 @@ object SparkEntry {
           w => w.isin("the", "a", "of", "and"))).as("stopwords"))
     }),
 
-    // MinHash+LSH near-dup pairs (rows-only; recall pinned in sbt test):
-    // planted near-dups = docs with doc_id%10==0, lightly perturbed
+    // MinHash+LSH near-dup pairs. DRIVER-ORACLED end-to-end: the whole
+    // approximate pipeline (word-trigram shingle hash → 64-permutation
+    // minhash → splitmix band keys → capped bucket pairs → exact-Jaccard
+    // verify) is deterministic given its kernels, and every kernel is
+    // replicated relationally in DuckDB (see minhashOracleSql). The
+    // jaccard column ships UNROUNDED — both engines divide the same two
+    // integers, so the doubles are bit-identical and rounding could only
+    // introduce decimal-tie divergence.
     "q23_minhash_pairs" -> ((s, dir) => {
       val docs = docsWithPlantedDups(s, dir)
-      // no orderBy: the driver compare canonicalizes row order itself, and a
-      // cosmetic global sort costs a sample + range exchange per run
       graft.dedup.Dedup.minhashPairs(s, docs, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
     // SimHash near-dup pairs (rows-only)
@@ -788,7 +792,97 @@ object SparkEntry {
        |dfps AS (SELECT DISTINCT doc_id, fp FROM wins)""".stripMargin
   }
 
+  /** DuckDB replica of the ENTIRE MinHash+LSH pipeline over
+    * docsWithPlantedDups (Dedup.minhashPairs, threshold 0.5, k=64,
+    * bands=16, maxBucket=64): word-trigram shingle hashes (char-level
+    * 31-polynomial from base 1125899906842597 over "t₀ t₁ t₂ ", splitmix-
+    * mixed), 64-permutation signatures (unsigned min of a·x+b with the
+    * same PermA/PermB constants, inlined below), splitmix band keys,
+    * bucket pair generation incl. the over-cap star-hub policy, and exact
+    * shingle-set Jaccard verification. Validity domain: every doc ≥ 3
+    * whitespace tokens (testdata min is 10) and BMP-only text (charAt vs
+    * codepoints, as in winnowFpCte).
+    */
+  private def minhashOracleSql: String = {
+    import graft.dedup.Dedup.{PermA, PermB}
+    def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    val permValues = (0 until 64)
+      .map(p => s"($p, ${u(PermA(p))}::HUGEINT, ${u(PermB(p))}::HUGEINT)").mkString(", ")
+    val bandTerms = (0 until 4)
+      .map(j => hugMul(s"sl[CAST(band*4 + ${j + 1} AS INT)]", s"${u(PermA(j))}::HUGEINT"))
+      .mkString(" + ")
+    s"""WITH RECURSIVE pows(e, v) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL
+       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 127),
+       |docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ws
+       |  FROM docs2),
+       |grams AS (
+       |  SELECT doc_id, unnest(range(len(ws) - 2)) AS gi,
+       |    unnest(list_transform(range(len(ws) - 2),
+       |      i -> ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)] || ' ')) AS gs
+       |  FROM toks),
+       |chars AS (
+       |  SELECT doc_id, gi, length(gs) AS glen, unnest(range(length(gs))) AS j,
+       |    unnest(list_transform(range(length(gs)), p -> unicode(substr(gs, CAST(p+1 AS INT), 1)))) AS c
+       |  FROM grams),
+       |polysum AS (
+       |  SELECT doc_id, gi, max(glen) AS glen,
+       |    CAST(sum(CAST(c AS HUGEINT) * pw.v) % 18446744073709551616::HUGEINT AS HUGEINT) AS psum
+       |  FROM chars JOIN pows pw ON pw.e = glen - 1 - j
+       |  GROUP BY doc_id, gi),
+       |h0 AS (
+       |  SELECT doc_id, gi,
+       |    (${hugMul("1125899906842597::HUGEINT", "pw.v")} + psum) % 18446744073709551616::HUGEINT AS hh
+       |  FROM polysum JOIN pows pw ON pw.e = glen),
+       |x0 AS (SELECT doc_id, gi, (hh + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM h0),
+       |x1 AS (SELECT doc_id, gi, $m1 AS z FROM (SELECT doc_id, gi, xor(z, z >> 30) AS x FROM x0)),
+       |x2 AS (SELECT doc_id, gi, $m2 AS z FROM (SELECT doc_id, gi, xor(z, z >> 27) AS x FROM x1)),
+       |x3 AS (SELECT doc_id, gi, xor(z, z >> 31) AS z FROM x2),
+       |shset AS (SELECT DISTINCT doc_id, z FROM x3),
+       |perms(p, a, b) AS (VALUES $permValues),
+       |sigs AS (
+       |  SELECT doc_id, p, min((${hugMul("a", "z")} + b) % 18446744073709551616::HUGEINT) AS s
+       |  FROM shset CROSS JOIN perms GROUP BY doc_id, p),
+       |persig AS (SELECT doc_id, list(s ORDER BY p) AS sl FROM sigs GROUP BY doc_id),
+       |bandacc AS (
+       |  SELECT doc_id, band, (CAST(band AS HUGEINT) + $bandTerms) % 18446744073709551616::HUGEINT AS z
+       |  FROM (SELECT doc_id, unnest(range(16)) AS band, sl FROM persig)),
+       |c0 AS (SELECT doc_id, band, (z + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM bandacc),
+       |c1 AS (SELECT doc_id, band, $m1 AS z FROM (SELECT doc_id, band, xor(z, z >> 30) AS x FROM c0)),
+       |c2 AS (SELECT doc_id, band, $m2 AS z FROM (SELECT doc_id, band, xor(z, z >> 27) AS x FROM c1)),
+       |c3 AS (SELECT doc_id, band, xor(z, z >> 31) AS z FROM c2),
+       |buckets AS (
+       |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
+       |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
+       |pairs0 AS (
+       |  SELECT DISTINCT pr.id_a, pr.id_b FROM buckets,
+       |  UNNEST(CASE WHEN len(ids) <= 64 THEN
+       |    flatten(list_transform(range(len(ids)), i ->
+       |      list_transform(range(i+1, len(ids)), j ->
+       |        {'id_a': ids[CAST(i+1 AS INT)], 'id_b': ids[CAST(j+1 AS INT)]})))
+       |  ELSE list_transform(range(1, len(ids)), j ->
+       |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
+       |  END) AS t(pr)),
+       |docsh AS (SELECT doc_id, list(z) AS sh FROM shset GROUP BY doc_id),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b)
+       |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q23 — the whole LSH pipeline recomputed relationally (see
+    // minhashOracleSql for the kernel derivations and validity domain)
+    "q23_minhash_pairs" -> minhashOracleSql,
+
     // q29 — winnowing fingerprint sharing recomputed relationally (see
     // winnowFpCte for the hash derivation and validity domain)
     "q29_fingerprint" ->

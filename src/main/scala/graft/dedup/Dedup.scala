@@ -54,9 +54,24 @@ object Dedup {
     * 2^64), derived once from splitmix64 — the inner loop then costs one
     * multiply-add per permutation instead of a full splitmix (measured ~3×
     * on the signature kernel, the CPU bottleneck of the minhash pass).
+    * `private[graft]` so the DuckDB oracle builder can inline the same
+    * constants.
     */
-  private val PermA: Array[Long] = Array.tabulate(256)(p => splitmix64(p * 2654435761L + 1) | 1L)
-  private val PermB: Array[Long] = Array.tabulate(256)(p => splitmix64(p * 40503L + 7))
+  private[graft] val PermA: Array[Long] = Array.tabulate(256)(p => splitmix64(p * 2654435761L + 1) | 1L)
+  private[graft] val PermB: Array[Long] = Array.tabulate(256)(p => splitmix64(p * 40503L + 7))
+
+  /** LSH band key: one splitmix of (band + Σ sig[b·rows+j]·PermA(j)) mod
+    * 2^64. Chosen over Spark's `hash()` (Murmur3) deliberately: the
+    * mixing quality is equivalent for bucketing, and the arithmetic is
+    * replicable in ANSI-ish SQL so the WHOLE LSH pipeline can be
+    * driver-oracled (q23) rather than rows-only.
+    */
+  private[graft] def bandKey(sig: Array[Long], band: Int, rows: Int): Long = {
+    var acc = band.toLong
+    var j = 0
+    while (j < rows) { acc += sig(band * rows + j) * PermA(j); j += 1 }
+    splitmix64(acc)
+  }
 
   /** k-permutation MinHash signature (one pass/shingle). Shingles are
     * already splitmix-mixed (uniform), so the cheap linear permutation
@@ -118,14 +133,15 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
     val rows = k / bands
-    val sigs = docs.select(col(idCol).cast("long"), col(textCol))
+    // signature + banding in one typed pass (no posexplode/codegen'd expr):
+    // one (id, band, bkey) row per band straight out of the kernel
+    val banded = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) => (id, minhashSig(shingles(text), k)) }
-      .toDF("id", "sig")
-
-    val banded = sigs.select(col("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"hash(b, slice(sig, b*$rows + 1, $rows)))")).as(Seq("band", "bkey")))
+      .flatMap { case (id, text) =>
+        val sig = minhashSig(shingles(text), k)
+        (0 until bands).iterator.map(b => (id, b, bandKey(sig, b, rows)))
+      }
+      .toDF("id", "band", "bkey")
 
     val buckets = banded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
