@@ -289,7 +289,9 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
-    // SimHash near-dup pairs (rows-only)
+    // SimHash near-dup pairs. Driver-oracled end-to-end like q23: word
+    // hashes, bit votes, 16-bit band buckets, capped pairs, and Hamming
+    // verify are all integer math, replicated in DuckDB (simhashOracleSql).
     "q24_simhash_pairs" -> ((s, dir) => {
       graft.dedup.Dedup.simhashPairs(s, docsWithPlantedDups(s, dir), maxHamming = 3)
     }),
@@ -878,10 +880,89 @@ object SparkEntry {
        |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** DuckDB replica of the SimHash pipeline (Dedup.simhashPairs,
+    * maxHamming=3, 4×16-bit bands, maxBucket=64): per-word char-polynomial
+    * hashes splitmix-mixed, ±1 bit votes, fingerprint assembly, band
+    * bucketing, capped pair generation (star hub over the cap), Hamming
+    * verify. Same validity domain as minhashOracleSql.
+    */
+  private def simhashOracleSql: String = {
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    s"""WITH RECURSIVE pows(e, v) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL
+       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 127),
+       |pows2(e, v) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL
+       |  SELECT e+1, v * 2 FROM pows2 WHERE e < 63),
+       |docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+       |words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w,
+       |    unnest(range(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) AS wi
+       |  FROM docs2),
+       |chars AS (
+       |  SELECT doc_id, wi, length(w) AS wlen, unnest(range(length(w))) AS j,
+       |    unnest(list_transform(range(length(w)), p -> unicode(substr(w, CAST(p+1 AS INT), 1)))) AS c
+       |  FROM words),
+       |polysum AS (
+       |  SELECT doc_id, wi, max(wlen) AS wlen,
+       |    CAST(sum(CAST(c AS HUGEINT) * pw.v) % 18446744073709551616::HUGEINT AS HUGEINT) AS psum
+       |  FROM chars JOIN pows pw ON pw.e = wlen - 1 - j
+       |  GROUP BY doc_id, wi),
+       |h0 AS (
+       |  SELECT doc_id, wi, (${hugMul("1125899906842597::HUGEINT", "pw.v")} + psum) % 18446744073709551616::HUGEINT AS hh
+       |  FROM polysum JOIN pows pw ON pw.e = wlen),
+       |x0 AS (SELECT doc_id, wi, (hh + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM h0),
+       |x1 AS (SELECT doc_id, wi, $m1 AS z FROM (SELECT doc_id, wi, xor(z, z >> 30) AS x FROM x0)),
+       |x2 AS (SELECT doc_id, wi, $m2 AS z FROM (SELECT doc_id, wi, xor(z, z >> 27) AS x FROM x1)),
+       |x3 AS (SELECT doc_id, wi, xor(z, z >> 31) AS z FROM x2),
+       |votes AS (
+       |  SELECT doc_id, b.e AS bit,
+       |    sum(CASE WHEN (z // pb.v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM x3, pows2 b JOIN pows2 pb ON pb.e = b.e
+       |  WHERE b.e < 64
+       |  GROUP BY doc_id, b.e),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN p2.v ELSE 0::HUGEINT END) AS HUGEINT) AS fp
+       |  FROM votes JOIN pows2 p2 ON p2.e = bit
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, fp, b.e AS band, CAST((fp // pb.v) % 65536 AS INT) AS bkey
+       |  FROM fps, pows2 b JOIN pows2 pb ON pb.e = b.e * 16
+       |  WHERE b.e < 4),
+       |buckets AS (
+       |  SELECT band, bkey, list_sort(list({'id': doc_id, 'fp': fp})) AS xs
+       |  FROM banded GROUP BY band, bkey HAVING count(*) >= 2),
+       |pairs0 AS (
+       |  SELECT DISTINCT pr.id_a, pr.id_b, pr.fa, pr.fb FROM buckets,
+       |  UNNEST(CASE WHEN len(xs) <= 64 THEN
+       |    flatten(list_transform(range(len(xs)), i ->
+       |      list_transform(range(i+1, len(xs)), j ->
+       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
+       |          'fa': xs[CAST(i+1 AS INT)].fp, 'fb': xs[CAST(j+1 AS INT)].fp})))
+       |  ELSE list_transform(range(1, len(xs)), j ->
+       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'fa': xs[1].fp, 'fb': xs[CAST(j+1 AS INT)].fp})
+       |  END) AS t(pr)),
+       |ham AS (
+       |  SELECT id_a, id_b,
+       |    bit_count(xor(
+       |      CAST(CASE WHEN fa >= 9223372036854775808::HUGEINT THEN fa - 18446744073709551616::HUGEINT ELSE fa END AS BIGINT),
+       |      CAST(CASE WHEN fb >= 9223372036854775808::HUGEINT THEN fb - 18446744073709551616::HUGEINT ELSE fb END AS BIGINT))) AS hamming
+       |  FROM pairs0)
+       |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
+       |FROM ham WHERE hamming <= 3 GROUP BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q23 — the whole LSH pipeline recomputed relationally (see
     // minhashOracleSql for the kernel derivations and validity domain)
     "q23_minhash_pairs" -> minhashOracleSql,
+
+    // q24 — the SimHash pipeline recomputed relationally
+    "q24_simhash_pairs" -> simhashOracleSql,
 
     // q29 — winnowing fingerprint sharing recomputed relationally (see
     // winnowFpCte for the hash derivation and validity domain)
