@@ -320,7 +320,11 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // embedding near-dup pairs via sign-LSH (rows-only; recall in sbt test)
+    // embedding near-dup pairs via sign-LSH. Driver-oracled end-to-end:
+    // the float kernels (hyperplane sign sums, cosine) accumulate in array
+    // order, which DuckDB reproduces bit-exactly with sequential
+    // list_reduce — see signLshSigCte. Cosine ships unrounded (identical
+    // doubles by construction).
     "q28_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
@@ -331,7 +335,7 @@ object SparkEntry {
           (id + 1000000L, v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
         }.toDF("vec_id", "embedding")
       graft.sim.Similarity.nearDupPairs(s, e.select("vec_id", "embedding").union(planted), 0.95)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 
     // winnowing fingerprints: docs sharing a fingerprint. Driver-oracled:
@@ -350,7 +354,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("shared_fps"), sum(col("n_docs")).as("doc_slots"))
     }),
 
-    // LSH-bucketed ANN (approximate — rows-only; recall pinned in sbt test)
+    // LSH-bucketed ANN. Driver-oracled end-to-end (approximate ≠
+    // nondeterministic): band bucketing, cosine rerank, and top-k are all
+    // recomputed relationally with bit-exact float replication.
     "q30_ann_lsh" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.sim.Similarity.lshTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
@@ -493,8 +499,11 @@ object SparkEntry {
     }),
 
     // IVF-flat ANN (the second scale path next to q30's LSH): coarse
-    // k-means quantizer → inverted lists → nprobe exact rerank. Approximate
-    // and k-means-dependent → rows-only; recall floor pinned in sbt.
+    // k-means quantizer → inverted lists → nprobe exact rerank.
+    // Driver-oracled end-to-end: the ENTIRE quantizer training (sample
+    // selection, 3 unrolled Lloyd iterations with order-exact double
+    // accumulation) plus assignment, probing, and rerank are recomputed
+    // relationally — see ivfOracleSql.
     "q52_ann_ivf" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.sim.Similarity.ivfTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
@@ -956,13 +965,186 @@ object SparkEntry {
        |FROM ham WHERE hamming <= 3 GROUP BY id_a, id_b""".stripMargin
   }
 
+  /** Sign-LSH signature CTE over a `vecs(vec_id, embedding)` relation:
+    * Similarity.signature's 16 hyperplane sign decisions, each a
+    * SEQUENTIAL double sum over the 64 dims — DuckDB's list_reduce
+    * reproduces the array-order accumulation, and the hyperplane
+    * components ship as the same signed-long-over-Long.MaxValue division
+    * both engines round identically, so the float sign decisions are
+    * bit-exact (verified per-vector against the Scala kernel). dim is
+    * pinned to the testdata embedding width (64); a different width would
+    * surface as a checker red.
+    */
+  private def signLshSigCte(dim: Int = 64, nBits: Int = 16): String = {
+    val hyp = (for (b <- 0 until nBits; d <- 0 until dim) yield
+      s"($b, $d, ${graft.img.ImageTable.splitmix64(b.toLong * 131071 + d * 524287 + 17)}::DOUBLE / 9223372036854775807)")
+      .mkString(", ")
+    s"""hyper(b, d, hv) AS (VALUES $hyp),
+       |sigterms AS (
+       |  SELECT vec_id, b, d, CAST(embedding[CAST(d+1 AS INT)] AS DOUBLE) * hv AS t
+       |  FROM vecs CROSS JOIN hyper),
+       |sigaccs AS (
+       |  SELECT vec_id, b, list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY d)), (acc, x) -> acc + x) AS acc
+       |  FROM sigterms GROUP BY vec_id, b),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN acc > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sigaccs GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Sequential (array-order) double sum over dims — CosineKernel's
+    * accumulation order, which keeps the doubles bit-identical.
+    */
+  private def seqSumSql(expr: String, dim: Int = 64): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($dim), i -> $expr)), (acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String): String = {
+    val dot = seqSumSql(s"CAST($a[CAST(i+1 AS INT)] AS DOUBLE) * CAST($b[CAST(i+1 AS INT)] AS DOUBLE)")
+    val na = seqSumSql(s"CAST($a[CAST(i+1 AS INT)] AS DOUBLE) * CAST($a[CAST(i+1 AS INT)] AS DOUBLE)")
+    val nb = seqSumSql(s"CAST($b[CAST(i+1 AS INT)] AS DOUBLE) * CAST($b[CAST(i+1 AS INT)] AS DOUBLE)")
+    s"$dot / (sqrt($na) * sqrt($nb))"
+  }
+
+  /** q30's full sign-LSH ANN pipeline: signatures → 4×4-bit band join →
+    * exact cosine rerank → per-query top-5.
+    */
+  private def lshAnnOracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${signLshSigCte()},
+       |bandsrc(bi, dv) AS (VALUES (0, 1), (1, 16), (2, 256), (3, 4096)),
+       |banded AS (
+       |  SELECT s.vec_id, e.embedding, bi, CAST((sig // dv) % 16 AS INT) AS bk
+       |  FROM sigs s JOIN vecs e USING (vec_id) CROSS JOIN bandsrc),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, c.embedding AS ce
+       |  FROM banded q JOIN banded c ON q.bi = c.bi AND q.bk = c.bk
+       |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |cos AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS cosine FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM cos)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** q28's embedding near-dup pipeline: planted nudged copies, full-sig
+    * buckets, capped pairs, cosine ≥ 0.95 with cross-band max-dedup.
+    */
+  private def embedNearDupOracleSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(len(embedding)), i -> CASE WHEN i = 0
+       |      THEN CAST(embedding[1] + 0.01::FLOAT AS FLOAT) ELSE embedding[CAST(i+1 AS INT)] END)
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |${signLshSigCte()},
+       |buckets AS (
+       |  SELECT sig, list_sort(list({'id': s.vec_id, 'e': v.embedding})) AS xs
+       |  FROM sigs s JOIN vecs v USING (vec_id)
+       |  GROUP BY sig HAVING count(*) >= 2),
+       |pairs0 AS (
+       |  SELECT DISTINCT pr.id_a, pr.id_b, pr.ea, pr.eb FROM buckets,
+       |  UNNEST(CASE WHEN len(xs) <= 64 THEN
+       |    flatten(list_transform(range(len(xs)), i ->
+       |      list_transform(range(i+1, len(xs)), j ->
+       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
+       |          'ea': xs[CAST(i+1 AS INT)].e, 'eb': xs[CAST(j+1 AS INT)].e})))
+       |  ELSE list_transform(range(1, len(xs)), j ->
+       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'ea': xs[1].e, 'eb': xs[CAST(j+1 AS INT)].e})
+       |  END) AS t(pr)),
+       |cos AS (
+       |  SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine FROM pairs0)
+       |SELECT id_a, id_b, max(cosine) AS cosine FROM cos WHERE cosine >= 0.95
+       |GROUP BY id_a, id_b""".stripMargin
+
+  /** q52's IVF-flat ANN replicated end-to-end, INCLUDING quantizer
+    * training: the deterministic sample (smallest signed splitmix64(id),
+    * tie on id), init = first nlist sample vectors, and three unrolled
+    * Lloyd iterations whose centroid means accumulate per-dimension in
+    * SAMPLE ORDER — matching Similarity.kmeansDriver's loop exactly, so
+    * every double is bit-identical. Assignment argmin = first minimum by
+    * (distance, ci), which the window rank's (d, ci) order reproduces.
+    * Pinned to q52's parameters (nlist=16, nprobe=4, iters=3, dim=64,
+    * sample cap 1024); a parameter change surfaces as a checker red.
+    */
+  private def ivfOracleSql: String = {
+    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
+    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    def dist(v: String, c: String): String = seqSumSql(
+      s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
+        s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])")
+    def iteration(k: Int): String =
+      s"""dists$k AS (
+         |  SELECT s.pos, s.vec_id, s.embedding, c.ci,
+         |    row_number() OVER (PARTITION BY s.pos ORDER BY ${dist("s.embedding", "c.cl")}, c.ci) AS rk
+         |  FROM sample s CROSS JOIN cents${k - 1} c),
+         |assign$k AS (SELECT pos, vec_id, embedding, ci AS cid FROM dists$k WHERE rk = 1),
+         |sums$k AS (
+         |  SELECT cid, d.i AS di,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(CAST(embedding[CAST(d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)), (acc, x) -> acc + x) AS s,
+         |    count(*) AS n
+         |  FROM assign$k, (SELECT unnest(range(64)) AS i) d
+         |  GROUP BY cid, d.i),
+         |cents$k AS (
+         |  SELECT cid AS ci, list(s / greatest(CAST(n AS DOUBLE), 1.0) ORDER BY di) AS cl
+         |  FROM sums$k GROUP BY cid)""".stripMargin
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |h0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM vecs),
+       |h1 AS (SELECT vec_id, $m1 AS z FROM (SELECT vec_id, xor(z, z >> 30) AS x FROM h0)),
+       |h2 AS (SELECT vec_id, $m2 AS z FROM (SELECT vec_id, xor(z, z >> 27) AS x FROM h1)),
+       |h3 AS (SELECT vec_id, xor(z, z >> 31) AS z FROM h2),
+       |hs AS (SELECT vec_id, CAST(CASE WHEN z >= 9223372036854775808::HUGEINT THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT) AS h FROM h3),
+       |sample AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS pos, v.vec_id, v.embedding
+       |  FROM hs JOIN vecs v USING (vec_id)
+       |  ORDER BY h, vec_id LIMIT 1024),
+       |cents0 AS (
+       |  SELECT CAST(pos AS INT) AS ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cl
+       |  FROM sample WHERE pos < 16),
+       |${iteration(1)},
+       |${iteration(2)},
+       |${iteration(3)},
+       |probes AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.ci AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dist("q.embedding", "c.cl")}, c.ci) AS pr
+       |    FROM vecs q CROSS JOIN cents3 c WHERE q.vec_id < 20) WHERE pr <= 4),
+       |cadist AS (
+       |  SELECT v.vec_id AS neighbor_id, v.embedding AS ce, c.ci,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("v.embedding", "c.cl")}, c.ci) AS rk
+       |  FROM vecs v CROSS JOIN cents3 c),
+       |corpusassign AS (SELECT neighbor_id, ce, ci AS cid FROM cadist WHERE rk = 1),
+       |cands AS (
+       |  SELECT p.query_id, ca.neighbor_id, p.qe, ca.ce
+       |  FROM probes p JOIN corpusassign ca USING (cid)
+       |  WHERE p.query_id <> ca.neighbor_id),
+       |cos AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS cosine FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM cos)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q52 — IVF-flat ANN incl. full quantizer training replication
+    "q52_ann_ivf" -> ivfOracleSql,
+
     // q23 — the whole LSH pipeline recomputed relationally (see
     // minhashOracleSql for the kernel derivations and validity domain)
     "q23_minhash_pairs" -> minhashOracleSql,
 
     // q24 — the SimHash pipeline recomputed relationally
     "q24_simhash_pairs" -> simhashOracleSql,
+
+    // q30 — sign-LSH ANN end-to-end incl. bit-exact float replication
+    "q30_ann_lsh" -> lshAnnOracleSql,
+
+    // q28 — embedding near-dup end-to-end
+    "q28_embed_neardup" -> embedNearDupOracleSql,
 
     // q29 — winnowing fingerprint sharing recomputed relationally (see
     // winnowFpCte for the hash derivation and validity domain)
