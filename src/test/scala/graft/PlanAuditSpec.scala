@@ -110,6 +110,23 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("minhashPairs shuffles exactly twice: bucket groupBy + pair-dedup agg") {
+    // the r2 regression was a THIRD exchange (a standalone pair distinct());
+    // the verify joins must stay broadcast (texts are the small side)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val docs = (0L until 100L).map(i => (i, s"w$i a b c d e f g")).toDF("doc_id", "text")
+      val plan = graft.dedup.Dedup.minhashPairs(spark, docs, 0.5)
+        .queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+        s"verify joins must broadcast the texts side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), "no sort-merge in the verify path")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("connectedComponents driver cutover costs ONE job for metadata-sized graphs") {
     import spark.implicits._
     val edges = (0L until 500L).map(i => (i, i + 1)).toDF("src", "dst")
