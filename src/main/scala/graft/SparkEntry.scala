@@ -706,18 +706,32 @@ object SparkEntry {
       s"($a // 4294967296::HUGEINT) * ($b % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT)" +
       s" % 18446744073709551616::HUGEINT)"
 
-  private def splitmixDimsCtes(n: Int): String = {
+  /** splitmix64's finalizer as a 4-CTE chain `<p>0..<p>3` keyed by `keys`,
+    * reading the unsigned seed expression column `seed` from CTE `in`; the
+    * mixed value is `<p>3.z`. One definition for every oracle that needs
+    * the mix — the chain text exists exactly once.
+    */
+  private def splitmixChain(p: String, keys: Seq[String], in: String, seed: String): String = {
     val m1 = hugMul("x", "13787848793156543929::HUGEINT")
     val m2 = hugMul("x", "10723151780598845931::HUGEINT")
+    val ks = if (keys.isEmpty) "" else keys.mkString("", ", ", ", ")
+    s"""${p}0 AS (SELECT $ks($seed + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM $in),
+       |${p}1 AS (SELECT $ks$m1 AS z FROM (SELECT ${ks}xor(z, z >> 30) AS x FROM ${p}0)),
+       |${p}2 AS (SELECT $ks$m2 AS z FROM (SELECT ${ks}xor(z, z >> 27) AS x FROM ${p}1)),
+       |${p}3 AS (SELECT ${ks}xor(z, z >> 31) AS z FROM ${p}2)""".stripMargin
+  }
+
+  /** Unsigned HUGEINT → signed BIGINT (two's complement reinterpretation). */
+  private def toSigned(e: String): String =
+    s"CAST(CASE WHEN $e >= 9223372036854775808::HUGEINT THEN $e - 18446744073709551616::HUGEINT ELSE $e END AS BIGINT)"
+
+  private def splitmixDimsCtes(n: Int): String = {
     s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
        |seeds AS (
        |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
        |  UNION ALL SELECT i, 'h', (3*i+2) FROM ids
        |  UNION ALL SELECT i, 'p', i FROM ids),
-       |s0 AS (SELECT i, k, (s + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM seeds),
-       |s1 AS (SELECT i, k, $m1 AS z FROM (SELECT i, k, xor(z, z >> 30) AS x FROM s0)),
-       |s2 AS (SELECT i, k, $m2 AS z FROM (SELECT i, k, xor(z, z >> 27) AS x FROM s1)),
-       |s3 AS (SELECT i, k, xor(z, z >> 31) AS z FROM s2),
+       |${splitmixChain("s", Seq("i", "k"), "seeds", "s")},
        |dims AS (
        |  SELECT i,
        |    CAST(16 + (max(CASE WHEN k='w' THEN z END) & 47::HUGEINT) AS INT) AS w,
@@ -737,20 +751,11 @@ object SparkEntry {
     * bit-for-bit and the rounded RMS cannot diverge.
     */
   private def splitmixAudioCtes(n: Int): String = {
-    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
-    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
-       |l0 AS (SELECT i, (i + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM ids),
-       |l1 AS (SELECT i, $m1 AS z FROM (SELECT i, xor(z, z >> 30) AS x FROM l0)),
-       |l2 AS (SELECT i, $m2 AS z FROM (SELECT i, xor(z, z >> 27) AS x FROM l1)),
-       |l3 AS (SELECT i, xor(z, z >> 31) AS z FROM l2),
+       |${splitmixChain("l", Seq("i"), "ids", "i")},
        |lens AS (SELECT i, 256 + CAST(z & 255::HUGEINT AS INT) AS len FROM l3),
        |ks AS (SELECT i, len, unnest(range(len)) AS k FROM lens),
-       |a0 AS (SELECT i, len, k, (i * 100000::HUGEINT + CAST(k AS HUGEINT) + 11400714819323198485::HUGEINT)
-       |       % 18446744073709551616::HUGEINT AS z FROM ks),
-       |a1 AS (SELECT i, len, k, $m1 AS z FROM (SELECT i, len, k, xor(z, z >> 30) AS x FROM a0)),
-       |a2 AS (SELECT i, len, k, $m2 AS z FROM (SELECT i, len, k, xor(z, z >> 27) AS x FROM a1)),
-       |a3 AS (SELECT i, len, k, xor(z, z >> 31) AS z FROM a2),
+       |${splitmixChain("a", Seq("i", "len", "k"), "ks", "(i * 100000::HUGEINT + CAST(k AS HUGEINT))")},
        |samples AS (SELECT i, len, k, CAST(z & 65535::HUGEINT AS BIGINT) - 32768 AS s FROM a3)""".stripMargin
   }
 
@@ -769,8 +774,6 @@ object SparkEntry {
     * value), so no argmax is needed.
     */
   private def winnowFpCte: String = {
-    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
-    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     // (1125899906842597 · 31^8) mod 2^64
     val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
     val pow31 = Array.iterate(1L, 8)(_ * 31L) // 31^0 .. 31^7, exact
@@ -788,14 +791,8 @@ object SparkEntry {
        |  SELECT doc_id, pos AS g, $poly AS poly
        |  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
        |  QUALIFY lead(c, 7) OVER w IS NOT NULL),
-       |g0 AS (SELECT doc_id, g, ($head::HUGEINT + CAST(poly AS HUGEINT) + 11400714819323198485::HUGEINT)
-       |       % 18446744073709551616::HUGEINT AS z FROM grams),
-       |g1 AS (SELECT doc_id, g, $m1 AS z FROM (SELECT doc_id, g, xor(z, z >> 30) AS x FROM g0)),
-       |g2 AS (SELECT doc_id, g, $m2 AS z FROM (SELECT doc_id, g, xor(z, z >> 27) AS x FROM g1)),
-       |g3 AS (SELECT doc_id, g, xor(z, z >> 31) AS z FROM g2),
-       |hs AS (SELECT doc_id, g,
-       |  CAST(CASE WHEN z >= 9223372036854775808::HUGEINT THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT) AS h
-       |  FROM g3),
+       |${splitmixChain("g", Seq("doc_id", "g"), "grams", s"($head::HUGEINT + CAST(poly AS HUGEINT))")},
+       |hs AS (SELECT doc_id, g, ${toSigned("z")} AS h FROM g3),
        |wins AS (
        |  SELECT doc_id, least(h, lead(h,1) OVER w, lead(h,2) OVER w, lead(h,3) OVER w) AS fp
        |  FROM hs WINDOW w AS (PARTITION BY doc_id ORDER BY g)
@@ -811,14 +808,17 @@ object SparkEntry {
     * same PermA/PermB constants, inlined below), splitmix band keys,
     * bucket pair generation incl. the over-cap star-hub policy, and exact
     * shingle-set Jaccard verification. Validity domain: every doc ≥ 3
-    * whitespace tokens (testdata min is 10) and BMP-only text (charAt vs
-    * codepoints, as in winnowFpCte).
+    * whitespace tokens (testdata min is 10), BMP-only text (charAt vs
+    * codepoints, as in winnowFpCte), gram strings ≤ 511 chars (the pows
+    * table's cap — a longer gram would drop from the replica and redden
+    * the checker), whitespace limited to Java∩RE2 \s (a U+000B separator
+    * splits in Java but not RE2), and a root-locale JVM (Java toLowerCase
+    * is locale-sensitive, SQL lower() is not). Every violation surfaces
+    * as a checker red, never a silent pass.
     */
   private def minhashOracleSql: String = {
     import graft.dedup.Dedup.{PermA, PermB}
     def u(l: Long): String = java.lang.Long.toUnsignedString(l)
-    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
-    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     val permValues = (0 until 64)
       .map(p => s"($p, ${u(PermA(p))}::HUGEINT, ${u(PermB(p))}::HUGEINT)").mkString(", ")
     val bandTerms = (0 until 4)
@@ -826,7 +826,7 @@ object SparkEntry {
       .mkString(" + ")
     s"""WITH RECURSIVE pows(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
-       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 127),
+       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 511),
        |docs2 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
@@ -851,10 +851,7 @@ object SparkEntry {
        |  SELECT doc_id, gi,
        |    (${hugMul("1125899906842597::HUGEINT", "pw.v")} + psum) % 18446744073709551616::HUGEINT AS hh
        |  FROM polysum JOIN pows pw ON pw.e = glen),
-       |x0 AS (SELECT doc_id, gi, (hh + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM h0),
-       |x1 AS (SELECT doc_id, gi, $m1 AS z FROM (SELECT doc_id, gi, xor(z, z >> 30) AS x FROM x0)),
-       |x2 AS (SELECT doc_id, gi, $m2 AS z FROM (SELECT doc_id, gi, xor(z, z >> 27) AS x FROM x1)),
-       |x3 AS (SELECT doc_id, gi, xor(z, z >> 31) AS z FROM x2),
+       |${splitmixChain("x", Seq("doc_id", "gi"), "h0", "hh")},
        |shset AS (SELECT DISTINCT doc_id, z FROM x3),
        |perms(p, a, b) AS (VALUES $permValues),
        |sigs AS (
@@ -864,10 +861,7 @@ object SparkEntry {
        |bandacc AS (
        |  SELECT doc_id, band, (CAST(band AS HUGEINT) + $bandTerms) % 18446744073709551616::HUGEINT AS z
        |  FROM (SELECT doc_id, unnest(range(16)) AS band, sl FROM persig)),
-       |c0 AS (SELECT doc_id, band, (z + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM bandacc),
-       |c1 AS (SELECT doc_id, band, $m1 AS z FROM (SELECT doc_id, band, xor(z, z >> 30) AS x FROM c0)),
-       |c2 AS (SELECT doc_id, band, $m2 AS z FROM (SELECT doc_id, band, xor(z, z >> 27) AS x FROM c1)),
-       |c3 AS (SELECT doc_id, band, xor(z, z >> 31) AS z FROM c2),
+       |${splitmixChain("c", Seq("doc_id", "band"), "bandacc", "z")},
        |buckets AS (
        |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
        |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
@@ -896,11 +890,9 @@ object SparkEntry {
     * verify. Same validity domain as minhashOracleSql.
     */
   private def simhashOracleSql: String = {
-    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
-    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     s"""WITH RECURSIVE pows(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
-       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 127),
+       |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 511),
        |pows2(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
        |  SELECT e+1, v * 2 FROM pows2 WHERE e < 63),
@@ -908,9 +900,9 @@ object SparkEntry {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
        |words AS (
-       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w,
-       |    unnest(range(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) AS wi
-       |  FROM docs2),
+       |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ws
+       |        FROM docs2)),
        |chars AS (
        |  SELECT doc_id, wi, length(w) AS wlen, unnest(range(length(w))) AS j,
        |    unnest(list_transform(range(length(w)), p -> unicode(substr(w, CAST(p+1 AS INT), 1)))) AS c
@@ -923,14 +915,11 @@ object SparkEntry {
        |h0 AS (
        |  SELECT doc_id, wi, (${hugMul("1125899906842597::HUGEINT", "pw.v")} + psum) % 18446744073709551616::HUGEINT AS hh
        |  FROM polysum JOIN pows pw ON pw.e = wlen),
-       |x0 AS (SELECT doc_id, wi, (hh + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM h0),
-       |x1 AS (SELECT doc_id, wi, $m1 AS z FROM (SELECT doc_id, wi, xor(z, z >> 30) AS x FROM x0)),
-       |x2 AS (SELECT doc_id, wi, $m2 AS z FROM (SELECT doc_id, wi, xor(z, z >> 27) AS x FROM x1)),
-       |x3 AS (SELECT doc_id, wi, xor(z, z >> 31) AS z FROM x2),
+       |${splitmixChain("x", Seq("doc_id", "wi"), "h0", "hh")},
        |votes AS (
        |  SELECT doc_id, b.e AS bit,
-       |    sum(CASE WHEN (z // pb.v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM x3, pows2 b JOIN pows2 pb ON pb.e = b.e
+       |    sum(CASE WHEN (z // b.v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM x3, pows2 b
        |  WHERE b.e < 64
        |  GROUP BY doc_id, b.e),
        |fps AS (
@@ -1069,8 +1058,6 @@ object SparkEntry {
     * sample cap 1024); a parameter change surfaces as a checker red.
     */
   private def ivfOracleSql: String = {
-    val m1 = hugMul("x", "13787848793156543929::HUGEINT")
-    val m2 = hugMul("x", "10723151780598845931::HUGEINT")
     def dist(v: String, c: String): String = seqSumSql(
       s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
         s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])")
@@ -1091,11 +1078,8 @@ object SparkEntry {
          |  SELECT cid AS ci, list(s / greatest(CAST(n AS DOUBLE), 1.0) ORDER BY di) AS cl
          |  FROM sums$k GROUP BY cid)""".stripMargin
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
-       |h0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM vecs),
-       |h1 AS (SELECT vec_id, $m1 AS z FROM (SELECT vec_id, xor(z, z >> 30) AS x FROM h0)),
-       |h2 AS (SELECT vec_id, $m2 AS z FROM (SELECT vec_id, xor(z, z >> 27) AS x FROM h1)),
-       |h3 AS (SELECT vec_id, xor(z, z >> 31) AS z FROM h2),
-       |hs AS (SELECT vec_id, CAST(CASE WHEN z >= 9223372036854775808::HUGEINT THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT) AS h FROM h3),
+       |${splitmixChain("h", Seq("vec_id"), "vecs", "CAST(vec_id AS HUGEINT)")},
+       |hs AS (SELECT vec_id, ${toSigned("z")} AS h FROM h3),
        |sample AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS pos, v.vec_id, v.embedding
        |  FROM hs JOIN vecs v USING (vec_id)
