@@ -266,6 +266,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // ——— IVF bucketed storage: the 100 TB layout made concrete ———
+
+  /** Materialize the corpus as parquet PARTITIONED BY the quantizer's list
+    * id — the layout the ivfTopK scaladoc promises at 100 TB: query time
+    * reads ONLY the nprobe probed lists' files (static partition pruning),
+    * so the corpus is never rescanned or shuffled. The trained centroids
+    * persist next to the data (as exact IEEE bit patterns, never decimal
+    * text) so every future reader probes the same quantizer.
+    *
+    * @return the trained centroids (also persisted under `dir`)
+    */
+  def writeIvfBucketed(spark: SparkSession, corpus: DataFrame, dir: String,
+      nlist: Int = 16, iters: Int = 3, cId: String = "vec_id"): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val c = corpus.select(col(cId).cast("long").as("vec_id"), col("embedding"))
+    val sampleN = math.max(nlist * 64, 1024)
+    val hUdf = udf((id: Long) => splitmix64(id))
+    val sample: Array[Array[Float]] = c.withColumn("h", hUdf(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(sampleN)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+    require(sample.nonEmpty, "writeIvfBucketed: empty corpus")
+    val centroids = kmeansDriver(sample, nlist, iters)
+    val cents = centroids
+    val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+    c.withColumn("cid", nearest(col("embedding")))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val txt = centroids.map { case (ci, cv) =>
+      s"$ci ${cv.map(java.lang.Double.doubleToRawLongBits).mkString(",")}"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_ivf_centroids.txt"), txt)
+    centroids
+  }
+
+  /** Centroids persisted by [[writeIvfBucketed]] — exact bit round trip. */
+  def readIvfCentroids(dir: String): Array[(Int, Array[Double])] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "_ivf_centroids.txt"))
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(ci, bits) = line.split(" ", 2)
+        (ci.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+      }.toArray
+
+  /** ANN over a bucketed corpus directory: probe assignment happens on the
+    * (metadata-sized) query set, and the corpus scan carries an explicit
+    * `cid IN (probed lists)` literal filter so the parquet source PRUNES
+    * the unprobed partitions — the plan's PartitionFilters shows it
+    * (pinned in SimilaritySpec). Exact rerank inside the probed lists.
+    */
+  def ivfTopKBucketed(spark: SparkSession, queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4, qId: String = "vec_id"): DataFrame = {
+    val centroids = readIvfCentroids(dir)
+    val bcCentroids = centroids
+    val probesOf = udf { (v: Seq[Float]) =>
+      bcCentroids.map { case (ci, cv) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (d, ci)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cid", explode(probesOf(col("qe"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedCids = q.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq // metadata-sized: ≤ queries × nprobe
+    val corpus = spark.read.parquet(dir)
+      .filter(col("cid").isin(probedCids: _*)) // static partition pruning
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val out = corpus.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .localCheckpoint(true) // materialize before releasing q's cache
+    q.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
     * candidates (all bands equal ⇒ very similar) verified by exact cosine.
     */

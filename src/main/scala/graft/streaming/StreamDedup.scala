@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.dedup.Dedup
+
+/** Streaming near-duplicate candidate detection — the streaming face of
+  * `Dedup.minhashPairs`' bucket stage (driver prompt: dedup is a first-class
+  * training-data operation; a live ingest pipeline needs it BEFORE the
+  * batch pass exists).
+  *
+  * Each arriving document emits its `bands` LSH band keys (same signature
+  * kernel and band-key derivation as the batch pipeline, so batch and
+  * stream agree on bucketing); per-bucket state holds the ids seen so far
+  * and every new member emits candidate pairs against them — ACROSS
+  * micro-batches, which is exactly what a per-batch self-join would miss.
+  *
+  * Scale shape: state is bounded at `maxBucket` ids per bucket with the
+  * batch pipeline's policy — under the cap every pair, over it a star pair
+  * against the bucket's minimum id (kept in slot 0), so mass-duplicated
+  * boilerplate stays one connected cluster instead of exploding state or
+  * dropping members. Candidates are APPROXIMATE (same recall as batch LSH);
+  * exact Jaccard verification joins them back to a doc store downstream.
+  */
+object StreamDedup {
+
+  final case class DocRow(doc_id: Long, text: String)
+  final case class CandPair(id_a: Long, id_b: Long, band: Int)
+
+  // state: ids seen in this bucket; slot 0 is the bucket minimum (the star
+  // hub once the cap is hit)
+  final case class BucketState(ids: Seq[Long])
+
+  def candidates(spark: SparkSession, docs: Dataset[DocRow],
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 64): Dataset[CandPair] = {
+    import spark.implicits._
+    val rows = k / bands
+    val banded = docs.flatMap { d =>
+      val sig = Dedup.minhashSig(Dedup.shingles(d.text), k)
+      (0 until bands).iterator.map(b => (b, Dedup.bandKey(sig, b, rows), d.doc_id))
+    }.toDF("band", "bkey", "doc_id").as[(Int, Long, Long)]
+
+    banded
+      .groupByKey { case (band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rowsIt: Iterator[(Int, Long, Long)], state: GroupState[BucketState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+          // deterministic intra-batch order (micro-batch iterator order is
+          // not guaranteed): new arrivals processed in ascending id
+          val fresh = rowsIt.map(_._3).toArray.sorted.distinct
+            .filterNot(ids.contains)
+          fresh.foreach { id =>
+            if (ids.length < maxBucket) {
+              ids.foreach(s => out += CandPair(math.min(s, id), math.max(s, id), key._1))
+              ids = if (ids.isEmpty || id > ids.head) ids :+ id
+                    else id +: ids // keep the minimum in slot 0
+            } else {
+              // over the cap: star pair vs the bucket's running minimum —
+              // bounded state, cluster stays connected. (Same guarantees as
+              // the batch policy — linear pairs, nothing dropped; online
+              // divergence: the hub is the min of the first `maxBucket`
+              // arrivals, where batch uses the global bucket min.)
+              val hub = ids.head
+              out += CandPair(math.min(hub, id), math.max(hub, id), key._1)
+            }
+          }
+          state.update(BucketState(ids))
+          out.iterator
+      }
+  }
+}

@@ -269,6 +269,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(distRecall >= 0.5, s"distributed-train recall $distRecall")
   }
 
+  test("IVF bucketed storage: exact centroid round-trip, partition-pruned reads, recall floor") {
+    val v = vecs(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbkt").toString
+    val cents = Similarity.writeIvfBucketed(spark, v, dir, nlist = 8)
+    assert(cents.nonEmpty)
+    // layout: one cid=N partition dir per surviving list
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cid=")))
+    // persisted centroids round-trip bit-exactly (IEEE bits, not decimals)
+    val back = Similarity.readIvfCentroids(dir)
+    assert(back.map(_._1).sameElements(cents.map(_._1)))
+    back.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+
+    val q = v.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(q, v, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfTopKBucketed(spark, q, dir, 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+
+    // the probed-list filter must reach the source as a PARTITION filter
+    // (file pruning), not a post-scan predicate
+    val plan = spark.read.parquet(dir).filter(col("cid").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
+  }
+
   test("LSH top-k achieves reasonable recall@5 vs brute force") {
     val v = vecs(200)
     val q = v.filter($"vec_id" < 20)

@@ -64,4 +64,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 2, 12.0)), s"second session of user 1 missing: $got")
     assert(got.contains((2L, 2, 10.0)), s"user 2 session missing: $got")
   }
+
+  test("streaming dedup finds near-dup pairs SPANNING micro-batches via bucket state") {
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.DocRow
+    // originals in micro-batch 1, near-dup copies in micro-batch 2 — every
+    // planted pair spans the batch boundary, so a per-batch self-join would
+    // find NONE of them; only the cross-batch bucket state can
+    val base = (0L until 40L).map(i =>
+      DocRow(i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
+    val dups = base.filter(_.doc_id % 10 == 0).map(d => DocRow(d.doc_id + 1000, d.text + " tail"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    def stage(rows: Seq[DocRow], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-w").toString + "/out"
+      rows.toDS().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    stage(base, "f1.parquet")
+    Thread.sleep(20) // distinct mod times → deterministic file order
+    stage(dups, "f2.parquet")
+
+    val schema = base.toDS().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[DocRow]
+    val q = StreamDedup.candidates(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.table("sdedup_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = base.filter(_.doc_id % 10 == 0).map(d => (d.doc_id, d.doc_id + 1000)).toSet
+    assert(planted.subsetOf(pairs), s"cross-batch pairs missing: ${planted -- pairs}")
+  }
 }
