@@ -510,6 +510,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // IVF over BUCKETED STORAGE (the 100 TB layout): corpus written
+    // partitioned by inverted list, probed lists read via partition
+    // pruning. The quantizer is the same deterministic driver k-means as
+    // q52, so the result is identical and SHARES q52's full oracle —
+    // the driver gate proves storage-path/compute-path parity.
+    "q54_ann_ivf_bucketed" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q54_${ProcessHandle.current().pid()}").getPath
+      graft.sim.Similarity.writeIvfBucketed(s, e, out, nlist = 16)
+      graft.sim.Similarity.ivfTopKBucketed(s, e.filter(col("vec_id") < 20), out, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -1116,6 +1130,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q52 — IVF-flat ANN incl. full quantizer training replication
     "q52_ann_ivf" -> ivfOracleSql,
+
+    // q54 — the bucketed-storage path must produce the identical result
+    // (same deterministic quantizer), so it shares q52's oracle verbatim
+    "q54_ann_ivf_bucketed" -> ivfOracleSql,
 
     // q23 — the whole LSH pipeline recomputed relationally (see
     // minhashOracleSql for the kernel derivations and validity domain)
