@@ -517,10 +517,19 @@ object SparkEntry {
     // the driver gate proves storage-path/compute-path parity.
     "q54_ann_ivf_bucketed" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
+      // pid-keyed (two JVMs may run this concurrently) + shutdown-hook
+      // cleanup so repeated runs never accumulate corpus copies in /tmp
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q54_${ProcessHandle.current().pid()}").getPath
-      graft.sim.Similarity.writeIvfBucketed(s, e, out, nlist = 16)
-      graft.sim.Similarity.ivfTopKBucketed(s, e.filter(col("vec_id") < 20), out, k = 5)
+        s"graft_q54_${ProcessHandle.current().pid()}")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(out)
+      }
+      graft.sim.Similarity.writeIvfBucketed(s, e, out.getPath, nlist = 16)
+      graft.sim.Similarity.ivfTopKBucketed(s, e.filter(col("vec_id") < 20), out.getPath, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 

@@ -149,6 +149,34 @@ object Similarity {
     best
   }
 
+  /** Deterministic bounded training sample: the `n` corpus vectors with the
+    * smallest signed splitmix64(id) (tie on id) — seedless and
+    * order-independent; one TakeOrdered pass, shared by ivfTopK and
+    * writeIvfBucketed so compute and storage paths train identically.
+    */
+  private def sampleCorpus(c: DataFrame, n: Int, idCol: String,
+      embCol: String): Array[Array[Float]] = {
+    import c.sparkSession.implicits._
+    val hUdf = udf((id: Long) => splitmix64(id))
+    c.withColumn("h", hUdf(col(idCol)))
+      .orderBy(col("h"), col(idCol)).limit(n)
+      .select(col(embCol)).as[Seq[Float]].collect().map(_.toArray)
+  }
+
+  /** nprobe-nearest-centroid probe UDF — ONE definition for both the
+    * compute path (ivfTopK) and the storage path (ivfTopKBucketed), so the
+    * q52 ≡ q54 parity can't silently desynchronize.
+    */
+  private def probesOfUdf(cents: Array[(Int, Array[Double])],
+      nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      cents.map { case (ci, cv) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (d, ci)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    }
+
   /** Driver-side Lloyd's k-means over an already-collected sample. A coarse
     * quantizer needs only a sketch of the distribution — nlist×64 vectors —
     * so training costs ZERO Spark jobs (the r2 version ran 2 jobs per
@@ -224,15 +252,10 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       qId: String = "vec_id", cId: String = "vec_id",
       distributedTrain: Boolean = false): DataFrame = {
-    import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
       col("embedding").as("ce"))
 
-    val sampleN = math.max(nlist * 64, 1024)
-    val hUdf = udf((id: Long) => splitmix64(id))
-    val sample: Array[Array[Float]] = c.withColumn("h", hUdf(col("neighbor_id")))
-      .orderBy(col("h"), col("neighbor_id")).limit(sampleN)
-      .select(col("ce")).as[Seq[Float]].collect().map(_.toArray)
+    val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "neighbor_id", "ce")
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     val dim = sample.head.length
 
@@ -245,13 +268,7 @@ object Similarity {
 
     val bcCentroids = centroids
     val nearestCid = udf((v: Seq[Float]) => nearestCidOf(bcCentroids, v))
-    val probesOf = udf { (v: Seq[Float]) =>
-      bcCentroids.map { case (ci, cv) =>
-        var d = 0.0; var i = 0
-        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        (d, ci)
-      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-    }
+    val probesOf = probesOfUdf(centroids, nprobe)
 
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
       .withColumn("cid", explode(probesOf(col("qe"))))
@@ -279,33 +296,38 @@ object Similarity {
     */
   def writeIvfBucketed(spark: SparkSession, corpus: DataFrame, dir: String,
       nlist: Int = 16, iters: Int = 3, cId: String = "vec_id"): Array[(Int, Array[Double])] = {
-    import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("vec_id"), col("embedding"))
-    val sampleN = math.max(nlist * 64, 1024)
-    val hUdf = udf((id: Long) => splitmix64(id))
-    val sample: Array[Array[Float]] = c.withColumn("h", hUdf(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(sampleN)
-      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+    val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
     require(sample.nonEmpty, "writeIvfBucketed: empty corpus")
     val centroids = kmeansDriver(sample, nlist, iters)
     val cents = centroids
     val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
     c.withColumn("cid", nearest(col("embedding")))
       .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    // sidecar via the Hadoop FS API — same filesystem the parquet landed on
+    // (java.nio would break the feature on hdfs:///s3a:// the moment the
+    // layout leaves the local machine)
     val txt = centroids.map { case (ci, cv) =>
       s"$ci ${cv.map(java.lang.Double.doubleToRawLongBits).mkString(",")}"
     }.mkString("\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_ivf_centroids.txt"), txt)
+    val path = new org.apache.hadoop.fs.Path(dir, "_ivf_centroids.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
     centroids
   }
 
   /** Centroids persisted by [[writeIvfBucketed]] — exact bit round trip. */
-  def readIvfCentroids(dir: String): Array[(Int, Array[Double])] =
-    java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "_ivf_centroids.txt"))
-      .linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(ci, bits) = line.split(" ", 2)
-        (ci.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
-      }.toArray
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_ivf_centroids.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(ci, bits) = line.split(" ", 2)
+      (ci.toInt, bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+    }.toArray
+  }
 
   /** ANN over a bucketed corpus directory: probe assignment happens on the
     * (metadata-sized) query set, and the corpus scan carries an explicit
@@ -315,15 +337,8 @@ object Similarity {
     */
   def ivfTopKBucketed(spark: SparkSession, queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4, qId: String = "vec_id"): DataFrame = {
-    val centroids = readIvfCentroids(dir)
-    val bcCentroids = centroids
-    val probesOf = udf { (v: Seq[Float]) =>
-      bcCentroids.map { case (ci, cv) =>
-        var d = 0.0; var i = 0
-        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        (d, ci)
-      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-    }
+    val centroids = readIvfCentroids(spark, dir)
+    val probesOf = probesOfUdf(centroids, nprobe)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
       .withColumn("cid", explode(probesOf(col("qe"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

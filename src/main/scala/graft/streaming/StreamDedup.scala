@@ -15,12 +15,21 @@ import graft.dedup.Dedup
   * and every new member emits candidate pairs against them — ACROSS
   * micro-batches, which is exactly what a per-batch self-join would miss.
   *
-  * Scale shape: state is bounded at `maxBucket` ids per bucket with the
-  * batch pipeline's policy — under the cap every pair, over it a star pair
-  * against the bucket's minimum id (kept in slot 0), so mass-duplicated
-  * boilerplate stays one connected cluster instead of exploding state or
-  * dropping members. Candidates are APPROXIMATE (same recall as batch LSH);
-  * exact Jaccard verification joins them back to a doc store downstream.
+  * State shape, honestly: PER-BUCKET state is bounded at `maxBucket` ids
+  * with the batch cap policy (under the cap every pair; over it a star
+  * pair against the bucket's running minimum — same connectivity and
+  * linearity guarantees; online divergence: the hub is the min of the
+  * first `maxBucket` arrivals, where batch uses the global bucket min).
+  * TOTAL state still grows with the number of distinct buckets ever seen —
+  * for an endless stream set `stateTtlMinutes` > 0 and buckets idle past
+  * the TTL are evicted (processing-time timeout), trading cross-epoch
+  * recall for bounded state; leave it 0 for bounded corpora/sessions.
+  *
+  * Delivery: candidates are AT-LEAST-ONCE. Under-cap members are recorded
+  * in state, so a replayed doc re-pairs nothing; an over-cap arrival is
+  * deliberately NOT recorded (that's what bounds the state), so its star
+  * pair can repeat under source replay. The exact-verify stage downstream
+  * deduplicates pairs anyway (as the batch pipeline's verify groupBy does).
   */
 object StreamDedup {
 
@@ -32,42 +41,49 @@ object StreamDedup {
   final case class BucketState(ids: Seq[Long])
 
   def candidates(spark: SparkSession, docs: Dataset[DocRow],
-      k: Int = 64, bands: Int = 16, maxBucket: Int = 64): Dataset[CandPair] = {
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 64,
+      stateTtlMinutes: Int = 0): Dataset[CandPair] = {
     import spark.implicits._
     val rows = k / bands
-    val banded = docs.flatMap { d =>
+    val banded: Dataset[(Int, Long, Long)] = docs.flatMap { d =>
       val sig = Dedup.minhashSig(Dedup.shingles(d.text), k)
       (0 until bands).iterator.map(b => (b, Dedup.bandKey(sig, b, rows), d.doc_id))
-    }.toDF("band", "bkey", "doc_id").as[(Int, Long, Long)]
+    }
+    val timeout =
+      if (stateTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
 
     banded
       .groupByKey { case (band, bkey, _) => (band, bkey) }
-      .flatMapGroupsWithState[BucketState, CandPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[BucketState, CandPair](OutputMode.Append(), timeout) {
         (key: (Int, Long), rowsIt: Iterator[(Int, Long, Long)], state: GroupState[BucketState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
-          // deterministic intra-batch order (micro-batch iterator order is
-          // not guaranteed): new arrivals processed in ascending id
-          val fresh = rowsIt.map(_._3).toArray.sorted.distinct
-            .filterNot(ids.contains)
-          fresh.foreach { id =>
-            if (ids.length < maxBucket) {
-              ids.foreach(s => out += CandPair(math.min(s, id), math.max(s, id), key._1))
-              ids = if (ids.isEmpty || id > ids.head) ids :+ id
-                    else id +: ids // keep the minimum in slot 0
-            } else {
-              // over the cap: star pair vs the bucket's running minimum —
-              // bounded state, cluster stays connected. (Same guarantees as
-              // the batch policy — linear pairs, nothing dropped; online
-              // divergence: the hub is the min of the first `maxBucket`
-              // arrivals, where batch uses the global bucket min.)
-              val hub = ids.head
-              out += CandPair(math.min(hub, id), math.max(hub, id), key._1)
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket evicted — bounded total state
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+            // deterministic intra-batch order (micro-batch iterator order is
+            // not guaranteed): new arrivals processed in ascending id
+            val fresh = rowsIt.map(_._3).toArray.sorted.distinct
+              .filterNot(ids.contains)
+            fresh.foreach { id =>
+              if (ids.length < maxBucket) {
+                ids.foreach(s => out += CandPair(math.min(s, id), math.max(s, id), key._1))
+                ids = if (ids.isEmpty || id > ids.head) ids :+ id
+                      else id +: ids // keep the minimum in slot 0
+              } else {
+                // over the cap: star pair vs the bucket's running minimum —
+                // bounded state, cluster stays connected
+                val hub = ids.head
+                out += CandPair(math.min(hub, id), math.max(hub, id), key._1)
+              }
             }
+            state.update(BucketState(ids))
+            if (stateTtlMinutes > 0)
+              state.setTimeoutDuration(stateTtlMinutes.toLong * 60000L)
+            out.iterator
           }
-          state.update(BucketState(ids))
-          out.iterator
       }
   }
 }

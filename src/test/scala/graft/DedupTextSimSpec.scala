@@ -277,7 +277,7 @@ class SimilaritySpec extends AnyFunSuite {
     // layout: one cid=N partition dir per surviving list
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cid=")))
     // persisted centroids round-trip bit-exactly (IEEE bits, not decimals)
-    val back = Similarity.readIvfCentroids(dir)
+    val back = Similarity.readIvfCentroids(spark, dir)
     assert(back.map(_._1).sameElements(cents.map(_._1)))
     back.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
 

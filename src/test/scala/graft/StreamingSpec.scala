@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStream.windowedAgg(stream)
       .writeStream.outputMode("append").format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     // append mode only emits windows the watermark has passed — compare on
     // the emitted set (all but the trailing windows for this finite input)
@@ -56,7 +56,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStream.sessionize(spark, stream, gapMinutes = 30)
       .writeStream.outputMode("append").format("memory").queryName("sess_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
     val got = spark.table("sess_out")
       .as[graft.streaming.EventStream.SessionOut].collect()
       .map(s => (s.user_id, s.n_events, s.total_value)).toSet
@@ -91,7 +91,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamDedup.candidates(spark, stream)
       .writeStream.outputMode("append").format("memory").queryName("sdedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val pairs = spark.table("sdedup_out")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
