@@ -24,6 +24,10 @@ import graft.dedup.Dedup
   * for an endless stream set `stateTtlMinutes` > 0 and buckets idle past
   * the TTL are evicted (processing-time timeout), trading cross-epoch
   * recall for bounded state; leave it 0 for bounded corpora/sessions.
+  * TTL mode is for daemon (processing-time-trigger) streams — its natural
+  * home; under `Trigger.AvailableNow` Spark 4.1.2's planner hits an
+  * internal NPE scheduling the timeout batch (upstream bug, reproduced in
+  * isolation), so drain-and-stop jobs should use the default no-TTL mode.
   *
   * Delivery: candidates are AT-LEAST-ONCE. Under-cap members are recorded
   * in state, so a replayed doc re-pairs nothing; an over-cap arrival is

@@ -97,5 +97,21 @@ class StreamingSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val planted = base.filter(_.doc_id % 10 == 0).map(d => (d.doc_id, d.doc_id + 1000)).toSet
     assert(planted.subsetOf(pairs), s"cross-batch pairs missing: ${planted -- pairs}")
+
+    // TTL mode (ProcessingTimeTimeout) must run cleanly end-to-end — a
+    // missing setTimeoutDuration would throw at the first state update.
+    // Uses its intended daemon trigger: AvailableNow + ProcessingTimeTimeout
+    // NPEs inside Spark 4.1.2's timeout-batch planner (see StreamDedup doc)
+    val stream2 = spark.readStream.schema(schema).parquet(dir).as[DocRow]
+    val q2 = StreamDedup.candidates(spark, stream2, stateTtlMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_ttl_out")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    def ttlPairs() = spark.table("sdedup_ttl_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    while (!planted.subsetOf(ttlPairs()) && System.nanoTime() < deadline)
+      Thread.sleep(500)
+    q2.stop()
+    assert(planted.subsetOf(ttlPairs()), s"TTL-mode pairs missing: ${planted -- ttlPairs()}")
   }
 }
