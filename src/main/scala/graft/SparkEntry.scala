@@ -599,6 +599,23 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
+    // clusters → within-cluster cosine edges → duplicate groups → one
+    // keeper per group. Same planted near-dups as q28; driver-oracled
+    // end-to-end (quantizer training shared with q52's oracle, components
+    // via the q51 reachability fixpoint) — see semanticDedupOracleSql.
+    "q55_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          (id + 1000000L, v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
+        }.toDF("vec_id", "embedding")
+      graft.sim.Similarity.semanticDedup(s,
+        e.select("vec_id", "embedding").union(planted), minCosine = 0.95)
+    }),
+
     // real .osm.pbf container ingestion (the reference's own input format,
     // osm_reader.rs:83-152): deterministic grid scene → PBF bytes on disk →
     // blob-parallel decode → extract. Rows-only here (DuckDB reads no PBF);
@@ -1080,28 +1097,35 @@ object SparkEntry {
     * Pinned to q52's parameters (nlist=16, nprobe=4, iters=3, dim=64,
     * sample cap 1024); a parameter change surfaces as a checker red.
     */
-  private def ivfOracleSql: String = {
-    def dist(v: String, c: String): String = seqSumSql(
-      s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
-        s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])")
-    def iteration(k: Int): String =
-      s"""dists$k AS (
-         |  SELECT s.pos, s.vec_id, s.embedding, c.ci,
-         |    row_number() OVER (PARTITION BY s.pos ORDER BY ${dist("s.embedding", "c.cl")}, c.ci) AS rk
-         |  FROM sample s CROSS JOIN cents${k - 1} c),
-         |assign$k AS (SELECT pos, vec_id, embedding, ci AS cid FROM dists$k WHERE rk = 1),
-         |sums$k AS (
-         |  SELECT cid, d.i AS di,
-         |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      list(CAST(embedding[CAST(d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)), (acc, x) -> acc + x) AS s,
-         |    count(*) AS n
-         |  FROM assign$k, (SELECT unnest(range(64)) AS i) d
-         |  GROUP BY cid, d.i),
-         |cents$k AS (
-         |  SELECT cid AS ci, list(s / greatest(CAST(n AS DOUBLE), 1.0) ORDER BY di) AS cl
-         |  FROM sums$k GROUP BY cid)""".stripMargin
-    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
-       |${splitmixChain("h", Seq("vec_id"), "vecs", "CAST(vec_id AS HUGEINT)")},
+  private def ivfDistSql(v: String, c: String): String = seqSumSql(
+    s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
+      s"(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])")
+
+  private def ivfIterationSql(k: Int): String =
+    s"""dists$k AS (
+       |  SELECT s.pos, s.vec_id, s.embedding, c.ci,
+       |    row_number() OVER (PARTITION BY s.pos ORDER BY ${ivfDistSql("s.embedding", "c.cl")}, c.ci) AS rk
+       |  FROM sample s CROSS JOIN cents${k - 1} c),
+       |assign$k AS (SELECT pos, vec_id, embedding, ci AS cid FROM dists$k WHERE rk = 1),
+       |sums$k AS (
+       |  SELECT cid, d.i AS di,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(CAST(embedding[CAST(d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)), (acc, x) -> acc + x) AS s,
+       |    count(*) AS n
+       |  FROM assign$k, (SELECT unnest(range(64)) AS i) d
+       |  GROUP BY cid, d.i),
+       |cents$k AS (
+       |  SELECT cid AS ci, list(s / greatest(CAST(n AS DOUBLE), 1.0) ORDER BY di) AS cl
+       |  FROM sums$k GROUP BY cid)""".stripMargin
+
+  /** Deterministic IVF quantizer training + full-corpus assignment over a
+    * `vecs(vec_id, embedding)` relation — the relational twin of
+    * Similarity.sampleCorpus + kmeansDriver + nearestCidOf, shared by the
+    * q52/q54 ANN oracles and q55's semantic dedup so the quantizer
+    * replication exists ONCE. Ends at corpusassign(vec_id, e, cid).
+    */
+  private def ivfTrainAssignCte: String =
+    s"""${splitmixChain("h", Seq("vec_id"), "vecs", "CAST(vec_id AS HUGEINT)")},
        |hs AS (SELECT vec_id, ${toSigned("z")} AS h FROM h3),
        |sample AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS pos, v.vec_id, v.embedding
@@ -1110,23 +1134,27 @@ object SparkEntry {
        |cents0 AS (
        |  SELECT CAST(pos AS INT) AS ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cl
        |  FROM sample WHERE pos < 16),
-       |${iteration(1)},
-       |${iteration(2)},
-       |${iteration(3)},
+       |${ivfIterationSql(1)},
+       |${ivfIterationSql(2)},
+       |${ivfIterationSql(3)},
+       |cadist AS (
+       |  SELECT v.vec_id, v.embedding AS e, c.ci,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfDistSql("v.embedding", "c.cl")}, c.ci) AS rk
+       |  FROM vecs v CROSS JOIN cents3 c),
+       |corpusassign AS (SELECT vec_id, e, ci AS cid FROM cadist WHERE rk = 1)""".stripMargin
+
+  private def ivfOracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |$ivfTrainAssignCte,
        |probes AS (
        |  SELECT * FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.ci AS cid,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dist("q.embedding", "c.cl")}, c.ci) AS pr
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfDistSql("q.embedding", "c.cl")}, c.ci) AS pr
        |    FROM vecs q CROSS JOIN cents3 c WHERE q.vec_id < 20) WHERE pr <= 4),
-       |cadist AS (
-       |  SELECT v.vec_id AS neighbor_id, v.embedding AS ce, c.ci,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("v.embedding", "c.cl")}, c.ci) AS rk
-       |  FROM vecs v CROSS JOIN cents3 c),
-       |corpusassign AS (SELECT neighbor_id, ce, ci AS cid FROM cadist WHERE rk = 1),
        |cands AS (
-       |  SELECT p.query_id, ca.neighbor_id, p.qe, ca.ce
+       |  SELECT p.query_id, ca.vec_id AS neighbor_id, p.qe, ca.e AS ce
        |  FROM probes p JOIN corpusassign ca USING (cid)
-       |  WHERE p.query_id <> ca.neighbor_id),
+       |  WHERE p.query_id <> ca.vec_id),
        |cos AS (
        |  SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS cosine FROM cands),
        |ranked AS (
@@ -1134,7 +1162,49 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
        |  FROM cos)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
-  }
+
+  /** q55's SemDeDup pipeline replicated end-to-end: planted near-dups,
+    * the SHARED quantizer training/assignment CTE (bit-exact doubles —
+    * see ivfTrainAssignCte), within-cluster capped pairs (the q28 list
+    * algebra), sequential-cosine edges at ≥ 0.95, the q51 reachability
+    * fixpoint for duplicate groups, and min-id keeper selection. Output
+    * covers EVERY row (vec_id, cid, kept) so the hash pins the full
+    * clustering, not just the drop list.
+    */
+  private def semanticDedupOracleSql: String =
+    s"""WITH RECURSIVE vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(len(embedding)), i -> CASE WHEN i = 0
+       |      THEN CAST(embedding[1] + 0.01::FLOAT AS FLOAT) ELSE embedding[CAST(i+1 AS INT)] END)
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |$ivfTrainAssignCte,
+       |clusters AS (
+       |  SELECT cid, list_sort(list({'id': vec_id, 'e': e})) AS xs
+       |  FROM corpusassign GROUP BY cid HAVING count(*) >= 2),
+       |pairs0 AS (
+       |  SELECT pr.id_a, pr.id_b, pr.ea, pr.eb FROM clusters,
+       |  UNNEST(CASE WHEN len(xs) <= 512 THEN
+       |    flatten(list_transform(range(len(xs)), i ->
+       |      list_transform(range(i+1, len(xs)), j ->
+       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
+       |          'ea': xs[CAST(i+1 AS INT)].e, 'eb': xs[CAST(j+1 AS INT)].e})))
+       |  ELSE list_transform(range(1, len(xs)), j ->
+       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'ea': xs[1].e, 'eb': xs[CAST(j+1 AS INT)].e})
+       |  END) AS t(pr)),
+       |cos AS (SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine FROM pairs0),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cos WHERE cosine >= 0.95),
+       |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |walk(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+       |labels AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+       |SELECT ca.vec_id, CAST(ca.cid AS INT) AS cid,
+       |  (l.component IS NULL OR ca.vec_id = l.component) AS kept
+       |FROM corpusassign ca LEFT JOIN labels l ON l.id = ca.vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // q52 — IVF-flat ANN incl. full quantizer training replication
@@ -1143,6 +1213,10 @@ object SparkEntry {
     // q54 — the bucketed-storage path must produce the identical result
     // (same deterministic quantizer), so it shares q52's oracle verbatim
     "q54_ann_ivf_bucketed" -> ivfOracleSql,
+
+    // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
+    // edges + reachability components + keeper selection
+    "q55_semantic_dedup" -> semanticDedupOracleSql,
 
     // q23 — the whole LSH pipeline recomputed relationally (see
     // minhashOracleSql for the kernel derivations and validity domain)

@@ -302,8 +302,22 @@ object Similarity {
     val centroids = kmeansDriver(sample, nlist, iters)
     val cents = centroids
     val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
-    c.withColumn("cid", nearest(col("embedding")))
-      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    // Partitioned-write fan-out guard: EVERY upstream task opens a writer
+    // per list it touches — up to tasks×nlist files, the classic
+    // partitionBy small-files failure (metadata pressure + per-file open
+    // cost on object stores). When the upstream task count exceeds the
+    // list count, one exchange keyed on cid caps it at one writer per
+    // list; below that the fan-out is already bounded by nlist² and the
+    // exchange would be pure overhead (same auto-switch philosophy as
+    // BoundaryExtract's broadcast↔shuffle joins).
+    // (partition count probed on the pre-UDF projection — same partitioning
+    // as the assigned frame, but the trivial plan compiles in ~0 instead of
+    // re-compiling the UDF plan once for the probe and once for the write)
+    val assigned0 = c.withColumn("cid", nearest(col("embedding")))
+    val assigned =
+      if (c.rdd.getNumPartitions > nlist) assigned0.repartition(col("cid"))
+      else assigned0
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(dir)
     // sidecar via the Hadoop FS API — same filesystem the parquet landed on
     // (java.nio would break the feature on hdfs:///s3a:// the moment the
     // layout leaves the local machine)
@@ -394,5 +408,66 @@ object Similarity {
       // never a distinct over rows still carrying embedding arrays
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): the corpus is clustered in embedding space by the
+    * same deterministic coarse quantizer the IVF path trains, candidate
+    * pairs exist only WITHIN a cluster (SemDeDup's core scale idea — the
+    * quadratic step never crosses cluster boundaries), pairs at
+    * cosine ≥ `minCosine` become near-dup edges, connected components
+    * assemble duplicate groups, and exactly one representative per group
+    * is kept: the min vec_id, which is deterministic where the paper's
+    * keep-lowest-centroid-similarity rule tie-breaks on float noise.
+    *
+    * Returns EVERY corpus row as (vec_id, cid, kept) — kept=false marks
+    * the rows SemDeDup would drop from the training set, and cid exposes
+    * the cluster assignment so a checker covers the whole clustering, not
+    * just the drop list.
+    *
+    * Scale shape: assignment is a narrow map (centroids driver-trained on
+    * a bounded splitmix sample, closure-captured like ivfTopK); the wide
+    * ops are one per-cluster groupBy and the final label join. `nlist`
+    * must grow ~corpus/E[cluster] at scale (the paper runs 50k clusters
+    * for LAION) — it is a parameter, not a constant. Clusters beyond
+    * `maxCluster` emit star pairs against the min-id hub (the
+    * codebase-wide capped-bucket policy, see graft.dedup.Dedup) with
+    * observe()d counts. Known SemDeDup limitation reproduced faithfully:
+    * near-dups straddling a cluster boundary are never candidates — the
+    * paper accepts that recall is bounded by the quantizer.
+    */
+  def semanticDedup(spark: SparkSession, vecs: DataFrame, minCosine: Double = 0.95,
+      nlist: Int = 16, iters: Int = 3, maxCluster: Int = 512,
+      idCol: String = "vec_id"): DataFrame = {
+    val c = vecs.select(col(idCol).cast("long").as("vec_id"), col("embedding"))
+    val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
+    require(sample.nonEmpty, "semanticDedup: empty corpus")
+    val cents = kmeansDriver(sample, nlist, iters)
+    val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+    val assigned = c.withColumn("cid", nearest(col("embedding")))
+    val clusters = assigned.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("vec_id").as("id"), col("embedding")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .observe("graft_semdedup_clusters",
+        count(lit(1)).as("clusters"),
+        sum(when(size(col("xs")) > maxCluster, 1L).otherwise(0L)).as("oversized_clusters"))
+    val edges = clusters.select(explode(expr(
+      s"""CASE WHEN size(xs) <= $maxCluster THEN
+         |  flatten(transform(xs, (a, i) ->
+         |    transform(slice(xs, i + 2, size(xs)), b -> struct(
+         |      least(a.id, b.id) as id_a, greatest(a.id, b.id) as id_b,
+         |      a.embedding as ea, b.embedding as eb))))
+         |ELSE
+         |  transform(slice(xs, 2, size(xs)), b -> struct(
+         |    xs[0].id as id_a, b.id as id_b, xs[0].embedding as ea, b.embedding as eb))
+         |END""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("src"), col("p.id_b").as("dst"),
+        cosineFast(spark, col("p.ea"), col("p.eb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("src"), col("dst"))
+    val labels = graft.dedup.Dedup.connectedComponents(spark, edges)
+    assigned.join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        (col("component").isNull || col("vec_id") === col("component")).as("kept"))
   }
 }

@@ -327,4 +327,28 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (want intersect got).size.toDouble / want.size
     assert(recall >= 0.7, s"recall $recall")
   }
+
+  test("semantic dedup: every row labeled, exact copies dropped, keeper is the min id") {
+    val v = vecs(100)
+    // exact copies share the vector bit-for-bit ⇒ identical nearest
+    // centroid ⇒ guaranteed same cluster ⇒ guaranteed candidate pair
+    val copies = v.filter($"vec_id" % 20 === 0).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id + 1000, e) }.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(spark, v.union(copies),
+      minCosine = 0.99, nlist = 8)
+      .select("vec_id", "cid", "kept").as[(Long, Int, Boolean)].collect()
+    // totality: one labeled row per input row, cid within the quantizer
+    assert(out.length == 105)
+    assert(out.map(_._1).distinct.length == 105)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    val byId = out.map(r => r._1 -> r).toMap
+    (0 until 100 by 20).foreach { i =>
+      // copy pairs share a cluster, the original (min id) is the keeper
+      assert(byId(i.toLong)._2 == byId(i + 1000L)._2, s"pair $i split across clusters")
+      assert(byId(i.toLong)._3, s"original $i not kept")
+      assert(!byId(i + 1000L)._3, s"copy of $i kept")
+    }
+    // unduplicated rows are singletons — all kept
+    assert(out.count(_._3) == 100)
+  }
 }
