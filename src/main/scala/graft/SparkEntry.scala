@@ -369,6 +369,26 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
     }),
 
+    // the LOSSY leg of the input_hint per-row invariant (PSNR ≥ 40 dB for
+    // lossy formats): every synthetic image through graft's own baseline
+    // JPEG encode→decode, invariant measured per row. Narrow mapPartitions,
+    // no shuffle. Oracle is closed-form (q07 style): dims replicate via the
+    // splitmix CTE and the invariant column must be uniformly true — a
+    // codec regression below 40 dB flips rows to false and reds the check.
+    "q56_jpeg_invariant" -> ((s, dir) => {
+      import s.implicits._
+      s.range(500).as[Long].mapPartitions { it =>
+        it.map { i =>
+          val w = graft.img.ImageTable.widthOf(i)
+          val h = graft.img.ImageTable.heightOf(i)
+          val px = graft.img.ImageTable.renderPixels(i, w, h)
+          val (back, bw, bh) = graft.img.Jpeg.decode(graft.img.Jpeg.encode(px, w, h))
+          val ok = bw == w && bh == h && graft.img.ImageTable.psnrDb(back, px) >= 40.0
+          (f"img_$i%09d", w, h, ok)
+        }
+      }.toDF("image_id", "w", "h", "psnr_ok")
+    }),
+
     // kNN via cell-index ring expansion — EXACT (certified radius), so it
     // shares q13's brute-force oracle: same result, scale-path plan
     "q33_knn_cell" -> ((s, dir) => {
@@ -1629,6 +1649,14 @@ object SparkEntry {
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
     // arithmetic mod 2^64 (see splitmixDimsCtes). Verifies generate()'s
     // metadata end-to-end (bytes are pinned by the codec tests in sbt).
+    // q56 — lossy-invariant sweep: dims from the shared splitmix CTE;
+    // psnr_ok must be uniformly true (the codec's contract — see the
+    // 40 dB round-trip pin in CodecsSpec; a regression reds this row set)
+    "q56_jpeg_invariant" ->
+      s"""WITH ${splitmixDimsCtes(500)}
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h, true AS psnr_ok
+         |FROM dims""".stripMargin,
+
     "q31_image_table" ->
       s"""WITH ${splitmixDimsCtes(2000)}
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,

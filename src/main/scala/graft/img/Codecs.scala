@@ -299,11 +299,13 @@ object Codecs {
   def encode(pixels: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = fmt match {
     case "png" => encodePng(pixels, w, h)
     case "bmp" => encodeBmp(pixels, w, h)
+    case "jpeg" | "jpg" => Jpeg.encode(pixels, w, h) // lossy: PSNR≥40dB, not equality
     case other => throw new IllegalArgumentException(s"unsupported fmt $other")
   }
 
   def decode(bytes: Array[Byte]): (Array[Int], Int, Int) =
     if (isPng(bytes)) decodePng(bytes)
     else if (isBmp(bytes)) decodeBmp(bytes)
+    else if (Jpeg.isJpeg(bytes)) Jpeg.decode(bytes)
     else throw new java.io.IOException("unknown image container")
 }

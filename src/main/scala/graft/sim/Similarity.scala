@@ -444,7 +444,15 @@ object Similarity {
     require(sample.nonEmpty, "semanticDedup: empty corpus")
     val cents = kmeansDriver(sample, nlist, iters)
     val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+    // persisted because the frame is consumed TWICE — the cluster/edge
+    // pass and the final label join — and Catalyst does not share common
+    // subtrees, so without the cache the corpus would be scanned and
+    // centroid-assigned twice (the TileManifest rescan lesson). Stays
+    // persisted for the caller's action; at true corpus scale run this
+    // over a writeIvfBucketed layout instead, where the assignment is
+    // already materialized on disk.
     val assigned = c.withColumn("cid", nearest(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clusters = assigned.groupBy("cid")
       .agg(array_sort(collect_list(struct(col("vec_id").as("id"), col("embedding")))).as("xs"))
       .filter(size(col("xs")) >= 2)

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.img.{Codecs, ImageTable}
+import graft.img.{Codecs, ImageTable, Jpeg}
 
 /** Cross-validation of graft's own PNG/BMP codecs against javax.imageio as
   * an independent oracle, both directions, plus malformed-input behavior.
@@ -71,5 +71,102 @@ class CodecsSpec extends AnyFunSuite {
     intercept[Exception](Codecs.decodePng(Codecs.encodeBmp(Array(1), 1, 1)))
     val truncated = Codecs.encodePng(randomPixels(1, 8, 8), 8, 8).take(30)
     intercept[Exception](Codecs.decodePng(truncated))
+  }
+
+  // ——————————————————— JPEG (lossy leg of the invariant) ———————————————————
+
+  private def imageIoEncodeJpeg(px: Array[Int], w: Int, h: Int, q: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(q)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("JPEG round trip meets the PSNR>=40dB lossy invariant on the image corpus") {
+    for (i <- 0L to 8L) {
+      val w = ImageTable.widthOf(i); val h = ImageTable.heightOf(i)
+      val px = ImageTable.renderPixels(i, w, h) // incl. non-multiple-of-8 sizes
+      val bytes = Jpeg.encode(px, w, h)
+      assert(Jpeg.isJpeg(bytes))
+      val (back, bw, bh) = Jpeg.decode(bytes)
+      assert(bw == w && bh == h)
+      val p = ImageTable.psnrDb(back, px)
+      assert(p >= 40.0, s"image $i ${w}x$h psnr $p")
+      // dispatch: fmt routing + container sniffing both reach the codec
+      assert(Codecs.decode(Codecs.encode(px, w, h, "jpeg"))._1.sameElements(back))
+    }
+  }
+
+  test("ImageIO decodes our JPEG (container validity oracle)") {
+    for (i <- 0L to 5L) {
+      val w = ImageTable.widthOf(i); val h = ImageTable.heightOf(i)
+      val px = ImageTable.renderPixels(i, w, h)
+      val bytes = Jpeg.encode(px, w, h)
+      val (oPx, oW, oH) = ImageTable.decodeViaImageIO(bytes)
+      assert(oW == w && oH == h)
+      // vs the source: same lossy invariant the engine promises
+      assert(ImageTable.psnrDb(oPx, px) >= 40.0, s"image $i")
+      // vs our decoder: T.81 doesn't mandate a bit-exact IDCT, so two
+      // correct decoders agree closely but not exactly
+      val (ours, _, _) = Jpeg.decode(bytes)
+      assert(ImageTable.psnrDb(oPx, ours) >= 45.0, s"decoder divergence image $i")
+    }
+  }
+
+  test("our decoder reads third-party (ImageIO) JPEGs incl. subsampled chroma") {
+    for (i <- 0L to 5L) {
+      val w = ImageTable.widthOf(i); val h = ImageTable.heightOf(i)
+      val px = ImageTable.renderPixels(i, w, h)
+      val bytes = imageIoEncodeJpeg(px, w, h, 0.9f)
+      val (ours, oW, oH) = Jpeg.decode(bytes)
+      assert(oW == w && oH == h)
+      val (ref, _, _) = ImageTable.decodeViaImageIO(bytes)
+      // both decode the same 4:2:0 stream with the same triangular
+      // upsampling family — they must agree closely (measured ~51 dB)
+      assert(ImageTable.psnrDb(ours, ref) >= 45.0, s"image $i vs ImageIO decode")
+      // absolute fidelity is bounded by the ENCODER's 4:2:0 chroma loss
+      // (~22 dB on this worst-case corpus), not by either decoder: require
+      // our decode to be as faithful to the source as the reference decode
+      assert(ImageTable.psnrDb(ours, px) >= ImageTable.psnrDb(ref, px) - 1.0,
+        s"image $i fidelity vs reference decoder")
+    }
+  }
+
+  test("our decoder reads grayscale (1-component) JPEGs") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // write RAW gray samples via the raster — setRGB would route through
+    // Java's nonlinear gray↔sRGB colorspace conversion and corrupt the ref
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, (x * 5 + y * 3) & 0xFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val (ours, oW, oH) = Jpeg.decode(bos.toByteArray)
+    assert(oW == w && oH == h)
+    val ref = Array.tabulate(w * h) { i =>
+      val g = (i % w * 5 + i / w * 3) & 0xFF
+      (g << 16) | (g << 8) | g
+    }
+    assert(ImageTable.psnrDb(ours, ref) >= 40.0)
+  }
+
+  test("JPEG rejects unsupported shapes loudly") {
+    val px = ImageTable.renderPixels(1, 16, 16)
+    val bytes = Jpeg.encode(px, 16, 16)
+    // progressive flag: rewrite SOF0 marker to SOF2
+    val prog = bytes.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e.getMessage.contains("progressive"))
+    intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](0, 1, 2)))
   }
 }
