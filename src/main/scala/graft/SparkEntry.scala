@@ -996,14 +996,7 @@ object SparkEntry {
        |  FROM banded GROUP BY band, bkey HAVING count(*) >= 2),
        |pairs0 AS (
        |  SELECT DISTINCT pr.id_a, pr.id_b, pr.fa, pr.fb FROM buckets,
-       |  UNNEST(CASE WHEN len(xs) <= 64 THEN
-       |    flatten(list_transform(range(len(xs)), i ->
-       |      list_transform(range(i+1, len(xs)), j ->
-       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
-       |          'fa': xs[CAST(i+1 AS INT)].fp, 'fb': xs[CAST(j+1 AS INT)].fp})))
-       |  ELSE list_transform(range(1, len(xs)), j ->
-       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'fa': xs[1].fp, 'fb': xs[CAST(j+1 AS INT)].fp})
-       |  END) AS t(pr)),
+       |  ${cappedPairsSql(64, "fp", "fa", "fb")}),
        |ham AS (
        |  SELECT id_a, id_b,
        |    bit_count(xor(
@@ -1013,6 +1006,23 @@ object SparkEntry {
        |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
        |FROM ham WHERE hamming <= 3 GROUP BY id_a, id_b""".stripMargin
   }
+
+  /** Capped within-bucket pair expansion over a sorted `xs` struct list —
+    * ≤ cap: all (i<j) pairs; over cap: star pairs against the min-id hub.
+    * This is the Spark-side capped-bucket policy (Dedup / Similarity)
+    * replicated ONCE for every oracle that buckets then pairs; `payload`
+    * names the struct field carried per side and `pa`/`pb` its output
+    * aliases (e.g. "fp" → fa/fb, "e" → ea/eb).
+    */
+  private def cappedPairsSql(cap: Int, payload: String, pa: String, pb: String): String =
+    s"""UNNEST(CASE WHEN len(xs) <= $cap THEN
+       |    flatten(list_transform(range(len(xs)), i ->
+       |      list_transform(range(i+1, len(xs)), j ->
+       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
+       |          '$pa': xs[CAST(i+1 AS INT)].$payload, '$pb': xs[CAST(j+1 AS INT)].$payload})))
+       |  ELSE list_transform(range(1, len(xs)), j ->
+       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, '$pa': xs[1].$payload, '$pb': xs[CAST(j+1 AS INT)].$payload})
+       |  END) AS t(pr)""".stripMargin
 
   /** Sign-LSH signature CTE over a `vecs(vec_id, embedding)` relation:
     * Similarity.signature's 16 hyperplane sign decisions, each a
@@ -1094,14 +1104,7 @@ object SparkEntry {
        |  GROUP BY sig HAVING count(*) >= 2),
        |pairs0 AS (
        |  SELECT DISTINCT pr.id_a, pr.id_b, pr.ea, pr.eb FROM buckets,
-       |  UNNEST(CASE WHEN len(xs) <= 64 THEN
-       |    flatten(list_transform(range(len(xs)), i ->
-       |      list_transform(range(i+1, len(xs)), j ->
-       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
-       |          'ea': xs[CAST(i+1 AS INT)].e, 'eb': xs[CAST(j+1 AS INT)].e})))
-       |  ELSE list_transform(range(1, len(xs)), j ->
-       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'ea': xs[1].e, 'eb': xs[CAST(j+1 AS INT)].e})
-       |  END) AS t(pr)),
+       |  ${cappedPairsSql(64, "e", "ea", "eb")}),
        |cos AS (
        |  SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine FROM pairs0)
        |SELECT id_a, id_b, max(cosine) AS cosine FROM cos WHERE cosine >= 0.95
@@ -1205,14 +1208,7 @@ object SparkEntry {
        |  FROM corpusassign GROUP BY cid HAVING count(*) >= 2),
        |pairs0 AS (
        |  SELECT pr.id_a, pr.id_b, pr.ea, pr.eb FROM clusters,
-       |  UNNEST(CASE WHEN len(xs) <= 512 THEN
-       |    flatten(list_transform(range(len(xs)), i ->
-       |      list_transform(range(i+1, len(xs)), j ->
-       |        {'id_a': xs[CAST(i+1 AS INT)].id, 'id_b': xs[CAST(j+1 AS INT)].id,
-       |          'ea': xs[CAST(i+1 AS INT)].e, 'eb': xs[CAST(j+1 AS INT)].e})))
-       |  ELSE list_transform(range(1, len(xs)), j ->
-       |    {'id_a': xs[1].id, 'id_b': xs[CAST(j+1 AS INT)].id, 'ea': xs[1].e, 'eb': xs[CAST(j+1 AS INT)].e})
-       |  END) AS t(pr)),
+       |  ${cappedPairsSql(512, "e", "ea", "eb")}),
        |cos AS (SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine FROM pairs0),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM cos WHERE cosine >= 0.95),
        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),

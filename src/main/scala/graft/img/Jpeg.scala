@@ -186,6 +186,7 @@ object Jpeg {
     */
   def encode(pixels: Array[Int], w: Int, h: Int, quality: Int = 97): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h, "bad dimensions")
+    require(w <= 65535 && h <= 65535, s"jpeg: ${w}x$h exceeds the 16-bit SOF dimension limit")
     val qLum = scaledQuant(Q_LUM, quality)
     val qChrom = scaledQuant(Q_CHROM, quality)
     val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
@@ -369,22 +370,16 @@ object Jpeg {
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
-    var sawMarker: Int = 0 // non-zero = hit a marker (RSTn/EOI) during fill
 
     def align(): Unit = { acc = 0; nBits = 0 }
 
-    /** consume an expected RSTn marker that terminated the previous
-      * restart interval, then resume reading
-      */
-    def consumeRst(): Unit = { sawMarker = 0 }
-
     private def fill(): Boolean = {
       if (pos >= data.length) return false
-      var b = data(pos) & 0xFF
+      val b = data(pos) & 0xFF
       if (b == 0xFF) {
         val nxt = if (pos + 1 < data.length) data(pos + 1) & 0xFF else 0xD9
         if (nxt == 0x00) { pos += 2 } // stuffed FF
-        else { sawMarker = nxt; return false } // real marker: stop
+        else return false // real marker (RSTn/EOI): stop at it, pos untouched
       } else pos += 1
       // mask off already-consumed high bits before shifting — without this
       // the garbage accumulates left until it sign-poisons the extraction
@@ -394,7 +389,12 @@ object Jpeg {
     }
 
     def bit(): Int = {
-      if (nBits == 0 && !fill()) return 0
+      // a complete scan never requests a bit it doesn't have (trailing pad
+      // bits are never read), so running dry mid-block means the stream is
+      // truncated or desynchronized — fail loudly like the PNG codec, never
+      // fabricate zero bits into a plausible garbage image
+      if (nBits == 0 && !fill())
+        throw new IllegalArgumentException("jpeg: truncated or malformed entropy stream")
       nBits -= 1
       (acc >>> nBits) & 1
     }
@@ -546,10 +546,11 @@ object Jpeg {
           else k = 64 // EOB
         } else {
           k += run
-          if (k < 64) {
-            coef(ZIGZAG(k)) = extend(br.bits(sz), sz) * q(ZIGZAG(k))
-            k += 1
-          } else k = 64
+          // a run carrying a coefficient past the block end means the
+          // entropy stream is desynchronized — refuse rather than drift
+          require(k < 64, "jpeg: AC run overflows block (corrupt entropy stream)")
+          coef(ZIGZAG(k)) = extend(br.bits(sz), sz) * q(ZIGZAG(k))
+          k += 1
         }
       }
       // separable IDCT
@@ -605,7 +606,6 @@ object Jpeg {
             p += 1
           require(p + 1 < data.length, "jpeg: missing restart marker")
           br.pos = p + 2
-          br.consumeRst()
           java.util.Arrays.fill(dcPred, 0)
         }
         var ci = 0

@@ -444,15 +444,15 @@ object Similarity {
     require(sample.nonEmpty, "semanticDedup: empty corpus")
     val cents = kmeansDriver(sample, nlist, iters)
     val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
-    // persisted because the frame is consumed TWICE — the cluster/edge
-    // pass and the final label join — and Catalyst does not share common
-    // subtrees, so without the cache the corpus would be scanned and
-    // centroid-assigned twice (the TileManifest rescan lesson). Stays
-    // persisted for the caller's action; at true corpus scale run this
-    // over a writeIvfBucketed layout instead, where the assignment is
-    // already materialized on disk.
+    // Scan shape, stated honestly: the corpus is read THREE times — the
+    // bounded quantizer sample, the cluster/edge pass, and the final label
+    // join (Catalyst shares no common subtrees). Each pass is narrow; a
+    // persist here would trade that for an unreleasable corpus-sized cache
+    // (the method returns a lazy frame, so there is no safe point to
+    // unpersist). When the triple scan dominates at corpus scale,
+    // materialize the assignment once with writeIvfBucketed and dedup over
+    // the partitioned layout instead.
     val assigned = c.withColumn("cid", nearest(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clusters = assigned.groupBy("cid")
       .agg(array_sort(collect_list(struct(col("vec_id").as("id"), col("embedding")))).as("xs"))
       .filter(size(col("xs")) >= 2)

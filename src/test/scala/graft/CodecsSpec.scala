@@ -158,6 +158,18 @@ class CodecsSpec extends AnyFunSuite {
     assert(ImageTable.psnrDb(ours, ref) >= 40.0)
   }
 
+  test("truncated JPEG entropy data fails loudly (no fabricated pixels)") {
+    val px = ImageTable.renderPixels(3, 32, 32)
+    val bytes = Jpeg.encode(px, 32, 32)
+    val sos = bytes.indices.find(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xDA).get
+    // cut mid-entropy (past SOS, well before EOI): the decoder must refuse,
+    // like the PNG codec, instead of decoding fabricated zero bits
+    intercept[Exception](Jpeg.decode(bytes.take((sos + bytes.length) / 2)))
+    // 16-bit SOF dimension limit enforced at encode
+    intercept[IllegalArgumentException](Jpeg.encode(new Array[Int](70000), 70000, 1))
+  }
+
   test("JPEG rejects unsupported shapes loudly") {
     val px = ImageTable.renderPixels(1, 16, 16)
     val bytes = Jpeg.encode(px, 16, 16)

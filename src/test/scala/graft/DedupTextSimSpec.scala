@@ -351,4 +351,19 @@ class SimilaritySpec extends AnyFunSuite {
     // unduplicated rows are singletons — all kept
     assert(out.count(_._3) == 100)
   }
+
+  test("semantic dedup oversized clusters degrade to star pairs, never drop duplicates") {
+    // 40 IDENTICAL vectors all land in one cluster (first-min assignment is
+    // deterministic on ties); maxCluster=8 forces the star fallback. The
+    // policy contract: the cluster stays connected through its min-id hub,
+    // so exactly the hub survives — over-cap degradation loses pair
+    // RESOLUTION, never duplicates.
+    val base = Array.tabulate(64)(d => (d % 7 + 1).toFloat).toSeq
+    val v = (0L until 40L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(spark, v, minCosine = 0.999, nlist = 2, maxCluster = 8)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 40)
+    assert(out(0L), "hub not kept")
+    (1L until 40L).foreach(i => assert(!out(i), s"copy $i survived star-path dedup"))
+  }
 }
