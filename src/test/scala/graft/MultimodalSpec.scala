@@ -86,4 +86,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == 4 * 2)
     frames.foreach(f => assert(graft.img.Codecs.decodePng(f.frame_png)._2 == 16))
   }
+
+  test("IMA-ADPCM kernel matches CPython audioop byte-for-byte (golden vector)") {
+    // golden produced by: audioop.lin2adpcm / adpcm2lin, state (0,0) —
+    // audioop packs HIGH nibble first, so its bytes [7,119,119,119,191,
+    // 203,35,66] unpack to this nibble sequence
+    val samples = Array[Int](0, 500, 1500, 3000, 5000, 7000, 6000, 4000,
+      1000, -2000, -5000, -8000, -6000, -3000, 0, 2000)
+    val goldenNibbles = Array(0x0, 0x7, 0x7, 0x7, 0x7, 0x7, 0x7, 0x7,
+      0xB, 0xF, 0xC, 0xB, 0x2, 0x3, 0x4, 0x2)
+    val goldenDecoded = Array[Int](0, 11, 41, 104, 240, 533, 1164, 2521,
+      1163, -1481, -4883, -8085, -6007, -3361, -269, 1809)
+    val enc = new Multimodal.Adpcm.State()
+    val nibbles = samples.map(s => Multimodal.Adpcm.encodeSample(enc, s))
+    assert(nibbles.sameElements(goldenNibbles), nibbles.mkString(","))
+    val dec = new Multimodal.Adpcm.State()
+    val decoded = goldenNibbles.map(n => Multimodal.Adpcm.decodeSample(dec, n))
+    assert(decoded.sameElements(goldenDecoded), decoded.mkString(","))
+  }
+
+  test("IMA-ADPCM WAV round-trips smooth audio at a meaningful SNR with 4:1 compression") {
+    val n = 2000
+    val samples = Array.tabulate(n) { k =>
+      val t = k / 16000.0
+      ((math.sin(2 * math.Pi * 440 * t) * 12000 +
+        math.sin(2 * math.Pi * 997 * t) * 8000)).toInt.toShort
+    }
+    val wav = Multimodal.Adpcm.encodeWav(samples, 16000)
+    // 4-bit samples + block headers: well under half the PCM-16 size
+    assert(wav.length < samples.length, s"no compression: ${wav.length} bytes")
+    val (back, rate) = Multimodal.Adpcm.decodeWav(wav)
+    assert(rate == 16000 && back.length == n) // fact chunk trims padding exactly
+    var sig = 0.0; var err = 0.0
+    for (i <- 0 until n) {
+      sig += samples(i).toDouble * samples(i)
+      val d = samples(i) - back(i)
+      err += d.toDouble * d
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr >= 20.0, s"SNR $snr dB") // ADPCM on smooth audio: typically ~25-35 dB
+    // the audioFeatures pipeline dispatches fmt="wav_adpcm" to this decoder
+    val feats = Multimodal.audioFeatures(spark, Multimodal.synthAudioAdpcm(spark, 20)).collect()
+    assert(feats.length == 20)
+    feats.foreach(f => assert(f.rms > 0 && f.zero_crossings > 0))
+  }
+
+  test("Motion-JPEG AVI: compressed frames round-trip above the 40dB lossy invariant") {
+    val w = 24; val h = 16
+    val frames = (0 until 5).map(f => graft.img.ImageTable.renderPixels(900 + f, w, h))
+    val avi = Multimodal.Avi.encode(frames, w, h, 10, codec = "mjpg")
+    // genuinely compressed: a DIB AVI of the same frames is larger
+    assert(avi.length < Multimodal.Avi.encode(frames, w, h, 10).length)
+    val (back, bw, bh, fps) = Multimodal.Avi.decode(avi)
+    assert(bw == w && bh == h && fps == 10 && back.length == 5)
+    back.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      val p = graft.img.ImageTable.psnrDb(got.toArray, want)
+      assert(p >= 40.0, s"frame $i psnr $p")
+    }
+    // end-to-end through the Spark frame-sampling pipeline
+    val sampled = Multimodal.sampleFrames(spark,
+      Multimodal.synthVideo(spark, 6, frames = 8, codec = "mjpg"), 2).collect()
+    assert(sampled.length == 6 * 4)
+    sampled.foreach { f =>
+      val (px, fw, fh) = graft.img.Codecs.decodePng(f.frame_png)
+      val vid = f.video_id.stripPrefix("vid_").toLong
+      val want = graft.img.ImageTable.renderPixels(vid * 1000 + f.frame_idx, 16, 16)
+      assert(fw == 16 && fh == 16)
+      assert(graft.img.ImageTable.psnrDb(px, want) >= 40.0, s"${f.video_id}#${f.frame_idx}")
+    }
+  }
 }
