@@ -389,6 +389,26 @@ object SparkEntry {
       }.toDF("image_id", "w", "h", "psnr_ok")
     }),
 
+    // REAL perceptual hash (DCT pHash, Zauner 2010) over the image corpus —
+    // the algorithmic upgrade of the table's metadata phash: 32×32-luma
+    // DCT-II thresholded against the non-DC mean, so lossy RE-ENCODES of an
+    // image collide at small Hamming distance (pinned with the JPEG codec
+    // in PhashSpec; Dedup.hammingPairs turns the hashes into dedup pairs).
+    // Fully driver-oracled: the oracle rebuilds the pixel function, the
+    // nearest resample, BOTH DCT passes (IEEE basis constants interpolated
+    // as shortest-round-trip literals), the 63-term mean, and bit packing.
+    "q57_phash" -> ((s, dir) => {
+      import s.implicits._
+      s.range(64).as[Long].mapPartitions { it =>
+        it.map { i =>
+          val w = graft.img.ImageTable.widthOf(i)
+          val h = graft.img.ImageTable.heightOf(i)
+          (f"img_$i%09d",
+            graft.img.Phash.phash64(graft.img.ImageTable.renderPixels(i, w, h), w, h))
+        }
+      }.toDF("image_id", "phash")
+    }),
+
     // kNN via cell-index ring expansion — EXACT (certified radius), so it
     // shares q13's brute-force oracle: same result, scale-path plan
     "q33_knn_cell" -> ((s, dir) => {
@@ -784,6 +804,58 @@ object SparkEntry {
   /** Unsigned HUGEINT → signed BIGINT (two's complement reinterpretation). */
   private def toSigned(e: String): String =
     s"CAST(CASE WHEN $e >= 9223372036854775808::HUGEINT THEN $e - 18446744073709551616::HUGEINT ELSE $e END AS BIGINT)"
+
+  /** q57's oracle: graft.img.Phash.phash64 recomputed relationally for the
+    * first 64 corpus images. The DCT basis ships as shortest-round-trip
+    * decimal literals of the SAME doubles the Scala kernel uses
+    * (correctly-rounded parsing is bijective on shortest representations),
+    * and every accumulation replays the kernel's order via
+    * list_reduce(... ORDER BY ...), so all 64 phash values are bit-exact.
+    */
+  private def phashOracleSql: String = {
+    val basis = (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u, $x, ${graft.img.Phash.COS32(u)(x)}::DOUBLE)").mkString(", ")
+    s"""WITH RECURSIVE pows2(e, v) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL
+       |  SELECT e+1, v * 2 FROM pows2 WHERE e < 63),
+       |${splitmixDimsCtes(64)},
+       |pixhash AS (SELECT i, max(CASE WHEN k='p' THEN z END) AS hz FROM s3 GROUP BY i),
+       |cb(u, x, c) AS (VALUES $basis),
+       |grid AS (
+       |  SELECT d.i, gx.range AS x, gy.range AS y,
+       |    (gx.range * d.w) // 32 AS sx, (gy.range * d.h) // 32 AS sy
+       |  FROM dims d, range(0, 32) gx, range(0, 32) gy),
+       |gray AS (
+       |  SELECT g.i, g.x, g.y,
+       |    0.299 * CAST((g.sx * 7 + ph.hz % 256) % 256 AS DOUBLE) +
+       |    0.587 * CAST((g.sy * 11 + (ph.hz // 256) % 256) % 256 AS DOUBLE) +
+       |    0.114 * CAST(((g.sx + g.sy) * 3 + (ph.hz // 65536) % 256) % 256 AS DOUBLE) AS lum
+       |  FROM grid g JOIN pixhash ph USING (i)),
+       |tmp AS (
+       |  SELECT gr.i, cb.u, gr.y,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(gr.lum * cb.c ORDER BY gr.x)),
+       |      (a, b) -> a + b) AS t
+       |  FROM gray gr JOIN cb ON cb.x = gr.x
+       |  GROUP BY gr.i, cb.u, gr.y),
+       |f AS (
+       |  SELECT t.i, t.u, cv.u AS v,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t.t * cv.c ORDER BY t.y)),
+       |      (a, b) -> a + b) AS fv
+       |  FROM tmp t JOIN cb cv ON cv.x = t.y
+       |  GROUP BY t.i, t.u, cv.u),
+       |m AS (
+       |  SELECT i,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(fv ORDER BY v * 8 + u)),
+       |      (a, b) -> a + b) / 63.0 AS mean
+       |  FROM f WHERE NOT (u = 0 AND v = 0) GROUP BY i),
+       |bits AS (
+       |  SELECT f.i,
+       |    CAST(sum(CASE WHEN f.fv > m.mean THEN p2.v ELSE 0::HUGEINT END) AS HUGEINT) AS ph
+       |  FROM f JOIN m USING (i) JOIN pows2 p2 ON p2.e = f.v * 8 + f.u
+       |  GROUP BY f.i)
+       |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, ${toSigned("ph")} AS phash
+       |FROM bits""".stripMargin
+  }
 
   private def splitmixDimsCtes(n: Int): String = {
     s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
@@ -1645,6 +1717,13 @@ object SparkEntry {
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
     // arithmetic mod 2^64 (see splitmixDimsCtes). Verifies generate()'s
     // metadata end-to-end (bytes are pinned by the codec tests in sbt).
+    // q57 — pHash replicated end-to-end: pixel function + nearest resample
+    // + both DCT passes + mean threshold + bit packing, all bit-exact (the
+    // basis constants interpolate from Phash.COS32 as shortest-round-trip
+    // decimal literals, which IEEE-754 correctly-rounded parsing maps back
+    // to the identical doubles)
+    "q57_phash" -> phashOracleSql,
+
     // q56 — lossy-invariant sweep: dims from the shared splitmix CTE;
     // psnr_ok must be uniformly true (the codec's contract — see the
     // 40 dB round-trip pin in CodecsSpec; a regression reds this row set)

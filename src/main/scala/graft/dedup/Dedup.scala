@@ -423,6 +423,21 @@ object Dedup {
     val fps = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }
       .toDF("id", "fp")
+    hammingPairs(spark, fps, maxHamming, maxBucket, "graft_simhash_buckets")
+  }
+
+  /** Near-dup pairs over ANY 64-bit Hamming-space fingerprint relation
+    * `fps(id: bigint, fp: bigint)` — the banding/verify engine shared by
+    * SimHash text dedup (q24) and pHash image dedup: 4×16-bit bands bucket
+    * the candidates (pigeonhole: a pair within Hamming ≤ 3 shares at least
+    * one untouched band, so recall is total there; wider radii trade
+    * recall and should raise the band count), capped buckets degrade to
+    * star pairs against the min-id hub, exact bit_count verifies, and
+    * cross-band dedup folds into ONE aggregation exchange (hamming is
+    * deterministic per pair) instead of a separate distinct().
+    */
+  def hammingPairs(spark: SparkSession, fps: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64, observeName: String = "graft_hamming_buckets"): DataFrame = {
     val banded = fps.select(col("id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as band, shiftright(fp, b*16) & 65535 as bkey))")).as("bb"))
@@ -430,7 +445,7 @@ object Dedup {
     val buckets = banded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(struct(col("id"), col("fp")))).as("xs"))
       .filter(size(col("xs")) >= 2)
-      .observe("graft_simhash_buckets",
+      .observe(observeName,
         count(lit(1)).as("buckets"),
         sum(when(size(col("xs")) > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"),
         sum(when(size(col("xs")) > maxBucket, size(col("xs")).cast("long"))
@@ -449,8 +464,6 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      // cross-band dedup folded into one aggregation exchange (hamming is
-      // deterministic per pair) instead of a separate distinct()
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
