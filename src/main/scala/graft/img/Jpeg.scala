@@ -13,13 +13,15 @@ package graft.img
   * 4:4:4 keeps chroma full-resolution: on the synthetic gradient corpus the
   * quality-90 round trip stays comfortably above the 40 dB line.
   *
-  * Decoder: baseline SOF0 only (progressive SOF2 rejected loudly), 1–3
-  * components, sampling factors 1–2 in each axis (4:4:4 / 4:2:2 / 4:2:0),
-  * restart markers, 8-bit quant tables, tables read FROM THE STREAM — so it
-  * decodes third-party baseline files (e.g. javax.imageio's 4:2:0 output),
-  * not just its own. Chroma upsampling is sample replication; IDCT is the
-  * exact separable double-precision transform (T.81 does not mandate a
-  * bit-exact IDCT, so decoder outputs are compared by PSNR, not equality).
+  * Decoder: baseline SOF0/SOF1 AND progressive SOF2 (spectral selection +
+  * successive approximation, T.81 §G), 1–3 components, sampling factors
+  * 1–2 in each axis (4:4:4 / 4:2:2 / 4:2:0), restart markers, 8-bit quant
+  * tables, tables read FROM THE STREAM — so it decodes third-party files
+  * (e.g. javax.imageio's 4:2:0 baseline or progressive output), not just
+  * its own. Chroma upsampling is the libjpeg-family triangular filter;
+  * IDCT is the exact separable double-precision transform (T.81 does not
+  * mandate a bit-exact IDCT, so decoder outputs are compared by PSNR, not
+  * equality).
   *
   * CodecsSpec cross-checks both directions against javax.imageio.
   */
@@ -447,44 +449,15 @@ object Jpeg {
       val body = pos + 4
       m match {
         case 0xC0 | 0xC1 => // baseline (extended-sequential C1 shares the wire shape)
-          require((data(body) & 0xFF) == 8, "jpeg: only 8-bit precision supported")
-          h = u16(body + 1); w = u16(body + 3)
-          val n = data(body + 5) & 0xFF
-          require(n == 1 || n == 3, s"jpeg: $n components unsupported")
-          comps = Array.tabulate(n) { i =>
-            val o = body + 6 + i * 3
-            val hs = (data(o + 1) & 0xF0) >>> 4
-            val vs = data(o + 1) & 0x0F
-            require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
-              s"jpeg: sampling ${hs}x$vs unsupported (1-2 only)")
-            Component(data(o) & 0xFF, hs, vs, data(o + 2) & 0xFF)
-          }
+          val (w0, h0, cs) = parseFrameHeader(data, body)
+          w = w0; h = h0; comps = cs
         case 0xC2 =>
-          throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported — baseline only")
-        case 0xC4 => // DHT: possibly several tables
-          var p = body
-          while (p < pos + 2 + segLen) {
-            val clazz = (data(p) & 0xF0) >>> 4
-            val id = data(p) & 0x0F
-            val bits = Array.tabulate(16)(i => data(p + 1 + i) & 0xFF)
-            val nVals = bits.sum
-            val vals = java.util.Arrays.copyOfRange(data, p + 17, p + 17 + nVals)
-            val t = new DecTable(bits, vals)
-            if (clazz == 0) dcTabs(id) = t else acTabs(id) = t
-            p += 17 + nVals
-          }
-        case 0xDB => // DQT: possibly several tables
-          var p = body
-          while (p < pos + 2 + segLen) {
-            val prec = (data(p) & 0xF0) >>> 4
-            val id = data(p) & 0x0F
-            require(prec == 0, "jpeg: 16-bit quant tables unsupported")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) { t(ZIGZAG(i)) = data(p + 1 + i) & 0xFF; i += 1 }
-            quant(id) = t
-            p += 65
-          }
+          return decodeProgressive(data)
+        case 0xC4 => parseDhtSeg(data, body, pos + 2 + segLen, dcTabs, acTabs)
+        case sof if sof >= 0xC3 && sof <= 0xCF => // C4 handled above
+          throw new IllegalArgumentException(
+            f"jpeg: unsupported SOF/coding marker 0xFF$sof%02X (arithmetic/lossless/hierarchical)")
+        case 0xDB => parseDqtSeg(data, body, pos + 2 + segLen, quant)
         case 0xDD =>
           restartInterval = u16(body)
         case 0xDA => // SOS
@@ -553,43 +526,7 @@ object Jpeg {
           k += 1
         }
       }
-      // separable IDCT
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) { s += COS(u)(x) * coef(y * 8 + u); u += 1 }
-          tmp(y * 8 + x) = s
-          x += 1
-        }
-        y += 1
-      }
-      var x = 0
-      while (x < 8) {
-        var yy = 0
-        while (yy < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) { s += COS(v)(yy) * tmp(v * 8 + x); v += 1 }
-          px(yy * 8 + x) = s + 128.0
-          yy += 1
-        }
-        x += 1
-      }
-      val pw = planeW(ci)
-      val plane = planes(ci)
-      val ox = bx * 8; val oy = by * 8
-      var j = 0
-      while (j < 8) {
-        var i = 0
-        while (i < 8) {
-          plane((oy + j) * pw + ox + i) = clamp255(px(j * 8 + i))
-          i += 1
-        }
-        j += 1
-      }
+      idctToPlane(coef, planes(ci), planeW(ci), bx, by, tmp, px)
     }
 
     var mcu = 0
@@ -628,10 +565,395 @@ object Jpeg {
       my += 1
     }
 
-    // triangular ("fancy") 2× upsampling per axis — centered weights 3:1,
-    // the libjpeg-family filter, so our decode of subsampled streams agrees
-    // closely with reference decoders instead of diverging by the blocky
-    // sample-replication error. Separable h-then-v gives the 9:3:3:1 kernel.
+    (planesToRgb(comps, planes, planeW, planeH, w, h, hMax, vMax, mcusX * 8 * hMax), w, h)
+  }
+
+  private def parseDhtSeg(data: Array[Byte], body: Int, end: Int,
+      dcTabs: Array[DecTable], acTabs: Array[DecTable]): Unit = {
+    var p = body
+    while (p < end) {
+      val clazz = (data(p) & 0xF0) >>> 4
+      val id = data(p) & 0x0F
+      val bits = Array.tabulate(16)(i => data(p + 1 + i) & 0xFF)
+      val nVals = bits.sum
+      val vals = java.util.Arrays.copyOfRange(data, p + 17, p + 17 + nVals)
+      val t = new DecTable(bits, vals)
+      if (clazz == 0) dcTabs(id) = t else acTabs(id) = t
+      p += 17 + nVals
+    }
+  }
+
+  private def parseDqtSeg(data: Array[Byte], body: Int, end: Int,
+      quant: Array[Array[Int]]): Unit = {
+    var p = body
+    while (p < end) {
+      val prec = (data(p) & 0xF0) >>> 4
+      val id = data(p) & 0x0F
+      require(prec == 0, "jpeg: 16-bit quant tables unsupported")
+      val t = new Array[Int](64)
+      var i = 0
+      while (i < 64) { t(ZIGZAG(i)) = data(p + 1 + i) & 0xFF; i += 1 }
+      quant(id) = t
+      p += 65
+    }
+  }
+
+  private def parseFrameHeader(data: Array[Byte], body: Int): (Int, Int, Array[Component]) = {
+    def u16(p: Int): Int = ((data(p) & 0xFF) << 8) | (data(p + 1) & 0xFF)
+    require((data(body) & 0xFF) == 8, "jpeg: only 8-bit precision supported")
+    val h = u16(body + 1); val w = u16(body + 3)
+    val n = data(body + 5) & 0xFF
+    require(n == 1 || n == 3, s"jpeg: $n components unsupported")
+    val comps = Array.tabulate(n) { i =>
+      val o = body + 6 + i * 3
+      val hs = (data(o + 1) & 0xF0) >>> 4
+      val vs = data(o + 1) & 0x0F
+      require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
+        s"jpeg: sampling ${hs}x$vs unsupported (1-2 only)")
+      Component(data(o) & 0xFF, hs, vs, data(o + 2) & 0xFF)
+    }
+    (w, h, comps)
+  }
+
+  /** Progressive JPEG (SOF2, T.81 §G): coefficients accumulate across
+    * MULTIPLE scans — DC first/refinement (optionally interleaved), AC
+    * first/refinement (single-component, spectral band [Ss,Se], successive
+    * approximation Ah→Al with EOB-run coding) — then one dequantize+IDCT
+    * pass renders the final planes through the same upsample/color path as
+    * baseline. Coefficient values are stored UNQUANTIZED (scaled by
+    * 1<<Al as bits arrive) exactly as the spec accumulates them.
+    */
+  private def decodeProgressive(data: Array[Byte]): (Array[Int], Int, Int) = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[DecTable](4)
+    val acTabs = new Array[DecTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // per component: padded block grid (bw × bh) of 64 natural-order coefs
+    var coefs: Array[Array[Int]] = null
+    var bw: Array[Int] = null
+    var bh: Array[Int] = null
+    val dcPred = new Array[Int](4)
+
+    def u16(p: Int): Int = ((data(p) & 0xFF) << 8) | (data(p + 1) & 0xFF)
+
+    /** skip from `p` to the next non-RST marker (consuming RSTn markers) */
+    def nextMarker(p0: Int): Int = {
+      var p = p0
+      while (p + 1 < data.length) {
+        if ((data(p) & 0xFF) == 0xFF) {
+          val m = data(p + 1) & 0xFF
+          if (m == 0x00) p += 2
+          else if (m >= 0xD0 && m <= 0xD7) p += 2
+          else return p
+        } else p += 1
+      }
+      throw new IllegalArgumentException("jpeg: ran off the end looking for a marker")
+    }
+
+    /** decode one scan's entropy data; returns the position of the marker
+      * that terminated it
+      */
+    def decodeScan(start: Int, scanCis: Array[Int], ss: Int, se: Int,
+        ah: Int, al: Int): Int = {
+      val br = new BitReader(data, start)
+      var eobrun = 0
+
+      def restart(): Unit = {
+        br.align()
+        var p = br.pos
+        while (p + 1 < data.length &&
+          !((data(p) & 0xFF) == 0xFF && (data(p + 1) & 0xFF) >= 0xD0 && (data(p + 1) & 0xFF) <= 0xD7))
+          p += 1
+        require(p + 1 < data.length, "jpeg: missing restart marker")
+        br.pos = p + 2
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+      def decodeDc(ci: Int, off: Int): Unit = {
+        val cf = coefs(ci)
+        if (ah == 0) {
+          val dcT = dcTabs(comps(ci).dcTab)
+          require(dcT != null, "jpeg: missing DC huffman table")
+          val cat = br.decodeHuff(dcT)
+          dcPred(ci) += extend(br.bits(cat), cat)
+          cf(off) = dcPred(ci) << al
+        } else if (br.bit() == 1) cf(off) |= (1 << al)
+      }
+
+      def decodeAcFirst(ci: Int, off: Int): Unit = {
+        val cf = coefs(ci)
+        val acT = acTabs(comps(ci).acTab)
+        require(acT != null, "jpeg: missing AC huffman table")
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = br.decodeHuff(acT)
+          val r = rs >>> 4; val s = rs & 0x0F
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0); ended = true }
+          } else {
+            k += r
+            require(k <= se, "jpeg: AC run overflows spectral band")
+            cf(off + ZIGZAG(k)) = extend(br.bits(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def decodeAcRefine(ci: Int, off: Int): Unit = {
+        val cf = coefs(ci)
+        val acT = acTabs(comps(ci).acTab)
+        require(acT != null, "jpeg: missing AC huffman table")
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var ended = false
+          while (k <= se && !ended) {
+            val rs = br.decodeHuff(acT)
+            var r = rs >>> 4; val s = rs & 0x0F
+            var put = 0
+            if (s == 0) {
+              if (r != 15) { eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0); ended = true }
+              // r == 15: pass over 16 zero-history coefficients below
+            } else {
+              require(s == 1, "jpeg: refinement size must be 1")
+              put = if (br.bit() == 1) p1 else m1
+            }
+            if (!ended) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = off + ZIGZAG(k)
+                if (cf(idx) != 0) {
+                  // correction bit for every nonzero-history coefficient
+                  if (br.bit() == 1 && (cf(idx) & p1) == 0)
+                    cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+                } else if (r == 0) {
+                  if (put != 0) cf(idx) = put
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { // EOB band: corrections only
+            val idx = off + ZIGZAG(k)
+            if (cf(idx) != 0 && br.bit() == 1 && (cf(idx) & p1) == 0)
+              cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      java.util.Arrays.fill(dcPred, 0)
+      if (scanCis.length == 1 && ss > 0) {
+        // AC scan: non-interleaved over the component's OWN block grid
+        val ci = scanCis(0)
+        val c = comps(ci)
+        val cw = (w * c.hSamp + hMax - 1) / hMax
+        val ch = (h * c.vSamp + vMax - 1) / vMax
+        val nbx = (cw + 7) / 8; val nby = (ch + 7) / 8
+        var unit = 0
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) restart()
+            val off = (by * bw(ci) + bx) * 64
+            if (ah == 0) decodeAcFirst(ci, off) else decodeAcRefine(ci, off)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else if (scanCis.length == 1) {
+        // non-interleaved DC scan over the component's own grid
+        val ci = scanCis(0)
+        val c = comps(ci)
+        val cw = (w * c.hSamp + hMax - 1) / hMax
+        val ch = (h * c.vSamp + vMax - 1) / vMax
+        val nbx = (cw + 7) / 8; val nby = (ch + 7) / 8
+        var unit = 0
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) restart()
+            decodeDc(ci, (by * bw(ci) + bx) * 64)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        // interleaved scan: DC only (the spec forbids interleaved AC)
+        require(ss == 0 && se == 0, "jpeg: interleaved progressive scan must be DC")
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            scanCis.foreach { ci =>
+              val c = comps(ci)
+              var v = 0
+              while (v < c.vSamp) {
+                var u = 0
+                while (u < c.hSamp) {
+                  decodeDc(ci, ((my * c.vSamp + v) * bw(ci) + mx * c.hSamp + u) * 64)
+                  u += 1
+                }
+                v += 1
+              }
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+      nextMarker(br.pos)
+    }
+
+    var pos = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      require(pos + 2 <= data.length, "jpeg: truncated before EOI")
+      require((data(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at $pos")
+      val m = data(pos + 1) & 0xFF
+      if (m == 0xD9) sawEoi = true
+      else {
+        require(pos + 4 <= data.length, "jpeg: truncated segment header")
+        val segLen = u16(pos + 2)
+        val body = pos + 4
+        var posOverride = -1
+        m match {
+          case 0xC2 =>
+            val (pw0, ph0, cs) = parseFrameHeader(data, body)
+            w = pw0; h = ph0; comps = cs
+            hMax = comps.map(_.hSamp).max; vMax = comps.map(_.vSamp).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            bw = comps.map(c => mcusX * c.hSamp)
+            bh = comps.map(c => mcusY * c.vSamp)
+            coefs = comps.indices.map(i => new Array[Int](bw(i) * bh(i) * 64)).toArray
+          case 0xC0 | 0xC1 | 0xC3 =>
+            throw new IllegalArgumentException("jpeg: mixed/unsupported SOF in progressive stream")
+          case 0xC4 => parseDhtSeg(data, body, pos + 2 + segLen, dcTabs, acTabs)
+          case 0xDB => parseDqtSeg(data, body, pos + 2 + segLen, quant)
+          case 0xDD => restartInterval = u16(body)
+          case 0xDA =>
+            require(comps != null, "jpeg: SOS before SOF2")
+            val ns = data(body) & 0xFF
+            val scanCis = Array.tabulate(ns) { i =>
+              val cid = data(body + 1 + i * 2) & 0xFF
+              val tabs = data(body + 2 + i * 2) & 0xFF
+              val ci = comps.indexWhere(_.id == cid)
+              require(ci >= 0, s"jpeg: unknown scan component $cid")
+              comps(ci).dcTab = (tabs & 0xF0) >>> 4
+              comps(ci).acTab = tabs & 0x0F
+              ci
+            }
+            val ss = data(body + 1 + ns * 2) & 0xFF
+            val se = data(body + 2 + ns * 2) & 0xFF
+            val ahal = data(body + 3 + ns * 2) & 0xFF
+            require(ss <= 63 && se <= 63 && ss <= se, s"jpeg: bad spectral band $ss..$se")
+            posOverride = decodeScan(body + 1 + ns * 2 + 3, scanCis, ss, se,
+              (ahal & 0xF0) >>> 4, ahal & 0x0F)
+          case _ => // APPn / COM: skip
+        }
+        pos = if (posOverride >= 0) posOverride else pos + 2 + segLen
+      }
+    }
+    require(comps != null, "jpeg: no SOF2 frame before EOI")
+
+    // final render: dequantize + IDCT every block into the planes
+    val planeW = comps.map(c => mcusX * 8 * c.hSamp)
+    val planeH = comps.map(c => mcusY * 8 * c.vSamp)
+    val planes = Array.tabulate(comps.length)(i => new Array[Int](planeW(i) * planeH(i)))
+    val block = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val px = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).quantId)
+      require(q != null, "jpeg: missing quant table")
+      val cf = coefs(ci)
+      var by = 0
+      while (by < bh(ci)) {
+        var bx = 0
+        while (bx < bw(ci)) {
+          val off = (by * bw(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { block(k) = cf(off + k) * q(k); k += 1 }
+          idctToPlane(block, planes(ci), planeW(ci), bx, by, tmp, px)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    (planesToRgb(comps, planes, planeW, planeH, w, h, hMax, vMax, mcusX * 8 * hMax), w, h)
+  }
+
+  /** natural-order DEQUANTIZED coefficients → spatial 8×8 written into the
+    * component plane at block (bx, by). Exact separable double IDCT.
+    */
+  private def idctToPlane(coef: Array[Int], plane: Array[Int], pw: Int,
+      bx: Int, by: Int, tmp: Array[Double], px: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += COS(u)(x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += COS(v)(yy) * tmp(v * 8 + x); v += 1 }
+        px(yy * 8 + x) = s + 128.0
+        yy += 1
+      }
+      x += 1
+    }
+    val ox = bx * 8; val oy = by * 8
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        plane((oy + j) * pw + ox + i) = clamp255(px(j * 8 + i))
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Component planes → RGB: triangular ("fancy") 2× upsampling per axis —
+    * centered weights 3:1, the libjpeg-family filter, so our decode of
+    * subsampled streams agrees closely with reference decoders instead of
+    * diverging by the blocky sample-replication error. Separable h-then-v
+    * gives the 9:3:3:1 kernel. Then JFIF YCbCr→RGB (or gray replication).
+    */
+  private def planesToRgb(comps: Array[Component], planes: Array[Array[Int]],
+      planeW: Array[Int], planeH: Array[Int], w: Int, h: Int,
+      hMax: Int, vMax: Int, fullW: Int): Array[Int] = {
     def upsample2xH(in: Array[Int], iw: Int, ih: Int): Array[Int] = {
       val out = new Array[Int](iw * 2 * ih)
       var y = 0
@@ -665,8 +987,6 @@ object Jpeg {
       }
       out
     }
-    // bring every component to full (hMax, vMax) resolution
-    val fullW = mcusX * 8 * hMax
     val full = Array.tabulate(comps.length) { ci =>
       var p = planes(ci)
       var pw = planeW(ci); var ph = planeH(ci)
@@ -674,7 +994,6 @@ object Jpeg {
       if (comps(ci).vSamp < vMax) { p = upsample2xV(p, pw, ph); ph *= 2 }
       p
     }
-
     val out = new Array[Int](w * h)
     if (comps.length == 1) {
       var y = 0
@@ -704,6 +1023,6 @@ object Jpeg {
         y += 1
       }
     }
-    (out, w, h)
+    out
   }
 }

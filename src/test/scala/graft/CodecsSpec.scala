@@ -170,15 +170,46 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jpeg.encode(new Array[Int](70000), 70000, 1))
   }
 
+  test("our decoder reads PROGRESSIVE (SOF2) JPEGs from ImageIO") {
+    for (i <- 0L to 5L) {
+      val w = ImageTable.widthOf(i); val h = ImageTable.heightOf(i)
+      val px = ImageTable.renderPixels(i, w, h)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      val bytes = bos.toByteArray
+      // confirm the stream really is progressive (SOF2 present, no SOF0)
+      assert(bytes.indices.exists(k =>
+        (bytes(k) & 0xFF) == 0xFF && (bytes(k + 1) & 0xFF) == 0xC2), "ImageIO wrote baseline?")
+      val (ours, oW, oH) = Jpeg.decode(bytes)
+      assert(oW == w && oH == h)
+      val (ref, _, _) = ImageTable.decodeViaImageIO(bytes)
+      // both decoders on the same progressive stream must agree closely;
+      // fidelity to the source is bounded by the encoder like baseline
+      assert(ImageTable.psnrDb(ours, ref) >= 45.0, s"image $i vs ImageIO decode")
+      assert(ImageTable.psnrDb(ours, px) >= ImageTable.psnrDb(ref, px) - 1.0,
+        s"image $i fidelity vs reference decoder")
+    }
+  }
+
   test("JPEG rejects unsupported shapes loudly") {
     val px = ImageTable.renderPixels(1, 16, 16)
     val bytes = Jpeg.encode(px, 16, 16)
-    // progressive flag: rewrite SOF0 marker to SOF2
-    val prog = bytes.clone()
-    val sofAt = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
-    prog(sofAt + 1) = 0xC2.toByte
-    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
-    assert(e.getMessage.contains("progressive"))
+    // arithmetic-coded SOF: rewrite SOF0 marker to SOF9
+    val arith = bytes.clone()
+    val sofAt = arith.indices.find(i => (arith(i) & 0xFF) == 0xFF && (arith(i + 1) & 0xFF) == 0xC0).get
+    arith(sofAt + 1) = 0xC9.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(arith))
+    assert(e.getMessage.contains("unsupported SOF"))
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](0, 1, 2)))
   }
 }
