@@ -807,14 +807,22 @@ object SparkEntry {
 
   /** q57's oracle: graft.img.Phash.phash64 recomputed relationally for the
     * first 64 corpus images. The DCT basis ships as shortest-round-trip
-    * decimal literals of the SAME doubles the Scala kernel uses
-    * (correctly-rounded parsing is bijective on shortest representations),
-    * and every accumulation replays the kernel's order via
-    * list_reduce(... ORDER BY ...), so all 64 phash values are bit-exact.
+    * literals in EXPONENT notation — measured pitfall: DuckDB 1.0.0 parses
+    * a plain decimal literal through a DECIMAL intermediate and
+    * double-rounds (41 of these 256 constants land 1 ulp off the Scala
+    * doubles that way), while an e-notation literal parses directly as
+    * DOUBLE with correct rounding, which IS bijective on shortest
+    * representations (verified: all 256 bit-identical). Every accumulation
+    * then replays the kernel's order via list_reduce(... ORDER BY ...), so
+    * all 64 phash values are bit-exact by construction, not by margin.
     */
   private def phashOracleSql: String = {
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
     val basis = (for (u <- 0 until 8; x <- 0 until 32)
-      yield s"($u, $x, ${graft.img.Phash.COS32(u)(x)}::DOUBLE)").mkString(", ")
+      yield s"($u, $x, ${dlit(graft.img.Phash.COS32(u)(x))})").mkString(", ")
     s"""WITH RECURSIVE pows2(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
        |  SELECT e+1, v * 2 FROM pows2 WHERE e < 63),

@@ -424,6 +424,19 @@ object Jpeg {
   @inline private def extend(v: Int, cat: Int): Int =
     if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
 
+  /** discard entropy padding and position the reader just past the next
+    * RSTn marker — shared by the baseline MCU loop and progressive scans
+    */
+  private def skipToRestart(br: BitReader, data: Array[Byte]): Unit = {
+    br.align()
+    var p = br.pos
+    while (p + 1 < data.length &&
+      !((data(p) & 0xFF) == 0xFF && (data(p + 1) & 0xFF) >= 0xD0 && (data(p + 1) & 0xFF) <= 0xD7))
+      p += 1
+    require(p + 1 < data.length, "jpeg: missing restart marker")
+    br.pos = p + 2
+  }
+
   private final case class Component(id: Int, hSamp: Int, vSamp: Int, quantId: Int,
       var dcTab: Int = 0, var acTab: Int = 0)
 
@@ -445,6 +458,8 @@ object Jpeg {
       require(pos + 4 <= data.length, "jpeg: truncated before SOS")
       require((data(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at $pos")
       val m = data(pos + 1) & 0xFF
+      if (m == 0xFF) { pos += 1 } // fill byte (T.81 B.1.1.2) — marker follows
+      else {
       val segLen = u16(pos + 2)
       val body = pos + 4
       m match {
@@ -479,6 +494,7 @@ object Jpeg {
         case _ => // APPn / COM / others: skip
       }
       if (scanStart < 0) pos += 2 + segLen
+      }
     }
 
     val hMax = comps.map(_.hSamp).max
@@ -536,13 +552,7 @@ object Jpeg {
       while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           // previous interval ended at an RSTn marker: skip it, realign
-          br.align()
-          var p = br.pos
-          while (p + 1 < data.length &&
-            !((data(p) & 0xFF) == 0xFF && (data(p + 1) & 0xFF) >= 0xD0 && (data(p + 1) & 0xFF) <= 0xD7))
-            p += 1
-          require(p + 1 < data.length, "jpeg: missing restart marker")
-          br.pos = p + 2
+          skipToRestart(br, data)
           java.util.Arrays.fill(dcPred, 0)
         }
         var ci = 0
@@ -639,13 +649,17 @@ object Jpeg {
 
     def u16(p: Int): Int = ((data(p) & 0xFF) << 8) | (data(p + 1) & 0xFF)
 
-    /** skip from `p` to the next non-RST marker (consuming RSTn markers) */
+    /** skip from `p` to the next non-RST marker (consuming RSTn markers and
+      * 0xFF fill-byte runs — T.81 B.1.1.2 allows any number of fill bytes
+      * before a marker, so an FF FF D9 tail must resolve to the D9)
+      */
     def nextMarker(p0: Int): Int = {
       var p = p0
       while (p + 1 < data.length) {
         if ((data(p) & 0xFF) == 0xFF) {
           val m = data(p + 1) & 0xFF
           if (m == 0x00) p += 2
+          else if (m == 0xFF) p += 1 // fill byte: the marker starts later
           else if (m >= 0xD0 && m <= 0xD7) p += 2
           else return p
         } else p += 1
@@ -662,13 +676,7 @@ object Jpeg {
       var eobrun = 0
 
       def restart(): Unit = {
-        br.align()
-        var p = br.pos
-        while (p + 1 < data.length &&
-          !((data(p) & 0xFF) == 0xFF && (data(p + 1) & 0xFF) >= 0xD0 && (data(p + 1) & 0xFF) <= 0xD7))
-          p += 1
-        require(p + 1 < data.length, "jpeg: missing restart marker")
-        br.pos = p + 2
+        skipToRestart(br, data)
         java.util.Arrays.fill(dcPred, 0)
         eobrun = 0
       }
@@ -830,6 +838,7 @@ object Jpeg {
       require((data(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at $pos")
       val m = data(pos + 1) & 0xFF
       if (m == 0xD9) sawEoi = true
+      else if (m == 0xFF) pos += 1 // fill byte (T.81 B.1.1.2)
       else {
         require(pos + 4 <= data.length, "jpeg: truncated segment header")
         val segLen = u16(pos + 2)
@@ -866,6 +875,9 @@ object Jpeg {
             val se = data(body + 2 + ns * 2) & 0xFF
             val ahal = data(body + 3 + ns * 2) & 0xFF
             require(ss <= 63 && se <= 63 && ss <= se, s"jpeg: bad spectral band $ss..$se")
+            // T.81 G.1: a DC scan is exactly the band [0,0] — Ss=0 with
+            // Se>0 would route AC data through the DC procedure and desync
+            require(ss > 0 || se == 0, s"jpeg: invalid progressive band 0..$se")
             posOverride = decodeScan(body + 1 + ns * 2 + 3, scanCis, ss, se,
               (ahal & 0xF0) >>> 4, ahal & 0x0F)
           case _ => // APPn / COM: skip

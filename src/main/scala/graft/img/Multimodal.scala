@@ -192,8 +192,12 @@ object Multimodal {
       buf.getInt
       require(fourcc() == "WAVE", "RIFF is not WAVE")
       var sampleRate = -1; var blockAlign = -1; var spb = -1; var total = -1
-      var out: Array[Short] = null
-      while (buf.remaining() >= 8 && out == null) {
+      var dataPos = -1; var dataSize = -1
+      // walk EVERY chunk before decoding: RIFF does not order chunks, so a
+      // third-party file may place `fact` (the true sample count) after
+      // `data` — decoding eagerly would return the final block's padding
+      // as phantom audio
+      while (buf.remaining() >= 8) {
         val id = fourcc()
         val size = buf.getInt
         require(size >= 0 && size <= buf.remaining(),
@@ -217,33 +221,35 @@ object Multimodal {
           case "fact" =>
             total = buf.getInt
           case "data" =>
-            require(spb > 0, "WAV data chunk before fmt chunk")
-            val nBlocks = size / blockAlign
-            val n = if (total >= 0) total else nBlocks * spb
-            require(n <= nBlocks * spb, s"fact total $n exceeds data capacity")
-            out = new Array[Short](n)
-            val st = new State()
-            var i = 0
-            var block = 0
-            while (block < nBlocks && i < n) {
-              st.pred = buf.getShort.toInt
-              st.index = math.max(0, math.min(88, buf.get() & 0xFF))
-              buf.get() // reserved
-              if (i < n) { out(i) = st.pred.toShort; i += 1 }
-              var b = 0
-              while (b < blockAlign - 4) {
-                val byte = buf.get() & 0xFF
-                if (i < n) { out(i) = decodeSample(st, byte & 0x0F).toShort; i += 1 }
-                if (i < n) { out(i) = decodeSample(st, byte >>> 4).toShort; i += 1 }
-                b += 1
-              }
-              block += 1
-            }
+            dataPos = buf.position(); dataSize = size
           case _ => ()
         }
-        buf.position(next)
+        buf.position(math.min(next, bytes.length))
       }
-      require(out != null, "WAV has no data chunk")
+      require(dataPos >= 0, "WAV has no data chunk")
+      require(spb > 0, "WAV has no fmt chunk")
+      buf.position(dataPos)
+      val nBlocks = dataSize / blockAlign
+      val n = if (total >= 0) total else nBlocks * spb
+      require(n <= nBlocks * spb, s"fact total $n exceeds data capacity")
+      val out = new Array[Short](n)
+      val st = new State()
+      var i = 0
+      var block = 0
+      while (block < nBlocks && i < n) {
+        st.pred = buf.getShort.toInt
+        st.index = math.max(0, math.min(88, buf.get() & 0xFF))
+        buf.get() // reserved
+        if (i < n) { out(i) = st.pred.toShort; i += 1 }
+        var b = 0
+        while (b < blockAlign - 4) {
+          val byte = buf.get() & 0xFF
+          if (i < n) { out(i) = decodeSample(st, byte & 0x0F).toShort; i += 1 }
+          if (i < n) { out(i) = decodeSample(st, byte >>> 4).toShort; i += 1 }
+          b += 1
+        }
+        block += 1
+      }
       (out, sampleRate)
     }
   }

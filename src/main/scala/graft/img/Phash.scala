@@ -15,9 +15,18 @@ package graft.img
   * resample is integer index math; luma, DCT sums, and the mean accumulate
   * in a fixed sequence), so the whole hash is bit-replicable relationally:
   * q57's DuckDB oracle interpolates the SAME IEEE basis constants as
-  * shortest-round-trip decimal literals and reproduces every phash
-  * exactly. Plain (unnormalized) DCT sums — the mean threshold is
-  * scale-invariant, so normalization would be dead arithmetic.
+  * shortest-round-trip EXPONENT-notation literals (plain decimals would
+  * double-round through DuckDB's DECIMAL path — see phashOracleSql) and
+  * reproduces every phash exactly. Plain (unnormalized) DCT sums — the
+  * mean threshold is scale-invariant, so normalization would be dead
+  * arithmetic.
+  *
+  * Bit 0 (the DC coefficient vs the AC mean) is 1 for essentially every
+  * real image — DC is the sum of all 1024 luma values — so the hash
+  * carries 63 discriminating bits; the constant bit is kept so the bit
+  * layout stays the plain k = v·8+u indexing of the 8×8 block (some
+  * published variants drop DC and substitute another coefficient; the
+  * Hamming-distance behavior is identical either way).
   */
 object Phash {
 
