@@ -428,19 +428,24 @@ object Dedup {
 
   /** Near-dup pairs over ANY 64-bit Hamming-space fingerprint relation
     * `fps(id: bigint, fp: bigint)` — the banding/verify engine shared by
-    * SimHash text dedup (q24) and pHash image dedup: 4×16-bit bands bucket
-    * the candidates (pigeonhole: a pair within Hamming ≤ 3 shares at least
-    * one untouched band, so recall is total there; wider radii trade
-    * recall and should raise the band count), capped buckets degrade to
-    * star pairs against the min-id hub, exact bit_count verifies, and
+    * SimHash text dedup (q24) and pHash image dedup: `bands` equal-width
+    * bit bands bucket the candidates (pigeonhole: a pair within
+    * Hamming ≤ bands-1 shares at least one untouched band, so recall is
+    * TOTAL up to that radius — 4×16-bit covers ≤ 3, 8×8-bit covers ≤ 7;
+    * beyond it recall degrades gracefully), capped buckets degrade to star
+    * pairs against the min-id hub, exact bit_count verifies, and
     * cross-band dedup folds into ONE aggregation exchange (hamming is
     * deterministic per pair) instead of a separate distinct().
     */
   def hammingPairs(spark: SparkSession, fps: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 64, observeName: String = "graft_hamming_buckets"): DataFrame = {
+      maxBucket: Int = 64, observeName: String = "graft_hamming_buckets",
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands=$bands must divide 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val banded = fps.select(col("id"), col("fp"),
-      explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b as band, shiftright(fp, b*16) & 65535 as bkey))")).as("bb"))
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b as band, shiftright(fp, b*$bandBits) & $mask as bkey))")).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
     val buckets = banded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(struct(col("id"), col("fp")))).as("xs"))

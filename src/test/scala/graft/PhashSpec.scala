@@ -39,19 +39,13 @@ class PhashSpec extends AnyFunSuite {
       Seq((i, Phash.phash64(px, w, h)), (i + 100000L, Phash.phash64(re, w, h)))
     }
     val fps = rows.toDF("id", "fp")
-    val pairs = graft.dedup.Dedup.hammingPairs(spark, fps, maxHamming = 4)
+    // 8×8-bit bands: the pigeonhole guarantee covers Hamming <= 7, so at
+    // maxHamming=4 EVERY planted pair must surface — total recall, not a floor
+    val pairs = graft.dedup.Dedup.hammingPairs(spark, fps, maxHamming = 4, bands = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     val got = pairs.map(p => (p._1, p._2)).toSet
-    // every planted (original, re-encode) pair within the pigeonhole-total
-    // band radius (<=3 over 4 bands) MUST surface; distance-4 pairs may
-    // legitimately miss all bands, so require overall recall instead
-    rows.grouped(2).foreach { case Seq((i, o), (j, r)) =>
-      if (java.lang.Long.bitCount(o ^ r) <= 3)
-        assert(got.contains((i, j)), s"planted pair $i missed at hamming<=3")
-    }
     val planted = (0L until 30L).map(i => (i, i + 100000L)).toSet
-    val recall = (got intersect planted).size.toDouble / planted.size
-    assert(recall >= 0.9, s"recall $recall")
+    assert(planted.subsetOf(got), s"missed planted pairs: ${planted -- got}")
     // the corpus' distinct images sit >=5 bits apart, so nothing else may pair
     assert(got.subsetOf(planted), s"false pairs: ${got -- planted}")
   }

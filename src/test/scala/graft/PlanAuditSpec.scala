@@ -154,4 +154,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(jobs <= 1, s"IVF setup ran $jobs jobs (r2 paid 2/iteration + a dim probe)")
   }
+
+  test("semanticDedup costs TWO pre-output jobs: quantizer sample + edge collect") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (graft.img.ImageTable.splitmix64(i * 31 + d).toDouble / Long.MaxValue).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true) // isolate setup jobs
+    val (_, jobs) = countJobs {
+      graft.sim.Similarity.semanticDedup(spark, vecs, minCosine = 0.99, nlist = 4)
+      () // construction only — the returned frame is lazy
+    }
+    // 1: bounded splitmix sample (TakeOrdered); 2+3: the early-terminating
+    // edge collect inside connectedComponents' driver cutover — the edge
+    // pipeline has one exchange, which AQE materializes as its own job
+    // before the result job. The final label join stays lazy — the
+    // caller's action is the only further scan.
+    assert(jobs <= 3, s"semanticDedup setup ran $jobs jobs")
+  }
 }
