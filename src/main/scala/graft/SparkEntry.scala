@@ -389,6 +389,17 @@ object SparkEntry {
       }.toDF("image_id", "w", "h", "psnr_ok")
     }),
 
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): duplicate-
+    // word fraction + top-bigram character fraction per document, with the
+    // keep decision at corpus-splitting thresholds. Driver-oracled
+    // bit-exactly (integer counts + one double division each; top-bigram
+    // tie-break replicated by the oracle's window ORDER BY).
+    "q58_repetition_filter" -> ((s, dir) => {
+      graft.text.TextOps.withRepetition(s, table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+          col("top_bigram_frac"), col("keep"))
+    }),
+
     // REAL perceptual hash (DCT pHash, Zauner 2010) over the image corpus —
     // the algorithmic upgrade of the table's metadata phash: 32×32-luma
     // DCT-II thresholded against the non-DC mean, so lossy RE-ENCODES of an
@@ -1725,6 +1736,38 @@ object SparkEntry {
     // row index through splitmix64; reproduced here in DuckDB with HUGEINT
     // arithmetic mod 2^64 (see splitmixDimsCtes). Verifies generate()'s
     // metadata end-to-end (bytes are pinned by the codec tests in sbt).
+    // q58 — repetition metrics recomputed relationally: word explode →
+    // distinct/total + adjacent-pair self-join → per-doc top bigram by
+    // (count desc, w1, w2) → one double division per metric (exact ints
+    // in, so the doubles are bit-identical)
+    "q58_repetition_filter" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi, len(ws) AS n
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |        FROM documents)),
+        |tot AS (
+        |  SELECT doc_id, max(n) AS n_tokens, CAST(sum(length(w)) AS BIGINT) AS total_chars,
+        |         count(DISTINCT w) AS n_distinct
+        |  FROM words GROUP BY doc_id),
+        |big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c,
+        |         max(length(a.w) + length(b.w)) AS plen
+        |  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
+        |  GROUP BY a.doc_id, a.w, b.w),
+        |top AS (
+        |  SELECT doc_id, c, plen FROM (
+        |    SELECT doc_id, c, plen,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rk
+        |    FROM big) WHERE rk = 1),
+        |m AS (
+        |  SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+        |    1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS dup_word_frac,
+        |    COALESCE(CAST(p.c * p.plen AS DOUBLE) / t.total_chars, 0.0) AS top_bigram_frac
+        |  FROM tot t LEFT JOIN top p USING (doc_id))
+        |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac,
+        |  (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08) AS keep
+        |FROM m""".stripMargin,
+
     // q57 — pHash replicated end-to-end: pixel function + nearest resample
     // + both DCT passes + mean threshold + bit packing, all bit-exact (the
     // basis constants interpolate from Phash.COS32 as shortest-round-trip

@@ -461,6 +461,8 @@ object Jpeg {
       if (m == 0xFF) { pos += 1 } // fill byte (T.81 B.1.1.2) — marker follows
       else {
       val segLen = u16(pos + 2)
+      require(segLen >= 2 && pos + 2 + segLen <= data.length,
+        f"jpeg: segment 0xFF$m%02X overruns the file")
       val body = pos + 4
       m match {
         case 0xC0 | 0xC1 => // baseline (extended-sequential C1 shares the wire shape)
@@ -476,6 +478,7 @@ object Jpeg {
         case 0xDD =>
           restartInterval = u16(body)
         case 0xDA => // SOS
+          require(comps != null, "jpeg: SOS before SOF")
           val n = data(body) & 0xFF
           require(n == comps.length, "jpeg: scan/frame component mismatch")
           var i = 0
@@ -486,6 +489,8 @@ object Jpeg {
               throw new IllegalArgumentException(s"jpeg: unknown scan component $cid"))
             c.dcTab = (tabs & 0xF0) >>> 4
             c.acTab = tabs & 0x0F
+            require(c.dcTab <= 3 && c.acTab <= 3,
+              s"jpeg: scan huffman table ids ${c.dcTab}/${c.acTab} out of range")
             i += 1
           }
           scanStart = body + 1 + n * 2 + 3
@@ -584,6 +589,7 @@ object Jpeg {
     while (p < end) {
       val clazz = (data(p) & 0xF0) >>> 4
       val id = data(p) & 0x0F
+      require(id <= 3, s"jpeg: huffman table id $id out of range")
       val bits = Array.tabulate(16)(i => data(p + 1 + i) & 0xFF)
       val nVals = bits.sum
       val vals = java.util.Arrays.copyOfRange(data, p + 17, p + 17 + nVals)
@@ -600,6 +606,7 @@ object Jpeg {
       val prec = (data(p) & 0xF0) >>> 4
       val id = data(p) & 0x0F
       require(prec == 0, "jpeg: 16-bit quant tables unsupported")
+      require(id <= 3, s"jpeg: quant table id $id out of range")
       val t = new Array[Int](64)
       var i = 0
       while (i < 64) { t(ZIGZAG(i)) = data(p + 1 + i) & 0xFF; i += 1 }
@@ -614,16 +621,28 @@ object Jpeg {
     val h = u16(body + 1); val w = u16(body + 3)
     val n = data(body + 5) & 0xFF
     require(n == 1 || n == 3, s"jpeg: $n components unsupported")
+    // pixel budget: w/h are attacker-controlled 16-bit fields, and plane
+    // allocation is eager — an unchecked 65535×65535 header would try to
+    // allocate ~17 GB before any entropy data is validated
+    require(w.toLong * h <= MaxDecodePixels,
+      s"jpeg: ${w}x$h exceeds the decoder pixel budget ($MaxDecodePixels)")
     val comps = Array.tabulate(n) { i =>
       val o = body + 6 + i * 3
       val hs = (data(o + 1) & 0xF0) >>> 4
       val vs = data(o + 1) & 0x0F
       require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
         s"jpeg: sampling ${hs}x$vs unsupported (1-2 only)")
-      Component(data(o) & 0xFF, hs, vs, data(o + 2) & 0xFF)
+      val qid = data(o + 2) & 0xFF
+      require(qid <= 3, s"jpeg: quant table id $qid out of range")
+      Component(data(o) & 0xFF, hs, vs, qid)
     }
     (w, h, comps)
   }
+
+  /** decoder allocation guard (≈1 GiB of planes at 3 components) —
+    * corrupt headers must fail loudly, not OOM the executor
+    */
+  val MaxDecodePixels: Long = 1L << 28
 
   /** Progressive JPEG (SOF2, T.81 §G): coefficients accumulate across
     * MULTIPLE scans — DC first/refinement (optionally interleaved), AC
@@ -842,6 +861,8 @@ object Jpeg {
       else {
         require(pos + 4 <= data.length, "jpeg: truncated segment header")
         val segLen = u16(pos + 2)
+        require(segLen >= 2 && pos + 2 + segLen <= data.length,
+          f"jpeg: segment 0xFF$m%02X overruns the file")
         val body = pos + 4
         var posOverride = -1
         m match {
@@ -869,6 +890,8 @@ object Jpeg {
               require(ci >= 0, s"jpeg: unknown scan component $cid")
               comps(ci).dcTab = (tabs & 0xF0) >>> 4
               comps(ci).acTab = tabs & 0x0F
+              require(comps(ci).dcTab <= 3 && comps(ci).acTab <= 3,
+                s"jpeg: scan huffman table ids out of range")
               ci
             }
             val ss = data(body + 1 + ns * 2) & 0xFF

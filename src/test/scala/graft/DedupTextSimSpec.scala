@@ -174,6 +174,33 @@ class TextOpsSpec extends AnyFunSuite {
     // tokens: ab, cd, -, 12, ",", x, "!" = 7
     assert(df.head().getInt(0) == 7)
   }
+
+  test("repetition kernel: hand-computed metrics, loop detection, tie-break") {
+    // "a b a b a b": 6 tokens, 2 distinct → dup 4/6; top bigram ("a","b")
+    // occurs 3× covering 3·2 of 6 chars
+    val (n, dup, top) = TextOps.repetitionKernel("a b a b a b")
+    assert(n == 6 && dup == 1.0 - 2.0 / 6 && top == 6.0 / 6)
+    // all-distinct text: dup 0, top bigram covers its own chars once
+    val (_, d2, t2) = TextOps.repetitionKernel("alpha beta gamma delta")
+    assert(d2 == 0.0 && t2 == 9.0 / 19) // "alpha beta" = 9 chars of 19
+    // tie-break: equal counts → lexicographically smallest pair wins
+    val (_, _, t3) = TextOps.repetitionKernel("zz yy aa bb")
+    assert(t3 == 4.0 / 8) // ("aa","bb") beats ("zz","yy") and ("yy","aa") at count 1
+    // degenerate inputs
+    assert(TextOps.repetitionKernel("") == ((0, 0.0, 0.0)))
+    assert(TextOps.repetitionKernel("solo") == ((1, 0.0, 0.0)))
+    // a generation loop is caught by the filter; clean text passes. The
+    // clean doc must be LONG — on a short doc any single bigram covers a
+    // large character share, which is exactly why Gopher's thresholds
+    // assume document-length inputs
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the model said the model said the model said the model said"),
+      (2L, (0 until 60).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.withRepetition(spark, docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!out(1L) && out(2L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
