@@ -748,6 +748,26 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
     }),
 
+    // star-schema join: the fact table streams through a CHAIN of
+    // broadcast dimension joins (supplier → nation → region + part) and
+    // shuffles exactly once, at the final aggregation — the plan shape a
+    // 100 TB fact table needs (dims are metadata-sized at any scale).
+    // Covers the four otherwise-unused dimension tables.
+    "q59_star_join" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val reg = table(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val prt = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("price_cents"))
+    }),
+
     // cube (full grouping-sets lattice)
     "q48_cube" -> ((s, dir) => {
       table(s, dir, "orders")
@@ -1488,6 +1508,17 @@ object SparkEntry {
 
     "q36_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+
+    // q59 — the star join: same aggregate shape as q05's oracle
+    "q59_star_join" ->
+      """SELECT r_name, p_brand, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, p_brand""".stripMargin,
 
     "q42_set_ops" ->
       """WITH hq AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 40),

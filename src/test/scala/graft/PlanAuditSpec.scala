@@ -155,6 +155,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs <= 1, s"IVF setup ran $jobs jobs (r2 paid 2/iteration + a dim probe)")
   }
 
+  test("star join: fact table streams through FOUR broadcast dims, one shuffle at the agg") {
+    val plan = SparkEntry.queries("q59_star_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 4, s"expected 4 broadcast joins:\n$plan")
+    // the only exchange is the final aggregation's — the fact scan never
+    // shuffles through the dimension chain
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
+  }
+
   test("semanticDedup costs TWO pre-output jobs: quantizer sample + edge collect") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
