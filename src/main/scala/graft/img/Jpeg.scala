@@ -185,8 +185,14 @@ object Jpeg {
     * 500-image sweep, quality 95 bottoms out at 37.97 dB while 97 keeps
     * every image ≥ 41.5 dB, clearing the 40 dB lossy invariant with margin
     * while still compressing ~5× vs raw.
+    *
+    * `restartInterval` > 0 emits DRI + RSTn markers every that many MCUs
+    * (error-resilience islands; also what makes the decoder's restart
+    * path testable against an independent decoder — ImageIO never writes
+    * DRI on its own).
     */
-  def encode(pixels: Array[Int], w: Int, h: Int, quality: Int = 97): Array[Byte] = {
+  def encode(pixels: Array[Int], w: Int, h: Int, quality: Int = 97,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h, "bad dimensions")
     require(w <= 65535 && h <= 65535, s"jpeg: ${w}x$h exceeds the 16-bit SOF dimension limit")
     val qLum = scaledQuant(Q_LUM, quality)
@@ -228,6 +234,8 @@ object Jpeg {
     dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
     dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
 
     // SOS
     marker(0xDA); u16(6 + 2 * 3)
@@ -308,10 +316,17 @@ object Jpeg {
     val mcuH = (h + 7) / 8
     var dcY = 0; var dcCb = 0; var dcCr = 0
     val yCh = new Array[Double](64); val cbCh = new Array[Double](64); val crCh = new Array[Double](64)
+    var mcuCount = 0
     var my = 0
     while (my < mcuH) {
       var mx = 0
       while (mx < mcuW) {
+        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+          bw.flush() // pad to a byte boundary, then the restart marker
+          marker(0xD0 + ((mcuCount / restartInterval - 1) & 7))
+          dcY = 0; dcCb = 0; dcCr = 0
+        }
+        mcuCount += 1
         var yy = 0
         while (yy < 8) {
           val py = math.min(my * 8 + yy, h - 1)

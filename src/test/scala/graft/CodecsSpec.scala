@@ -201,6 +201,22 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG restart intervals: DRI/RSTn streams round-trip and cross-decode via ImageIO") {
+    val w = 48; val h = 40 // 6x5 = 30 MCUs at 4:4:4
+    val px = ImageTable.renderPixels(11, w, h)
+    for (interval <- Seq(1, 3, 7)) {
+      val bytes = Jpeg.encode(px, w, h, restartInterval = interval)
+      assert(bytes.indices.exists(k => (bytes(k) & 0xFF) == 0xFF && (bytes(k + 1) & 0xFF) == 0xDD),
+        "no DRI segment written")
+      val (ours, oW, oH) = Jpeg.decode(bytes)
+      assert(oW == w && oH == h)
+      assert(ImageTable.psnrDb(ours, px) >= 40.0, s"interval $interval round trip")
+      // an independent decoder must accept the restart stream too
+      val (ref, _, _) = ImageTable.decodeViaImageIO(bytes)
+      assert(ImageTable.psnrDb(ref, ours) >= 45.0, s"interval $interval vs ImageIO")
+    }
+  }
+
   test("JPEG decoder survives corruption fuzzing: clean failure or success, never a crash") {
     // at ingest scale the decoder sees arbitrary bytes; every corruption
     // must decode or raise IllegalArgumentException — never an index error,
