@@ -195,6 +195,8 @@ object Jpeg {
       restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h, "bad dimensions")
     require(w <= 65535 && h <= 65535, s"jpeg: ${w}x$h exceeds the 16-bit SOF dimension limit")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"jpeg: restartInterval $restartInterval exceeds the 16-bit DRI field")
     val qLum = scaledQuant(Q_LUM, quality)
     val qChrom = scaledQuant(Q_CHROM, quality)
     val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
