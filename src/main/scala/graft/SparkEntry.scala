@@ -493,6 +493,43 @@ object SparkEntry {
         .orderBy("relation_id")
     }),
 
+    // sequence packing for pretraining (the concat-then-chunk prep every
+    // GPT-style run does): the corpus concatenates in doc_id order and
+    // splits into fixed token-budget chunks; each doc learns its chunk id,
+    // offset, and whether it spans a chunk boundary. One window cumsum.
+    // SCALE NOTE: the global ORDER BY is one total sort — at corpus scale
+    // packing runs per shard (sortWithinPartitions over pre-bucketed
+    // shards), which changes chunk numbering but not the operation.
+    "q60_sequence_pack" -> ((s, dir) => {
+      val budget = 2048
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ", -1)).as("n_tokens"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("cum_before",
+          coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"cum_before div $budget").as("chunk_id"),
+          (col("cum_before") % budget).as("offset_in_chunk"),
+          (expr(s"(cum_before + n_tokens - 1) div $budget") >
+            expr(s"cum_before div $budget")).as("spans_boundary"))
+    }),
+
+    // deterministic domain-mixture sampling (fixed per-language quotas, the
+    // Pile/DoReMi-style reweighting step): keep a doc iff the low 63 bits
+    // of splitmix64(doc_id) mod 1000 fall under its language's quota.
+    // Hash-threshold sampling is reproducible, shuffle-free (narrow
+    // filter), and composable across reweighting runs; the hash is PURE
+    // column arithmetic (GraftFunctions.splitmixCol — codegen'd, no UDF).
+    "q61_mixture_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val h = graft.functions.GraftFunctions.splitmixCol(s, col("doc_id"))
+      val slot = h.bitwiseAND(lit(Long.MaxValue)) % 1000
+      val quota = when(col("lang") === "en", 400)
+        .when(col("lang") === "zh", 600).otherwise(900)
+      d.filter(slot < quota).select(col("doc_id"), col("lang"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1625,6 +1662,31 @@ object SparkEntry {
         |s AS (SELECT user_id, event_id AS last_signup, ts FROM events WHERE event_type = 'signup')
         |SELECT p.user_id, p.event_id, s.last_signup
         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    // q60 — sequence packing: q21's tokenization + a window cumsum +
+    // integral div/mod per row
+    "q60_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 2048 AS chunk_id,
+        |  cum_before % 2048 AS offset_in_chunk,
+        |  ((cum_before + n_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary
+        |FROM c""".stripMargin,
+
+    // q61 — mixture sampling: the splitmix chain over doc_id, low-63-bit
+    // slot mod 1000 under the per-language quota
+    "q61_mixture_sample" ->
+      s"""WITH ids AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS i FROM documents),
+         |${splitmixChain("s", Seq("doc_id", "lang"), "ids", "i")}
+         |SELECT doc_id, lang FROM s3
+         |WHERE (z % 9223372036854775808::HUGEINT) % 1000 <
+         |  CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 600 ELSE 900 END""".stripMargin,
 
     "q40_training_select" ->
       """WITH kept AS (

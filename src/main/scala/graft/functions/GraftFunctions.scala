@@ -49,6 +49,8 @@ object GraftFunctions {
       "ray_cast_contains", exprs => RayCastContains(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "splitmix64", exprs => SplitMix64(exprs(0)), "built-in")
   }
 
   /** Column form: rings array<array<struct<lat:float,lon:float>>>, lat, lon. */
@@ -62,6 +64,49 @@ object GraftFunctions {
     register(spark)
     call_function("cosine_f32", a, b)
   }
+
+  /** splitmix64 (Steele et al.) over a bigint column as a NATIVE codegen'd
+    * expression — deterministic hashing without a UDF. It cannot be plain
+    * column arithmetic: the kernel's multiplies wrap mod 2^64, which
+    * Spark's ANSI mode (the 4.x default) raises on; generated Java long
+    * arithmetic wraps by definition. Bit parity with the scalar kernel
+    * pinned in PlanAuditSpec.
+    */
+  def splitmixCol(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("splitmix64", c)
+  }
+}
+
+/** splitmix64 as a native unary expression — see GraftFunctions.splitmixCol. */
+case class SplitMix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"splitmix64 needs a bigint input, got $other")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.img.ImageTable.splitmix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c + 0x9E3779B97F4A7C15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |${ev.value} = $z ^ ($z >>> 31);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64 =
+    copy(child = newChild)
 }
 
 /** Even-odd ray-cast containment over the union of rings (same semantics as

@@ -155,6 +155,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs <= 1, s"IVF setup ran $jobs jobs (r2 paid 2/iteration + a dim probe)")
   }
 
+  test("splitmixCol: bit parity with the scalar kernel, pure codegen (no UDF)") {
+    import spark.implicits._
+    val df = spark.range(-500, 500).toDF("id")
+      .select(col("id"), graft.functions.GraftFunctions.splitmixCol(spark, col("id")).as("h"))
+    df.as[(Long, Long)].collect().foreach { case (i, h) =>
+      assert(h == graft.img.ImageTable.splitmix64(i), s"mismatch at $i")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"splitmixCol fell out of codegen:\n$plan")
+  }
+
   test("star join: fact table streams through FOUR broadcast dims, one shuffle at the agg") {
     val plan = SparkEntry.queries("q59_star_join")(spark, sf)
       .queryExecution.executedPlan.toString
