@@ -147,10 +147,17 @@ object Codecs {
     var done = false
     while (!done && pos + 8 <= bytes.length) {
       val len = be32(bytes, pos)
+      // corrupt chunk lengths are the decoder's worst inputs: a negative
+      // len would walk `pos` BACKWARD (infinite loop — a measured fuzz
+      // hang), an oversized one reads past the buffer
+      require(len >= 0 && pos.toLong + 12 + len <= bytes.length,
+        s"corrupt PNG chunk length $len at $pos")
       val tag = new String(bytes, pos + 4, 4, "US-ASCII")
       tag match {
         case "IHDR" =>
           w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          require(w > 0 && h > 0 && w.toLong * h <= Jpeg.MaxDecodePixels,
+            s"PNG dimensions ${w}x$h out of range")
           val bitDepth = bytes(pos + 16) & 0xFF
           colorType = bytes(pos + 17) & 0xFF
           require(bitDepth == 8, s"unsupported bit depth $bitDepth")
@@ -162,6 +169,7 @@ object Codecs {
       }
       pos += 12 + len
     }
+    require(w > 0 && h > 0, "PNG has no IHDR")
     val bpp = if (colorType == 6) 4 else 3
     val stride = 1 + bpp * w
     val rawLen = stride * h
@@ -175,10 +183,19 @@ object Codecs {
     inf.reset()
     inf.setInput(idat.toByteArray)
     var off = 0
-    while (!inf.finished() && off < rawLen) {
-      val n = inf.inflate(raw, off, rawLen - off)
-      if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated IDAT")
-      off += n
+    try {
+      while (!inf.finished() && off < rawLen) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        // n == 0 without being finished covers BOTH truncation
+        // (needsInput) and a preset-dictionary demand — either way the
+        // stream can make no progress and looping would hang
+        if (n == 0 && !inf.finished())
+          throw new java.io.IOException("truncated or unsupported IDAT stream")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new java.io.IOException(s"corrupt IDAT deflate data: ${e.getMessage}")
     }
     // unfilter in place, scanline by scanline
     val px = new Array[Int](w * h)
@@ -277,8 +294,15 @@ object Codecs {
     val bpp = le16(28)
     require(hdrSize >= 40 && (bpp == 24 || bpp == 32) && le32(30) == 0,
       s"unsupported BMP variant (hdr=$hdrSize bpp=$bpp comp=${le32(30)})")
+    // corrupt headers must fail loudly, not index out of bounds or
+    // allocate gigabytes: dims bounded by the shared decode budget, and
+    // the full pixel region must lie inside the buffer
+    require(w > 0 && h > 0 && w.toLong * h <= Jpeg.MaxDecodePixels,
+      s"BMP dimensions ${w}x$h out of range")
     val bytesPerPx = bpp / 8
     val rowSize = (bytesPerPx * w + 3) & ~3
+    require(dataOff >= 54 && dataOff.toLong + rowSize.toLong * h <= bytes.length,
+      s"BMP pixel data (offset $dataOff, ${rowSize}x$h) overruns the file")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -237,6 +237,29 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG/BMP decoders survive corruption fuzzing: clean failure or success, never a crash") {
+    // same ingest-robustness contract as the JPEG fuzz pin. The offline
+    // sweep found real failures in both: a negative PNG chunk length
+    // walked the chunk cursor BACKWARD (infinite loop), corrupt deflate
+    // raised unchecked DataFormatException, and corrupt BMP dims/offsets
+    // indexed out of bounds or allocated gigabytes.
+    val px = ImageTable.renderPixels(3, 24, 20)
+    for ((base, n) <- Seq((Codecs.encodePng(px, 24, 20), 800), (Codecs.encodeBmp(px, 24, 20), 800))) {
+      for (seed <- 0L until n.toLong) {
+        val b = base.clone()
+        val k = 1 + (ImageTable.splitmix64(seed) & 3).toInt
+        for (j <- 0 until k) {
+          val p = Math.floorMod(ImageTable.splitmix64(seed * 7 + j), b.length.toLong).toInt
+          b(p) = (ImageTable.splitmix64(seed * 13 + j) & 0xFF).toByte
+        }
+        try { Codecs.decode(b); () }
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException => ()
+        } // anything else fails the test
+      }
+    }
+  }
+
   test("JPEG rejects unsupported shapes loudly") {
     val px = ImageTable.renderPixels(1, 16, 16)
     val bytes = Jpeg.encode(px, 16, 16)
