@@ -48,6 +48,12 @@ object OsmPbf {
           s"truncated/corrupt zlib stream at $off of $rawSize bytes")
         off += n
       }
+    } catch {
+      // zlib's checked exception would escape as a raw crash — rethrow in
+      // the decoder's loud-failure vocabulary (measured: corrupt blob
+      // bytes raise this on nearly every bitflip inside the deflate data)
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt zlib blob data: ${e.getMessage}")
     } finally inf.end()
     require(off == rawSize, s"inflate produced $off of $rawSize bytes")
     out
@@ -97,8 +103,18 @@ object OsmPbf {
     }
     def toDecimicroLat(v: Long): Int = ((latOffset + granularity * v) / 100L).toInt
     def toDecimicroLon(v: Long): Int = ((lonOffset + granularity * v) / 100L).toInt
-    def tagsOf(keys: Array[Long], vals: Array[Long]): Map[String, String] =
-      keys.indices.map(i => strings(keys(i).toInt) -> strings(vals(i).toInt)).toMap
+    // every string reference comes from untrusted varints — a corrupt
+    // index must fail loudly, not throw a raw ArrayIndexOutOfBounds
+    def str(i: Long): String = {
+      require(i >= 0 && i < strings.length,
+        s"corrupt PBF: string-table index $i out of range (${strings.length} entries)")
+      strings(i.toInt)
+    }
+    def tagsOf(keys: Array[Long], vals: Array[Long]): Map[String, String] = {
+      require(keys.length == vals.length,
+        s"corrupt PBF: ${keys.length} tag keys vs ${vals.length} values")
+      keys.indices.map(i => str(keys(i)) -> str(vals(i))).toMap
+    }
 
     val nodes = scala.collection.mutable.ArrayBuffer.empty[NodeRow]
     val ways = scala.collection.mutable.ArrayBuffer.empty[WayRow]
@@ -130,6 +146,11 @@ object OsmPbf {
             case (10, 2) => kvs = d.packedVarints()
             case (_, w)  => d.skipField(w)
           }
+          // the three delta streams must be parallel — corrupt blocks can
+          // truncate one of them and the walk below would index past it
+          require(lats.length == ids.length && lons.length == ids.length,
+            s"corrupt PBF: dense node streams disagree (${ids.length} ids, " +
+              s"${lats.length} lats, ${lons.length} lons)")
           var id = 0L; var la = 0L; var lo = 0L; var k = 0
           var i = 0
           while (i < ids.length) {
@@ -137,7 +158,8 @@ object OsmPbf {
             var tags = Map.empty[String, String]
             if (kvs.nonEmpty) {
               while (k < kvs.length && kvs(k) != 0L) {
-                tags += strings(kvs(k).toInt) -> strings(kvs(k + 1).toInt)
+                require(k + 1 < kvs.length, "corrupt PBF: dangling dense key without value")
+                tags += str(kvs(k)) -> str(kvs(k + 1))
                 k += 2
               }
               k += 1 // the 0 separator
@@ -175,13 +197,18 @@ object OsmPbf {
             case (10, 2) => types = rr.packedVarints()
             case (_, w)  => rr.skipField(w)
           }
+          // the member streams must be parallel too (same corruption mode
+          // as the dense-node streams)
+          require(types.length == memids.length && roles.length == memids.length,
+            s"corrupt PBF: relation $id member streams disagree (${memids.length} ids, " +
+              s"${types.length} types, ${roles.length} roles)")
           var acc = 0L
           val members = memids.indices.map { i =>
             acc += memids(i)
             val t = types(i).toInt
             require(t >= 0 && t < MemberTypes.length,
               s"relation $id: unknown member type id $t at member $i")
-            Member(MemberTypes(t), acc, strings(roles(i).toInt))
+            Member(MemberTypes(t), acc, str(roles(i)))
           }
           rels += RelationRow(id, members, tagsOf(keys, vals))
         case (_, w) => g.skipField(w)

@@ -114,6 +114,41 @@ class PbfSpec extends AnyFunSuite {
     assert(r.count() == a.relations.size + b.relations.size)
   }
 
+  test("PBF decode survives corruption fuzzing: clean failure or success, never a crash") {
+    // ingest-robustness pin (same contract as the image-codec fuzz pins in
+    // CodecsSpec): a 4000-seed offline sweep found raw DataFormatException
+    // escapes, unvalidated string-table indices, and non-parallel dense-
+    // node/relation-member streams indexing out of bounds — all now clean
+    // IllegalArgument/IOException failures. Deterministic 1500-seed slice.
+    val scene = OsmScenes.grid(4, 4)
+    val base = OsmPbf.encode(scene.nodes, scene.ways, scene.relations, zlib = true)
+    for (seed <- 0L until 1500L) {
+      val b = base.clone()
+      val k = 1 + (graft.img.ImageTable.splitmix64(seed) & 3).toInt
+      for (j <- 0 until k) {
+        val p = Math.floorMod(graft.img.ImageTable.splitmix64(seed * 7 + j), b.length.toLong).toInt
+        b(p) = (graft.img.ImageTable.splitmix64(seed * 13 + j) & 0xFF).toByte
+      }
+      val f = java.io.File.createTempFile("graft-fuzz", ".osm.pbf")
+      try {
+        java.nio.file.Files.write(f.toPath, b)
+        try {
+          PbfSource.blobIndex(f.getPath).foreach { ref =>
+            val raf = new java.io.RandomAccessFile(ref.path, "r")
+            try {
+              raf.seek(ref.offset)
+              val buf = new Array[Byte](ref.length)
+              raf.readFully(buf)
+              OsmPbf.decodePrimitiveBlock(OsmPbf.decodeBlob(buf))
+            } finally raf.close()
+          }
+        } catch {
+          case _: IllegalArgumentException | _: java.io.IOException => ()
+        } // anything else fails the test
+      } finally { f.delete(); () }
+    }
+  }
+
   test("corrupt input fails loudly, never decodes garbage") {
     val scene = OsmScenes.golden
     val good = OsmPbf.encode(scene.nodes, scene.ways, scene.relations, zlib = true)
