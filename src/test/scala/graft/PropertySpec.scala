@@ -213,3 +213,35 @@ object StarContractionProperties extends Properties("StarContraction") {
       }
     }
 }
+
+object JpegProperties extends Properties("Jpeg") {
+  import graft.img.{ImageTable, Jpeg}
+
+  private val imgGen: Gen[(Array[Int], Int, Int)] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+    seed <- Gen.choose(0L, 1000000L)
+  } yield (Array.tabulate(w * h)(i =>
+    (ImageTable.splitmix64(seed * 7919 + i) & 0xFFFFFF).toInt), w, h)
+
+  property("round trip preserves dimensions and stays sane on ARBITRARY pixels") =
+    forAll(imgGen) { case (px, w, h) =>
+      // random noise is JPEG's worst case — the 40 dB invariant applies to
+      // the image corpus, but any input must round-trip structurally and
+      // not collapse (>= 20 dB holds with margin even for noise at q97)
+      val (back, bw, bh) = Jpeg.decode(Jpeg.encode(px, w, h))
+      bw == w && bh == h && ImageTable.psnrDb(back, px) >= 20.0
+    }
+
+  property("every quality level produces a valid stream ImageIO also accepts") =
+    forAll(Gen.choose(1, 100), Gen.choose(0L, 1000L)) { (q, seed) =>
+      val w = 24; val h = 16
+      val px = ImageTable.renderPixels(seed, w, h)
+      val bytes = Jpeg.encode(px, w, h, quality = q)
+      val (ours, bw, bh) = Jpeg.decode(bytes)
+      val (ref, rw, rh) = ImageTable.decodeViaImageIO(bytes)
+      // the two decoders read the same stream: close agreement at any q
+      bw == w && bh == h && rw == w && rh == h &&
+        ImageTable.psnrDb(ours, ref) >= 40.0
+    }
+}
