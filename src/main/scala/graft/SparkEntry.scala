@@ -1834,12 +1834,13 @@ object SparkEntry {
     // (count desc, w1, w2) → one double division per metric (exact ints
     // in, so the doubles are bit-identical)
     "q58_repetition_filter" ->
-      """WITH words AS (
-        |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi, len(ws) AS n
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-        |        FROM documents)),
-        |tot AS (
-        |  SELECT doc_id, max(n) AS n_tokens, CAST(sum(length(w)) AS BIGINT) AS total_chars,
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM base),
+        |wstats AS (
+        |  SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS total_chars,
         |         count(DISTINCT w) AS n_distinct
         |  FROM words GROUP BY doc_id),
         |big AS (
@@ -1852,11 +1853,14 @@ object SparkEntry {
         |    SELECT doc_id, c, plen,
         |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rk
         |    FROM big) WHERE rk = 1),
+        |-- tot anchors on base (not the exploded words), so a zero-token
+        |-- document keeps its (0, 0.0, 0.0) row exactly like the kernel
         |m AS (
-        |  SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
-        |    1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS dup_word_frac,
-        |    COALESCE(CAST(p.c * p.plen AS DOUBLE) / t.total_chars, 0.0) AS top_bigram_frac
-        |  FROM tot t LEFT JOIN top p USING (doc_id))
+        |  SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_tokens,
+        |    CASE WHEN len(b.ws) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / len(b.ws) END AS dup_word_frac,
+        |    COALESCE(CAST(p.c * p.plen AS DOUBLE) / s.total_chars, 0.0) AS top_bigram_frac
+        |  FROM base b LEFT JOIN wstats s USING (doc_id) LEFT JOIN top p USING (doc_id))
         |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac,
         |  (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08) AS keep
         |FROM m""".stripMargin,

@@ -172,11 +172,20 @@ object Codecs {
     require(w > 0 && h > 0, "PNG has no IHDR")
     val bpp = if (colorType == 6) 4 else 3
     val stride = 1 + bpp * w
-    val rawLen = stride * h
+    val rawLenL = stride.toLong * h
+    require(rawLenL <= Int.MaxValue - 8, s"PNG raw scanline size $rawLenL out of range")
+    val rawLen = rawLenL.toInt
+    // the ThreadLocal scratch only grows for COMMON sizes; an oversized
+    // frame gets a one-off exact allocation so a single huge-but-legal
+    // file can neither overflow the pow2 sizing (highestOneBit*2 went
+    // negative above 2^30) nor pin a GiB of scratch on an executor
+    // thread forever
     var raw = scanScratch.get()
     if (raw.length < rawLen) {
-      raw = new Array[Byte](Integer.highestOneBit(rawLen) * 2)
-      scanScratch.set(raw)
+      if (rawLen <= (1 << 24)) {
+        raw = new Array[Byte](Integer.highestOneBit(math.max(rawLen, 1)) * 2)
+        scanScratch.set(raw)
+      } else raw = new Array[Byte](rawLen)
     }
     java.util.Arrays.fill(raw, 0, rawLen, 0.toByte)
     val inf = inflaters.get()

@@ -483,7 +483,7 @@ object Jpeg {
       val body = pos + 4
       m match {
         case 0xC0 | 0xC1 => // baseline (extended-sequential C1 shares the wire shape)
-          val (w0, h0, cs) = parseFrameHeader(data, body)
+          val (w0, h0, cs) = parseFrameHeader(data, body, pos + 2 + segLen)
           w = w0; h = h0; comps = cs
         case 0xC2 =>
           return decodeProgressive(data)
@@ -496,7 +496,10 @@ object Jpeg {
           restartInterval = u16(body)
         case 0xDA => // SOS
           require(comps != null, "jpeg: SOS before SOF")
+          require(body < pos + 2 + segLen, "jpeg: empty SOS segment")
           val n = data(body) & 0xFF
+          require(body + 1 + n * 2 + 3 <= pos + 2 + segLen,
+            "jpeg: SOS header overruns its segment")
           require(n == comps.length, "jpeg: scan/frame component mismatch")
           var i = 0
           while (i < n) {
@@ -604,11 +607,13 @@ object Jpeg {
       dcTabs: Array[DecTable], acTabs: Array[DecTable]): Unit = {
     var p = body
     while (p < end) {
+      require(p + 17 <= end, "jpeg: DHT table header overruns its segment")
       val clazz = (data(p) & 0xF0) >>> 4
       val id = data(p) & 0x0F
       require(id <= 3, s"jpeg: huffman table id $id out of range")
       val bits = Array.tabulate(16)(i => data(p + 1 + i) & 0xFF)
       val nVals = bits.sum
+      require(p + 17 + nVals <= end, "jpeg: DHT symbol list overruns its segment")
       val vals = java.util.Arrays.copyOfRange(data, p + 17, p + 17 + nVals)
       val t = new DecTable(bits, vals)
       if (clazz == 0) dcTabs(id) = t else acTabs(id) = t
@@ -620,6 +625,7 @@ object Jpeg {
       quant: Array[Array[Int]]): Unit = {
     var p = body
     while (p < end) {
+      require(p + 65 <= end, "jpeg: DQT table overruns its segment")
       val prec = (data(p) & 0xF0) >>> 4
       val id = data(p) & 0x0F
       require(prec == 0, "jpeg: 16-bit quant tables unsupported")
@@ -632,15 +638,17 @@ object Jpeg {
     }
   }
 
-  private def parseFrameHeader(data: Array[Byte], body: Int): (Int, Int, Array[Component]) = {
+  private def parseFrameHeader(data: Array[Byte], body: Int, end: Int): (Int, Int, Array[Component]) = {
     def u16(p: Int): Int = ((data(p) & 0xFF) << 8) | (data(p + 1) & 0xFF)
+    require(body + 6 <= end, "jpeg: SOF header overruns its segment")
     require((data(body) & 0xFF) == 8, "jpeg: only 8-bit precision supported")
     val h = u16(body + 1); val w = u16(body + 3)
     val n = data(body + 5) & 0xFF
     require(n == 1 || n == 3, s"jpeg: $n components unsupported")
+    require(body + 6 + 3 * n <= end, "jpeg: SOF component list overruns its segment")
     // pixel budget: w/h are attacker-controlled 16-bit fields, and plane
     // allocation is eager — an unchecked 65535×65535 header would try to
-    // allocate ~17 GB before any entropy data is validated
+    // allocate gigabytes before any entropy data is validated
     require(w.toLong * h <= MaxDecodePixels,
       s"jpeg: ${w}x$h exceeds the decoder pixel budget ($MaxDecodePixels)")
     val comps = Array.tabulate(n) { i =>
@@ -651,15 +659,22 @@ object Jpeg {
         s"jpeg: sampling ${hs}x$vs unsupported (1-2 only)")
       val qid = data(o + 2) & 0xFF
       require(qid <= 3, s"jpeg: quant table id $qid out of range")
-      Component(data(o) & 0xFF, hs, vs, qid)
+      // T.81 §A.2: a single-component scan is NON-interleaved — sampling
+      // factors describe the (absent) interleave and are ignored for data
+      // layout, so normalize them; without this a grayscale file declaring
+      // 2x2 factors (jpegtran color→gray keeps them) over-reads its scan
+      if (n == 1) Component(data(o) & 0xFF, 1, 1, qid)
+      else Component(data(o) & 0xFF, hs, vs, qid)
     }
     (w, h, comps)
   }
 
-  /** decoder allocation guard (≈1 GiB of planes at 3 components) —
-    * corrupt headers must fail loudly, not OOM the executor
+  /** decoder allocation guard — corrupt headers must fail loudly, not OOM
+    * the executor. At 2^25 px (e.g. 8192×4096) the worst case is the
+    * progressive path's Int coefficient grids + planes + output:
+    * 3 comps × 2^25 × 4 B × 2 + 2^25 × 4 B ≈ 0.9 GiB.
     */
-  val MaxDecodePixels: Long = 1L << 28
+  val MaxDecodePixels: Long = 1L << 25
 
   /** Progressive JPEG (SOF2, T.81 §G): coefficients accumulate across
     * MULTIPLE scans — DC first/refinement (optionally interleaved), AC
@@ -884,7 +899,7 @@ object Jpeg {
         var posOverride = -1
         m match {
           case 0xC2 =>
-            val (pw0, ph0, cs) = parseFrameHeader(data, body)
+            val (pw0, ph0, cs) = parseFrameHeader(data, body, pos + 2 + segLen)
             w = pw0; h = ph0; comps = cs
             hMax = comps.map(_.hSamp).max; vMax = comps.map(_.vSamp).max
             mcusX = (w + 8 * hMax - 1) / (8 * hMax)
@@ -899,7 +914,11 @@ object Jpeg {
           case 0xDD => restartInterval = u16(body)
           case 0xDA =>
             require(comps != null, "jpeg: SOS before SOF2")
-            val ns = data(body) & 0xFF
+            require(body < pos + 2 + segLen, "jpeg: empty SOS segment")
+            val ns0 = data(body) & 0xFF
+            require(body + 1 + ns0 * 2 + 3 <= pos + 2 + segLen,
+              "jpeg: SOS header overruns its segment")
+            val ns = ns0
             val scanCis = Array.tabulate(ns) { i =>
               val cid = data(body + 1 + i * 2) & 0xFF
               val tabs = data(body + 2 + i * 2) & 0xFF

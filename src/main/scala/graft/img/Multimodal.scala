@@ -205,6 +205,9 @@ object Multimodal {
         val next = buf.position() + size + (size & 1)
         id match {
           case "fmt " =>
+            // validate the size BEFORE the field reads — a short fmt chunk
+            // at EOF would otherwise escape as a raw BufferUnderflow
+            require(size >= 20, s"IMA fmt chunk too short ($size bytes)")
             val tag = buf.getShort
             val channels = buf.getShort
             sampleRate = buf.getInt
@@ -213,7 +216,6 @@ object Multimodal {
             val bits = buf.getShort
             require(tag == 0x11 && channels == 1 && bits == 4,
               s"only IMA-ADPCM mono is implemented here (got fmt=$tag ch=$channels bits=$bits)")
-            require(size >= 20, "IMA fmt chunk missing samplesPerBlock")
             buf.getShort // cbSize
             spb = buf.getShort
             require(spb == (blockAlign - 4) * 2 + 1,
