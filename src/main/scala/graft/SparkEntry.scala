@@ -494,25 +494,16 @@ object SparkEntry {
     }),
 
     // sequence packing for pretraining (the concat-then-chunk prep every
-    // GPT-style run does): the corpus concatenates in doc_id order and
-    // splits into fixed token-budget chunks; each doc learns its chunk id,
-    // offset, and whether it spans a chunk boundary. One window cumsum.
-    // SCALE NOTE: the global ORDER BY is one total sort — at corpus scale
-    // packing runs per shard (sortWithinPartitions over pre-bucketed
-    // shards), which changes chunk numbering but not the operation.
+    // GPT-style run does), in its SHARDED form — the one that runs at
+    // corpus scale: docs bucket by splitmix64(doc_id) mod 8, each shard
+    // concatenates in doc_id order (per-partition sort after ONE hash
+    // exchange — no global sort in the plan), and chunk ids are globally
+    // contiguous via driver-collected per-shard offsets (8 rows). Each doc
+    // learns its chunk id, offset, and whether it spans a chunk boundary.
     "q60_sequence_pack" -> ((s, dir) => {
-      val budget = 2048
       val docs = table(s, dir, "documents").select(col("doc_id"),
         size(split(col("text"), " ", -1)).as("n_tokens"))
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs.withColumn("cum_before",
-          coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
-        .select(col("doc_id"), col("n_tokens"),
-          expr(s"cum_before div $budget").as("chunk_id"),
-          (col("cum_before") % budget).as("offset_in_chunk"),
-          (expr(s"(cum_before + n_tokens - 1) div $budget") >
-            expr(s"cum_before div $budget")).as("spans_boundary"))
+      graft.text.TextOps.packShards(s, docs, budget = 2048, nShards = 8)
     }),
 
     // deterministic domain-mixture sampling (fixed per-language quotas, the
@@ -1663,21 +1654,35 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, s.last_signup
         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
-    // q60 — sequence packing: q21's tokenization + a window cumsum +
-    // integral div/mod per row
+    // q60 — SHARDED sequence packing: q21's tokenization + the splitmix
+    // shard assignment + a per-shard window cumsum + per-shard chunk-count
+    // offsets (the driver-collected map re-derived relationally) + integral
+    // div/mod per row
     "q60_sequence_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
-        |  FROM t)
-        |SELECT doc_id, n_tokens,
-        |  cum_before // 2048 AS chunk_id,
-        |  cum_before % 2048 AS offset_in_chunk,
-        |  ((cum_before + n_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary
-        |FROM c""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |         CAST(doc_id AS HUGEINT) AS i
+         |  FROM documents),
+         |${splitmixChain("s", Seq("doc_id", "n_tokens"), "t", "i")},
+         |sh AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST((z % 9223372036854775808::HUGEINT) % 8 AS INT) AS shard
+         |  FROM s3),
+         |c AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+         |  FROM sh),
+         |off AS (
+         |  SELECT shard,
+         |    COALESCE(CAST(sum((tok + 2047) // 2048) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_off
+         |  FROM (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS tok FROM sh GROUP BY shard))
+         |SELECT c.doc_id, c.n_tokens, c.shard,
+         |  chunk_off + cum_before // 2048 AS chunk_id,
+         |  cum_before % 2048 AS offset_in_chunk,
+         |  ((cum_before + n_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary
+         |FROM c JOIN off ON off.shard = c.shard""".stripMargin,
 
     // q61 — mixture sampling: the splitmix chain over doc_id, low-63-bit
     // slot mod 1000 under the per-language quota

@@ -2,7 +2,9 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.img.ImageTable.splitmix64
+import graft.functions.GraftFunctions
 
 /** Text-analysis operators for training-data pipelines: language ID
   * (stopword/script heuristic), quality scoring, token counting, and
@@ -117,6 +119,71 @@ object TextOps {
       topFrac = (c.toLong * (w1.length + w2.length)).toDouble / totalChars
     }
     (toks.length, dupFrac, topFrac)
+  }
+
+  /** Sequence packing (the concat-then-chunk prep every GPT-style
+    * pretraining run does), sharded so it runs at corpus scale: documents
+    * bucket by `splitmix64(id) mod nShards`, each shard concatenates in id
+    * order and splits into fixed `budget`-token chunks, and chunk ids are
+    * made globally contiguous by offsetting each shard by the total chunk
+    * count of the shards before it.
+    *
+    * Scale shape: ONE exchange (hash by shard) followed by a per-shard —
+    * i.e. per-partition — sort for the cumulative-sum window; there is no
+    * global sort anywhere in the plan (a global `Window.orderBy` is a
+    * single-partition sort — the one plan that cannot run at 100 TB).
+    * The per-shard chunk totals are an nShards-row aggregate collected on
+    * the driver (metadata-sized by construction — nShards is a config
+    * constant, not data-dependent) and re-enter the plan as a literal map
+    * lookup, so the offset application stays narrow. Size `nShards` so one
+    * shard's documents fit an executor's sort spill comfortably; packing
+    * with `nShards = 1` degenerates to the exact global form (single
+    * shard, single sort partition) and is only for small inputs — callers
+    * with unknown input size should gate on a row count first.
+    *
+    * Chunk-id semantics vs the global form: chunk CONTENTS differ (docs
+    * are packed with their shard peers, not global neighbors) but every
+    * invariant a data loader needs holds globally: chunk ids are dense
+    * 0..N-1, offsets are in [0, budget), and a shard's docs appear in id
+    * order at monotonically non-decreasing (chunk_id, offset) positions.
+    *
+    * @param docs  (idCol: bigint, tokensCol: int) — one row per document
+    * @return (idCol, tokensCol, shard, chunk_id, offset_in_chunk,
+    *         spans_boundary)
+    */
+  def packShards(spark: SparkSession, docs: DataFrame, budget: Int, nShards: Int,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val sharded = docs.withColumn("shard",
+      (GraftFunctions.splitmixCol(spark, col(idCol).cast("long"))
+        .bitwiseAND(lit(Long.MaxValue)) % nShards).cast("int"))
+    // per-shard chunk totals -> global chunk-id offsets. The aggregate is
+    // map-side-combined down to <= nShards rows; the cumulative sum over
+    // those rows happens on the driver (NOT as a global window — that
+    // would reintroduce a single-partition sort into the plan).
+    val totals = sharded.groupBy(col("shard"))
+      .agg(sum(col(tokensCol).cast("long")).as("tok"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (sh, tok) =>
+      val off = sh -> acc
+      acc += (tok + budget - 1) / budget
+      off
+    }.toMap
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .select(col(idCol), col(tokensCol), col("shard"),
+        (element_at(typedLit(offsets), col("shard")) +
+          expr(s"cum_before div $budget")).as("chunk_id"),
+        (col("cum_before") % budget).as("offset_in_chunk"),
+        (expr(s"(cum_before + $tokensCol - 1) div $budget") >
+          expr(s"cum_before div $budget")).as("spans_boundary"))
   }
 
   /** Gopher-style repetition filter over a documents table: metrics plus a

@@ -175,6 +175,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.head().getInt(0) == 7)
   }
 
+  test("packShards matches an exact scalar replication; dense chunks; no global sort") {
+    import spark.implicits._
+    import graft.img.ImageTable.splitmix64
+    val budget = 64
+    val nDocs = 500
+    val docRows = List.tabulate(nDocs)(i => (i.toLong, i % 37 + 1))
+    val df = docRows.toDF("doc_id", "n_tokens")
+    for (nShards <- Seq(1, 8)) {
+      val out = TextOps.packShards(spark, df, budget, nShards)
+      // plan audit: the cumsum window sorts WITHIN shard partitions only —
+      // a global sort here is the single-partition plan that dies at scale
+      // (string-level: AQE wraps the tree, node collect() won't descend)
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(planStr).isDefined,
+        s"global sort in packShards plan (nShards=$nShards):\n$planStr")
+      val got = out.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      // scalar replication: shard docs, cumsum in id order, offset shards
+      val byShard = docRows.groupBy { case (id, _) =>
+        ((splitmix64(id) & Long.MaxValue) % nShards).toInt
+      }
+      val chunkOff = {
+        var acc = 0L
+        byShard.toSeq.sortBy(_._1).map { case (sh, ds) =>
+          val off = sh -> acc
+          acc += (ds.map(_._2.toLong).sum + budget - 1) / budget
+          off
+        }.toMap
+      }
+      val want = byShard.flatMap { case (sh, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, nt) =>
+          val row = (id, nt, sh, chunkOff(sh) + cum / budget, cum % budget,
+            (cum + nt - 1) / budget > cum / budget)
+          cum += nt
+          row
+        }
+      }.toSet
+      assert(got == want, s"packShards mismatch at nShards=$nShards")
+      // chunk ids are globally dense: every chunk in [0, max] is touched
+      val touched = got.flatMap { case (_, nt, _, cid, off, _) =>
+        cid to cid + (off + nt - 1) / budget
+      }
+      assert(touched == (0L to touched.max).toSet, "chunk ids not dense")
+      assert(got.forall { case (_, _, _, _, off, _) => off >= 0 && off < budget })
+    }
+  }
+
   test("repetition kernel: hand-computed metrics, loop detection, tie-break") {
     // "a b a b a b": 6 tokens, 2 distinct → dup 4/6; top bigram ("a","b")
     // occurs 3× covering 3·2 of 6 chars

@@ -37,6 +37,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than the projection needs: $readSchema")
   }
 
+  test("q60 sequence packing has no global sort and exactly one big-side exchange") {
+    val df = SparkEntry.queries("q60_sequence_pack")(spark, sf)
+    // string-level audit (AQE wraps the tree, so node collect() won't
+    // descend): SortExec prints as `Sort [keys], <global>, ...`
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q60 must not contain a global (single-partition) sort:\n$plan")
+    // the only exchange is the hash-by-shard repartition for the window;
+    // per-shard chunk offsets enter as a literal map, not a join
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 exchange (shard hash):\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"single-partition / range exchange in q60 plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "chunk offsets must be a literal map lookup, not a join")
+  }
+
   test("flagship spatial join is broadcast on the polygon side, never SMJ/NLJ") {
     val plan = SparkEntry.flagship(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
