@@ -208,10 +208,17 @@ object Dedup {
     *     driver replaces 3-20 rounds of Spark jobs — the same medicine
     *     that took the cell-kNN query from 7.6 s to 0.6 s. Raise the cap
     *     only alongside driver memory.
-    *  2. `algorithm = "propagate"`: iterative min-label propagation — one
+    *  2. `algorithm = "auto"` (default): min-label propagation for a few
+    *     probe rounds — near-dup graphs are overwhelmingly star/clique
+    *     shaped (diameter 2-3) and converge inside the probe — then, if
+    *     the probe has not converged, restart with star contraction. The
+    *     probe rounds are the cheapest possible diameter test (each is one
+    *     join + groupBy-min on the label frame); an adversarial chain
+    *     wastes `autoProbeRounds` rounds and still finishes in O(log n).
+    *  3. `algorithm = "propagate"`: iterative min-label propagation — one
     *     self-equi-join + groupBy-min per round, O(diameter) rounds. Right
     *     for star/clique-shaped near-dup graphs (diameter 2-3).
-    *  3. `algorithm = "star"`: large-star/small-star alternation (Kiveris
+    *  4. `algorithm = "star"`: large-star/small-star alternation (Kiveris
     *     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     *     O(log n)-ish rounds on ADVERSARIAL long-chain graphs where
     *     propagation would pay the full diameter. See [[starContraction]].
@@ -223,12 +230,15 @@ object Dedup {
     *
     * @param edges columns (src: bigint, dst: bigint), undirected pairs
     * @param smallGraphEdges driver cutover cap (edges); 0 disables
-    * @param algorithm "propagate" (diameter-bound) or "star" (log-bound)
+    * @param algorithm "auto" (probe propagate, fall back to star),
+    *   "propagate" (diameter-bound) or "star" (log-bound)
+    * @param autoProbeRounds propagate rounds the auto path tries before
+    *   concluding the graph is chain-shaped and switching to star
     * @return (id, component) where component = min node id reachable
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 20, smallGraphEdges: Int = 250000,
-      algorithm: String = "propagate"): DataFrame = {
+      algorithm: String = "auto", autoProbeRounds: Int = 4): DataFrame = {
     if (smallGraphEdges > 0) {
       // limit() terminates the scan early: a planet-scale edge set costs one
       // truncated pass here, never a full count
@@ -239,9 +249,26 @@ object Dedup {
     }
     algorithm match {
       case "star"      => starContraction(spark, edges, maxIter)._1
-      case "propagate" => ccPropagate(spark, edges, maxIter)
+      case "propagate" => ccPropagate(spark, edges, maxIter, warnOnNonConverge = true)._1
+      case "auto" =>
+        // probe with propagation: the overwhelmingly common near-dup graph
+        // (stars/cliques from duplicate clusters) converges in 2-3 rounds;
+        // a graph that is still moving after the probe has a long diameter
+        // and gets the log-round algorithm instead. The probe's cost on
+        // the chain-shaped loser is autoProbeRounds cheap label rounds.
+        val (labels, converged) =
+          ccPropagate(spark, edges, autoProbeRounds, warnOnNonConverge = false)
+        if (converged) labels
+        else {
+          System.err.println(s"[graft.Dedup] connectedComponents(auto): not " +
+            s"converged after $autoProbeRounds propagate rounds — switching " +
+            s"to star contraction (long-diameter graph)")
+          // the abandoned probe labels are node-sized cache/checkpoint state;
+          // the ContextCleaner releases them once the frame is unreachable
+          starContraction(spark, edges, maxIter)._1
+        }
       case other => throw new IllegalArgumentException(
-        s"connectedComponents algorithm must be 'propagate' or 'star', got '$other'")
+        s"connectedComponents algorithm must be 'auto', 'propagate' or 'star', got '$other'")
     }
   }
 
@@ -276,9 +303,10 @@ object Dedup {
 
   /** Min-label propagation: every node adopts the minimum label in its
     * closed neighborhood until fixpoint. Rounds ≤ graph diameter.
+    * @return (labels, converged)
     */
   private def ccPropagate(spark: SparkSession, edges: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int, warnOnNonConverge: Boolean): (DataFrame, Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -322,13 +350,13 @@ object Dedup {
       it += 1
     }
     und.unpersist(blocking = false)
-    if (changed > 0)
+    if (changed > 0 && warnOnNonConverge)
       // wrong-but-silent labels are worse than a visible warning: a chain
       // longer than maxIter rounds leaves one true component split
       System.err.println(s"[graft.Dedup] connectedComponents did NOT converge " +
         s"after $maxIter rounds ($changed labels still moving) — raise maxIter " +
         s"or pass algorithm=\"star\" (log-round contraction) for long-chain graphs")
-    labels
+    (labels, changed == 0)
   }
 
   /** Large-star/small-star alternation (Kiveris et al., SoCC'14): converges
