@@ -56,14 +56,6 @@ object Knn {
       col("nid"), col("clat"), col("clon"),
       GraftFunctions.cellOfCol(col("clat"), col("clon"), res).as("ccell"))
 
-    // ring-cell generator: kernel UDF returning the kRing cell array (an
-    // all-expression form blows past codegen method-size limits at r≥4;
-    // the UDF sits on the SMALL pending-probe side only)
-    def ringCells(cell: org.apache.spark.sql.Column, r: Int) = {
-      val f = udf((c: Long) => CellIndex.kRing(c, r))
-      explode(f(cell))
-    }
-
     val dist2 = (col("lat") - col("clat")) * (col("lat") - col("clat")) +
       (col("lon") - col("clon")) * (col("lon") - col("clon"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("nid"))
@@ -103,9 +95,7 @@ object Knn {
       // a probe is certified when it HAS k candidates and the k-th distance
       // is within the ring-r exactness bound — both computable in the same
       // window partition as the rank itself
-      val marked = topkFrom(pending
-        .withColumn("ccell", ringCells(col("cell"), r))
-        .filter(col("ccell").isNotNull)
+      val marked = topkFrom(ringCandidates(spark, pending, r, res)
         .join(broadcast(corpusCells), Seq("ccell")))
         .withColumn("certified",
           count(lit(1)).over(wAll) === k && max(col("dist")).over(wAll) <= lit(r * minDim))
@@ -131,4 +121,35 @@ object Knn {
     toUnpersist.foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** kRing expansion as PURE column arithmetic — the last hot-loop UDF
+    * removed (VERDICT r3 #5). The (2r+1)² Chebyshev offsets enter as a
+    * broadcast literal table; x wraps across the antimeridian with pmod, y
+    * clamps at the poles by filter, and the packed id is shift/add — all
+    * whole-stage-codegen'd, bit-identical to [[CellIndex.kRing]] (pinned in
+    * KnnSpec). One row per (probe, ring cell), like the explode it
+    * replaces.
+    */
+  private[graft] def ringCandidates(spark: SparkSession, pending: DataFrame,
+      r: Int, res: Int): DataFrame = {
+    import spark.implicits._
+    val n = CellIndex.side(res)
+    val offsets = broadcast(
+      (-r to r).flatMap(dy => (-r to r).map(dx => (dx, dy))).toList
+        .toDF("dx", "dy"))
+    val mask29 = (1L << 29) - 1L
+    val cx = shiftright(col("cell"), 29).bitwiseAND(lit(mask29))
+    val cy = col("cell").bitwiseAND(lit(mask29))
+    val yy = cy + col("dy")
+    val base = pending.crossJoin(offsets)
+      .filter(yy >= 0 && yy < n)
+      .withColumn("ccell",
+        lit(res.toLong << 58) + shiftleft(pmod(cx + col("dx"), lit(n)), 29) + yy)
+      .drop("dx", "dy")
+    // a ring wider than the grid revisits wrapped x cells; kRing dedups —
+    // only reachable at tiny res (n < 2r+1), never on the default path
+    if (2L * r + 1 > n) base.dropDuplicates(pending.columns.toSeq :+ "ccell")
+    else base
+  }
+
 }

@@ -42,6 +42,29 @@ class KnnSpec extends AnyFunSuite {
     assert(viaCutover == bruteTopK(probes, corpus, 3))
   }
 
+  test("ringCandidates is bit-identical to CellIndex.kRing and contains no UDF") {
+    import graft.cell.CellIndex
+    // cells spanning poles and the antimeridian at two resolutions
+    val pts = Seq((1L, 89.9, 179.9), (2L, -89.9, -179.9), (3L, 0.0, 0.0),
+      (4L, 45.0, -179.99), (5L, -89.99, 10.0), (6L, 30.0, 100.0))
+    for (res <- Seq(3, 6); r <- Seq(1, 2, 4, 8, 16)) {
+      val pending = pts.toDF("probe_id", "lat", "lon")
+        .withColumn("cell", graft.functions.GraftFunctions.cellOfCol(col("lat"), col("lon"), res))
+      val got = Knn.ringCandidates(spark, pending, r, res)
+        .select("probe_id", "ccell").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = pts.map { case (id, la, lo) =>
+        id -> CellIndex.kRing(CellIndex.cellOf(la, lo, res), r)
+      }.toMap
+      assert(got == want, s"res=$res r=$r")
+      // every kRing duplicate-producing case (wrap-around at res=3, r>=4)
+      // must still be exact — and the plan must carry no ScalaUDF
+      val plan = Knn.ringCandidates(spark, pending, r, res)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), s"UDF in ring plan (res=$res r=$r):\n$plan")
+    }
+  }
+
   test("k larger than corpus returns whole corpus ranked") {
     val corpus = Seq((1L, 0.0, 0.0), (2L, 1.0, 1.0))
     val probes = Seq((9L, 0.2, 0.2))
