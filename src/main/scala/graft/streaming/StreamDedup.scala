@@ -27,7 +27,9 @@ import graft.dedup.Dedup
   * TTL mode is for daemon (processing-time-trigger) streams — its natural
   * home; under `Trigger.AvailableNow` Spark 4.1.2's planner hits an
   * internal NPE scheduling the timeout batch (upstream bug, reproduced in
-  * isolation), so drain-and-stop jobs should use the default no-TTL mode.
+  * isolation). Drain-and-stop jobs that need eviction use
+  * [[candidatesEventTime]] (watermark-driven TTL — plans cleanly under
+  * every trigger); the default no-TTL mode remains for bounded corpora.
   *
   * Delivery: candidates are AT-LEAST-ONCE. Under-cap members are recorded
   * in state, so a replayed doc re-pairs nothing; an over-cap arrival is
@@ -38,6 +40,7 @@ import graft.dedup.Dedup
 object StreamDedup {
 
   final case class DocRow(doc_id: Long, text: String)
+  final case class DocTsRow(doc_id: Long, text: String, ts: java.sql.Timestamp)
   final case class CandPair(id_a: Long, id_b: Long, band: Int)
 
   // state: ids seen in this bucket; slot 0 is the bucket minimum (the star
@@ -65,29 +68,91 @@ object StreamDedup {
             state.remove() // idle bucket evicted — bounded total state
             Iterator.empty
           } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-            var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
-            // deterministic intra-batch order (micro-batch iterator order is
-            // not guaranteed): new arrivals processed in ascending id
-            val fresh = rowsIt.map(_._3).toArray.sorted.distinct
-              .filterNot(ids.contains)
-            fresh.foreach { id =>
-              if (ids.length < maxBucket) {
-                ids.foreach(s => out += CandPair(math.min(s, id), math.max(s, id), key._1))
-                ids = if (ids.isEmpty || id > ids.head) ids :+ id
-                      else id +: ids // keep the minimum in slot 0
-              } else {
-                // over the cap: star pair vs the bucket's running minimum —
-                // bounded state, cluster stays connected
-                val hub = ids.head
-                out += CandPair(math.min(hub, id), math.max(hub, id), key._1)
-              }
-            }
-            state.update(BucketState(ids))
+            val out = updateBucket(key._1, rowsIt.map(_._3), state, maxBucket)
             if (stateTtlMinutes > 0)
               state.setTimeoutDuration(stateTtlMinutes.toLong * 60000L)
-            out.iterator
+            out
           }
       }
+  }
+
+  /** Event-time-TTL variant of [[candidates]] for DRAIN-AND-STOP jobs
+    * (`Trigger.AvailableNow`): identical bucket/pair/cap semantics, but
+    * idle-bucket eviction keys off the WATERMARK instead of wall-clock —
+    * a bucket is dropped once the watermark passes its last arrival's
+    * event time + `ttlMinutes`. This sidesteps the reproduced Spark 4.1.2
+    * planner NPE (ProcessingTimeTimeout + AvailableNow, see class doc):
+    * EventTimeTimeout plans cleanly under every trigger, and event-time
+    * TTL is also the semantically right eviction for replayed/backfilled
+    * streams (wall-clock TTL would evict mid-replay).
+    *
+    * Docs must carry an event-time column; set `watermarkDelay` to the
+    * source's out-of-orderness bound.
+    */
+  def candidatesEventTime(spark: SparkSession, docs: Dataset[DocTsRow],
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 64,
+      ttlMinutes: Int = 60, watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
+    import spark.implicits._
+    val rows = k / bands
+    val banded = docs.flatMap { d =>
+      val sig = Dedup.minhashSig(Dedup.shingles(d.text), k)
+      (0 until bands).iterator.map(b => (b, Dedup.bandKey(sig, b, rows), d.doc_id, d.ts))
+    }.toDF("band", "bkey", "doc_id", "ts")
+      // the watermark rides on the banded rows (same event time, band
+      // fan-out doesn't change it) — EventTimeTimeout requires it upstream
+      // of the stateful operator
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, Long, Long, java.sql.Timestamp)]
+
+    banded
+      .groupByKey { case (band, bkey, _, _) => (band, bkey) }
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rowsIt: Iterator[(Int, Long, Long, java.sql.Timestamp)],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = rowsIt.toArray
+            val out = updateBucket(key._1, rows.iterator.map(_._3), state, maxBucket)
+            // evict once the watermark passes last-arrival + TTL; clamped a
+            // tick past the current watermark (setTimeoutTimestamp rejects
+            // timestamps at or behind it)
+            val lastMs = rows.iterator.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMinutes.toLong * 60000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out
+          }
+      }
+  }
+
+  /** Shared bucket update: emits candidate pairs for `freshIn` against the
+    * per-bucket state under the cap policy (all pairs below `maxBucket`,
+    * star pairs against the minimum-id hub above it) and writes the state
+    * back. See class doc for determinism and at-least-once notes.
+    */
+  private def updateBucket(band: Int, freshIn: Iterator[Long],
+      state: GroupState[BucketState], maxBucket: Int): Iterator[CandPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+    // deterministic intra-batch order (micro-batch iterator order is
+    // not guaranteed): new arrivals processed in ascending id
+    val fresh = freshIn.toArray.sorted.distinct.filterNot(ids.contains)
+    fresh.foreach { id =>
+      if (ids.length < maxBucket) {
+        ids.foreach(s => out += CandPair(math.min(s, id), math.max(s, id), band))
+        ids = if (ids.isEmpty || id > ids.head) ids :+ id
+              else id +: ids // keep the minimum in slot 0
+      } else {
+        // over the cap: star pair vs the bucket's running minimum —
+        // bounded state, cluster stays connected
+        val hub = ids.head
+        out += CandPair(math.min(hub, id), math.max(hub, id), band)
+      }
+    }
+    state.update(BucketState(ids))
+    out.iterator
   }
 }

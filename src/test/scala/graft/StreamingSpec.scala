@@ -114,4 +114,54 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(planted.subsetOf(ttlPairs()), s"TTL-mode pairs missing: ${planted -- ttlPairs()}")
   }
+
+  test("event-time TTL evicts idle buckets under Trigger.AvailableNow") {
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.DocTsRow
+    // VERDICT r3 #4: drain-and-stop jobs need TTL too — EventTimeTimeout
+    // sidesteps the Spark 4.1.2 AvailableNow+ProcessingTimeTimeout NPE.
+    // Batch sequence (maxFilesPerTrigger=1, watermark delay 0):
+    //  f1 docs at t0              → buckets seeded, timeout ≈ t0+60min
+    //  f2 dup of doc 0 at t0+30m  → state alive → pair (0,1000) FOUND
+    //  f3 advancer at t0+3h       → watermark jumps to t0+3h after batch
+    //  f4 advancer at t0+3h       → batch runs with wm=t0+3h: idle buckets
+    //                               (timeout < wm) fire hasTimedOut → evicted
+    //  f5 dup of doc 3 at t0+3h+1m→ state gone → pair (3,1003) NOT found
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(minutes: Long) = new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val base = (0L until 20L).map(i =>
+      DocTsRow(i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" "), t0))
+    def dup(of: Long, id: Long, ts: java.sql.Timestamp) =
+      DocTsRow(id, base(of.toInt).text + " tail", ts)
+    def advancer(id: Long, ts: java.sql.Timestamp) =
+      DocTsRow(id, (0 until 30).map(j => s"adv${id}x$j").mkString(" "), ts)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-etttl").toString
+    def stage(rows: Seq[DocTsRow], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-etttl-w").toString + "/out"
+      rows.toDS().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+      Thread.sleep(20) // distinct mod times → deterministic file order
+    }
+    stage(base, "f1.parquet")
+    stage(Seq(dup(0L, 1000L, at(30))), "f2.parquet")
+    stage(Seq(advancer(5000L, at(180))), "f3.parquet")
+    stage(Seq(advancer(5001L, at(180))), "f4.parquet")
+    stage(Seq(dup(3L, 1003L, at(181))), "f5.parquet")
+
+    val schema = base.toDS().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[DocTsRow]
+    val q = StreamDedup.candidatesEventTime(spark, stream, ttlMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("etttl_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+
+    val pairs = spark.table("etttl_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)), s"within-TTL pair missing: $pairs")
+    assert(!pairs.contains((3L, 1003L)),
+      s"bucket state should have been TTL-evicted before the late dup: $pairs")
+  }
 }
