@@ -472,6 +472,17 @@ object SparkEntry {
           col("zero_crossings"), col("caption"))
     }),
 
+    // multimodal: the same features through the REAL LOSSLESS FLAC codec
+    // (graft.img.Flac, RFC 9639 subset). Losslessness IS the oracle: the
+    // encode→decode round trip must reproduce the integer triangle-wave
+    // stream bit-exactly, so DuckDB recomputes the features from the
+    // closed-form synth arithmetic — any codec bit-slip reds the check.
+    "q62_flac_audio" -> ((s, dir) => {
+      graft.img.Multimodal.audioFeatures(s, graft.img.Multimodal.synthAudioFlac(s, 300)).toDF()
+        .select(col("audio_id"), round(col("rms"), 3).as("rms"),
+          col("zero_crossings"), col("caption"))
+    }),
+
     // multimodal: video frame sampling through the REAL AVI/DIB container
     // (generator-shaped flatMap). Driver-oracled on the sampled-frame
     // structure; the frame BYTES (PNG re-encode of the DIB round trip) are
@@ -1921,6 +1932,42 @@ object SparkEntry {
     // rounded RMS is exact, not approximately equal).
     "q37_audio_features" ->
       s"""WITH ${splitmixAudioCtes(500)},
+         |flips AS (
+         |  SELECT i, len, k, s, lag(s) OVER (PARTITION BY i ORDER BY k) AS ps
+         |  FROM samples),
+         |feats AS (
+         |  SELECT i, max(len) AS len,
+         |    sqrt(CAST(sum(s * s) AS DOUBLE) / max(len)) AS rms,
+         |    CAST(sum(CASE WHEN ps IS NOT NULL AND ((s >= 0) <> (ps >= 0))
+         |                  THEN 1 ELSE 0 END) AS INT) AS zc
+         |  FROM flips GROUP BY i)
+         |SELECT printf('aud_%09d', CAST(i AS BIGINT)) AS audio_id,
+         |  round(rms, 3) AS rms, zc AS zero_crossings,
+         |  'audio caption_' || CAST(i AS BIGINT) AS caption
+         |FROM feats""".stripMargin,
+
+    // q62 — FLAC audio features: the codec is lossless, so the decoded
+    // stream must equal the closed-form integer triangle-wave synth —
+    // recomputed here from the same splitmix-derived (len, period, amp).
+    // All sample arithmetic is non-negative-integer (Java / and DuckDB //
+    // agree), squares sum < 2^53 (double accumulation exact), so the
+    // rounded RMS is bit-exact like q37's.
+    "q62_flac_audio" ->
+      s"""WITH ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, 300)),
+         |${splitmixChain("fl", Seq("i"), "ids", "i")},
+         |${splitmixChain("fp", Seq("i"), "ids", "(i * 3::HUGEINT + 1::HUGEINT)")},
+         |${splitmixChain("fa", Seq("i"), "ids", "(i * 3::HUGEINT + 2::HUGEINT)")},
+         |params AS (
+         |  SELECT fl3.i AS i,
+         |    512 + CAST(fl3.z & 255::HUGEINT AS INT) AS len,
+         |    256 + CAST(fp3.z & 511::HUGEINT AS INT) AS period,
+         |    4000 + CAST(fa3.z & 8191::HUGEINT AS INT) AS amp
+         |  FROM fl3 JOIN fp3 ON fp3.i = fl3.i JOIN fa3 ON fa3.i = fl3.i),
+         |ks AS (SELECT i, len, period, amp, unnest(range(len)) AS k FROM params),
+         |samples AS (
+         |  SELECT i, len, k,
+         |    (2 * least(k % period, period - (k % period)) * amp) // period - amp // 2 AS s
+         |  FROM ks),
          |flips AS (
          |  SELECT i, len, k, s, lag(s) OVER (PARTITION BY i ORDER BY k) AS ps
          |  FROM samples),

@@ -181,13 +181,17 @@ object Dedup {
     // all map-side flops) and deduped by ONE groupBy exchange at the end —
     // a standalone distinct() before the verify would cost a second
     // exchange for the same result (the q23 r2 regression).
+    // the exact-verify kernel rides as a UDF, not a typed map: the
+    // Deserialize→map→Serialize sandwich compiled two extra codegen stages
+    // plus tuple encoders per fresh session (~0.5 s of q23's single-shot
+    // cost); the UDF keeps the join output inside one codegen span and the
+    // kernel itself is plain JVM either way
     val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("t"))
+    val verify = udf((ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)))
     pairs
       .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "ta"), Seq("id_a"))
       .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("t", "tb"), Seq("id_b"))
-      .as[(Long, Long, String, String)]
-      .map { case (b, a, ta, tb) => (a, b, jaccard(shingles(ta), shingles(tb))) }
-      .toDF("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), verify(col("ta"), col("tb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard")) // deterministic per pair — max = the value

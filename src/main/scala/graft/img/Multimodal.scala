@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns beyond images (driver prompt): audio/video ride as
   * opaque `binary` columns with typed metadata.
   *
-  * Codec reality: audio decodes REAL RIFF/WAVE containers for both PCM-16
+  * Codec reality: audio decodes REAL RIFF/WAVE containers for PCM-16
   * ([[Wav]]) and COMPRESSED IMA-ADPCM ([[Adpcm]], 4:1, audioop-validated
-  * kernel); video decodes REAL AVI containers with uncompressed DIB frames
-  * or COMPRESSED Motion-JPEG frames ([[Avi]], each frame through graft's
-  * own baseline [[Jpeg]]). Only PERCEPTUAL codecs (mp3/aac, h264 — which
-  * genuinely need external libraries this container doesn't ship) remain
-  * behind the documented deterministic stub, selected by the row's `fmt`.
+  * kernel), plus REAL LOSSLESS FLAC ([[Flac]], RFC 9639 subset with CRC-8/
+  * CRC-16/MD5 verification); video decodes REAL AVI containers with
+  * uncompressed DIB frames or COMPRESSED Motion-JPEG frames ([[Avi]], each
+  * frame through graft's own baseline [[Jpeg]]). PERCEPTUAL codecs
+  * (mp3/aac, h264) are PERMANENTLY out of scope — they need psychoacoustic
+  * model tables and external decoder libraries this container doesn't
+  * ship; rows tagged with those fmts hit the documented deterministic
+  * stub, selected by the row's `fmt`.
   *
   * Batch shape mirrors `mapInPandas`: one partition-level iterator of rows
   * in, one iterator of feature rows out (`mapPartitions` is the Scala
@@ -318,10 +321,34 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic corpus of REAL .flac files (lossless, RFC
+    * 9639): integer triangle waves — splitmix-derived length, period, and
+    * amplitude, all-integer sample arithmetic so the decoded stream is
+    * EXACTLY SQL-replicable (q62's oracle), and piecewise-linear so the
+    * fixed predictors genuinely compress (ratio pinned in CodecsSpec).
+    */
+  def synthAudioFlac(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val len = 512 + (ImageTable.splitmix64(i) & 0xFF).toInt
+      val period = 256 + (ImageTable.splitmix64(i * 3 + 1) & 0x1FF).toInt
+      val amp = 4000 + (ImageTable.splitmix64(i * 3 + 2) & 0x1FFF).toInt
+      val samples = Array.tabulate(len) { k =>
+        val p = k % period
+        // non-negative numerators only: Java / truncates toward zero while
+        // DuckDB // floors — they agree exactly on non-negative operands
+        (2L * math.min(p, period - p) * amp / period - amp / 2).toShort
+      }
+      AudioRow(f"aud_$i%09d", Flac.encode(samples, 16000), 16000, len, "flac",
+        s"audio caption_$i")
+    }
+  }
+
   /** Feature extraction over the opaque audio column — partition-batched.
-    * fmt="wav" rows go through the real RIFF/WAVE PCM decoder and
-    * fmt="wav_adpcm" through the real IMA-ADPCM decoder; only perceptual
-    * formats (mp3/aac) hit the documented stub.
+    * fmt="wav" rows go through the real RIFF/WAVE PCM decoder,
+    * fmt="wav_adpcm" through the real IMA-ADPCM decoder, and fmt="flac"
+    * through the real FLAC decoder; only perceptual formats (mp3/aac) hit
+    * the documented stub.
     */
   def audioFeatures(spark: SparkSession, audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
     import spark.implicits._
@@ -330,6 +357,7 @@ object Multimodal {
         val pcm = a.fmt match {
           case "wav" => Wav.decode(a.bytes)._1
           case "wav_adpcm" => Adpcm.decodeWav(a.bytes)._1
+          case "flac" => Flac.decode(a.bytes)._1
           case _ => decodeAudioStub(a.bytes)
         }
         var sumSq = 0.0

@@ -260,6 +260,73 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC round trip is bit-exact for noise, tones, constants, and edge lengths") {
+    import graft.img.Flac
+    def tri(i: Long, len: Int): Array[Short] = {
+      // integer triangle wave — the piecewise-linear class fixed predictors
+      // are built for
+      // long periods: slope changes (the only non-zero order-2 residuals)
+      // every period/2 samples, so rice params stay tiny between peaks
+      val period = 256 + (ImageTable.splitmix64(i * 3 + 1) & 0x1FF).toInt
+      val amp = 4000 + (ImageTable.splitmix64(i * 3 + 2) & 0x1FFF).toInt
+      Array.tabulate(len) { k =>
+        val p = k % period
+        val v = 2 * math.min(p, period - p) - period / 2
+        (v.toLong * amp / period).toShort
+      }
+    }
+    val cases: Seq[Array[Short]] = Seq(
+      Array.tabulate(5000)(k => ((ImageTable.splitmix64(k.toLong) & 0xFFFF) - 32768).toShort), // noise
+      tri(1, 9000), tri(2, 4096), // multi-frame + exactly one block
+      Array.fill(3000)(1234.toShort), // constant
+      Array.tabulate(3)(k => (k * 1000).toShort), // tiny (< any standard block)
+      Array(Short.MinValue, Short.MaxValue, 0.toShort, -1.toShort), // extremes
+      Array.tabulate(4097)(k => (k % 97).toShort)) // one sample past a block
+    for ((pcm, ci) <- cases.zipWithIndex) {
+      val enc = Flac.encode(pcm, 16000)
+      val (dec, rate) = Flac.decode(enc)
+      assert(rate == 16000)
+      assert(dec.toSeq == pcm.toSeq, s"case $ci: lossless round trip broken")
+    }
+    // fixed predictors genuinely compress the piecewise-linear corpus
+    val smooth = tri(7, 64000)
+    val ratio = Flac.encode(smooth, 16000).length.toDouble / (smooth.length * 2)
+    assert(ratio < 0.35, f"triangle corpus should compress well, got ratio $ratio%.3f")
+    // and the container overhead on incompressible noise stays small
+    val noise = Array.tabulate(64000)(k => ((ImageTable.splitmix64(k + 1L) & 0xFFFF) - 32768).toShort)
+    val nratio = Flac.encode(noise, 16000).length.toDouble / (noise.length * 2)
+    assert(nratio < 1.1, f"noise overhead too high: $nratio%.3f")
+  }
+
+  test("FLAC decoder verifies CRCs and MD5, rejects malformed streams, survives fuzzing") {
+    import graft.img.Flac
+    val pcm = Array.tabulate(6000)(k => ((ImageTable.splitmix64(k * 31L) & 0xFFFF) - 32768).toShort)
+    val good = Flac.encode(pcm, 16000)
+    // single-byte corruption anywhere must either fail loudly or decode to
+    // the exact original (a flipped bit in padding can be benign) — never
+    // crash, hang, or silently corrupt. CRC-8/CRC-16/MD5 make silent
+    // corruption structurally hard.
+    var failed = 0
+    for (seed <- 0 until 1500) {
+      val b = good.clone()
+      val p = Math.floorMod(ImageTable.splitmix64(seed.toLong), b.length.toLong).toInt
+      b(p) = (b(p) ^ (1 << (ImageTable.splitmix64(seed * 13L) & 7).toInt).toByte).toByte
+      try {
+        val (dec, _) = Flac.decode(b)
+        assert(dec.toSeq == pcm.toSeq, s"seed $seed: silent corruption at byte $p")
+      } catch {
+        case _: IllegalArgumentException => failed += 1
+        case e: Throwable => fail(s"seed $seed byte $p: unclean failure $e")
+      }
+    }
+    assert(failed > 1200, s"CRC/MD5 should catch nearly all corruptions, caught $failed/1500")
+    // truncations fail loudly at every length
+    for (cut <- Seq(0, 3, 7, 41, good.length / 2, good.length - 1))
+      intercept[IllegalArgumentException](Flac.decode(good.take(cut)))
+    // non-FLAC bytes
+    intercept[IllegalArgumentException](Flac.decode("RIFFxxxxWAVE".getBytes))
+  }
+
   test("JPEG rejects unsupported shapes loudly") {
     val px = ImageTable.renderPixels(1, 16, 16)
     val bytes = Jpeg.encode(px, 16, 16)

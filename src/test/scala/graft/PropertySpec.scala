@@ -214,6 +214,45 @@ object StarContractionProperties extends Properties("StarContraction") {
     }
 }
 
+object FlacProperties extends Properties("Flac") {
+  import graft.img.{Flac, ImageTable}
+
+  private val pcmGen: Gen[(Array[Short], Int)] = for {
+    n <- Gen.choose(1, 12000)
+    mode <- Gen.choose(0, 2)
+    seed <- Gen.choose(0L, 1000000L)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+  } yield {
+    val pcm = mode match {
+      case 0 => // white noise — verbatim territory
+        Array.tabulate(n)(k => ((ImageTable.splitmix64(seed * 31 + k) & 0xFFFF) - 32768).toShort)
+      case 1 => // random walk — fixed-predictor territory
+        var v = 0
+        Array.tabulate(n) { k =>
+          v = math.max(-32768, math.min(32767,
+            v + ((ImageTable.splitmix64(seed * 13 + k) & 0xFF) - 128).toInt))
+          v.toShort
+        }
+      case _ => // long constant runs — constant-subframe territory
+        Array.tabulate(n)(k => ((ImageTable.splitmix64(seed + k / 500) & 0xFFFF) - 32768).toShort)
+    }
+    (pcm, rate)
+  }
+
+  property("encode → decode round-trips ARBITRARY pcm bit-exactly at any rate") =
+    forAll(pcmGen) { case (pcm, rate) =>
+      val (dec, r) = Flac.decode(Flac.encode(pcm, rate))
+      r == rate && java.util.Arrays.equals(dec, pcm)
+    }
+
+  property("block size never changes the decoded stream") =
+    forAll(Gen.choose(0L, 100000L), Gen.oneOf(192, 576, 1000, 4096)) { (seed, bs) =>
+      val pcm = Array.tabulate(5000)(k =>
+        ((ImageTable.splitmix64(seed * 7 + k / 50) & 0xFFFF) - 32768).toShort)
+      java.util.Arrays.equals(Flac.decode(Flac.encode(pcm, 16000, bs))._1, pcm)
+    }
+}
+
 object JpegProperties extends Properties("Jpeg") {
   import graft.img.{ImageTable, Jpeg}
 
