@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryOnce {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: QueryOnce <queryName[,queryName...]> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val names = args(0).split(',') // comma-separated: earlier names warm shared infra
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1

@@ -260,17 +260,26 @@ object Dedup {
         // a graph that is still moving after the probe has a long diameter
         // and gets the log-round algorithm instead. The probe's cost on
         // the chain-shaped loser is autoProbeRounds cheap label rounds.
+        // The edge frame is persisted ONCE up front so the fallback never
+        // re-runs a possibly expensive upstream (e.g. LSH pair
+        // generation) a second time.
+        val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (labels, converged) =
-          ccPropagate(spark, edges, autoProbeRounds, warnOnNonConverge = false)
-        if (converged) labels
-        else {
-          System.err.println(s"[graft.Dedup] connectedComponents(auto): not " +
-            s"converged after $autoProbeRounds propagate rounds — switching " +
-            s"to star contraction (long-diameter graph)")
-          // the abandoned probe labels are node-sized cache/checkpoint state;
-          // the ContextCleaner releases them once the frame is unreachable
-          starContraction(spark, edges, maxIter)._1
-        }
+          ccPropagate(spark, cached, autoProbeRounds, warnOnNonConverge = false)
+        val out =
+          if (converged) labels
+          else {
+            System.err.println(s"[graft.Dedup] connectedComponents(auto): not " +
+              s"converged after $autoProbeRounds propagate rounds — switching " +
+              s"to star contraction (long-diameter graph)")
+            // the abandoned probe labels are node-sized cache/checkpoint
+            // state; the ContextCleaner releases them once unreachable
+            starContraction(spark, cached, maxIter)._1
+          }
+        // both paths have materialized their own (checkpointed/cached)
+        // state by now — the input cache can go
+        cached.unpersist(blocking = false)
+        out
       case other => throw new IllegalArgumentException(
         s"connectedComponents algorithm must be 'auto', 'propagate' or 'star', got '$other'")
     }

@@ -180,6 +180,9 @@ object Flac {
   def encode(samples: Array[Short], sampleRate: Int, blockSize: Int = 4096): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), s"sampleRate=$sampleRate")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize=$blockSize")
+    // mirror the decode budget: never emit a stream our own decoder refuses
+    require(samples.length <= MaxDecodeSamples,
+      s"FLAC: ${samples.length} samples exceeds codec budget $MaxDecodeSamples")
     val md5 = {
       val d = java.security.MessageDigest.getInstance("MD5")
       val le = new Array[Byte](samples.length * 2)
@@ -225,7 +228,7 @@ object Flac {
     val siB = si.toArray
     out.write(siB, 0, siB.length)
     out.write(md5, 0, 16)
-    frames.writeTo(new java.io.FilterOutputStream(out))
+    frames.writeTo(out)
     out.toByteArray
   }
 
@@ -447,13 +450,14 @@ object Flac {
   private def decodeFrame(bytes: Array[Byte], start: Int, siRate: Int): (Array[Int], Int) = {
     val r = new BitReader(bytes, start)
     if (r.readBits(14) != 0x3FFE) throw new IllegalArgumentException("FLAC: lost frame sync")
-    r.readBits(1) // reserved
+    if (r.readBits(1) != 0) throw new IllegalArgumentException("FLAC: reserved header bit set")
     r.readBits(1) // blocking strategy (coded number semantics only)
     val bsCode = r.readBits(4).toInt
     val srCode = r.readBits(4).toInt
+    if (srCode == 15) throw new IllegalArgumentException("FLAC: invalid sample-rate code 15")
     val chan = r.readBits(4).toInt
     val ssCode = r.readBits(3).toInt
-    r.readBits(1)
+    if (r.readBits(1) != 0) throw new IllegalArgumentException("FLAC: reserved header bit set")
     require(chan == 0, s"FLAC: only mono frames implemented (channel assignment $chan)")
     val bits = ssCode match {
       case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20; case 6 => 24; case 7 => 32

@@ -44,8 +44,10 @@ object StreamDedup {
   final case class CandPair(id_a: Long, id_b: Long, band: Int)
 
   // state: ids seen in this bucket; slot 0 is the bucket minimum (the star
-  // hub once the cap is hit)
-  final case class BucketState(ids: Seq[Long])
+  // hub once the cap is hit). maxEventMs tracks the latest event time seen
+  // (event-time-TTL path only; 0 under processing-time/no-TTL) so a LATE
+  // replayed row can never shorten an already-granted TTL deadline.
+  final case class BucketState(ids: Seq[Long], maxEventMs: Long = 0L)
 
   def candidates(spark: SparkSession, docs: Dataset[DocRow],
       k: Int = 64, bands: Int = 16, maxBucket: Int = 64,
@@ -115,13 +117,19 @@ object StreamDedup {
             Iterator.empty
           } else {
             val rows = rowsIt.toArray
-            val out = updateBucket(key._1, rows.iterator.map(_._3), state, maxBucket)
-            // evict once the watermark passes last-arrival + TTL; clamped a
+            // RUNNING max event time: a late (within-watermark) replayed
+            // row must never shorten an already-granted deadline — Spark
+            // clears the timeout on every data invocation, so the state
+            // carries the max and the deadline is recomputed from it
+            val newMax = math.max(
+              state.getOption.map(_.maxEventMs).getOrElse(0L),
+              rows.iterator.map(_._4.getTime).max)
+            val out = updateBucket(key._1, rows.iterator.map(_._3), state, maxBucket, newMax)
+            // evict once the watermark passes max-arrival + TTL; clamped a
             // tick past the current watermark (setTimeoutTimestamp rejects
             // timestamps at or behind it)
-            val lastMs = rows.iterator.map(_._4.getTime).max
             state.setTimeoutTimestamp(
-              math.max(lastMs + ttlMinutes.toLong * 60000L,
+              math.max(newMax + ttlMinutes.toLong * 60000L,
                 state.getCurrentWatermarkMs() + 1L))
             out
           }
@@ -134,7 +142,8 @@ object StreamDedup {
     * back. See class doc for determinism and at-least-once notes.
     */
   private def updateBucket(band: Int, freshIn: Iterator[Long],
-      state: GroupState[BucketState], maxBucket: Int): Iterator[CandPair] = {
+      state: GroupState[BucketState], maxBucket: Int,
+      maxEventMs: Long = 0L): Iterator[CandPair] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
     var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
     // deterministic intra-batch order (micro-batch iterator order is
@@ -152,7 +161,7 @@ object StreamDedup {
         out += CandPair(math.min(hub, id), math.max(hub, id), band)
       }
     }
-    state.update(BucketState(ids))
+    state.update(BucketState(ids, maxEventMs))
     out.iterator
   }
 }

@@ -161,12 +161,25 @@ object TextOps {
     // per-shard chunk totals -> global chunk-id offsets. The aggregate is
     // map-side-combined down to <= nShards rows; the cumulative sum over
     // those rows happens on the driver (NOT as a global window — that
-    // would reintroduce a single-partition sort into the plan).
-    val totals = sharded.groupBy(col("shard"))
-      .agg(sum(col(tokensCol).cast("long")).as("tok"))
+    // would reintroduce a single-partition sort into the plan). This pass
+    // plus the window below evaluate `docs` twice — two NARROW scans of
+    // the token projection, the honest cost at a scale where caching the
+    // corpus is not an option (callers with a cheap-to-cache input can
+    // persist before calling).
+    val totalRows = sharded.groupBy(col("shard"))
+      .agg(sum(col(tokensCol).cast("long")).as("tok"),
+        min(col(tokensCol)).as("min_tok"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
+    // zero-token docs are rejected, not mis-packed: one sitting exactly on
+    // a shard's final chunk boundary would take a chunk id owned by the
+    // NEXT shard (cum_before div budget == n_chunks). The check rides the
+    // totals job — no extra pass.
+    totalRows.foreach { r =>
+      require(r.getInt(2) >= 1,
+        s"packShards requires tokensCol >= 1 for every doc (shard ${r.getInt(0)} " +
+          s"has a ${r.getInt(2)}-token doc) — filter or floor empty docs first")
+    }
+    val totals = totalRows.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets: Map[Int, Long] = totals.map { case (sh, tok) =>
       val off = sh -> acc

@@ -164,4 +164,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 1003L)),
       s"bucket state should have been TTL-evicted before the late dup: $pairs")
   }
+
+  test("a late replayed row must not SHORTEN an event-time TTL deadline") {
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.DocTsRow
+    // review finding: Spark clears the timeout on every data invocation;
+    // recomputing the deadline from only the current batch would let a
+    // late (within-watermark) replay pull it backwards. Sequence
+    // (ttl=60m, watermark delay 45m):
+    //  g1 doc A @10:00      → deadline 11:00, wm 9:15
+    //  g2 REPLAY of A @9:30 → not late (wm 9:15); deadline must STAY 11:00
+    //  g3+g4 advancers @11:30 → wm 10:45 < 11:00: bucket must survive
+    //  g5 dup of A @10:50   → pair found iff the deadline wasn't shortened
+    val day = "2026-01-01 "
+    def ts(hm: String) = java.sql.Timestamp.valueOf(day + hm + ":00")
+    val text = (0 until 30).map(j => s"w${(j * 7) % 200}").mkString(" ")
+    def adv(id: Long) = DocTsRow(id, (0 until 30).map(j => s"adv${id}x$j").mkString(" "), ts("11:30"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-etlate").toString
+    def stage(rows: Seq[DocTsRow], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-etlate-w").toString + "/out"
+      rows.toDS().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+      Thread.sleep(20)
+    }
+    stage(Seq(DocTsRow(0L, text, ts("10:00"))), "g1.parquet")
+    stage(Seq(DocTsRow(0L, text, ts("09:30"))), "g2.parquet") // replay, earlier ts
+    stage(Seq(adv(5000L)), "g3.parquet")
+    stage(Seq(adv(5001L)), "g4.parquet")
+    stage(Seq(DocTsRow(77L, text + " tail", ts("10:50"))), "g5.parquet")
+    val schema = Seq(adv(0L)).toDS().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[DocTsRow]
+    val q = StreamDedup.candidatesEventTime(spark, stream,
+      ttlMinutes = 60, watermarkDelay = "45 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("etlate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val pairs = spark.table("etlate_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 77L)),
+      s"replay shortened the TTL deadline — bucket evicted early: $pairs")
+  }
 }
