@@ -532,6 +532,14 @@ object SparkEntry {
       d.filter(slot < quota).select(col("doc_id"), col("lang"))
     }),
 
+    // content-defined chunking + chunk-level dedup (the CDC pass
+    // storage/dedup pipelines run): boundaries fall where the winnow-style
+    // rolling gram hash lands in the mask (shift-resistant), chunks get
+    // md5 identities, and n_copies counts corpus-wide sharing. Narrow
+    // flatMap + ONE exchange (window on chunk_md5 — uniform keys).
+    "q63_cdc_chunks" -> ((s, dir) =>
+      graft.text.TextOps.cdcChunkTable(s, table(s, dir, "documents"))),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1981,6 +1989,51 @@ object SparkEntry {
          |  round(rms, 3) AS rms, zc AS zero_crossings,
          |  'audio caption_' || CAST(i AS BIGINT) AS caption
          |FROM feats""".stripMargin,
+
+    // q63 — CDC chunking: winnow's normalization + gram-hash CTEs, cut
+    // after every 8-gram whose splitmix lands in the 64-mask, spans via
+    // lead(), md5 of the normalized substring (Spark md5(string) and
+    // DuckDB md5 both hash UTF-8), corpus-wide copy counts. Valid under
+    // the same BMP caveat as q29's oracle (charAt vs codepoints).
+    "q63_cdc_chunks" -> {
+      val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
+      val pow31 = Array.iterate(1L, 8)(_ * 31L)
+      val poly = (0 until 8).map { j =>
+        val src = if (j == 0) "c" else s"lead(c, $j) OVER w"
+        s"CAST($src AS BIGINT) * ${pow31(7 - j)}"
+      }.mkString(" + ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents),
+         |codes AS (
+         |  SELECT doc_id, unnest(range(length(s))) AS pos,
+         |         unnest(list_transform(range(length(s)), p -> unicode(substr(s, CAST(p+1 AS INT), 1)))) AS c
+         |  FROM docs),
+         |grams AS (
+         |  SELECT doc_id, pos AS g, $poly AS poly
+         |  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(c, 7) OVER w IS NOT NULL),
+         |${splitmixChain("g", Seq("doc_id", "g"), "grams", s"($head::HUGEINT + CAST(poly AS HUGEINT))")},
+         |bnds AS (
+         |  SELECT g3.doc_id, g3.g + 8 AS b
+         |  FROM g3 JOIN docs ON docs.doc_id = g3.doc_id
+         |  WHERE g3.z % 64::HUGEINT = 0::HUGEINT AND g3.g + 8 < length(docs.s)),
+         |starts AS (
+         |  SELECT doc_id, 0 AS st FROM docs WHERE length(s) > 0
+         |  UNION ALL SELECT doc_id, b FROM bnds),
+         |spans AS (
+         |  SELECT doc_id, st,
+         |    lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_idx
+         |  FROM starts),
+         |chunks AS (
+         |  SELECT sp.doc_id, sp.chunk_idx, CAST(sp.st AS INT) AS chunk_start,
+         |    CAST(COALESCE(sp.nxt, length(d.s)) - sp.st AS INT) AS chunk_len,
+         |    md5(substr(d.s, sp.st + 1, COALESCE(sp.nxt, length(d.s)) - sp.st)) AS chunk_md5
+         |  FROM spans sp JOIN docs d ON d.doc_id = sp.doc_id)
+         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5,
+         |  count(*) OVER (PARTITION BY chunk_md5) AS n_copies
+         |FROM chunks""".stripMargin
+    },
 
     // q38 — sampled-frame structure is closed-form (every stride-th frame
     // of each 8-frame 16x16 synthetic video)

@@ -74,6 +74,74 @@ object TextOps {
     }
   }
 
+  /** Content-defined chunking (the CDC step storage/dedup pipelines run
+    * before hashing): a chunk boundary falls after every k-gram whose
+    * rolling hash lands in the mask — boundaries move WITH the content, so
+    * an insertion early in a document shifts at most one chunk instead of
+    * re-hashing everything downstream (the fixed-window failure mode).
+    * Same normalization and gram hash as [[winnow]] (lowercase, collapsed
+    * whitespace, 31-polynomial → splitmix64), so the whole operator is
+    * bit-replicable in SQL (q63's oracle). `mask = 63` gives ~64-char
+    * expected chunks; production CDC adds min/max clamps — omitted here to
+    * keep the boundary rule pure content arithmetic.
+    *
+    * @return (start, len) spans over the NORMALIZED text, covering it
+    *         exactly, in order
+    */
+  def cdcChunks(text: String, k: Int = 8, mask: Long = 63L): Seq[(Int, Int)] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val n = s.length
+    if (n == 0) return Seq.empty
+    if (n < k) return Seq((0, n))
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i + k <= n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < k) { h = h * 31 + s.charAt(i + j); j += 1 }
+      val b = i + k
+      if ((splitmix64(h) & mask) == 0L && b < n) starts += b
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)](starts.length)
+    var si = 0
+    while (si < starts.length) {
+      val st = starts(si)
+      val en = if (si + 1 < starts.length) starts(si + 1) else n
+      out += ((st, en - st))
+      si += 1
+    }
+    out.toSeq
+  }
+
+  /** Distributed CDC chunk table with chunk-level dedup: one row per
+    * chunk — (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5,
+    * n_copies) where
+    * n_copies counts how many chunks corpus-wide share the md5. Shape at
+    * scale: the chunker is a narrow flatMap, the md5 is codegen'd, and
+    * the ONLY exchange is the sharing window hashed on chunk_md5
+    * (content-uniform keys — no skew by construction).
+    */
+  def cdcChunkTable(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, mask: Long = 63L): DataFrame = {
+    import spark.implicits._
+    val chunks = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val s = text.toLowerCase.replaceAll("\\s+", " ")
+        cdcChunks(text, k, mask).iterator.zipWithIndex.map {
+          case ((st, len), idx) => (id, idx, st, len, s.substring(st, st + len))
+        }
+      }
+      .toDF(idCol, "chunk_idx", "chunk_start", "chunk_len", "chunk")
+    chunks
+      .withColumn("chunk_md5", md5(col("chunk")))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_md5"))))
+      .drop("chunk")
+  }
+
   /** BPE-ish token count as a codegen'd column (letters runs, digit runs,
     * single punctuation) — SQL-parity with DuckDB regexp_extract_all.
     */

@@ -186,6 +186,39 @@ class TextOpsSpec extends AnyFunSuite {
       .intersect(TextOps.winnow(a).toSet).isEmpty)
   }
 
+  test("cdcChunks: exact cover, shift resistance, shared content → shared chunk hashes") {
+    import spark.implicits._
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ")
+    val base = (0 until 120).map(i => s"w${(i * 17) % 300}").mkString(" ")
+    // spans cover the normalized text exactly, in order
+    val spans = TextOps.cdcChunks(base)
+    val s = norm(base)
+    assert(spans.head._1 == 0 && spans.map(c => c._1 + c._2).last == s.length)
+    assert(spans.sliding(2).forall { case Seq((a, al), (b, _)) => a + al == b; case _ => true })
+    assert(spans.length >= 3, s"expected multiple chunks for a ${s.length}-char doc")
+    // shift resistance: prepending content changes only the EARLY chunks —
+    // boundaries re-synchronize, so most trailing chunk contents survive
+    val shifted = "zzz qq " + base
+    val cs1 = spans.map { case (st, l) => s.substring(st, st + l) }.toSet
+    val s2 = norm(shifted)
+    val cs2 = TextOps.cdcChunks(shifted).map { case (st, l) => s2.substring(st, st + l) }.toSet
+    val survived = (cs1 intersect cs2).size
+    assert(survived >= cs1.size - 2,
+      s"CDC must re-sync after an insertion: only $survived of ${cs1.size} chunks survived")
+    // distributed table: a planted shared middle section yields chunks
+    // with n_copies >= 2 across distinct docs
+    val mid = (0 until 60).map(i => s"share${i % 40}").mkString(" ")
+    val docs = Seq((1L, s"alpha $mid omega"), (2L, s"beta $mid gamma"),
+      (3L, "totally unrelated text " * 10)).toDF("doc_id", "text")
+    val t = TextOps.cdcChunkTable(spark, docs)
+    val sharedDocs = t.filter(col("n_copies") >= 2)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(Set(1L, 2L).subsetOf(sharedDocs), s"shared chunks not found: $sharedDocs")
+    // and chunk spans reported by the table reassemble each normalized doc
+    val lens = t.groupBy("doc_id").agg(sum("chunk_len").as("n")).as[(Long, Long)].collect().toMap
+    assert(lens(1L) == norm(s"alpha $mid omega").length)
+  }
+
   test("regex token count column matches hand count") {
     import spark.implicits._
     val df = Seq(("ab cd-12, x!")).toDF("text")
