@@ -540,6 +540,27 @@ object SparkEntry {
     "q63_cdc_chunks" -> ((s, dir) =>
       graft.text.TextOps.cdcChunkTable(s, table(s, dir, "documents"))),
 
+    // PII scrubbing (the redact-before-training pass): the corpus is clean
+    // by construction, so deterministic emails/IPv4s are PLANTED from
+    // doc_id arithmetic (the synth-corpus precedent: the augmentation is
+    // part of the query on both sides) and then counted + redacted with
+    // Java∩RE2-portable patterns. The md5 of the redacted text pins the
+    // BYTE-EXACT match extents, not just the counts. Narrow column op.
+    "q64_pii_redact" -> ((s, dir) => {
+      import graft.text.TextOps
+      val t = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example or 10."),
+        col("doc_id") % 256, lit("."), expr("doc_id div 7") % 256, lit(".4"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id"), lit("@corp.example")))
+          .otherwise(lit("")))
+      table(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(t, lit(TextOps.EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(t, lit(TextOps.Ipv4Re), lit(0))).as("n_ips"),
+        length(TextOps.redactPii(t)).as("redacted_len"),
+        md5(TextOps.redactPii(t)).as("redacted_md5"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1711,6 +1732,30 @@ object SparkEntry {
          |SELECT doc_id, lang FROM s3
          |WHERE (z % 9223372036854775808::HUGEINT) % 1000 <
          |  CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 600 ELSE 900 END""".stripMargin,
+
+    // q64 — PII redaction: identical planted augmentation, identical
+    // Java∩RE2 patterns ('g' flag = Spark's always-global replace), md5
+    // over the same redacted bytes
+    "q64_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example or 10.' ||
+        |    (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.4' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' cc admin' || doc_id || '@corp.example' ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(length(r) AS INT) AS redacted_len,
+        |  md5(r) AS redacted_md5
+        |FROM red""".stripMargin,
 
     "q40_training_select" ->
       """WITH kept AS (

@@ -142,6 +142,22 @@ object TextOps {
       .drop("chunk")
   }
 
+  /** PII patterns for scrub-before-training redaction. Deliberately kept
+    * to the Java-regex ∩ RE2 common subset (classes, bounded quantifiers,
+    * \b, \d) so the DuckDB oracle replays the exact same automaton —
+    * parity verified on both engines for extents and greediness (q64).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails then IPv4s with fixed placeholder tokens — a narrow,
+    * codegen'd column op (the scrubbing pass every training pipeline runs
+    * before packing). Order is part of the contract: emails first, so an
+    * address containing a dotted quad redacts as one <EMAIL>.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
   /** BPE-ish token count as a codegen'd column (letters runs, digit runs,
     * single punctuation) — SQL-parity with DuckDB regexp_extract_all.
     */

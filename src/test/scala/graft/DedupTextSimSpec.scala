@@ -219,6 +219,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(lens(1L) == norm(s"alpha $mid omega").length)
   }
 
+  test("redactPii scrubs emails and IPv4s with exact extents, order matters") {
+    import spark.implicits._
+    val rows = Seq(
+      ("plain text no pii", "plain text no pii"),
+      ("mail bob.smith+x@sub.domain.example end", "mail <EMAIL> end"),
+      ("ip 10.0.255.4 and bad 999.999.999.999 both", "ip <IP> and bad <IP> both"),
+      // an address containing a dotted quad redacts as ONE email
+      ("x 10.1.2.3@host.example y", "x <EMAIL> y"),
+      ("a@b.cd 1.2.3.4 e@f.gh", "<EMAIL> <IP> <EMAIL>"))
+    val got = rows.map(_._1).toDF("t")
+      .select(TextOps.redactPii(col("t"))).as[String].collect()
+    assert(got.toSeq == rows.map(_._2))
+  }
+
   test("regex token count column matches hand count") {
     import spark.implicits._
     val df = Seq(("ab cd-12, x!")).toDF("text")
