@@ -629,6 +629,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // product-quantization ANN (ADC): the corpus compresses to m=8
+    // 4-bit-ish codes per vector, queries rank with a per-query LUT. The
+    // oracle replays ALL 8 per-subspace k-means trainings, the corpus
+    // encoding, and the two-level ADC summation order bit-exactly.
+    "q65_ann_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.pqTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     // IVF over BUCKETED STORAGE (the 100 TB layout): corpus written
     // partitioned by inverted list, probed lists read via partition
     // pruning. The quantizer is the same deterministic driver k-means as
@@ -1345,6 +1354,87 @@ object SparkEntry {
        |  FROM vecs v CROSS JOIN cents3 c),
        |corpusassign AS (SELECT vec_id, e, ci AS cid FROM cadist WHERE rk = 1)""".stripMargin
 
+  /** q65's PQ-ADC oracle: per-subspace 8-dim k-means (same sample, same
+    * Lloyd loop as the IVF replica, on embedding slices), corpus code
+    * assignment per subspace (first-min by (dist, ci)), and the ADC score
+    * as the two-level sum Spark computes — LUT cells are inner
+    * dimension-order sums, the total folds cells in subspace order. All
+    * FP op orders match `Similarity.pqTopK` exactly. Pinned to q65's
+    * parameters (m=8, ksub=16, iters=3, dim=64, sample cap 1024).
+    */
+  private def pqSubDistSql(v: String, c: String, off: Int): String = seqSumSql(
+    s"(CAST($v[CAST($off+i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
+      s"(CAST($v[CAST($off+i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])", 8)
+
+  private def pqIterationSql(j: Int, k: Int): String = {
+    val off = j * 8
+    s"""d${j}_$k AS (
+       |  SELECT s.pos, s.embedding, c.ci,
+       |    row_number() OVER (PARTITION BY s.pos
+       |      ORDER BY ${pqSubDistSql("s.embedding", "c.cl", off)}, c.ci) AS rk
+       |  FROM sample s CROSS JOIN cents${j}_${k - 1} c),
+       |a${j}_$k AS (SELECT pos, embedding, ci AS cid FROM d${j}_$k WHERE rk = 1),
+       |s${j}_$k AS (
+       |  SELECT cid, d.i AS di,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(CAST(embedding[CAST($off+d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)),
+       |      (acc, x) -> acc + x) AS s,
+       |    count(*) AS n
+       |  FROM a${j}_$k, (SELECT unnest(range(8)) AS i) d
+       |  GROUP BY cid, d.i),
+       |cents${j}_$k AS (
+       |  SELECT cid AS ci, list(s / greatest(CAST(n AS DOUBLE), 1.0) ORDER BY di) AS cl
+       |  FROM s${j}_$k GROUP BY cid)""".stripMargin
+  }
+
+  private def pqOracleSql: String = {
+    val subspaces = (0 until 8).map { j =>
+      val off = j * 8
+      val init =
+        s"""cents${j}_0 AS (
+           |  SELECT CAST(pos AS INT) AS ci,
+           |    list_transform(range(8), i -> CAST(embedding[CAST($off+i+1 AS INT)] AS DOUBLE)) AS cl
+           |  FROM sample WHERE pos < 16)""".stripMargin
+      val iters = (1 to 3).map(k => pqIterationSql(j, k)).mkString(",\n")
+      val code =
+        s"""cd$j AS (
+           |  SELECT v.vec_id, c.ci,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${pqSubDistSql("v.embedding", "c.cl", off)}, c.ci) AS rk
+           |  FROM vecs v CROSS JOIN cents${j}_3 c),
+           |code$j AS (SELECT vec_id, ci AS cid FROM cd$j WHERE rk = 1)""".stripMargin
+      s"$init,\n$iters,\n$code"
+    }.mkString(",\n")
+    val lutCells = (0 until 8).map(j => pqSubDistSql("p.qe", s"cb$j.cl", j * 8))
+      .mkString(",\n      ")
+    val codeJoins = (0 until 8).map(j =>
+      s"JOIN code$j k$j ON k$j.vec_id = p.neighbor_id JOIN cents${j}_3 cb$j ON cb$j.ci = k$j.cid")
+      .mkString("\n  ")
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |${splitmixChain("h", Seq("vec_id"), "vecs", "CAST(vec_id AS HUGEINT)")},
+       |hs AS (SELECT vec_id, ${toSigned("z")} AS h FROM h3),
+       |sample AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS pos, v.vec_id, v.embedding
+       |  FROM hs JOIN vecs v USING (vec_id)
+       |  ORDER BY h, vec_id LIMIT 1024),
+       |$subspaces,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, n.vec_id AS neighbor_id
+       |  FROM vecs q, vecs n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, [
+       |      $lutCells]), (acc, x) -> acc + x) AS adist
+       |  FROM pairs p
+       |  $codeJoins),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   private def ivfOracleSql: String =
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
        |$ivfTrainAssignCte,
@@ -1408,6 +1498,9 @@ object SparkEntry {
     // q54 — the bucketed-storage path must produce the identical result
     // (same deterministic quantizer), so it shares q52's oracle verbatim
     "q54_ann_ivf_bucketed" -> ivfOracleSql,
+
+    // q65 — PQ-ADC ANN incl. all 8 per-subspace k-means replications
+    "q65_ann_pq" -> pqOracleSql,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -283,6 +283,86 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Product-quantization ANN with asymmetric distance computation (ADC,
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011) — the MEMORY-bound scale path past IVF: the corpus is
+    * stored as `m` sub-space code ids per vector (m·log₂(ksub) bits ≈
+    * 4 bytes at the 8×16 default against 256 float bytes — a 64× smaller
+    * scan), and each query ranks candidates with a per-query lookup table
+    * (m·ksub cells) plus `m` adds per candidate instead of a `dim`-length
+    * float kernel.
+    *
+    * Determinism/oracle shape: the codebooks are the SAME driver k-means
+    * as IVF ([[kmeansDriver]]) run on each dim/m-slice of the same
+    * deterministic splitmix sample; code assignment ties break (distance,
+    * code id) like IVF's quantizer; the ADC sum adds LUT cells in
+    * subspace order with per-cell inner sums in dimension order, so every
+    * double is reproducible (q65's oracle replays training, encoding, and
+    * scoring relationally, bit-exactly).
+    *
+    * Scale shape: encoding is a narrow map over the corpus (write the
+    * codes table once, next to — or instead of — the raw vectors); the
+    * tiny LUT'd query side broadcasts into the code scan, so the corpus
+    * never shuffles. Compose with the IVF bucketed layout (encode each
+    * inverted list's residuals) when both pruning AND compression are
+    * needed. Approximate by design: recall floor pinned in
+    * SimilaritySpec.
+    *
+    * @return (query_id, neighbor_id, rank, adist) — rank by ascending
+    *         approximate squared L2, ties on neighbor id
+    */
+  def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val sample = sampleCorpus(c, math.max(ksub * 64, 1024), "neighbor_id", "ce")
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    // one codebook per subspace — kmeansDriver on the sample's slices
+    val codebooks: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
+      kmeansDriver(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+    val cbs = codebooks
+    val encode = udf { (v: Seq[Float]) =>
+      Array.tabulate(m)(j => nearestCidOf(cbs(j), v.slice(j * dsub, (j + 1) * dsub)))
+    }
+    // LUT cell (j, ci) = ‖q_j − c_{j,ci}‖², inner loop in dimension order
+    val lutOf = udf { (v: Seq[Float]) =>
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        cbs(j).foreach { case (ci, cv) =>
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = v(j * dsub + i) - cv(i); d += t * t; i += 1 }
+          lut(j * ksub + ci) = d
+        }
+        j += 1
+      }
+      lut
+    }
+    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
+      .withColumn("lut", lutOf(col("qe"))).drop("qe")
+    val cc = c.withColumn("codes", encode(col("ce"))).drop("ce")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    cc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   // ——— IVF bucketed storage: the 100 TB layout made concrete ———
 
   /** Materialize the corpus as parquet PARTITIONED BY the quantizer's list

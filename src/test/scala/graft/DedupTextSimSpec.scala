@@ -437,6 +437,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
   }
 
+  test("PQ-ADC top-k approximates exact L2 ranking within a recall floor") {
+    val v = vecs(200)
+    val q = v.filter($"vec_id" < 20)
+    // exact L2 top-5 reference (PQ approximates squared L2, not cosine)
+    val all = v.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val exact = all.filter(_._1 < 20).flatMap { case (qid, qe) =>
+      all.filter(_._1 != qid).map { case (nid, ne) =>
+        var d = 0.0; var i = 0
+        while (i < qe.length) { val t = qe(i).toDouble - ne(i); d += t * t; i += 1 }
+        (qid, nid, d)
+      }.sortBy(x => (x._3, x._2)).take(5).map(x => (x._1, x._2))
+    }.toSet
+    val rows = Similarity.pqTopK(spark, q, v, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val pq = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall") // 64x-compressed codes; floor pins regressions
+    rows.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length)))
+  }
+
   test("LSH top-k achieves reasonable recall@5 vs brute force") {
     val v = vecs(200)
     val q = v.filter($"vec_id" < 20)
