@@ -638,6 +638,15 @@ object SparkEntry {
       graft.sim.Similarity.pqTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
     }),
 
+    // IVF + PQ over residuals (IVFADC — the production composition:
+    // coarse lists prune the scan AND the in-list scan is over m-byte
+    // residual codes). Oracle replays coarse training, residual casting,
+    // all 8 sub-quantizer trainings, probing, and ADC scoring bit-exactly.
+    "q66_ann_ivfpq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.sim.Similarity.ivfpqTopK(s, e.filter(col("vec_id") < 20), e, k = 5)
+    }),
+
     // IVF over BUCKETED STORAGE (the 100 TB layout): corpus written
     // partitioned by inverted list, probed lists read via partition
     // pruning. The quantizer is the same deterministic driver k-means as
@@ -1366,18 +1375,18 @@ object SparkEntry {
     s"(CAST($v[CAST($off+i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)]) * " +
       s"(CAST($v[CAST($off+i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)])", 8)
 
-  private def pqIterationSql(j: Int, k: Int): String = {
+  private def pqIterationSql(j: Int, k: Int, trainSrc: String, vcol: String): String = {
     val off = j * 8
     s"""d${j}_$k AS (
-       |  SELECT s.pos, s.embedding, c.ci,
+       |  SELECT s.pos, s.$vcol, c.ci,
        |    row_number() OVER (PARTITION BY s.pos
-       |      ORDER BY ${pqSubDistSql("s.embedding", "c.cl", off)}, c.ci) AS rk
-       |  FROM sample s CROSS JOIN cents${j}_${k - 1} c),
-       |a${j}_$k AS (SELECT pos, embedding, ci AS cid FROM d${j}_$k WHERE rk = 1),
+       |      ORDER BY ${pqSubDistSql(s"s.$vcol", "c.cl", off)}, c.ci) AS rk
+       |  FROM $trainSrc s CROSS JOIN cents${j}_${k - 1} c),
+       |a${j}_$k AS (SELECT pos, $vcol, ci AS cid FROM d${j}_$k WHERE rk = 1),
        |s${j}_$k AS (
        |  SELECT cid, d.i AS di,
        |    list_reduce(list_prepend(0.0::DOUBLE,
-       |      list(CAST(embedding[CAST($off+d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)),
+       |      list(CAST($vcol[CAST($off+d.i+1 AS INT)] AS DOUBLE) ORDER BY pos)),
        |      (acc, x) -> acc + x) AS s,
        |    count(*) AS n
        |  FROM a${j}_$k, (SELECT unnest(range(8)) AS i) d
@@ -1387,24 +1396,33 @@ object SparkEntry {
        |  FROM s${j}_$k GROUP BY cid)""".stripMargin
   }
 
-  private def pqOracleSql: String = {
-    val subspaces = (0 until 8).map { j =>
+  /** All 8 sub-quantizers: init from the first ksub train rows, 3 Lloyd
+    * iterations over `trainSrc(pos, trainCol)` slices, then per-subspace
+    * corpus codes over `encodeSrc(vec_id, encodeCol)` — shared by the PQ
+    * (raw vectors) and IVFPQ (residuals) oracles.
+    */
+  private def pqSubspacesSql(trainSrc: String, trainCol: String,
+      encodeSrc: String, encodeCol: String): String =
+    (0 until 8).map { j =>
       val off = j * 8
       val init =
         s"""cents${j}_0 AS (
            |  SELECT CAST(pos AS INT) AS ci,
-           |    list_transform(range(8), i -> CAST(embedding[CAST($off+i+1 AS INT)] AS DOUBLE)) AS cl
-           |  FROM sample WHERE pos < 16)""".stripMargin
-      val iters = (1 to 3).map(k => pqIterationSql(j, k)).mkString(",\n")
+           |    list_transform(range(8), i -> CAST($trainCol[CAST($off+i+1 AS INT)] AS DOUBLE)) AS cl
+           |  FROM $trainSrc WHERE pos < 16)""".stripMargin
+      val iters = (1 to 3).map(k => pqIterationSql(j, k, trainSrc, trainCol)).mkString(",\n")
       val code =
         s"""cd$j AS (
            |  SELECT v.vec_id, c.ci,
            |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${pqSubDistSql("v.embedding", "c.cl", off)}, c.ci) AS rk
-           |  FROM vecs v CROSS JOIN cents${j}_3 c),
+           |      ORDER BY ${pqSubDistSql(s"v.$encodeCol", "c.cl", off)}, c.ci) AS rk
+           |  FROM $encodeSrc v CROSS JOIN cents${j}_3 c),
            |code$j AS (SELECT vec_id, ci AS cid FROM cd$j WHERE rk = 1)""".stripMargin
       s"$init,\n$iters,\n$code"
     }.mkString(",\n")
+
+  private def pqOracleSql: String = {
+    val subspaces = pqSubspacesSql("sample", "embedding", "vecs", "embedding")
     val lutCells = (0 until 8).map(j => pqSubDistSql("p.qe", s"cb$j.cl", j * 8))
       .mkString(",\n      ")
     val codeJoins = (0 until 8).map(j =>
@@ -1421,6 +1439,63 @@ object SparkEntry {
        |pairs AS (
        |  SELECT q.vec_id AS query_id, q.embedding AS qe, n.vec_id AS neighbor_id
        |  FROM vecs q, vecs n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, [
+       |      $lutCells]), (acc, x) -> acc + x) AS adist
+       |  FROM pairs p
+       |  $codeJoins),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** q66's IVFADC oracle: coarse quantizer + corpus assignment straight
+    * from [[ivfTrainAssignCte]] (the SAME replica q52/q54/q55 use),
+    * float-cast residuals on both the sample (sub-quantizer training) and
+    * the corpus (encoding), the shared [[pqSubspacesSql]] trainings over
+    * residual slices, nprobe-probe selection by (distance, ci), and the
+    * two-level ADC sum over the query's per-probe residual. Every cast
+    * and fold order matches `Similarity.ivfpqTopK`.
+    */
+  private def ivfpqOracleSql: String = {
+    def resTransform(v: String, c: String): String =
+      s"list_transform(range(64), i -> CAST(CAST($v[CAST(i+1 AS INT)] AS DOUBLE) - $c[CAST(i+1 AS INT)] AS FLOAT))"
+    val lutCells = (0 until 8).map(j => pqSubDistSql("p.qr", s"cb$j.cl", j * 8))
+      .mkString(",\n      ")
+    val codeJoins = (0 until 8).map(j =>
+      s"JOIN code$j k$j ON k$j.vec_id = p.neighbor_id JOIN cents${j}_3 cb$j ON cb$j.ci = k$j.cid")
+      .mkString("\n  ")
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+       |$ivfTrainAssignCte,
+       |sad AS (
+       |  SELECT s.pos, s.embedding, c.ci,
+       |    row_number() OVER (PARTITION BY s.pos
+       |      ORDER BY ${ivfDistSql("s.embedding", "c.cl")}, c.ci) AS rk
+       |  FROM sample s CROSS JOIN cents3 c),
+       |sres AS (
+       |  SELECT sa.pos, ${resTransform("sa.embedding", "c.cl")} AS re
+       |  FROM (SELECT pos, embedding, ci FROM sad WHERE rk = 1) sa
+       |  JOIN cents3 c ON c.ci = sa.ci),
+       |rvec AS (
+       |  SELECT ca.vec_id, ca.cid, ${resTransform("ca.e", "c.cl")} AS re
+       |  FROM corpusassign ca JOIN cents3 c ON c.ci = ca.cid),
+       |${pqSubspacesSql("sres", "re", "rvec", "re")},
+       |qp AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.ci,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${ivfDistSql("q.embedding", "c.cl")}, c.ci) AS rk
+       |  FROM vecs q CROSS JOIN cents3 c WHERE q.vec_id < 20),
+       |qres AS (
+       |  SELECT qp.query_id, qp.ci AS cid, ${resTransform("qp.qe", "c.cl")} AS qr
+       |  FROM qp JOIN cents3 c ON c.ci = qp.ci WHERE qp.rk <= 4),
+       |pairs AS (
+       |  SELECT qr.query_id, qr.qr, r.vec_id AS neighbor_id
+       |  FROM qres qr JOIN rvec r ON r.cid = qr.cid
+       |  WHERE qr.query_id <> r.vec_id),
        |scored AS (
        |  SELECT p.query_id, p.neighbor_id,
        |    list_reduce(list_prepend(0.0::DOUBLE, [
@@ -1501,6 +1576,9 @@ object SparkEntry {
 
     // q65 — PQ-ADC ANN incl. all 8 per-subspace k-means replications
     "q65_ann_pq" -> pqOracleSql,
+
+    // q66 — IVFADC: coarse quantizer (shared replica) + residual PQ
+    "q66_ann_ivfpq" -> ivfpqOracleSql,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

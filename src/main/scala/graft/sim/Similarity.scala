@@ -363,6 +363,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
 
+  /** IVF + PQ over residuals (IVFADC — the composition production ANN
+    * systems actually deploy at 100 TB): the coarse quantizer prunes the
+    * corpus to `nprobe` inverted lists AND the scan inside each list is
+    * over m-byte PQ codes of the RESIDUAL (vector − list centroid), which
+    * quantizes far better than raw vectors because residual energy is a
+    * fraction of vector energy. One narrow encode pass stores
+    * (cid, codes); queries broadcast per-(query, probed-list) LUTs into a
+    * cid-equi-join — the corpus never shuffles, and with the
+    * [[writeIvfBucketed]] layout the probed lists are also the only FILES
+    * read.
+    *
+    * Residuals are cast to float before sub-quantizer training/encoding
+    * (both sides of the q66 oracle perform the identical cast), LUT and
+    * fold orders match [[pqTopK]], and the coarse quantizer is the exact
+    * [[ivfTopK]] one — so the entire three-stage pipeline is
+    * driver-oracled bit-exactly.
+    */
+  def ivfpqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val sample = sampleCorpus(c, math.max(math.max(nlist, ksub) * 64, 1024), "neighbor_id", "ce")
+    require(sample.nonEmpty, "ivfpqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfpqTopK: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val coarse = kmeansDriver(sample, nlist, iters)
+    val coarseById = coarse.toMap
+    def residual(v: Seq[Float], cid: Int): Array[Float] = {
+      val cv = coarseById(cid)
+      Array.tabulate(dim)(i => (v(i).toDouble - cv(i)).toFloat)
+    }
+    // sub-quantizers train on the SAMPLE's residuals w.r.t. final coarse
+    val sampleRes = sample.map { v =>
+      residual(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+        nearestCidOf(coarse, scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
+    }
+    val codebooks: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
+      kmeansDriver(sampleRes.map(r =>
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+    val cbs = codebooks
+    val coarseB = coarse
+    val encode = udf { (v: Seq[Float]) =>
+      val cid = nearestCidOf(coarseB, v)
+      val r = residual(v, cid)
+      (cid, Array.tabulate(m)(j =>
+        nearestCidOf(cbs(j), scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)))))
+    }
+    val probesOf = probesOfUdf(coarse, nprobe)
+    val lutOf = udf { (v: Seq[Float], cid: Int) =>
+      val r = residual(v, cid)
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        cbs(j).foreach { case (ci, cv) =>
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = r(j * dsub + i).toDouble - cv(i); d += t * t; i += 1 }
+          lut(j * ksub + ci) = d
+        }
+        j += 1
+      }
+      lut
+    }
+    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cid", explode(probesOf(col("qe"))))
+      .withColumn("lut", lutOf(col("qe"), col("cid")))
+      .drop("qe")
+    val cc = c.withColumn("enc", encode(col("ce"))).drop("ce")
+      .select(col("neighbor_id"), col("enc._1").as("cid"), col("enc._2").as("codes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    cc.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   // ——— IVF bucketed storage: the 100 TB layout made concrete ———
 
   /** Materialize the corpus as parquet PARTITIONED BY the quantizer's list

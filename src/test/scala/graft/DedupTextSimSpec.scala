@@ -458,6 +458,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
+  test("IVFADC (residual PQ) hits a recall floor and only scans probed lists") {
+    val v = vecs(200)
+    val q = v.filter($"vec_id" < 20)
+    val all = v.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val exact = all.filter(_._1 < 20).flatMap { case (qid, qe) =>
+      all.filter(_._1 != qid).map { case (nid, ne) =>
+        var d = 0.0; var i = 0
+        while (i < qe.length) { val t = qe(i).toDouble - ne(i); d += t * t; i += 1 }
+        (qid, nid, d)
+      }.sortBy(x => (x._3, x._2)).take(5).map(x => (x._1, x._2))
+    }.toSet
+    val rows = Similarity.ivfpqTopK(spark, q, v, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // coarse pruning caps recall at the probed-list mass; residual PQ
+    // quantizes better than raw-vector PQ, so the floor holds with margin
+    assert(recall >= 0.35, s"recall $recall")
+    rows.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length)))
+  }
+
   test("LSH top-k achieves reasonable recall@5 vs brute force") {
     val v = vecs(200)
     val q = v.filter($"vec_id" < 20)
