@@ -540,6 +540,41 @@ object SparkEntry {
     "q63_cdc_chunks" -> ((s, dir) =>
       graft.text.TextOps.cdcChunkTable(s, table(s, dir, "documents"))),
 
+    // benchmark decontamination (Brown et al. 2020 §C: 13-word-gram
+    // overlap — the check every training run owes its eval sets): an eval
+    // set is PLANTED as mid-document slices of every 9th doc (so
+    // contamination provably exists and is doc-specific — 13 contiguous
+    // words never collide by chance), both corpora emit md5'd 13-grams,
+    // and a train doc is contaminated iff it shares any gram with the
+    // eval set. Scale shape: narrow gram flatMaps; the eval gram set is
+    // benchmark-sized → broadcast semi-join; one distinct + one groupBy
+    // exchange for per-doc counts.
+    "q67_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDocs = docs0.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, 21, 200)").as("text"))
+      val n = 13
+      val fps = docs0.unionAll(evalDocs).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
+        }
+        .toDF("doc_id", "gram")
+        .select(col("doc_id"), md5(col("gram")).as("fp"))
+        .distinct()
+      val evalFps = fps.filter(col("doc_id") >= 10000).select("fp").distinct()
+      val shared = fps.filter(col("doc_id") < 10000)
+        .join(evalFps, Seq("fp"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
+      docs0.select("doc_id").join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+          (coalesce(col("n_shared_fps"), lit(0L)) > 0).as("contaminated"))
+    }),
+
     // PII scrubbing (the redact-before-training pass): the corpus is clean
     // by construction, so deterministic emails/IPv4s are PLANTED from
     // doc_id arithmetic (the synth-corpus precedent: the augmentation is
@@ -1030,7 +1065,7 @@ object SparkEntry {
     * POSITION rule doesn't affect the fp SET (the fp is the window's min
     * value), so no argmax is needed.
     */
-  private def winnowFpCte: String = {
+  private def winnowFpCte(src: String = "documents"): String = {
     // (1125899906842597 · 31^8) mod 2^64
     val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
     val pow31 = Array.iterate(1L, 8)(_ * 31L) // 31^0 .. 31^7, exact
@@ -1039,7 +1074,7 @@ object SparkEntry {
       s"CAST($src AS BIGINT) * ${pow31(7 - j)}"
     }.mkString(" + ")
     s"""docs AS (
-       |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents),
+       |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM $src),
        |codes AS (
        |  SELECT doc_id, unnest(range(length(s))) AS pos,
        |         unnest(list_transform(range(length(s)), p -> unicode(substr(s, CAST(p+1 AS INT), 1)))) AS c
@@ -1580,6 +1615,34 @@ object SparkEntry {
     // q66 — IVFADC: coarse quantizer (shared replica) + residual PQ
     "q66_ann_ivfpq" -> ivfpqOracleSql,
 
+    // q67 — decontamination: identical planted eval slices, identical
+    // whitespace tokenization (Java \s+ ∩ RE2 — divergent only on U+000B,
+    // absent from the corpus), 13-word grams md5'd on both sides, then a
+    // broadcast-shaped gram semi-join + per-doc counts
+    "q67_decontaminate" ->
+      """WITH srcdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substr(text, 21, 200) FROM documents WHERE doc_id % 9 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM srcdocs),
+        |grams AS (
+        |  SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
+        |  FROM toks WHERE len(w) >= 13),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+13 AS INT)), ' ')) AS fp
+        |  FROM grams),
+        |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id >= 10000),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM fps JOIN evalfps USING (fp) WHERE doc_id < 10000 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n, 0) AS n_shared_fps,
+        |  COALESCE(s.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id""".stripMargin,
+
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection
     "q55_semantic_dedup" -> semanticDedupOracleSql,
@@ -1600,7 +1663,7 @@ object SparkEntry {
     // q29 — winnowing fingerprint sharing recomputed relationally (see
     // winnowFpCte for the hash derivation and validity domain)
     "q29_fingerprint" ->
-      s"""WITH $winnowFpCte,
+      s"""WITH ${winnowFpCte()},
          |counts AS (SELECT fp, count(*) AS n_docs FROM dfps GROUP BY fp)
          |SELECT count(*) AS shared_fps, CAST(sum(n_docs) AS BIGINT) AS doc_slots
          |FROM counts WHERE n_docs > 1""".stripMargin,
