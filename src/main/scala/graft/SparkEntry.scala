@@ -542,22 +542,19 @@ object SparkEntry {
 
     // benchmark decontamination (Brown et al. 2020 §C: 13-word-gram
     // overlap — the check every training run owes its eval sets): an eval
-    // set is PLANTED as mid-document slices of every 9th doc (so
-    // contamination provably exists and is doc-specific — 13 contiguous
-    // words never collide by chance), both corpora emit md5'd 13-grams,
-    // and a train doc is contaminated iff it shares any gram with the
-    // eval set. Scale shape: narrow gram flatMaps; the eval gram set is
-    // benchmark-sized → broadcast semi-join; one distinct + one groupBy
-    // exchange for per-doc counts.
+    // set is PLANTED as mid-document slices of every 9th doc (doc-specific
+    // by construction — 13 contiguous words never collide by chance; a
+    // slice too short to carry a 13-gram emits none, so very short source
+    // docs legitimately stay unflagged), both corpora emit md5'd
+    // 13-grams, and a train doc is contaminated iff it shares any gram
+    // with the eval set. Train and eval fingerprint through SEPARATE
+    // narrow pipelines — no union, no id-space tricks, each corpus
+    // scanned once; the eval gram set is benchmark-sized → broadcast
+    // semi-join; one distinct + one groupBy exchange for per-doc counts.
     "q67_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val docs0 = table(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val evalDocs = docs0.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          expr("substring(text, 21, 200)").as("text"))
       val n = 13
-      val fps = docs0.unionAll(evalDocs).as[(Long, String)]
+      def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
         .flatMap { case (id, t) =>
           val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
           (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
@@ -565,8 +562,12 @@ object SparkEntry {
         .toDF("doc_id", "gram")
         .select(col("doc_id"), md5(col("gram")).as("fp"))
         .distinct()
-      val evalFps = fps.filter(col("doc_id") >= 10000).select("fp").distinct()
-      val shared = fps.filter(col("doc_id") < 10000)
+      val docs0 = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalFps = grams(docs0.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), expr("substring(text, 21, 200)").as("text")))
+        .select("fp").distinct()
+      val shared = grams(docs0)
         .join(evalFps, Seq("fp"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
       docs0.select("doc_id").join(shared, Seq("doc_id"), "left")
@@ -1065,13 +1066,19 @@ object SparkEntry {
     * POSITION rule doesn't affect the fp SET (the fp is the window's min
     * value), so no argmax is needed.
     */
-  private def winnowFpCte(src: String = "documents"): String = {
+  /** Shared 8-gram rolling-hash derivation over `src(doc_id, text)`:
+    * normalize → char codes → 31-polynomial → splitmix chain, ending at
+    * `g3(doc_id, g, z)` with the normalized text still reachable as
+    * `docs.s`. The gram hash exists ONCE — winnow (q29) and CDC (q63)
+    * both build on this prefix, so they can never silently diverge.
+    */
+  private def gramPolyCtes(src: String): String = {
     // (1125899906842597 · 31^8) mod 2^64
     val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
     val pow31 = Array.iterate(1L, 8)(_ * 31L) // 31^0 .. 31^7, exact
     val poly = (0 until 8).map { j =>
-      val src = if (j == 0) "c" else s"lead(c, $j) OVER w"
-      s"CAST($src AS BIGINT) * ${pow31(7 - j)}"
+      val c = if (j == 0) "c" else s"lead(c, $j) OVER w"
+      s"CAST($c AS BIGINT) * ${pow31(7 - j)}"
     }.mkString(" + ")
     s"""docs AS (
        |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM $src),
@@ -1083,7 +1090,11 @@ object SparkEntry {
        |  SELECT doc_id, pos AS g, $poly AS poly
        |  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
        |  QUALIFY lead(c, 7) OVER w IS NOT NULL),
-       |${splitmixChain("g", Seq("doc_id", "g"), "grams", s"($head::HUGEINT + CAST(poly AS HUGEINT))")},
+       |${splitmixChain("g", Seq("doc_id", "g"), "grams", s"($head::HUGEINT + CAST(poly AS HUGEINT))")}""".stripMargin
+  }
+
+  private def winnowFpCte(src: String = "documents"): String = {
+    s"""${gramPolyCtes(src)},
        |hs AS (SELECT doc_id, g, ${toSigned("z")} AS h FROM g3),
        |wins AS (
        |  SELECT doc_id, least(h, lead(h,1) OVER w, lead(h,2) OVER w, lead(h,3) OVER w) AS fp
@@ -1617,31 +1628,33 @@ object SparkEntry {
 
     // q67 — decontamination: identical planted eval slices, identical
     // whitespace tokenization (Java \s+ ∩ RE2 — divergent only on U+000B,
-    // absent from the corpus), 13-word grams md5'd on both sides, then a
+    // absent from the corpus), 13-word grams md5'd per side, then a
     // broadcast-shaped gram semi-join + per-doc counts
-    "q67_decontaminate" ->
-      """WITH srcdocs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000, substr(text, 21, 200) FROM documents WHERE doc_id % 9 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-        |  FROM srcdocs),
-        |grams AS (
-        |  SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
-        |  FROM toks WHERE len(w) >= 13),
-        |fps AS (
-        |  SELECT DISTINCT doc_id,
-        |    md5(array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+13 AS INT)), ' ')) AS fp
-        |  FROM grams),
-        |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id >= 10000),
-        |shared AS (
-        |  SELECT doc_id, count(*) AS n
-        |  FROM fps JOIN evalfps USING (fp) WHERE doc_id < 10000 GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(s.n, 0) AS n_shared_fps,
-        |  COALESCE(s.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id""".stripMargin,
+    "q67_decontaminate" -> {
+      def gramFps(src: String, alias: String): String =
+        s"""${alias}_toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM $src),
+           |${alias}_grams AS (
+           |  SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
+           |  FROM ${alias}_toks WHERE len(w) >= 13),
+           |$alias AS (
+           |  SELECT DISTINCT doc_id,
+           |    md5(array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+13 AS INT)), ' ')) AS fp
+           |  FROM ${alias}_grams)""".stripMargin
+      s"""WITH evaldocs AS (
+         |  SELECT doc_id, substr(text, 21, 200) AS text FROM documents WHERE doc_id % 9 = 0),
+         |${gramFps("evaldocs", "efps")},
+         |${gramFps("documents", "tfps")},
+         |evalfps AS (SELECT DISTINCT fp FROM efps),
+         |shared AS (
+         |  SELECT doc_id, count(*) AS n
+         |  FROM tfps JOIN evalfps USING (fp) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.n, 0) AS n_shared_fps,
+         |  COALESCE(s.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id""".stripMargin
+    },
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection
@@ -2274,24 +2287,8 @@ object SparkEntry {
     // lead(), md5 of the normalized substring (Spark md5(string) and
     // DuckDB md5 both hash UTF-8), corpus-wide copy counts. Valid under
     // the same BMP caveat as q29's oracle (charAt vs codepoints).
-    "q63_cdc_chunks" -> {
-      val head = java.lang.Long.toUnsignedString(1125899906842597L * 852891037441L)
-      val pow31 = Array.iterate(1L, 8)(_ * 31L)
-      val poly = (0 until 8).map { j =>
-        val src = if (j == 0) "c" else s"lead(c, $j) OVER w"
-        s"CAST($src AS BIGINT) * ${pow31(7 - j)}"
-      }.mkString(" + ")
-      s"""WITH docs AS (
-         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents),
-         |codes AS (
-         |  SELECT doc_id, unnest(range(length(s))) AS pos,
-         |         unnest(list_transform(range(length(s)), p -> unicode(substr(s, CAST(p+1 AS INT), 1)))) AS c
-         |  FROM docs),
-         |grams AS (
-         |  SELECT doc_id, pos AS g, $poly AS poly
-         |  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-         |  QUALIFY lead(c, 7) OVER w IS NOT NULL),
-         |${splitmixChain("g", Seq("doc_id", "g"), "grams", s"($head::HUGEINT + CAST(poly AS HUGEINT))")},
+    "q63_cdc_chunks" ->
+      s"""WITH ${gramPolyCtes("documents")},
          |bnds AS (
          |  SELECT g3.doc_id, g3.g + 8 AS b
          |  FROM g3 JOIN docs ON docs.doc_id = g3.doc_id
@@ -2311,8 +2308,7 @@ object SparkEntry {
          |  FROM spans sp JOIN docs d ON d.doc_id = sp.doc_id)
          |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5,
          |  count(*) OVER (PARTITION BY chunk_md5) AS n_copies
-         |FROM chunks""".stripMargin
-    },
+         |FROM chunks""".stripMargin,
 
     // q38 — sampled-frame structure is closed-form (every stride-th frame
     // of each 8-frame 16x16 synthetic video)

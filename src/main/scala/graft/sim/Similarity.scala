@@ -322,35 +322,10 @@ object Similarity {
     require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     // one codebook per subspace — kmeansDriver on the sample's slices
-    val codebooks: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
-      kmeansDriver(sample.map(v =>
-        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), ksub, iters)
-    }
-    val cbs = codebooks
-    val encode = udf { (v: Seq[Float]) =>
-      Array.tabulate(m)(j => nearestCidOf(cbs(j), v.slice(j * dsub, (j + 1) * dsub)))
-    }
-    // LUT cell (j, ci) = ‖q_j − c_{j,ci}‖², inner loop in dimension order
-    val lutOf = udf { (v: Seq[Float]) =>
-      val lut = new Array[Double](m * ksub)
-      var j = 0
-      while (j < m) {
-        cbs(j).foreach { case (ci, cv) =>
-          var d = 0.0
-          var i = 0
-          while (i < dsub) { val t = v(j * dsub + i) - cv(i); d += t * t; i += 1 }
-          lut(j * ksub + ci) = d
-        }
-        j += 1
-      }
-      lut
-    }
-    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
-      var s = 0.0
-      var j = 0
-      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
-      s
-    }
+    val cbs = trainSubQuantizers(sample, m, ksub, dsub, iters)
+    val encode = udf { (v: Seq[Float]) => pqCodesOf(cbs, v.toArray, m, dsub) }
+    val lutOf = udf { (v: Seq[Float]) => pqLutOf(cbs, v.toArray, m, ksub, dsub) }
+    val adc = pqAdcUdf(m, ksub)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
       .withColumn("lut", lutOf(col("qe"))).drop("qe")
     val cc = c.withColumn("codes", encode(col("ce"))).drop("ce")
@@ -362,6 +337,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
+
+  // ——— shared PQ kernels (ONE definition each, so q65's raw-vector path
+  // and q66's residual path can never diverge in FP op order) ———
+
+  /** One codebook per subspace: [[kmeansDriver]] on dsub-wide slices. */
+  private def trainSubQuantizers(vecs: Array[Array[Float]], m: Int, ksub: Int,
+      dsub: Int, iters: Int): Array[Array[(Int, Array[Double])]] =
+    Array.tabulate(m) { j =>
+      kmeansDriver(vecs.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+
+  /** Per-subspace code assignment — first-min by (distance, code id). */
+  private def pqCodesOf(cbs: Array[Array[(Int, Array[Double])]], v: Array[Float],
+      m: Int, dsub: Int): Array[Int] =
+    Array.tabulate(m)(j => nearestCidOf(cbs(j),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))))
+
+  /** LUT cell (j, ci) = ‖v_j − c_{j,ci}‖², inner loop in dimension order. */
+  private def pqLutOf(cbs: Array[Array[(Int, Array[Double])]], v: Array[Float],
+      m: Int, ksub: Int, dsub: Int): Array[Double] = {
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      cbs(j).foreach { case (ci, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = v(j * dsub + i).toDouble - cv(i); d += t * t; i += 1 }
+        lut(j * ksub + ci) = d
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** ADC score: fold LUT cells in subspace order from 0.0. */
+  private def pqAdcUdf(m: Int, ksub: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (codes: Seq[Int], lut: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    }
 
   /** IVF + PQ over residuals (IVFADC — the composition production ANN
     * systems actually deploy at 100 TB): the coarse quantizer prunes the
@@ -401,41 +420,17 @@ object Similarity {
       residual(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
         nearestCidOf(coarse, scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
     }
-    val codebooks: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
-      kmeansDriver(sampleRes.map(r =>
-        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)), ksub, iters)
-    }
-    val cbs = codebooks
+    val cbs = trainSubQuantizers(sampleRes, m, ksub, dsub, iters)
     val coarseB = coarse
     val encode = udf { (v: Seq[Float]) =>
       val cid = nearestCidOf(coarseB, v)
-      val r = residual(v, cid)
-      (cid, Array.tabulate(m)(j =>
-        nearestCidOf(cbs(j), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)))))
+      (cid, pqCodesOf(cbs, residual(v, cid), m, dsub))
     }
     val probesOf = probesOfUdf(coarse, nprobe)
     val lutOf = udf { (v: Seq[Float], cid: Int) =>
-      val r = residual(v, cid)
-      val lut = new Array[Double](m * ksub)
-      var j = 0
-      while (j < m) {
-        cbs(j).foreach { case (ci, cv) =>
-          var d = 0.0
-          var i = 0
-          while (i < dsub) { val t = r(j * dsub + i).toDouble - cv(i); d += t * t; i += 1 }
-          lut(j * ksub + ci) = d
-        }
-        j += 1
-      }
-      lut
+      pqLutOf(cbs, residual(v, cid), m, ksub, dsub)
     }
-    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
-      var s = 0.0
-      var j = 0
-      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
-      s
-    }
+    val adc = pqAdcUdf(m, ksub)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
       .withColumn("cid", explode(probesOf(col("qe"))))
       .withColumn("lut", lutOf(col("qe"), col("cid")))

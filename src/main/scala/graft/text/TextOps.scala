@@ -88,8 +88,13 @@ object TextOps {
     * @return (start, len) spans over the NORMALIZED text, covering it
     *         exactly, in order
     */
-  def cdcChunks(text: String, k: Int = 8, mask: Long = 63L): Seq[(Int, Int)] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+  def cdcChunks(text: String, k: Int = 8, mask: Long = 63L): Seq[(Int, Int)] =
+    cdcBoundaries(text.toLowerCase.replaceAll("\\s+", " "), k, mask)
+
+  /** [[cdcChunks]] over ALREADY-normalized text — the form the distributed
+    * table uses so normalization happens once per document, not twice.
+    */
+  private[text] def cdcBoundaries(s: String, k: Int, mask: Long): Seq[(Int, Int)] = {
     val n = s.length
     if (n == 0) return Seq.empty
     if (n < k) return Seq((0, n))
@@ -130,7 +135,7 @@ object TextOps {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val s = text.toLowerCase.replaceAll("\\s+", " ")
-        cdcChunks(text, k, mask).iterator.zipWithIndex.map {
+        cdcBoundaries(s, k, mask).iterator.zipWithIndex.map {
           case ((st, len), idx) => (id, idx, st, len, s.substring(st, st + len))
         }
       }
