@@ -1,6 +1,6 @@
 package graft.img
 
-/** From-scratch FLAC codec (mono, 16-bit) — the free lossless audio format
+/** From-scratch FLAC codec (mono + stereo, 16-bit) — the free lossless audio format
   * per its public specification (RFC 9639 / xiph.org stream format). With
   * this, every NON-PERCEPTUAL audio format in [[Multimodal]] is a real
   * codec (PCM WAV, IMA-ADPCM WAV, FLAC); mp3/aac stay out of scope
@@ -15,13 +15,17 @@ package graft.img
   * (the synth corpus) land on order-2 with near-zero residuals — real
   * compression, pinned in CodecsSpec.
   *
-  * Decoder: full mono-16 subset — CONSTANT / VERBATIM / FIXED 0-4 AND
-  * LPC subframes (so streams from other encoders decode too), 4-bit and
-  * 5-bit Rice methods, any partition order, wasted bits, both blocking
-  * strategies; CRC-8 (poly 0x07) on every frame header, CRC-16 (poly
-  * 0x8005) on every frame, and the STREAMINFO MD5 verified over the
-  * decoded stream. Truncation and corruption fail loudly (IAE), never
-  * hang or over-allocate.
+  * Stereo: [[encodeStereo]] picks the cheapest per-frame decorrelation
+  * (independent / left-side / side-right / mid-side, 17-bit side
+  * subframes); [[decodeMulti]] inverts all four assignments.
+  *
+  * Decoder: full mono/stereo-16 subset — CONSTANT / VERBATIM / FIXED 0-4
+  * AND LPC subframes (so streams from other encoders decode too), 4-bit
+  * and 5-bit Rice methods, any partition order, wasted bits, both
+  * blocking strategies; CRC-8 (poly 0x07) on every frame header, CRC-16
+  * (poly 0x8005) on every frame, and the STREAMINFO MD5 verified over
+  * the decoded (interleaved) stream. Truncation and corruption fail
+  * loudly (IAE), never hang or over-allocate.
   */
 object Flac {
 
@@ -234,6 +238,35 @@ object Flac {
 
   private def encodeFrame(samples: Array[Short], off: Int, n: Int, frameIdx: Long,
       nominalBlock: Int, sampleRate: Int): Array[Byte] = {
+    val x = new Array[Int](n)
+    var i = 0
+    while (i < n) { x(i) = samples(off + i); i += 1 }
+    encodeFrameMulti(Array((x, 16)), n, frameIdx, 0)
+  }
+
+  /** Minimum Σ|residual| over fixed orders 0-4 — the subframe predictor
+    * choice AND the stereo-decorrelation cost estimate (spec §A.4 idea).
+    */
+  private def bestFixedOrder(x: Array[Int], n: Int): (Int, Long) = {
+    var bestO = 0
+    var bestSum = Long.MaxValue
+    var o = 0
+    while (o <= 4 && o < n) {
+      var s = 0L
+      var j = o
+      while (j < n) { s += math.abs(fixedResidual(x, j, o)); j += 1 }
+      if (s < bestSum) { bestSum = s; bestO = o }
+      o += 1
+    }
+    (bestO, bestSum)
+  }
+
+  /** One frame: header with the given channel assignment, then one
+    * subframe per entry of `chans` (samples, effective bits — side
+    * channels carry bits+1 per spec §9.1.3), then CRC-16.
+    */
+  private def encodeFrameMulti(chans: Array[(Array[Int], Int)], n: Int,
+      frameIdx: Long, chanAssign: Int): Array[Byte] = {
     val w = new BitWriter
     w.writeBits(0x3FFE, 14) // sync
     w.writeBits(0, 1) // reserved
@@ -248,8 +281,8 @@ object Flac {
       else 7 // 16-bit value - 1 follows header
     w.writeBits(bsCode.toLong, 4)
     w.writeBits(0L, 4) // sample rate: from STREAMINFO
-    w.writeBits(0L, 4) // channel assignment: mono
-    w.writeBits(4L, 3) // sample size: 16 bit
+    w.writeBits(chanAssign.toLong, 4)
+    w.writeBits(4L, 3) // sample size: 16 bit (stream bits; side subframes +1)
     w.writeBits(0L, 1) // reserved
     writeCodedNumber(w, frameIdx)
     if (bsCode == 7) w.writeBits((n - 1).toLong, 16)
@@ -257,31 +290,30 @@ object Flac {
     val headBytes = { w.alignByte(); w.toArray } // header is byte-aligned here by construction
     val c8 = crc8(headBytes, 0, headBytes.length)
     w.writeBits(c8.toLong, 8)
+    chans.foreach { case (x, bits) => writeSubframe(w, x, n, bits) }
+    w.alignByte()
+    val body = w.toArray
+    val c16 = crc16(body, 0, body.length)
+    val outB = java.util.Arrays.copyOf(body, body.length + 2)
+    outB(body.length) = ((c16 >> 8) & 0xFF).toByte
+    outB(body.length + 1) = (c16 & 0xFF).toByte
+    outB
+  }
 
-    // subframe (mono): constant / fixed 0-4 / verbatim, whichever is smallest
-    val x = new Array[Int](n)
-    var i = 0
+  /** Subframe at an arbitrary bit depth: constant / fixed 0-4 with
+    * partitioned Rice / verbatim, whichever is smallest.
+    */
+  private def writeSubframe(w: BitWriter, x: Array[Int], n: Int, bits: Int): Unit = {
+    val mask = (1L << bits) - 1
     var const = true
-    while (i < n) {
-      x(i) = samples(off + i)
-      if (x(i) != x(0)) const = false
-      i += 1
-    }
+    var i = 1
+    while (i < n && const) { if (x(i) != x(0)) const = false; i += 1 }
     if (const) {
       w.writeBits(0L, 1); w.writeBits(0L, 6); w.writeBits(0L, 1) // CONSTANT, no wasted bits
-      w.writeBits(x(0).toLong & 0xFFFF, 16)
+      w.writeBits(x(0).toLong & mask, bits)
     } else {
       // pick the fixed order with minimum Σ|residual|
-      var bestO = 0
-      var bestSum = Long.MaxValue
-      var o = 0
-      while (o <= 4 && o < n) {
-        var s = 0L
-        var j = o
-        while (j < n) { s += math.abs(fixedResidual(x, j, o)); j += 1 }
-        if (s < bestSum) { bestSum = s; bestO = o }
-        o += 1
-      }
+      val (bestO, _) = bestFixedOrder(x, n)
       val res = new Array[Long](n - bestO)
       var j = bestO
       while (j < n) { res(j - bestO) = fixedResidual(x, j, bestO); j += 1 }
@@ -329,16 +361,16 @@ object Flac {
         base += count
         part += 1
       }
-      val verbatimBits = n.toLong * 16
-      val fixedTotal = bestO * 16 + 2 + 4 + fixedBody
+      val verbatimBits = n.toLong * bits
+      val fixedTotal = bestO.toLong * bits + 2 + 4 + fixedBody
       if (verbatimBits < fixedTotal) {
         w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1) // VERBATIM
         var m = 0
-        while (m < n) { w.writeBits(x(m).toLong & 0xFFFF, 16); m += 1 }
+        while (m < n) { w.writeBits(x(m).toLong & mask, bits); m += 1 }
       } else {
         w.writeBits(0L, 1); w.writeBits(8L + bestO, 6); w.writeBits(0L, 1) // FIXED order o
         var m = 0
-        while (m < bestO) { w.writeBits(x(m).toLong & 0xFFFF, 16); m += 1 }
+        while (m < bestO) { w.writeBits(x(m).toLong & mask, bits); m += 1 }
         w.writeBits(0L, 2) // residual method: 4-bit rice
         w.writeBits(po.toLong, 4)
         part = 0
@@ -366,22 +398,111 @@ object Flac {
         }
       }
     }
-    w.alignByte()
-    val body = w.toArray
-    val c16 = crc16(body, 0, body.length)
-    val outB = java.util.Arrays.copyOf(body, body.length + 2)
-    outB(body.length) = ((c16 >> 8) & 0xFF).toByte
-    outB(body.length + 1) = (c16 & 0xFF).toByte
-    outB
+  }
+
+  /** Encode STEREO 16-bit PCM: per frame the cheapest decorrelation among
+    * independent, left/side, right/side, and mid/side (spec §4.1) is
+    * chosen by fixed-predictor residual cost; side channels carry 17-bit
+    * subframes. The STREAMINFO MD5 covers the interleaved stream.
+    */
+  def encodeStereo(left: Array[Short], right: Array[Short], sampleRate: Int,
+      blockSize: Int = 4096): Array[Byte] = {
+    require(left.length == right.length,
+      s"channel length mismatch: ${left.length} vs ${right.length}")
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"sampleRate=$sampleRate")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize=$blockSize")
+    require(2L * left.length <= MaxDecodeSamples,
+      s"FLAC: ${2L * left.length} samples exceeds codec budget $MaxDecodeSamples")
+    val md5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val le = new Array[Byte](left.length * 4)
+      var i = 0
+      while (i < left.length) {
+        le(4 * i) = (left(i) & 0xFF).toByte
+        le(4 * i + 1) = ((left(i) >> 8) & 0xFF).toByte
+        le(4 * i + 2) = (right(i) & 0xFF).toByte
+        le(4 * i + 3) = ((right(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      d.digest(le)
+    }
+    val frames = new java.io.ByteArrayOutputStream()
+    var minFrame = Int.MaxValue
+    var maxFrame = 0
+    var frameIdx = 0L
+    var off = 0
+    while (off < left.length) {
+      val n = math.min(blockSize, left.length - off)
+      val l = new Array[Int](n)
+      val r = new Array[Int](n)
+      val mid = new Array[Int](n)
+      val side = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        l(i) = left(off + i)
+        r(i) = right(off + i)
+        mid(i) = (l(i) + r(i)) >> 1
+        side(i) = l(i) - r(i)
+        i += 1
+      }
+      val cL = bestFixedOrder(l, n)._2
+      val cR = bestFixedOrder(r, n)._2
+      val cM = bestFixedOrder(mid, n)._2
+      val cS = bestFixedOrder(side, n)._2
+      // spec channel assignments: 8 = left/side, 9 = side/right, 10 = mid/side
+      val options = Seq(
+        (cL + cR, 1, Array((l, 16), (r, 16))),
+        (cL + cS, 8, Array((l, 16), (side, 17))),
+        (cR + cS, 9, Array((side, 17), (r, 16))),
+        (cM + cS, 10, Array((mid, 16), (side, 17))))
+      val (_, assign, chans) = options.minBy(_._1)
+      val fb = encodeFrameMulti(chans, n, frameIdx, assign)
+      frames.write(fb)
+      minFrame = math.min(minFrame, fb.length)
+      maxFrame = math.max(maxFrame, fb.length)
+      frameIdx += 1
+      off += n
+    }
+    if (minFrame == Int.MaxValue) minFrame = 0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new BitWriter
+    si.writeBits(blockSize.toLong, 16)
+    si.writeBits(blockSize.toLong, 16)
+    si.writeBits(minFrame.toLong, 24)
+    si.writeBits(maxFrame.toLong, 24)
+    si.writeBits(sampleRate.toLong, 20)
+    si.writeBits(1L, 3) // channels - 1 (stereo)
+    si.writeBits(15L, 5) // bits per sample - 1 (16)
+    si.writeBits(left.length.toLong, 36)
+    val siB = si.toArray
+    out.write(siB, 0, siB.length)
+    out.write(md5, 0, 16)
+    frames.writeTo(out)
+    out.toByteArray
   }
 
   // ——— decoder ———
 
-  /** Decode a mono 16-bit FLAC stream. Verifies frame CRCs and the
-    * STREAMINFO MD5; fails loudly on anything malformed.
+  /** Decode a MONO 16-bit FLAC stream (errors on stereo — use
+    * [[decodeMulti]]). Verifies frame CRCs and the STREAMINFO MD5; fails
+    * loudly on anything malformed.
     * @return (samples, sampleRate)
     */
   def decode(bytes: Array[Byte]): (Array[Short], Int) = {
+    val (chans, rate) = decodeMulti(bytes)
+    require(chans.length == 1,
+      s"decode(): stream has ${chans.length} channels — use decodeMulti")
+    (chans(0), rate)
+  }
+
+  /** Decode a mono or stereo 16-bit FLAC stream — all four stereo channel
+    * assignments (independent, left/side, side/right, mid/side with
+    * 17-bit side subframes). Verifies frame CRCs and the STREAMINFO MD5.
+    * @return (one sample array per channel, sampleRate)
+    */
+  def decodeMulti(bytes: Array[Byte]): (Array[Array[Short]], Int) = {
     require(bytes.length >= 4 + 4 + 34 &&
       bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C',
       "not a FLAC stream")
@@ -389,6 +510,7 @@ object Flac {
     // metadata walk; STREAMINFO must be first (spec §8.1)
     var last = false
     var sampleRate = -1
+    var channels = -1
     var totalSamples = -1L
     var streamMd5: Array[Byte] = null
     var first = true
@@ -405,39 +527,50 @@ object Flac {
         val r = new BitReader(bytes, pos)
         r.readBits(16); r.readBits(16); r.readBits(24); r.readBits(24)
         sampleRate = r.readBits(20).toInt
-        val channels = r.readBits(3).toInt + 1
+        channels = r.readBits(3).toInt + 1
         val bits = r.readBits(5).toInt + 1
         totalSamples = r.readBits(36)
-        require(channels == 1 && bits == 16,
-          s"only mono 16-bit FLAC is implemented here (got ch=$channels bits=$bits)")
+        require(channels <= 2 && bits == 16,
+          s"only mono/stereo 16-bit FLAC is implemented here (got ch=$channels bits=$bits)")
         require(sampleRate > 0, "FLAC: zero sample rate")
-        require(totalSamples <= MaxDecodeSamples,
-          s"FLAC: $totalSamples samples exceeds decode budget $MaxDecodeSamples")
+        require(totalSamples * channels <= MaxDecodeSamples,
+          s"FLAC: ${totalSamples * channels} samples exceeds decode budget $MaxDecodeSamples")
         streamMd5 = java.util.Arrays.copyOfRange(bytes, pos + 18, pos + 34)
         first = false
       }
       pos += blen
     }
     if (first) throw new IllegalArgumentException("FLAC: no STREAMINFO")
-    val out = new Array[Short](totalSamples.toInt)
+    val out = Array.ofDim[Short](channels, totalSamples.toInt)
     var got = 0
     while (got < totalSamples) {
-      val (dec, nextPos) = decodeFrame(bytes, pos, sampleRate)
-      if (got + dec.length > totalSamples)
+      val (dec, nextPos) = decodeFrame(bytes, pos, channels)
+      if (got + dec(0).length > totalSamples)
         throw new IllegalArgumentException("FLAC: frames exceed STREAMINFO total samples")
-      var i = 0
-      while (i < dec.length) { out(got + i) = dec(i).toShort; i += 1 }
-      got += dec.length
+      var c = 0
+      while (c < channels) {
+        var i = 0
+        while (i < dec(c).length) { out(c)(got + i) = dec(c)(i).toShort; i += 1 }
+        c += 1
+      }
+      got += dec(0).length
       pos = nextPos
     }
-    // MD5 over the decoded stream must match STREAMINFO (all-zero = unset)
+    // MD5 over the decoded INTERLEAVED stream must match STREAMINFO
+    // (all-zero = unset)
     if (streamMd5.exists(_ != 0)) {
       val d = java.security.MessageDigest.getInstance("MD5")
-      val le = new Array[Byte](out.length * 2)
+      val le = new Array[Byte](totalSamples.toInt * channels * 2)
       var i = 0
-      while (i < out.length) {
-        le(2 * i) = (out(i) & 0xFF).toByte
-        le(2 * i + 1) = ((out(i) >> 8) & 0xFF).toByte
+      var o = 0
+      while (i < totalSamples) {
+        var c = 0
+        while (c < channels) {
+          le(o) = (out(c)(i) & 0xFF).toByte
+          le(o + 1) = ((out(c)(i) >> 8) & 0xFF).toByte
+          o += 2
+          c += 1
+        }
         i += 1
       }
       if (!java.util.Arrays.equals(d.digest(le), streamMd5))
@@ -447,7 +580,8 @@ object Flac {
   }
 
   /** @return (frame samples, next byte position) */
-  private def decodeFrame(bytes: Array[Byte], start: Int, siRate: Int): (Array[Int], Int) = {
+  /** @return (one decoded sample array per channel, next byte position) */
+  private def decodeFrame(bytes: Array[Byte], start: Int, siChannels: Int): (Array[Array[Int]], Int) = {
     val r = new BitReader(bytes, start)
     if (r.readBits(14) != 0x3FFE) throw new IllegalArgumentException("FLAC: lost frame sync")
     if (r.readBits(1) != 0) throw new IllegalArgumentException("FLAC: reserved header bit set")
@@ -458,7 +592,19 @@ object Flac {
     val chan = r.readBits(4).toInt
     val ssCode = r.readBits(3).toInt
     if (r.readBits(1) != 0) throw new IllegalArgumentException("FLAC: reserved header bit set")
-    require(chan == 0, s"FLAC: only mono frames implemented (channel assignment $chan)")
+    // channel assignment → (channel count, index of the 17-bit SIDE
+    // subframe, or -1): 0-7 independent, 8 left/side, 9 side/right,
+    // 10 mid/side (spec §9.1.3)
+    val (nch, sideIdx) = chan match {
+      case c if c <= 7 => (c + 1, -1)
+      case 8 | 10 => (2, 1)
+      case 9 => (2, 0)
+      case other => throw new IllegalArgumentException(
+        s"FLAC: reserved channel assignment $other")
+    }
+    require(nch <= 2, s"FLAC: only mono/stereo frames implemented ($nch channels)")
+    require(nch == siChannels,
+      s"FLAC: frame channel count $nch contradicts STREAMINFO $siChannels")
     val bits = ssCode match {
       case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20; case 6 => 24; case 7 => 32
       case _ => throw new IllegalArgumentException(s"FLAC: unsupported sample-size code $ssCode")
@@ -484,14 +630,31 @@ object Flac {
     if (crc8(bytes, start, headEnd) != declaredCrc8)
       throw new IllegalArgumentException("FLAC: frame header CRC-8 mismatch")
 
-    val x = decodeSubframe(r, blockSize, bits)
+    val subs = Array.tabulate(nch)(ci =>
+      decodeSubframe(r, blockSize, if (ci == sideIdx) bits + 1 else bits))
     r.alignByte()
     val frameEnd = r.bytePos
     if (frameEnd + 2 > bytes.length) throw new IllegalArgumentException("FLAC: truncated frame CRC")
     val declaredCrc16 = ((bytes(frameEnd) & 0xFF) << 8) | (bytes(frameEnd + 1) & 0xFF)
     if (crc16(bytes, start, frameEnd) != declaredCrc16)
       throw new IllegalArgumentException("FLAC: frame CRC-16 mismatch")
-    (x, frameEnd + 2)
+    // stereo decorrelation inverse
+    val out: Array[Array[Int]] = chan match {
+      case c if c <= 7 => subs
+      case 8 => // left/side: R = L − S
+        Array(subs(0), Array.tabulate(blockSize)(i => subs(0)(i) - subs(1)(i)))
+      case 9 => // side/right: L = R + S
+        Array(Array.tabulate(blockSize)(i => subs(1)(i) + subs(0)(i)), subs(1))
+      case _ => // mid/side: m2 = (M<<1)|(S&1); L = (m2+S)>>1; R = (m2−S)>>1
+        Array(
+          Array.tabulate(blockSize) { i =>
+            val m2 = (subs(0)(i) << 1) | (subs(1)(i) & 1); (m2 + subs(1)(i)) >> 1
+          },
+          Array.tabulate(blockSize) { i =>
+            val m2 = (subs(0)(i) << 1) | (subs(1)(i) & 1); (m2 - subs(1)(i)) >> 1
+          })
+    }
+    (out, frameEnd + 2)
   }
 
   private def decodeSubframe(r: BitReader, n: Int, bits: Int): Array[Int] = {

@@ -298,6 +298,56 @@ class CodecsSpec extends AnyFunSuite {
     assert(nratio < 1.1, f"noise overhead too high: $nratio%.3f")
   }
 
+  test("FLAC stereo round trips bit-exactly across all four channel assignments") {
+    import graft.img.Flac
+    def noise(seed: Long, n: Int) =
+      Array.tabulate(n)(k => ((ImageTable.splitmix64(seed * 31 + k) & 0xFFFF) - 32768).toShort)
+    def tone(seed: Long, n: Int) = {
+      val period = 256 + (ImageTable.splitmix64(seed) & 0x1FF).toInt
+      Array.tabulate(n) { k =>
+        val p = k % period
+        ((2 * math.min(p, period - p) - period / 2) * 20).toShort
+      }
+    }
+    val n = 9000
+    val cases: Seq[(Array[Short], Array[Short], String)] = Seq(
+      (noise(1, n), noise(2, n), "independent noise"), // decorrelation can't help
+      (tone(3, n), tone(3, n), "identical channels"), // side ≡ 0 → mid/side
+      (tone(4, n), tone(4, n).map(v => (v + 3).toShort), "near-identical"), // tiny side
+      (tone(5, n), noise(6, n), "tone left, noise right"),
+      (noise(7, n), tone(8, n), "noise left, tone right"),
+      (Array.tabulate(n)(k => (k % 327 * 100 - 16000).toShort),
+        Array.tabulate(n)(k => (16000 - k % 327 * 100).toShort), "anti-correlated"),
+      (noise(9, 3), noise(10, 3), "tiny"),
+      (Array(Short.MinValue, Short.MaxValue), Array(Short.MaxValue, Short.MinValue),
+        "extreme side range")) // side = ±65535 needs the full 17 bits
+    for ((l, r, name) <- cases) {
+      val enc = Flac.encodeStereo(l, r, 44100)
+      val (chans, rate) = Flac.decodeMulti(enc)
+      assert(rate == 44100 && chans.length == 2, name)
+      assert(chans(0).toSeq == l.toSeq, s"$name: left broken")
+      assert(chans(1).toSeq == r.toSeq, s"$name: right broken")
+      // mono decode must refuse a stereo stream loudly
+      intercept[IllegalArgumentException](Flac.decode(enc))
+    }
+    // decorrelation pays: identical channels compress far below 2x mono
+    val t = tone(11, 64000)
+    val ratio = Flac.encodeStereo(t, t, 16000).length.toDouble / (t.length * 4)
+    assert(ratio < 0.25, f"mid/side should collapse identical channels, got $ratio%.3f")
+    // stereo corruption fuzz: CRC/MD5 catch or the stream decodes exactly
+    val good = Flac.encodeStereo(tone(12, 4000), noise(13, 4000), 16000)
+    for (seed <- 0 until 400) {
+      val b = good.clone()
+      val p = Math.floorMod(ImageTable.splitmix64(seed + 7777L), b.length.toLong).toInt
+      b(p) = (b(p) ^ (1 << (ImageTable.splitmix64(seed * 13L) & 7).toInt).toByte).toByte
+      try Flac.decodeMulti(b)
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"seed $seed byte $p: unclean failure $e")
+      }
+    }
+  }
+
   test("FLAC decoder verifies CRCs and MD5, rejects malformed streams, survives fuzzing") {
     import graft.img.Flac
     val pcm = Array.tabulate(6000)(k => ((ImageTable.splitmix64(k * 31L) & 0xFFFF) - 32768).toShort)

@@ -251,6 +251,23 @@ object FlacProperties extends Properties("Flac") {
         ((ImageTable.splitmix64(seed * 7 + k / 50) & 0xFFFF) - 32768).toShort)
       java.util.Arrays.equals(Flac.decode(Flac.encode(pcm, 16000, bs))._1, pcm)
     }
+
+  property("stereo round-trips ARBITRARY channel pairs bit-exactly") =
+    forAll(Gen.choose(1, 9000), Gen.choose(0L, 100000L), Gen.choose(0, 3)) { (n, seed, corr) =>
+      // corr sweeps the decorrelation regimes: independent noise, equal,
+      // near-equal, inverted — steering the encoder across assignments
+      val l = Array.tabulate(n)(k =>
+        ((ImageTable.splitmix64(seed * 31 + k / 20) & 0xFFFF) - 32768).toShort)
+      val r = corr match {
+        case 0 => Array.tabulate(n)(k =>
+          ((ImageTable.splitmix64(seed * 77 + k / 20) & 0xFFFF) - 32768).toShort)
+        case 1 => l.clone()
+        case 2 => l.map(v => (v + 7).toShort)
+        case _ => l.map(v => (-v).toShort)
+      }
+      val (chans, _) = Flac.decodeMulti(Flac.encodeStereo(l, r, 16000))
+      java.util.Arrays.equals(chans(0), l) && java.util.Arrays.equals(chans(1), r)
+    }
 }
 
 object JpegProperties extends Properties("Jpeg") {
