@@ -597,6 +597,55 @@ object SparkEntry {
         md5(TextOps.redactPii(t)).as("redacted_md5"))
     }),
 
+    // duplicate-PASSAGE detection (Lee et al. 2021 EXACTSUBSTR): boilerplate
+    // passages are PLANTED (the q67/q64 precedent — the augmentation is part
+    // of the query on both sides): every 4th doc gets a 15-word header, every
+    // 6th a 15-word footer, so the corpus carries heavily-shared 13-grams at
+    // both ends of a doc and %12 docs exercise two separate islands. The
+    // operator itself (TextOps.dupSpans) finds ALL corpus-duplicated grams —
+    // planted or natural — and merges them into maximal per-doc spans.
+    "q68_dup_spans" -> ((s, dir) => {
+      val hdr = "terms of service apply to all content on this page as described by the provider"
+      val ftr = "all rights reserved worldwide contact the publisher for licensing questions and takedown requests here"
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit(hdr + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 6 === 0, lit(" " + ftr)).otherwise(lit(""))).as("text"))
+      graft.text.TextOps.dupSpans(s, docs)
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per document, integer-exact
+    // linear-idf ranking (see TextOps.tfidfTopK for why not log — the
+    // oracle replays the floor-division score and the term tie-break).
+    "q69_tfidf" -> ((s, dir) =>
+      graft.text.TextOps.tfidfTopK(s, table(s, dir, "documents"), k = 3)),
+
+    // corpus-wide heavy hitters, exact form (the Misra–Gries sketch that
+    // answers this in bounded memory is sbt-pinned in SketchSpec with its
+    // N/(k+1) guarantee; this exact top-k is the driver-oracled anchor)
+    "q70_top_terms" -> ((s, dir) =>
+      graft.text.TextOps.topTerms(s, table(s, dir, "documents"), k = 20)),
+
+    // GIF lossless-roundtrip invariant (the q56 pattern for the palette
+    // codec): rendered pixels are 3-3-2-quantized (≤256 colors — the
+    // explicit lossy step), then GIF encode→decode must be EXACT, half the
+    // sweep through the interlaced layout. The oracle emits dims from the
+    // shared splitmix CTE plus the uniform-true invariant.
+    "q71_gif_invariant" -> ((s, dir) => {
+      import s.implicits._
+      s.range(300).as[Long].mapPartitions { it =>
+        it.map { i =>
+          val w = graft.img.ImageTable.widthOf(i)
+          val h = graft.img.ImageTable.heightOf(i)
+          val px = graft.img.Gif.quantize332(graft.img.ImageTable.renderPixels(i, w, h))
+          val (back, bw, bh) =
+            graft.img.Gif.decode(graft.img.Gif.encode(px, w, h, interlaced = i % 2 == 1))
+          (f"img_$i%09d", w, h, bw == w && bh == h && java.util.Arrays.equals(back, px))
+        }
+      }.toDF("image_id", "w", "h", "lossless")
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1655,6 +1704,79 @@ object SparkEntry {
          |  COALESCE(s.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id""".stripMargin
     },
+
+    // q68 — duplicate-passage spans: identical planted header/footer
+    // augmentation, 13-gram md5 fingerprints, corpus-duplicated-gram set,
+    // and the gaps-and-islands merge replayed with the same exact-integer
+    // window arithmetic (prev-max-end = max(i) over preceding + 13)
+    "q68_dup_spans" -> {
+      val hdr = "terms of service apply to all content on this page as described by the provider"
+      val ftr = "all rights reserved worldwide contact the publisher for licensing questions and takedown requests here"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 4 = 0 THEN '$hdr ' ELSE '' END) || text ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN ' $ftr' ELSE '' END) AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+         |  FROM aug),
+         |grams AS (
+         |  SELECT doc_id, w, unnest(range(len(w) - 12)) AS i FROM toks WHERE len(w) >= 13),
+         |fps AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    md5(array_to_string(list_slice(w, CAST(i+1 AS INT), CAST(i+13 AS INT)), ' ')) AS fp
+         |  FROM grams),
+         |dupfps AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+         |duppos AS (SELECT doc_id, i FROM fps JOIN dupfps USING (fp)),
+         |marks AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i > COALESCE(max(i) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 13, -1) THEN 1 ELSE 0 END AS ni
+         |  FROM duppos),
+         |isl AS (
+         |  SELECT doc_id, i, sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM marks),
+         |spans AS (SELECT doc_id, island, min(i) AS s, max(i) + 13 AS e FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_words
+         |  FROM spans GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS total_words,
+         |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans, COALESCE(p.dup_words, 0) AS dup_words
+         |FROM toks t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    },
+
+    // q69 — TF-IDF top-3: same tokenization, exact floor-division score,
+    // same (score desc, term) tie-break
+    "q69_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |    CAST((tf * 1000000) // df AS BIGINT) AS score_ppm
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score_ppm, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS INT) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    // q70 — exact heavy hitters: (count desc, term) is a total order, so
+    // the LIMIT-20 cut is deterministic on both engines
+    "q70_top_terms" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n FROM toks GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // q71 — GIF palette-codec invariant: dims from the shared splitmix CTE;
+    // lossless must be uniformly true (quantize-then-roundtrip contract —
+    // GifSpec pins the codec itself byte-level)
+    "q71_gif_invariant" ->
+      s"""WITH ${splitmixDimsCtes(300)}
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h, true AS lossless
+         |FROM dims""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -333,6 +333,7 @@ object Codecs {
     case "png" => encodePng(pixels, w, h)
     case "bmp" => encodeBmp(pixels, w, h)
     case "jpeg" | "jpg" => Jpeg.encode(pixels, w, h) // lossy: PSNR≥40dB, not equality
+    case "gif" => Gif.encode(pixels, w, h) // palette: requires <= 256 distinct colors
     case other => throw new IllegalArgumentException(s"unsupported fmt $other")
   }
 
@@ -340,5 +341,6 @@ object Codecs {
     if (isPng(bytes)) decodePng(bytes)
     else if (isBmp(bytes)) decodeBmp(bytes)
     else if (Jpeg.isJpeg(bytes)) Jpeg.decode(bytes)
+    else if (Gif.isGif(bytes)) Gif.decode(bytes)
     else throw new java.io.IOException("unknown image container")
 }

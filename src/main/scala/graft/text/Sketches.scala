@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries frequent-items sketch (Misra & Gries, Sci. Comput. Program.
+  * 1982) with the mergeable-summaries combine rule (Agarwal, Cormode et al.,
+  * PODS'12 §3): at most `k` counters, one pass, and for every item
+  *
+  *   true − N/(k+1)  ≤  estimate  ≤  true
+  *
+  * where N is the total items seen — so any item with frequency above
+  * N/(k+1) is GUARANTEED to hold a counter. This is the bounded-memory
+  * answer to [[TextOps.topTerms]] when the term universe doesn't fit an
+  * executor: per-partition sketches merge associatively (sum counters, then
+  * subtract the (k+1)-st largest count from all and drop the non-positive),
+  * and the merged bound is the sum of the parts' bounds — the property
+  * SketchSpec pins.
+  *
+  * Deliberately a plain serializable value (not a Spark UDAF): the
+  * distributed form is a `mapPartitions` → driver `reduce` over ≤
+  * numPartitions sketch objects of size ≤ k — metadata-sized by
+  * construction, the same shape Spark's own `countMinSketch` helper uses.
+  */
+final class MisraGries(val k: Int) extends Serializable {
+  require(k >= 1, s"k=$k must be >= 1")
+  private val counters = scala.collection.mutable.HashMap.empty[String, Long]
+  private var total = 0L
+
+  /** Items seen (for the N/(k+1) error bound). */
+  def n: Long = total
+
+  def add(x: String): this.type = {
+    total += 1
+    counters.get(x) match {
+      case Some(c) => counters.update(x, c + 1)
+      case None if counters.size < k => counters.update(x, 1L)
+      case None =>
+        // decrement-all: every counter loses 1, zeros evicted. O(k), and
+        // each decrement "pays for" k+1 items — the source of the bound.
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        counters.mapValuesInPlace((_, c) => c - 1)
+        counters.foreach { case (t, c) => if (c <= 0) dead += t }
+        dead.foreach(counters.remove)
+    }
+    this
+  }
+
+  /** Lower-bound estimate of x's frequency (within N/(k+1) of truth). */
+  def estimate(x: String): Long = counters.getOrElse(x, 0L)
+
+  /** Surviving counters, largest first, ties on the term. */
+  def items: Seq[(String, Long)] =
+    counters.toSeq.sortBy { case (t, c) => (-c, t) }
+
+  /** Mergeable-summaries combine: sum counters, then if more than k
+    * survive, subtract the (k+1)-st largest count from every counter and
+    * evict the non-positive — exactly the PODS'12 rule that keeps the
+    * additive error bounds additive.
+    */
+  def merge(other: MisraGries): MisraGries = {
+    require(other.k == k, s"cannot merge k=$k with k=${other.k}")
+    val out = new MisraGries(k)
+    out.total = total + other.total
+    counters.foreach { case (t, c) => out.counters.update(t, c) }
+    other.counters.foreach { case (t, c) =>
+      out.counters.update(t, out.counters.getOrElse(t, 0L) + c)
+    }
+    if (out.counters.size > k) {
+      val kth = out.counters.values.toArray.sorted(Ordering.Long.reverse).apply(k)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      out.counters.mapValuesInPlace((_, c) => c - kth)
+      out.counters.foreach { case (t, c) => if (c <= 0) dead += t }
+      dead.foreach(out.counters.remove)
+    }
+    out
+  }
+}
+
+object MisraGries {
+
+  /** Distributed frequent terms over a documents table: one Misra–Gries
+    * sketch per partition (narrow, bounded memory), merged on the driver —
+    * ≤ numPartitions sketches of ≤ k counters cross the wire, never a
+    * term-universe-sized shuffle. Returns (term, est_count) for the
+    * surviving counters with the guarantee documented on the class.
+    */
+  def ofTerms(spark: SparkSession, docs: DataFrame, k: Int,
+      textCol: String = "text"): MisraGries = {
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val mg = new MisraGries(k)
+        it.foreach { t =>
+          if (t != null)
+            t.toLowerCase.split("\\s+").withFilter(_.nonEmpty).foreach(mg.add)
+        }
+        Iterator.single(mg)
+      }(org.apache.spark.sql.Encoders.javaSerialization[MisraGries])
+      .reduce(_ merge _)
+  }
+}

@@ -288,6 +288,109 @@ object TextOps {
           expr(s"cum_before div $budget")).as("spans_boundary"))
   }
 
+  /** Duplicate-passage detection (Lee et al. 2021, arXiv:2107.06499 §3 —
+    * the EXACTSUBSTR pass): any `n`-word gram occurring more than once
+    * corpus-wide marks its `n`-word span as duplicated; overlapping and
+    * adjacent spans merge into maximal islands per document. This is the
+    * span-level complement of document-level dedup — it finds the
+    * boilerplate paragraph shared by thousands of otherwise-unique pages,
+    * which MinHash (whole-document similarity) is blind to.
+    *
+    * Scale shape: gram emission is a narrow flatMap; the duplicated-gram
+    * set is ONE map-side-combined groupBy on the gram fingerprint
+    * (content-uniform md5 keys — no skew); the join back onto positions is
+    * a shuffle hash join whose build rows are unique per key (a gram
+    * shared by a million documents makes a million PROBE rows, the normal
+    * case, never a skewed build); island merging is a per-document window
+    * (partitioned, never global). No stage holds more than one document's
+    * positions in a single task's sort run.
+    *
+    * Island arithmetic: spans are fixed-length [i, i+n), so the running
+    * "previous max end" is `max(pos) over preceding + n` and a row starts
+    * a new island iff its pos exceeds it — the gaps-and-islands form that
+    * both Spark and the q68 oracle evaluate identically in exact integers.
+    *
+    * @return one row per document: (idCol, total_words, n_dup_spans,
+    *         dup_words) — all BIGINT, zeros for untouched docs
+    */
+  def dupSpans(spark: SparkSession, docs: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    require(n >= 2, s"n=$n must be >= 2")
+    val grams = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (0 to w.length - n).iterator.map(i => (id, i, w.slice(i, i + n).mkString(" ")))
+      }
+      .toDF(idCol, "pos", "gram")
+      .select(col(idCol), col("pos"), md5(col("gram")).as("fp"))
+    val dupFps = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("fp")
+    val dupPos = grams.join(dupFps, Seq("fp")).select(col(idCol), col("pos"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = dupPos
+      .withColumn("new_island",
+        (col("pos") > coalesce(max(col("pos")).over(wPrev) + n, lit(-1))).cast("int"))
+      .withColumn("island",
+        sum(col("new_island")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_words"))
+    docs.select(col(idCol).cast("long"),
+        size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+          .cast("long").as("total_words"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("total_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
+  /** TF-IDF keyword extraction: top-`k` terms per document ranked by
+    * tf·idf with the LINEAR idf 1/df — chosen over log(N/df) so the score
+    * is exact integer arithmetic (`tf·10⁶ div df`, floor division) and the
+    * ranking replays bit-identically in any SQL engine (q69's oracle);
+    * log idf re-weights tf against df but both are monotone in the same
+    * direction, and keyword EXTRACTION only consumes the per-document
+    * order. Ties break on the term itself — a total order, so the top-k
+    * cut is deterministic.
+    *
+    * Scale shape: two map-side-combined groupBys (doc×term, then term),
+    * one shuffle join on term whose build side is unique per key, and a
+    * per-document window — no global sort, no skewed build.
+    *
+    * @return (idCol, term, tf, df, score_ppm, rk) for rk <= k
+    */
+  def tfidfTopK(spark: SparkSession, docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_ppm", expr("(tf * 1000000L) div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score_ppm").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score_ppm"), col("rk"))
+  }
+
+  /** Corpus-wide top-`k` terms by exact count (the heavy-hitters query in
+    * its exact form; [[MisraGries]] is the sketch that answers it in one
+    * pass of bounded memory when the term universe doesn't fit). One
+    * map-side-combined groupBy, then a TakeOrderedAndProject — the top-k
+    * never materializes a global sort. Ties break on the term, so the
+    * boundary of the k-cut is deterministic.
+    */
+  def topTerms(spark: SparkSession, docs: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+
   /** Gopher-style repetition filter over a documents table: metrics plus a
     * keep flag at the given thresholds (defaults tuned to split the
     * synthetic corpus non-trivially; production thresholds are the

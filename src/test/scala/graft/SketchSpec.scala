@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.img.ImageTable
+import graft.text.{MisraGries, TextOps}
+
+/** Misra–Gries frequent-items pins (the N/(k+1) guarantee, mergeability)
+  * and the span/TF-IDF/top-terms operators on crafted corpora.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  /** Zipf-ish deterministic stream over a small vocabulary. */
+  private def stream(n: Int, seed: Long): Seq[String] =
+    (0 until n).map { i =>
+      val z = Math.floorMod(ImageTable.splitmix64(seed + i), 100L).toInt
+      if (z < 30) "alpha" else if (z < 50) "beta" else if (z < 62) "gamma"
+      else s"tail_${z % 17}"
+    }
+
+  test("estimate is within [true - N/(k+1), true] for every item") {
+    for (k <- Seq(2, 5, 10, 50); seed <- Seq(1L, 7L)) {
+      val s = stream(5000, seed)
+      val mg = new MisraGries(k)
+      s.foreach(mg.add)
+      val exact = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = s.size.toLong / (k + 1)
+      (exact.keySet ++ mg.items.map(_._1)).foreach { t =>
+        val e = mg.estimate(t)
+        val tr = exact.getOrElse(t, 0L)
+        assert(e <= tr, s"k=$k $t: est $e > true $tr")
+        assert(e >= tr - bound, s"k=$k $t: est $e < ${tr - bound}")
+      }
+      // guarantee: anything above the threshold holds a counter
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        assert(mg.estimate(t) > 0, s"k=$k frequent '$t' missing from sketch")
+      }
+    }
+  }
+
+  test("merged sketches keep the additive bound (mergeable-summaries rule)") {
+    val k = 8
+    val parts = (0 until 6).map(p => stream(1000, 100L + p))
+    val merged = parts.map { s =>
+      val mg = new MisraGries(k); s.foreach(mg.add); mg
+    }.reduce(_ merge _)
+    val all = parts.flatten
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(merged.n == all.size.toLong)
+    val bound = all.size.toLong / (k + 1)
+    exact.foreach { case (t, tr) =>
+      val e = merged.estimate(t)
+      assert(e <= tr && e >= tr - bound, s"$t: est $e vs true $tr bound $bound")
+    }
+    assert(merged.items.size <= k)
+  }
+
+  test("distributed ofTerms finds every term the exact top-k ranks highly") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      (i.toLong, stream(40, 7000L + i).mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    val mg = MisraGries.ofTerms(spark, docs, k = 12)
+    val exact = TextOps.topTerms(spark, docs, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the three dominant terms are each far above N/(k+1) of the merged
+    // stream, so the sketch must hold all of them
+    exact.keys.foreach { t =>
+      assert(mg.estimate(t) > 0, s"dominant term '$t' missing")
+      assert(mg.estimate(t) <= exact(t))
+    }
+  }
+
+  test("dupSpans merges overlapping grams into maximal islands, exact integers") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ") // 15 shared words
+    val docs = Seq(
+      // doc 0/1 share the 15-word boilerplate mid-document at different
+      // offsets; 15 words of 13-grams = 3 gram starts -> ONE merged island
+      (0L, s"u00 u01 u02 $boiler z00 z01 z02 z03 z04 z05 z06 z07 z08 z09 z10"),
+      (1L, s"v00 $boiler w00 w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12"),
+      // doc 2: no duplicated content
+      (2L, (1 to 30).map(i => s"q$i").mkString(" ")),
+      // doc 3: TWO separated islands (boilerplate at both ends)
+      (3L, s"$boiler m00 m01 m02 m03 m04 m05 m06 m07 m08 m09 m10 m11 m12 m13 m14 $boiler")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpans(spark, docs, n = 13).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc0: words 3..17 duplicated -> 1 island of 15 words
+    assert(out(0L) == ((29L, 1L, 15L)))
+    assert(out(1L) == ((29L, 1L, 15L)))
+    assert(out(2L) == ((30L, 0L, 0L)))
+    // doc3: islands [0,15) and [30,45) -> 2 islands, 30 words
+    assert(out(3L) == ((45L, 2L, 30L)))
+  }
+
+  test("tfidf ranking is the documented floor-division order with term tie-break") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x common rare common"),
+      (1L, "common common y rare"),
+      (2L, "common z z")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(spark, docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc0: x tf=3 df=1 -> 3e6; rare tf=1 df=2 -> 500000; common tf=2 df=3 -> 666666
+    assert(out((0L, 1)) == (("x", 3L, 1L, 3000000L)))
+    assert(out((0L, 2)) == (("common", 2L, 3L, 666666L)))
+    // doc2: z tf=2 df=1 -> 2e6; common tf=1 df=3 -> 333333
+    assert(out((2L, 1)) == (("z", 2L, 1L, 2000000L)))
+    assert(out((2L, 2)) == (("common", 1L, 3L, 333333L)))
+  }
+}
