@@ -646,6 +646,20 @@ object SparkEntry {
       }.toDF("image_id", "w", "h", "lossless")
     }),
 
+    // PMI collocations: top word pairs by pointwise mutual information,
+    // integer-exact rational ranking (see TextOps.collocations for why the
+    // monotone log argument replaces the float log)
+    "q72_collocations" -> ((s, dir) =>
+      graft.text.TextOps.collocations(s, table(s, dir, "documents"), minCount = 5, k = 50)),
+
+    // stratified EXACT-quota sampling per language (the mixture-building
+    // complement of q61's hash-threshold rates): deterministic splitmix
+    // order within each stratum, exact per-stratum counts
+    "q73_stratified_sample" -> ((s, dir) =>
+      graft.text.TextOps.stratifiedSample(s,
+          table(s, dir, "documents").select(col("doc_id"), col("lang")), quota = 50)
+        .select(col("doc_id"), col("lang"), col("rnk"))),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1777,6 +1791,38 @@ object SparkEntry {
       s"""WITH ${splitmixDimsCtes(300)}
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h, true AS lossless
          |FROM dims""".stripMargin,
+
+    // q72 — PMI collocations: same bigram stream, same left/right
+    // marginals, same integer rational score and (score, a, b) cut
+    "q72_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT w[CAST(i+1 AS INT)] AS a, w[CAST(i+2 AS INT)] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM toks WHERE len(w) >= 2)),
+        |cab AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n_big FROM cab)
+        |SELECT a, b, CAST(cab AS BIGINT) AS cab, ca, cb,
+        |  CAST((cab * n_big * 1000) // (ca * cb) AS BIGINT) AS pmi_scaled
+        |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+        |WHERE cab >= 5
+        |ORDER BY pmi_scaled DESC, a, b LIMIT 50""".stripMargin,
+
+    // q73 — stratified quota sample: the same splitmix order key (signed
+    // comparison on both engines), same (key, doc_id) tie-break, same cut
+    "q73_stratified_sample" -> {
+      s"""WITH ids AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS i FROM documents),
+         |${splitmixChain("s", Seq("doc_id", "lang"), "ids", "i")},
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${toSigned("z")}, doc_id) AS INT) AS rnk
+         |  FROM s3)
+         |SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= 50""".stripMargin
+    },
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -391,6 +391,63 @@ object TextOps {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  /** PMI collocation extraction: top-`k` adjacent word pairs by pointwise
+    * mutual information over the corpus bigram stream. Marginals are the
+    * bigram table's own left/right sums (ca = Σ_b cab, cb = Σ_a cab), so
+    * the whole statistic derives from ONE bigram count table, and the
+    * score is the exact integer `cab·N·1000 div (ca·cb)` — PMI's log is
+    * monotone, and collocation extraction only consumes the ORDER, so the
+    * rational argument replaces the float log bit-identically in any SQL
+    * engine (q72's oracle). At true corpus scale the product `cab·N·1000`
+    * wants a 128-bit intermediate (fits BIGINT through ~10⁸ bigrams);
+    * promote to decimal or drop the ×1000 before that point.
+    *
+    * Scale shape: narrow bigram flatMap → one map-side-combined groupBy;
+    * the marginals are two more small groupBys over the COUNT table (not
+    * the corpus); joins build on unique keys; the corpus total enters as a
+    * broadcast 1-row cross join; the top-k is TakeOrdered, never a global
+    * sort. `minCount` prunes the hapax tail before the joins — the
+    * classic PMI degenerate case (1/1/1 pairs score maximal) and also the
+    * bulk of the pair table at web scale.
+    */
+  def collocations(spark: SparkSession, docs: DataFrame, minCount: Long = 5,
+      k: Int = 50, textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val bi = docs.select(col(textCol)).as[String]
+      .flatMap { t =>
+        val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
+      }
+      .toDF("a", "b")
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val tot = cab.agg(sum(col("cab")).as("n_big"))
+    cab.filter(col("cab") >= minCount)
+      .join(ca, Seq("a")).join(cb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_scaled", expr("(cab * n_big * 1000) div (ca * cb)"))
+      .orderBy(col("pmi_scaled").desc, col("a"), col("b")).limit(k)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("pmi_scaled"))
+  }
+
+  /** Stratified EXACT-quota sampling: up to `quota` documents per stratum,
+    * chosen by a deterministic pseudo-random order (splitmix64 of the id,
+    * ties on the id) — the mixture-construction complement of q61's
+    * hash-THRESHOLD sampling: thresholds hit an expected rate, quotas hit
+    * an exact count per stratum. Per-stratum window, never a global sort;
+    * a stratum's rows shuffle to one task, so at web scale strata are
+    * languages/sources (thousands of rows each at most millions), not
+    * something cardinality-unbounded.
+    */
+  def stratifiedSample(spark: SparkSession, docs: DataFrame, quota: Int,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val ord = GraftFunctions.splitmixCol(spark, col(idCol).cast("long"))
+    docs.withColumn("rnk", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(ord, col(idCol))))
+      .filter(col("rnk") <= quota)
+  }
+
   /** Gopher-style repetition filter over a documents table: metrics plus a
     * keep flag at the given thresholds (defaults tuned to split the
     * synthetic corpus non-trivially; production thresholds are the

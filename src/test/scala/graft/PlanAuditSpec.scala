@@ -54,6 +54,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "chunk offsets must be a literal map lookup, not a join")
   }
 
+  test("q68/q69 span-dedup and tfidf plans: partitioned windows only, no global sort") {
+    for (q <- Seq("q68_dup_spans", "q69_tfidf")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+        s"single-partition / range exchange in $q plan:\n$plan")
+    }
+  }
+
+  test("q70/q72 top-k plans end in TakeOrdered, never a global sort") {
+    for (q <- Seq("q70_top_terms", "q72_collocations")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject top-k:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
+  }
+
   test("flagship spatial join is broadcast on the polygon side, never SMJ/NLJ") {
     val plan = SparkEntry.flagship(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
