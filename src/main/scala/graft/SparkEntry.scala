@@ -556,7 +556,7 @@ object SparkEntry {
       val n = 13
       def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
         .flatMap { case (id, t) =>
-          val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val w = graft.text.TextOps.tokenize(t)
           (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
         }
         .toDF("doc_id", "gram")
@@ -600,7 +600,7 @@ object SparkEntry {
     // duplicate-PASSAGE detection (Lee et al. 2021 EXACTSUBSTR): boilerplate
     // passages are PLANTED (the q67/q64 precedent — the augmentation is part
     // of the query on both sides): every 4th doc gets a 15-word header, every
-    // 6th a 15-word footer, so the corpus carries heavily-shared 13-grams at
+    // 6th a 14-word footer, so the corpus carries heavily-shared 13-grams at
     // both ends of a doc and %12 docs exercise two separate islands. The
     // operator itself (TextOps.dupSpans) finds ALL corpus-duplicated grams —
     // planted or natural — and merges them into maximal per-doc spans.
@@ -1806,7 +1806,7 @@ object SparkEntry {
         |cb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
         |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n_big FROM cab)
         |SELECT a, b, CAST(cab AS BIGINT) AS cab, ca, cb,
-        |  CAST((cab * n_big * 1000) // (ca * cb) AS BIGINT) AS pmi_scaled
+        |  CAST((CAST(cab AS HUGEINT) * n_big * 1000) // (CAST(ca AS HUGEINT) * cb) AS BIGINT) AS pmi_scaled
         |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
         |WHERE cab >= 5
         |ORDER BY pmi_scaled DESC, a, b LIMIT 50""".stripMargin,

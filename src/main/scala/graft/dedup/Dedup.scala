@@ -26,7 +26,7 @@ object Dedup {
 
   /** Word n-gram shingle hash set (lowercased, whitespace-split). */
   def shingles(text: String, n: Int = 3): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = graft.text.TextOps.tokenize(text)
     if (toks.length < n) {
       if (toks.isEmpty) Array.empty
       else Array(splitmix64(toks.mkString(" ").hashCode.toLong))
@@ -105,7 +105,7 @@ object Dedup {
   /** 64-bit SimHash over word hashes (unit weights). */
   def simhash(text: String): Long = {
     val votes = new Array[Int](64)
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+    graft.text.TextOps.tokenize(text).foreach { t =>
       var h = 1125899906842597L
       var k = 0
       while (k < t.length) { h = h * 31 + t.charAt(k); k += 1 }

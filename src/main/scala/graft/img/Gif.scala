@@ -56,7 +56,9 @@ object Gif {
       throw new IllegalArgumentException(
         s"${palette.length} distinct colors > 256 — GIF is a palette format; " +
           "quantize first (e.g. Gif.quantize332)")
-    val colorIndex = palette.zipWithIndex.toMap
+    // sorted palette -> index via binary search (the per-pixel hot path:
+    // no boxing, no hash probes)
+    def colorIndex(rgb: Int): Int = java.util.Arrays.binarySearch(palette, rgb)
     // GCT size: 2^(exp+1) entries, smallest power of two >= palette (min 2)
     var gctExp = 0
     while ((2 << gctExp) < palette.length) gctExp += 1
@@ -175,7 +177,9 @@ object Gif {
       b = u8()
     }
     if (b != 0x2C) throw new IOException(f"expected image descriptor, got 0x$b%02x")
-    le16(); le16() // left, top (single-image: taken as 0)
+    val left = le16(); val top = le16()
+    if (left != 0 || top != 0) // a cropped frame inside a larger screen
+      throw new IOException(s"offset frame (+$left,+$top) unsupported (single full-frame decoder)")
     val w = le16(); val h = le16()
     if (w <= 0 || h <= 0 || w > sw || h > sh)
       throw new IOException(s"bad frame dims ${w}x$h in ${sw}x$sh screen")
@@ -215,7 +219,6 @@ object Gif {
     // table as (prefix code, appended index); roots are implicit
     val prefixOf = new Array[Int](4096)
     val suffixOf = new Array[Int](4096)
-    val lenOf = new Array[Int](4096)
     var nextCode = eoi + 1
     var width = minCodeSize + 1
     var bitPos = 0
@@ -232,7 +235,6 @@ object Gif {
       while (j >= 0) { indices(outN) = scratch(j); outN += 1; j -= 1 }
       first
     }
-    def codeLen(code: Int): Int = if (code < clear) 1 else lenOf(code)
     while (outN < nPix) {
       if (bitPos + width > lzw.length * 8) throw new IOException("truncated LZW stream")
       var v = 0
@@ -256,7 +258,6 @@ object Gif {
         val first = emit(v)
         if (nextCode < 4096) {
           prefixOf(nextCode) = prev; suffixOf(nextCode) = first
-          lenOf(nextCode) = codeLen(prev) + 1
           nextCode += 1
           if (nextCode > (1 << width) - 1 && width < 12) width += 1
         }
@@ -265,7 +266,6 @@ object Gif {
         var c = prev
         while (c >= clear + 2) c = prefixOf(c)
         prefixOf(nextCode) = prev; suffixOf(nextCode) = c
-        lenOf(nextCode) = codeLen(prev) + 1
         emit(nextCode)
         nextCode += 1
         if (nextCode > (1 << width) - 1 && width < 12) width += 1

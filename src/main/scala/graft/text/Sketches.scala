@@ -91,10 +91,7 @@ object MisraGries {
     docs.select(col(textCol)).as[String]
       .mapPartitions { it =>
         val mg = new MisraGries(k)
-        it.foreach { t =>
-          if (t != null)
-            t.toLowerCase.split("\\s+").withFilter(_.nonEmpty).foreach(mg.add)
-        }
+        it.foreach(t => TextOps.tokenize(t).foreach(mg.add))
         Iterator.single(mg)
       }(org.apache.spark.sql.Encoders.javaSerialization[MisraGries])
       .reduce(_ merge _)

@@ -13,6 +13,22 @@ import graft.functions.GraftFunctions
   */
 object TextOps {
 
+  /** THE whitespace tokenizer (lowercase → split on runs of whitespace →
+    * drop empties), defined once: every operator whose oracle replays
+    * tokenization in SQL (`list_filter(string_split_regex(lower(text),
+    * '\s+'), x -> x <> '')`) must tokenize through here or [[tokensCol]] so
+    * cross-engine exactness can never drift between copies. Null-safe:
+    * null text tokenizes to no tokens.
+    */
+  def tokenize(t: String): Array[String] =
+    if (t == null) Array.empty else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** [[tokenize]] as a codegen'd Column (array of non-empty tokens);
+    * null text stays null — matching the SQL oracle's NULL propagation.
+    */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
   /** Tiny per-language stopword profiles (public common-word lists). */
   val Profiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
@@ -190,7 +206,7 @@ object TextOps {
     * @return (token_count, dup_word_frac, top_bigram_frac)
     */
   def repetitionKernel(text: String): (Int, Double, Double) = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = tokenize(text)
     if (toks.isEmpty) return (0, 0.0, 0.0)
     val totalChars = toks.iterator.map(_.length).sum
     val distinct = toks.toSet.size
@@ -320,7 +336,7 @@ object TextOps {
     val grams = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val w = tokenize(t)
         (0 to w.length - n).iterator.map(i => (id, i, w.slice(i, i + n).mkString(" ")))
       }
       .toDF(idCol, "pos", "gram")
@@ -341,8 +357,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s")).cast("long").as("dup_words"))
     docs.select(col(idCol).cast("long"),
-        size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
-          .cast("long").as("total_words"))
+        size(tokensCol(col(textCol))).cast("long").as("total_words"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("total_words"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
@@ -367,7 +382,7 @@ object TextOps {
   def tfidfTopK(spark: SparkSession, docs: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as(idCol),
-        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
+        explode(tokensCol(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
@@ -387,7 +402,7 @@ object TextOps {
     */
   def topTerms(spark: SparkSession, docs: DataFrame, k: Int = 20,
       textCol: String = "text"): DataFrame =
-    docs.select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("term"))
+    docs.select(explode(tokensCol(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
@@ -398,9 +413,9 @@ object TextOps {
     * score is the exact integer `cab·N·1000 div (ca·cb)` — PMI's log is
     * monotone, and collocation extraction only consumes the ORDER, so the
     * rational argument replaces the float log bit-identically in any SQL
-    * engine (q72's oracle). At true corpus scale the product `cab·N·1000`
-    * wants a 128-bit intermediate (fits BIGINT through ~10⁸ bigrams);
-    * promote to decimal or drop the ×1000 before that point.
+    * engine (q72's oracle). The product runs in decimal(38,0) (Spark) /
+    * HUGEINT (oracle): 128-bit headroom, so no corpus size can silently
+    * wrap it — the quotient itself is ≤ 1000·N and fits BIGINT.
     *
     * Scale shape: narrow bigram flatMap → one map-side-combined groupBy;
     * the marginals are two more small groupBys over the COUNT table (not
@@ -415,7 +430,7 @@ object TextOps {
     import spark.implicits._
     val bi = docs.select(col(textCol)).as[String]
       .flatMap { t =>
-        val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val w = tokenize(t)
         (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
       }
       .toDF("a", "b")
@@ -426,7 +441,8 @@ object TextOps {
     cab.filter(col("cab") >= minCount)
       .join(ca, Seq("a")).join(cb, Seq("b"))
       .crossJoin(broadcast(tot))
-      .withColumn("pmi_scaled", expr("(cab * n_big * 1000) div (ca * cb)"))
+      .withColumn("pmi_scaled", expr(
+        "(cast(cab as decimal(38,0)) * n_big * 1000) div (cast(ca as decimal(38,0)) * cb)"))
       .orderBy(col("pmi_scaled").desc, col("a"), col("b")).limit(k)
       .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("pmi_scaled"))
   }
