@@ -660,6 +660,19 @@ object SparkEntry {
           table(s, dir, "documents").select(col("doc_id"), col("lang")), quota = 50)
         .select(col("doc_id"), col("lang"), col("rnk"))),
 
+    // EXACT polygon geometry stats on the decimicro rings (integer
+    // shoelace, pre-float): area, raw stitcher winding, integer bbox. The
+    // oracle is fully closed-form over the grid fixture — the winding
+    // column pins the stitcher's orientation INVARIANT (the assembled ring
+    // always traverses in the direction of the relation's FIRST member way
+    // as stored: member perm = k%4 selects the leading way, bit
+    // (k >> perm) & 1 is its fixture flip), verified for all 128 cells.
+    "q74_polygon_stats" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.grid(16, 8).toDFs(s)
+      graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .orderBy("relation_id")
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1823,6 +1836,26 @@ object SparkEntry {
          |  FROM s3)
          |SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= 50""".stripMargin
     },
+
+    // q74 — closed-form polygon geometry: the grid's decimicro corners are
+    // exact integers (lat0 = -60 + 15·iy, ×1e7), the 0.96-span edge rounds
+    // to exactly 144,000,000 decimicro for every cell (pinned by the
+    // constant area below — a ±1 rounding anywhere would break the perfect
+    // square 2·144e6²), and winding follows the first-member-direction
+    // invariant documented at the query
+    "q74_polygon_stats" ->
+      """WITH ids AS (SELECT range AS k FROM range(0, 128)),
+        |c AS (SELECT k, k % 16 AS ix, k // 16 AS iy, k % 4 AS perm FROM ids)
+        |SELECT CAST(1000000 + k AS BIGINT) AS relation_id,
+        |  (CASE WHEN k % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(ix AS BIGINT) || '_' || CAST(iy AS BIGINT) AS name,
+        |  CAST(1 AS INT) AS n_rings, CAST(12 AS INT) AS n_points,
+        |  CAST(41472000000000000 AS BIGINT) AS area2,
+        |  CASE WHEN ((k >> perm) & 1) = 0 THEN 'ccw' ELSE 'cw' END AS winding,
+        |  CAST(-600000000 + iy*150000000 AS INT) AS min_lat_dm,
+        |  CAST(-1200000000 + ix*150000000 AS INT) AS min_lon_dm,
+        |  CAST(-456000000 + iy*150000000 AS INT) AS max_lat_dm,
+        |  CAST(-1056000000 + ix*150000000 AS INT) AS max_lon_dm
+        |FROM c""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -84,6 +84,29 @@ object Geom {
     s
   }
 
+  /** Twice the signed area on DECIMICRO integer coords — EXACT (no float
+    * anywhere). Origin-translated to the first vertex: coordinate deltas
+    * are polygon-span-sized, so the Long accumulation cannot overflow even
+    * at ±1.8e9 extremes, where untranslated cross products blow past 2^63
+    * within a dozen vertices. Duplicate consecutive vertices and a closing
+    * duplicate contribute zero. >0 = counter-clockwise (x=lon, y=lat).
+    */
+  def signedArea2Dm(latDm: Array[Int], lonDm: Array[Int]): Long = {
+    val n = latDm.length
+    require(lonDm.length == n, s"ring arrays differ: $n vs ${lonDm.length}")
+    if (n < 3) return 0L
+    val x0 = lonDm(0).toLong
+    val y0 = latDm(0).toLong
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      s += (lonDm(i) - x0) * (latDm(j) - y0) - (lonDm(j) - x0) * (latDm(i) - y0)
+      i += 1
+    }
+    s
+  }
+
   /** Do segments (a1,a2) and (b1,b2) intersect (inclusive of endpoints)? */
   def segmentsIntersect(
       ax1: Double, ay1: Double, ax2: Double, ay2: Double,

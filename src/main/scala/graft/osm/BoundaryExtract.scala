@@ -98,6 +98,25 @@ object BoundaryExtract {
       maxAdmin: Int = 8,
       maxBroadcastMembers: Long = 10000000L): Dataset[PolygonRow] = {
     import spark.implicits._
+    relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin, maxBroadcastMembers)
+      .map(assemblePolygon)
+  }
+
+  /** The shared scan→join→re-nest front half of the pipeline (S1-S3,
+    * J1-J4, G1-G2): one row per admin relation with its flat vertex list
+    * ordered by (member_pos, node_pos), decimicro coords intact. Both
+    * [[extract]] (float conversion + emit) and [[polygonStats]] (exact
+    * integer geometry) map their kernels over this.
+    */
+  def relSegments(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8,
+      maxBroadcastMembers: Long = 10000000L): Dataset[RelSegments] = {
+    import spark.implicits._
 
     // rels feeds two subtrees (member explode + the final tags join) and
     // members feeds the sizing count + the ways join: persist both so a
@@ -145,9 +164,23 @@ object BoundaryExtract {
           "array<struct<member_pos:int,node_pos:int,node_id:bigint,lat_dm:int,lon_dm:int>>"))
           .as("pts"))
       .as[RelSegments]
+    withTags
+  }
 
-    // R1+R2+R3 — narrow typed map, no further shuffle.
-    withTags.map(assemblePolygon)
+  /** Split the (member_pos, node_pos)-sorted flat vertex list back into
+    * member-ordered segments — the form the greedy stitcher consumes.
+    */
+  def splitSegments(rs: RelSegments): Seq[Seq[SegNode]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[SegNode]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[SegNode]
+    var curPos = Int.MinValue
+    rs.pts.foreach { p =>
+      if (p.member_pos != curPos && cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+      curPos = p.member_pos
+      cur += SegNode(p.node_id, p.lat_dm, p.lon_dm)
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
   }
 
   /** Per-relation kernel: split flat vertices back into member-ordered
@@ -155,19 +188,7 @@ object BoundaryExtract {
     * and admin_level (`/root/reference/src/converter.rs:31-149`).
     */
   def assemblePolygon(rs: RelSegments): PolygonRow = {
-    // pts arrive sorted by (member_pos, node_pos); split on member_pos
-    val segments: Seq[Seq[SegNode]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[SegNode]]
-      var cur = scala.collection.mutable.ArrayBuffer.empty[SegNode]
-      var curPos = Int.MinValue
-      rs.pts.foreach { p =>
-        if (p.member_pos != curPos && cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
-        curPos = p.member_pos
-        cur += SegNode(p.node_id, p.lat_dm, p.lon_dm)
-      }
-      if (cur.nonEmpty) out += cur.toSeq
-      out.toSeq
-    }
+    val segments = splitSegments(rs)
     val rings = RingAssembler.assemble(segments).map(_.map(n =>
       // exact reference conversion: (decimicro as f64 / 1e7) as f32
       // (/root/reference/src/converter.rs:141-149)
@@ -189,6 +210,51 @@ object BoundaryExtract {
     val name = tags.getOrElse("name", "UNKNOWN_NAME")
     val prefix = tags.getOrElse("name:prefix", "")
     if (prefix.nonEmpty) s"${prefix}_$name" else name
+  }
+
+  final case class PolygonStatsRow(relation_id: Long, name: String,
+      n_rings: Int, n_points: Int, area2: Long, winding: String,
+      min_lat_dm: Int, min_lon_dm: Int, max_lat_dm: Int, max_lon_dm: Int)
+
+  /** EXACT polygon geometry stats on the DECIMICRO rings (before any float
+    * conversion): twice the total ring area by the integer shoelace,
+    * winding of the first assembled ring as the stitcher produced it, and
+    * the integer bounding box. The shoelace runs origin-translated to the
+    * ring's first vertex — coordinate deltas are span-sized, so the
+    * accumulation can't overflow Long even at ±1.8e9 decimicro extremes
+    * (untranslated cross products near the antimeridian exceed 2^63 after
+    * a dozen terms). Duplicate consecutive vertices and the closing
+    * duplicate contribute zero, so the raw stitched rings feed in as-is.
+    * Same plan as [[extract]]: the one G1 shuffle, then a narrow map.
+    */
+  def polygonStats(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): Dataset[PolygonStatsRow] = {
+    import spark.implicits._
+    relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin).map { rs =>
+      val rings = RingAssembler.assemble(splitSegments(rs))
+      val a2 = rings.map(r =>
+        graft.geom.Geom.signedArea2Dm(r.map(_.latDm).toArray, r.map(_.lonDm).toArray))
+      val pts = rings.flatten
+      val winding =
+        if (a2.isEmpty || a2.head == 0L) "degenerate"
+        else if (a2.head > 0L) "ccw" else "cw"
+      PolygonStatsRow(
+        relation_id = rs.relation_id,
+        name = fullName(rs.tags),
+        n_rings = rings.length,
+        n_points = rings.map(_.length).sum,
+        area2 = a2.map(math.abs).sum,
+        winding = winding,
+        min_lat_dm = if (pts.isEmpty) 0 else pts.map(_.latDm).min,
+        min_lon_dm = if (pts.isEmpty) 0 else pts.map(_.lonDm).min,
+        max_lat_dm = if (pts.isEmpty) 0 else pts.map(_.latDm).max,
+        max_lon_dm = if (pts.isEmpty) 0 else pts.map(_.lonDm).max)
+    }
   }
 
   /** EXTENSION (north-star capability, opt-in — the reference ignores

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.OsmScenes
+import graft.geom.Geom
+import graft.osm.BoundaryExtract
+
+/** Exact integer polygon geometry: the decimicro shoelace kernel and the
+  * polygonStats operator over the grid fixture (q74's sbt-side pin).
+  */
+class PolygonStatsSpec extends AnyFunSuite {
+
+  test("signedArea2Dm: squares, orientation, duplicates, degenerate") {
+    // unit square CCW: corners (0,0) (0,10) (10,10) (10,0) in (lat,lon)
+    val lat = Array(0, 0, 10, 10)
+    val lon = Array(0, 10, 10, 0)
+    assert(Geom.signedArea2Dm(lat, lon) == 200L)
+    assert(Geom.signedArea2Dm(lat.reverse, lon.reverse) == -200L)
+    // closing duplicate and repeated vertices contribute zero
+    assert(Geom.signedArea2Dm(lat :+ 0, lon :+ 0) == 200L)
+    assert(Geom.signedArea2Dm(Array(0, 0, 0, 10, 10), Array(0, 10, 10, 10, 0)) == 200L)
+    // fewer than 3 points is degenerate
+    assert(Geom.signedArea2Dm(Array(1, 2), Array(3, 4)) == 0L)
+  }
+
+  test("signedArea2Dm: no overflow at antimeridian-scale coordinates") {
+    // a 1000x1000-dm square at the far corner of the coordinate space;
+    // untranslated cross products are ~3e18 PER TERM and the running sum
+    // would wrap Long — the origin translation keeps every term tiny
+    val big = 1790000000
+    val lat = Array(big, big, big + 1000, big + 1000)
+    val lon = Array(-(big), -(big) + 1000, -(big) + 1000, -(big))
+    assert(Geom.signedArea2Dm(lat, lon) == 2000000L)
+    // and a many-vertex version: 1024 collinear points along each edge
+    // would previously accumulate overflow; area must stay exact
+    val n = 256
+    val lats = Array.tabulate(4 * n) { i =>
+      val side = i / n; val t = i % n
+      side match {
+        case 0 => big
+        case 1 => big + t * 4
+        case 2 => big + n * 4
+        case _ => big + (n - t) * 4
+      }
+    }
+    val lons = Array.tabulate(4 * n) { i =>
+      val side = i / n; val t = i % n
+      side match {
+        case 0 => -big + t * 4
+        case 1 => -big + n * 4
+        case 2 => -big + (n - t) * 4
+        case _ => -big
+      }
+    }
+    assert(Geom.signedArea2Dm(lats, lons) == 2L * (n * 4L) * (n * 4L))
+  }
+
+  test("polygonStats over the grid: constant exact area, winding invariant, bbox") {
+    val spark = SparkTestSession.spark
+    val (n, w, r) = OsmScenes.grid(16, 8).toDFs(spark)
+    val rows = BoundaryExtract.polygonStats(spark, r, w, n).collect()
+    assert(rows.length == 128)
+    rows.foreach { s =>
+      val k = s.relation_id - 1000000L
+      val ix = (k % 16).toInt; val iy = (k / 16).toInt
+      assert(s.n_rings == 1 && s.n_points == 12)
+      // 0.96 of a 15-degree span rounds to exactly 144,000,000 decimicro
+      // in every cell; 2 * w * h is therefore constant
+      assert(s.area2 == 41472000000000000L, s"k=$k")
+      // the stitched ring preserves the FIRST member way's direction:
+      // member perm k%4 leads, fixture flip bit (k >> perm) & 1
+      val expected = if (((k >> (k % 4).toInt) & 1L) == 0L) "ccw" else "cw"
+      assert(s.winding == expected, s"k=$k")
+      assert(s.min_lat_dm == -600000000 + iy * 150000000)
+      assert(s.min_lon_dm == -1200000000 + ix * 150000000)
+      assert(s.max_lat_dm == s.min_lat_dm + 144000000)
+      assert(s.max_lon_dm == s.min_lon_dm + 144000000)
+    }
+  }
+}
