@@ -673,6 +673,36 @@ object SparkEntry {
         .orderBy("relation_id")
     }),
 
+    // Douglas–Peucker simplification over the assembled rings: exact
+    // integer survival decisions → a closed-form oracle. Every grid ring
+    // dedups 12 raw vertices (stitch joints double) to 8, and the 4 edge
+    // midpoints are exactly collinear, so any positive tolerance leaves
+    // the 4 corners + closing point and area is EXACTLY preserved.
+    "q75_simplify" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.grid(16, 8).toDFs(s)
+      graft.osm.BoundaryExtract.simplifyStats(s, r, w, n, tolDm = 1000L).toDF()
+        .orderBy("relation_id")
+    }),
+
+    // nearest-neighbor thumbnailing (ImageOps — pure index arithmetic, no
+    // resample floats): every image renders, resizes to 16x16, and the
+    // thumb's r+g+b checksum is recomputed CLOSED-FORM by the oracle from
+    // the splitmix pixel function and the same floor-division sample map.
+    "q76_thumbnail" -> ((s, dir) => {
+      import s.implicits._
+      s.range(300).as[Long].mapPartitions { it =>
+        it.map { i =>
+          val w = graft.img.ImageTable.widthOf(i)
+          val h = graft.img.ImageTable.heightOf(i)
+          val thumb = graft.img.ImageOps.resizeNearest(
+            graft.img.ImageTable.renderPixels(i, w, h), w, h, 16, 16)
+          var sum = 0L
+          thumb.foreach(p => sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF))
+          (f"img_$i%09d", w, h, sum)
+        }
+      }.toDF("image_id", "w", "h", "thumb_sum")
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1856,6 +1886,38 @@ object SparkEntry {
         |  CAST(-456000000 + iy*150000000 AS INT) AS max_lat_dm,
         |  CAST(-1056000000 + ix*150000000 AS INT) AS max_lon_dm
         |FROM c""".stripMargin,
+
+    // q75 — closed-form: 12 raw ring vertices, 5 after DP (4 corners +
+    // closing), area exactly preserved (only collinear midpoints removed)
+    "q75_simplify" ->
+      """WITH ids AS (SELECT range AS k FROM range(0, 128))
+        |SELECT CAST(1000000 + k AS BIGINT) AS relation_id,
+        |  (CASE WHEN k % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(k % 16 AS BIGINT) || '_' || CAST(k // 16 AS BIGINT) AS name,
+        |  CAST(12 AS INT) AS n_before, CAST(5 AS INT) AS n_after,
+        |  CAST(41472000000000000 AS BIGINT) AS area2_after
+        |FROM ids""".stripMargin,
+
+    // q76 — thumbnail checksum: dims + phash (= splitmix64(i), the pixel
+    // seed) from the shared CTE; the 16x16 nearest sample map is the same
+    // floor division; channel bytes replay the pixel function (arithmetic
+    // >> equals Scala's >>> here because & 255 masks the sign-extended
+    // high bits away)
+    "q76_thumbnail" ->
+      s"""WITH ${splitmixDimsCtes(300)},
+         |t AS (SELECT range AS t FROM range(0, 16)),
+         |smp AS (
+         |  SELECT d.i, d.w, d.h, d.phash,
+         |    (a.t * d.w) // 16 AS sx, (b.t * d.h) // 16 AS sy
+         |  FROM dims d, t a, t b),
+         |px AS (
+         |  SELECT i, w, h,
+         |    ((sx*7 + (phash & 255)) % 256) +
+         |    ((sy*11 + ((phash >> 8) & 255)) % 256) +
+         |    (((sx+sy)*3 + ((phash >> 16) & 255)) % 256) AS v
+         |  FROM smp)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CAST(sum(v) AS BIGINT) AS thumb_sum
+         |FROM px GROUP BY i, w, h""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

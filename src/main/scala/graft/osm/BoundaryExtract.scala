@@ -257,6 +257,38 @@ object BoundaryExtract {
     }
   }
 
+  final case class SimplifyRow(relation_id: Long, name: String,
+      n_before: Int, n_after: Int, area2_after: Long)
+
+  /** Douglas–Peucker ring simplification stats (graft.geom.Simplify —
+    * exact integer decisions, so the vertex-survival set is deterministic
+    * and the q75 oracle is closed-form). `tolDm` in decimicro degrees
+    * (1000 ≈ 10 m at the equator). Same plan shape as [[extract]].
+    */
+  def simplifyStats(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      tolDm: Long = 1000L,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): Dataset[SimplifyRow] = {
+    import spark.implicits._
+    relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin).map { rs =>
+      val rings = RingAssembler.assemble(splitSegments(rs))
+      val simp = rings.map(r =>
+        graft.geom.Simplify.ring(r.map(_.latDm).toArray, r.map(_.lonDm).toArray, tolDm))
+      SimplifyRow(
+        relation_id = rs.relation_id,
+        name = fullName(rs.tags),
+        n_before = rings.map(_.length).sum,
+        n_after = simp.map(_._1.length).sum,
+        area2_after = simp.map { case (la, lo) =>
+          math.abs(graft.geom.Geom.signedArea2Dm(la, lo))
+        }.sum)
+    }
+  }
+
   /** EXTENSION (north-star capability, opt-in — the reference ignores
     * roles): role-aware extraction. Inner-role rings become holes of the
     * outer ring containing them; winding normalized per RFC 7946

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.img.{ImageOps, ImageTable}
+
+/** ImageOps invariants: involutions, rotation group, resize identity and
+  * sample-map determinism, crop/tile consistency.
+  */
+class ImageOpsSpec extends AnyFunSuite {
+
+  private def img(i: Long): (Array[Int], Int, Int) = {
+    val w = ImageTable.widthOf(i); val h = ImageTable.heightOf(i)
+    (ImageTable.renderPixels(i, w, h), w, h)
+  }
+
+  test("flipH and flipV are involutions; rot90 has order 4") {
+    for (i <- 0L to 5L) {
+      val (px, w, h) = img(i)
+      assert(ImageOps.flipH(ImageOps.flipH(px, w, h), w, h).sameElements(px))
+      assert(ImageOps.flipV(ImageOps.flipV(px, w, h), w, h).sameElements(px))
+      var r = px; var rw = w; var rh = h
+      for (_ <- 0 until 4) { r = ImageOps.rot90(r, rw, rh); val t = rw; rw = rh; rh = t }
+      assert(rw == w && rh == h && r.sameElements(px))
+      // rot90 twice == flipH then flipV
+      val r2 = ImageOps.rot90(ImageOps.rot90(px, w, h), h, w)
+      assert(r2.sameElements(ImageOps.flipV(ImageOps.flipH(px, w, h), w, h)))
+    }
+  }
+
+  test("resizeNearest: identity at same dims, exact sample map, up/down round trip") {
+    val (px, w, h) = img(7L)
+    assert(ImageOps.resizeNearest(px, w, h, w, h).sameElements(px))
+    val thumb = ImageOps.resizeNearest(px, w, h, 16, 16)
+    for (ty <- 0 until 16; tx <- 0 until 16)
+      assert(thumb(ty * 16 + tx) == px((ty * h / 16) * w + (tx * w / 16)))
+    // integer upscale then exact downscale is the identity
+    val up = ImageOps.resizeNearest(px, w, h, w * 2, h * 2)
+    assert(ImageOps.resizeNearest(up, w * 2, h * 2, w, h).sameElements(px))
+  }
+
+  test("crop matches manual indexing and composes with flips") {
+    val (px, w, h) = img(3L)
+    val c = ImageOps.crop(px, w, h, 2, 3, 5, 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(c(y * 5 + x) == px((3 + y) * w + 2 + x))
+    intercept[IllegalArgumentException](ImageOps.crop(px, w, h, w - 2, 0, 5, 2))
+  }
+}
