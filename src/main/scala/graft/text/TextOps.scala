@@ -373,9 +373,11 @@ object TextOps {
     * order. Ties break on the term itself — a total order, so the top-k
     * cut is deterministic.
     *
-    * Scale shape: two map-side-combined groupBys (doc×term, then term),
-    * one shuffle join on term whose build side is unique per key, and a
-    * per-document window — no global sort, no skewed build.
+    * Scale shape: one map-side-combined groupBy (doc×term), then df as a
+    * COUNT WINDOW over the tf table partitioned by term (tf is one row
+    * per (doc, term), so the partition count IS the document frequency —
+    * this replaces a groupBy + self-join on term with a single exchange),
+    * then the per-document ranking window. No global sort, no join.
     *
     * @return (idCol, term, tf, df, score_ppm, rk) for rk <= k
     */
@@ -383,9 +385,8 @@ object TextOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as(idCol),
         explode(tokensCol(col(textCol))).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("term"))
+    toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score_ppm", expr("(tf * 1000000L) div df"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("score_ppm").desc, col("term"))))
