@@ -77,6 +77,115 @@ final class MisraGries(val k: Int) extends Serializable {
   }
 }
 
+/** Mergeable quantile sketch in the KLL compactor style (Karnin, Lang,
+  * Liberty, FOCS'16), made DETERMINISTIC: each level keeps a buffer of up
+  * to `k` items at weight 2^level; a full level sorts and keeps every
+  * second item (per-level alternating start parity instead of KLL's coin
+  * flip), promoting survivors one level up at doubled weight. Rank error
+  * grows by at most 2^level per level-i compaction; with capacity k per
+  * level the total is O(N/k · log) — SketchSpec pins the empirical bound
+  * on adversarial stream orders. Deterministic compaction trades KLL's
+  * unbiasedness for bit-reproducibility — the same stream in the same
+  * partition order always yields the same sketch, which is what a
+  * verifiable pipeline wants.
+  *
+  * Same deployment shape as [[MisraGries]]: per-partition sketches, one
+  * driver-side merge of ≤ numPartitions × (k·levels) doubles.
+  */
+final class KllSketch(val k: Int) extends Serializable {
+  require(k >= 8, s"k=$k must be >= 8")
+  private val levels = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.ArrayBuffer.empty[Double])
+  private val parity = scala.collection.mutable.ArrayBuffer(false)
+  private var total = 0L
+
+  def n: Long = total
+
+  def add(x: Double): this.type = {
+    total += 1
+    levels(0) += x
+    var lvl = 0
+    while (lvl < levels.length && levels(lvl).length >= k) { compact(lvl); lvl += 1 }
+    this
+  }
+
+  private def ensureLevel(l: Int): Unit =
+    while (levels.length <= l) {
+      levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      parity += false
+    }
+
+  /** Sort the level, promote every second item at doubled weight; an odd
+    * leftover stays at this level so total weight is exactly preserved.
+    */
+  private def compact(lvl: Int): Unit = {
+    ensureLevel(lvl + 1)
+    val buf = levels(lvl)
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    val nEven = sorted.length - (sorted.length % 2)
+    val start = if (parity(lvl)) 1 else 0
+    parity(lvl) = !parity(lvl)
+    buf.clear()
+    if (sorted.length > nEven) buf += sorted(nEven) // leftover keeps weight
+    var i = start
+    while (i < nEven) { levels(lvl + 1) += sorted(i); i += 2 }
+  }
+
+  def merge(other: KllSketch): KllSketch = {
+    require(other.k == k, s"cannot merge k=$k with k=${other.k}")
+    val out = new KllSketch(k)
+    out.total = total + other.total
+    out.ensureLevel(math.max(levels.length, other.levels.length) - 1)
+    for (l <- levels.indices) out.levels(l) ++= levels(l)
+    for (l <- other.levels.indices) out.levels(l) ++= other.levels(l)
+    var lvl = 0
+    while (lvl < out.levels.length) {
+      while (out.levels(lvl).length >= k) out.compact(lvl)
+      lvl += 1
+    }
+    out
+  }
+
+  /** Estimated number of stream items ≤ x. */
+  def rank(x: Double): Long = {
+    var r = 0L
+    for (l <- levels.indices; v <- levels(l)) if (v <= x) r += (1L << l)
+    r
+  }
+
+  /** Smallest retained value whose estimated rank reaches q·n. */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"q=$q")
+    val items = (for (l <- levels.indices; v <- levels(l)) yield (v, 1L << l)).sortBy(_._1)
+    require(items.nonEmpty, "empty sketch")
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    for ((v, w) <- items) {
+      cum += w
+      if (cum >= target) return v
+    }
+    items.last._1
+  }
+}
+
+object KllSketch {
+
+  /** Distributed quantile sketch of a numeric column: one sketch per
+    * partition (narrow, bounded memory), merged on the driver.
+    */
+  def ofColumn(spark: SparkSession, df: DataFrame, valueCol: String, k: Int = 200): KllSketch = {
+    import spark.implicits._
+    df.select(col(valueCol).cast("double")).as[Double]
+      .mapPartitions { it =>
+        val s = new KllSketch(k)
+        it.foreach(s.add)
+        Iterator.single(s)
+      }(org.apache.spark.sql.Encoders.javaSerialization[KllSketch])
+      .reduce(_ merge _)
+  }
+}
+
 object MisraGries {
 
   /** Distributed frequent terms over a documents table: one Misra–Gries

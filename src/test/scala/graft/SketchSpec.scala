@@ -71,6 +71,67 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL quantile sketch: rank error bounded on adversarial stream orders") {
+    import graft.text.KllSketch
+    val n = 100000
+    val streams: Map[String, Seq[Double]] = Map(
+      "uniform" -> (0 until n).map(i => Math.floorMod(ImageTable.splitmix64(i.toLong), 1000000L).toDouble),
+      "sorted" -> (0 until n).map(_.toDouble),
+      "reversed" -> (0 until n).map(i => (n - i).toDouble),
+      "zipf-ish" -> (0 until n).map(i => math.pow(Math.floorMod(ImageTable.splitmix64(7L * i), 1000L).toDouble + 1, 2)))
+    for ((name, s) <- streams) {
+      val sk = new KllSketch(200)
+      s.foreach(sk.add)
+      assert(sk.n == n.toLong)
+      val sorted = s.sorted
+      for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val est = sk.quantile(q)
+        // true rank of the estimate must be within 2% of the target rank
+        val trueRank = sorted.search(est) match {
+          case scala.collection.Searching.Found(i) => i + 1
+          case scala.collection.Searching.InsertionPoint(i) => i
+        }
+        val target = q * n
+        assert(math.abs(trueRank - target) <= 0.02 * n,
+          s"$name q=$q: est=$est trueRank=$trueRank target=$target")
+      }
+    }
+  }
+
+  test("KLL merge keeps the bound and is weight-exact") {
+    import graft.text.KllSketch
+    val parts = (0 until 8).map(p =>
+      (0 until 20000).map(i => Math.floorMod(ImageTable.splitmix64(p * 1000003L + i), 1000000L).toDouble))
+    val merged = parts.map { s =>
+      val sk = new KllSketch(200); s.foreach(sk.add); sk
+    }.reduce(_ merge _)
+    val all = parts.flatten.sorted
+    assert(merged.n == all.size.toLong)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      val trueRank = all.count(_ <= est)
+      assert(math.abs(trueRank - q * all.size) <= 0.02 * all.size,
+        s"q=$q est=$est trueRank=$trueRank")
+    }
+    // determinism: same inputs, same merge order -> identical estimates
+    val merged2 = parts.map { s =>
+      val sk = new KllSketch(200); s.foreach(sk.add); sk
+    }.reduce(_ merge _)
+    for (q <- Seq(0.25, 0.5, 0.75)) assert(merged.quantile(q) == merged2.quantile(q))
+  }
+
+  test("distributed KLL matches the exact percentile within the bound") {
+    import graft.text.KllSketch
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = (0 until 50000).map(i =>
+      Math.floorMod(ImageTable.splitmix64(31L + i), 100000L).toDouble).toDF("v").repartition(7)
+    val sk = KllSketch.ofColumn(spark, df, "v", k = 200)
+    val exact = df.stat.approxQuantile("v", Array(0.5), 0.0).head // rel 0 = exact
+    assert(math.abs(sk.quantile(0.5) - exact) <= 0.03 * 100000,
+      s"median est ${sk.quantile(0.5)} vs exact $exact")
+  }
+
   test("dupSpans merges overlapping grams into maximal islands, exact integers") {
     val spark = SparkTestSession.spark
     import spark.implicits._
