@@ -703,6 +703,26 @@ object SparkEntry {
       }.toDF("image_id", "w", "h", "thumb_sum")
     }),
 
+    // exact integer centroid of each outer ring (BigInt rational, rounded
+    // half-up to decimicro — see Geom.centroidDm). Closed-form: the grid
+    // cell centroid is the exact cell center, min corner + 72,000,000.
+    "q77_centroid" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.grid(16, 8).toDFs(s)
+      graft.osm.BoundaryExtract.polygonCentroids(s, r, w, n).toDF()
+        .orderBy("relation_id")
+    }),
+
+    // quadkey tile naming over the pyramid (Bing tile-system strings):
+    // pure column arithmetic on (level, tx, ty) — the same expression
+    // text replays in the oracle over the recursive pyramid CTE.
+    "q78_quadkey" -> ((s, dir) => {
+      val imgs = graft.img.ImageTable.generate(s, 200, 8).toDF()
+        .withColumn("relation_id", pmod(col("phash"), lit(64)))
+      graft.tile.Tiling.tile(s, imgs).toDF()
+        .select(col("image_id"), col("level"), col("tx"), col("ty"),
+          graft.tile.Tiling.quadkeyCol(col("level"), col("tx"), col("ty")).as("quadkey"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1918,6 +1938,35 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
          |  CAST(sum(v) AS BIGINT) AS thumb_sum
          |FROM px GROUP BY i, w, h""".stripMargin,
+
+    // q77 — closed-form centroids: the rectangle's rational centroid is
+    // its exact center, so rounding is a no-op and the expected value is
+    // pure integer arithmetic
+    "q77_centroid" ->
+      """WITH ids AS (SELECT range AS k FROM range(0, 128))
+        |SELECT CAST(1000000 + k AS BIGINT) AS relation_id,
+        |  (CASE WHEN k % 7 = 0 THEN 'Stadt_' ELSE '' END) || 'cell_' || CAST(k % 16 AS BIGINT) || '_' || CAST(k // 16 AS BIGINT) AS name,
+        |  CAST(-600000000 + (k // 16)*150000000 + 72000000 AS INT) AS c_lat_dm,
+        |  CAST(-1200000000 + (k % 16)*150000000 + 72000000 AS INT) AS c_lon_dm
+        |FROM ids""".stripMargin,
+
+    // q78 — quadkeys over the q32 pyramid CTE: same bit-interleave digit
+    // expression, high bit first, level 0 = ''
+    "q78_quadkey" ->
+      s"""WITH RECURSIVE ${splitmixDimsCtes(200)},
+         |lv AS (
+         |  SELECT i, w, h, 0 AS level FROM dims
+         |  UNION ALL
+         |  SELECT i, (w+1)//2, (h+1)//2, level+1 FROM lv WHERE NOT (w <= 16 AND h <= 16)
+         |),
+         |t1 AS (SELECT *, unnest(range((w+15)//16)) AS tx FROM lv),
+         |t2 AS (SELECT *, unnest(range((h+15)//16)) AS ty FROM t1)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(level AS INT) AS level, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+         |  CASE WHEN level = 0 THEN '' ELSE
+         |    array_to_string(list_transform(range(level-1, -1, -1),
+         |      j -> CAST(((ty >> j) & 1)*2 + ((tx >> j) & 1) AS VARCHAR)), '') END AS quadkey
+         |FROM t2""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

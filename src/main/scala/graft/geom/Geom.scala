@@ -107,6 +107,44 @@ object Geom {
     s
   }
 
+  /** Polygon centroid on decimicro coords, EXACT: the standard
+    * cross-product centroid evaluated as a BigInt rational
+    * (Σ(dᵢ+dⱼ)·crossᵢⱼ) / (3·Σcrossᵢⱼ) relative to the first vertex, then
+    * rounded half-up to integer decimicro. Third powers of global-span
+    * coordinates overflow even origin-translated Longs (~7e24), hence the
+    * BigInt accumulation; the result is a deterministic integer pair.
+    * Returns None for degenerate rings (zero signed area).
+    */
+  def centroidDm(latDm: Array[Int], lonDm: Array[Int]): Option[(Int, Int)] = {
+    val n = latDm.length
+    require(lonDm.length == n, s"ring arrays differ: $n vs ${lonDm.length}")
+    if (n < 3) return None
+    val x0 = lonDm(0).toLong; val y0 = latDm(0).toLong
+    var a2 = BigInt(0); var sx = BigInt(0); var sy = BigInt(0)
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val xi = lonDm(i) - x0; val yi = latDm(i) - y0
+      val xj = lonDm(j) - x0; val yj = latDm(j) - y0
+      val cross = BigInt(xi) * yj - BigInt(xj) * yi
+      a2 += cross
+      sx += cross * (xi + xj)
+      sy += cross * (yi + yj)
+      i += 1
+    }
+    if (a2 == 0) return None
+    var den = a2 * 3
+    if (den < 0) { den = -den; sx = -sx; sy = -sy }
+    def roundDiv(num: BigInt): Long = {
+      // round half-up = floor((2num + den) / 2den); BigInt `/` truncates
+      // toward zero, so adjust negative inexact quotients down
+      val a = num * 2 + den; val b = den * 2
+      val q = a / b
+      (if (a % b != 0 && a.sign * b.sign < 0) q - 1 else q).toLong
+    }
+    Some(((y0 + roundDiv(sy)).toInt, (x0 + roundDiv(sx)).toInt))
+  }
+
   /** Do segments (a1,a2) and (b1,b2) intersect (inclusive of endpoints)? */
   def segmentsIntersect(
       ax1: Double, ay1: Double, ax2: Double, ay2: Double,

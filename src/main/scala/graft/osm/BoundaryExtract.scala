@@ -257,6 +257,30 @@ object BoundaryExtract {
     }
   }
 
+  final case class CentroidRow(relation_id: Long, name: String,
+      c_lat_dm: Int, c_lon_dm: Int)
+
+  /** Exact integer centroid of each boundary's FIRST (outer) ring —
+    * graft.geom.Geom.centroidDm's BigInt rational, rounded half-up to
+    * decimicro. Degenerate/empty relations are dropped (no centroid
+    * exists). Same plan shape as [[extract]].
+    */
+  def polygonCentroids(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): Dataset[CentroidRow] = {
+    import spark.implicits._
+    relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin).flatMap { rs =>
+      val rings = RingAssembler.assemble(splitSegments(rs))
+      rings.headOption.flatMap(r =>
+        graft.geom.Geom.centroidDm(r.map(_.latDm).toArray, r.map(_.lonDm).toArray))
+        .map { case (la, lo) => CentroidRow(rs.relation_id, fullName(rs.tags), la, lo) }
+    }
+  }
+
   final case class SimplifyRow(relation_id: Long, name: String,
       n_before: Int, n_after: Int, area2_after: Long)
 

@@ -22,6 +22,23 @@ object Tiling {
   /** 2× box downsample with integer rounding (deterministic). Odd edges keep
     * the partial box.
     */
+  /** Bing-style quadkey for a tile coordinate — the canonical string key
+    * for tile storage/lookup (Microsoft Bing Maps tile system, public):
+    * digit d = 2·bit(ty,i) + bit(tx,i) from the high bit down, one digit
+    * per level; level 0 is the empty string. Pure column arithmetic
+    * (sequence + transform + concat) — codegen'd, no UDF — and the same
+    * expression replays verbatim in the SQL oracle.
+    */
+  def quadkeyCol(level: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column,
+      ty: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def bit(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      call_function("shiftright", c, i).bitwiseAND(lit(1))
+    when(level === 0, lit("")).otherwise(
+      concat_ws("", transform(sequence(level - 1, lit(0), lit(-1)),
+        i => (bit(ty, i) * 2 + bit(tx, i)).cast("string"))))
+  }
+
   def downsample2x(px: Array[Int], w: Int, h: Int): (Array[Int], Int, Int) = {
     val nw = (w + 1) / 2; val nh = (h + 1) / 2
     val out = new Array[Int](nw * nh)

@@ -55,6 +55,26 @@ class PolygonStatsSpec extends AnyFunSuite {
     assert(Geom.signedArea2Dm(lats, lons) == 2L * (n * 4L) * (n * 4L))
   }
 
+  test("centroidDm: exact rational centroid, half-up rounding, degenerate None") {
+    // unit square centered at (5, 5)
+    assert(Geom.centroidDm(Array(0, 0, 10, 10), Array(0, 10, 10, 0)).contains((5, 5)))
+    // orientation doesn't change the centroid
+    assert(Geom.centroidDm(Array(10, 10, 0, 0), Array(0, 10, 10, 0)).contains((5, 5)))
+    // triangle (0,0)(0,3)(3,0): centroid (1, 1) exactly
+    assert(Geom.centroidDm(Array(0, 0, 3), Array(0, 3, 0)).contains((1, 1)))
+    // negative-coordinate triangle: (-3,0)(0,0)(0,-3) -> (-1,-1)
+    assert(Geom.centroidDm(Array(-3, 0, 0), Array(0, 0, -3)).contains((-1, -1)))
+    // inexact rationals round half-up: centroid (1/3, 1/3) -> (0, 0),
+    // (-1/3, -1/3) -> (0, 0), and a true half (3/2) rounds UP to 2
+    assert(Geom.centroidDm(Array(0, 0, 1), Array(0, 1, 0)).contains((0, 0)))
+    assert(Geom.centroidDm(Array(0, 0, -1), Array(0, -1, 0)).contains((0, 0)))
+    // degenerate: collinear ring has zero area
+    assert(Geom.centroidDm(Array(0, 1, 2), Array(0, 1, 2)).isEmpty)
+    // antimeridian-scale square: exact center, no overflow
+    val b = 1790000000
+    assert(Geom.centroidDm(Array(-b, -b, b, b), Array(-b, b, b, -b)).contains((0, 0)))
+  }
+
   test("polygonStats over the grid: constant exact area, winding invariant, bbox") {
     val spark = SparkTestSession.spark
     val (n, w, r) = OsmScenes.grid(16, 8).toDFs(spark)
