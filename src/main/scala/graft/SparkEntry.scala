@@ -723,6 +723,35 @@ object SparkEntry {
           graft.tile.Tiling.quadkeyCol(col("level"), col("tx"), col("ty")).as("quadkey"))
     }),
 
+    // interval-containment join done as a bucketed EQUI-join (RangeJoin):
+    // 200 deterministic promo windows (10 min – 1 day, overlapping) over
+    // the 30-day event stream; each event carries one 6-h bucket, each
+    // interval replicates to the ≤5 buckets it overlaps, and a residual
+    // `start ≤ ts < end` filter finishes containment. The naive BETWEEN
+    // theta join plans as BroadcastNestedLoopJoin — O(|events|·200) per
+    // row; this plan is a map-side broadcast hash join (pinned in
+    // RangeJoinSpec). All arithmetic in integral microseconds (unix_micros
+    // / epoch_us) so both engines compare exact integers.
+    "q79_range_join" -> ((s, dir) => {
+      val bucketUs = 21600L * 1000000L // 6 h
+      val ev = table(s, dir, "events").select(
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), // NTZ → UTC (session TZ pinned)
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      val iv = s.range(200).select(
+        col("id").as("interval_id"),
+        ((lit(1704067200L) + col("id") * 12960L) * 1000000L).as("start_us"),
+        ((lit(1704067200L) + col("id") * 12960L + 600L
+          + pmod(col("id") * 7919L, lit(86400L))) * 1000000L).as("end_us"))
+      val hits = graft.join.RangeJoin
+        .bucketed(ev, "ts_us", iv, "start_us", "end_us", bucketUs)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+      iv.select("interval_id").join(hits, Seq("interval_id"), "left")
+        .select(col("interval_id"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -1967,6 +1996,25 @@ object SparkEntry {
          |    array_to_string(list_transform(range(level-1, -1, -1),
          |      j -> CAST(((ty >> j) & 1)*2 + ((tx >> j) & 1) AS VARCHAR)), '') END AS quadkey
          |FROM t2""".stripMargin,
+
+    // q79 — the bucketed interval join collapses to a plain BETWEEN theta
+    // join relationally (DuckDB's IEJoin handles it natively); the bucket
+    // decomposition is a physical-plan property, not a semantic one
+    "q79_range_join" ->
+      """WITH iv AS (
+        |  SELECT i AS interval_id,
+        |    (1704067200 + i*12960) * 1000000 AS start_us,
+        |    (1704067200 + i*12960 + 600 + (i*7919 % 86400)) * 1000000 AS end_us
+        |  FROM range(0, 200) t(i)),
+        |m AS (
+        |  SELECT interval_id, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events JOIN iv
+        |    ON epoch_us(ts) >= start_us AND epoch_us(ts) < end_us
+        |  GROUP BY 1)
+        |SELECT interval_id, COALESCE(n, 0) AS n,
+        |  COALESCE(value_cents, 0) AS value_cents
+        |FROM iv LEFT JOIN m USING (interval_id)""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection
