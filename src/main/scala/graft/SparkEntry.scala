@@ -752,6 +752,31 @@ object SparkEntry {
           coalesce(col("value_cents"), lit(0L)).as("value_cents"))
     }),
 
+    // geodesic nearest-neighbor: every probe point → its closest of 64
+    // deterministic "city" centroids by GREAT-CIRCLE distance (haversine,
+    // clamped asin — GraftFunctions.haversineKm), where the planar cell
+    // kNN (q13/q33) would misrank near the poles and the antimeridian.
+    // Scale shape: the 64-row dim side broadcasts, distances evaluate
+    // map-side per probe row, and min(struct(dist, city_id)) aggregates
+    // with a partial (map-side) combine — ONE exchange of one row per
+    // probe, corpus never materializes the 64× expansion past the
+    // combiner. Ties broken by city_id via the struct's lexicographic
+    // order; dist published at 0.1 km so both engines' libm agree.
+    "q80_haversine_nn" -> ((s, dir) => {
+      val cities = s.range(64).select(
+        col("id").as("city_id"),
+        ((col("id") * 9973L + 12345L) % 150000L).cast("double") / 1000.0 - 75.0,
+        ((col("id") * 7919L + 54321L) % 360000L).cast("double") / 1000.0 - 180.0)
+        .toDF("city_id", "clat", "clon")
+      val d = probePoints(s, dir).crossJoin(broadcast(cities))
+        .withColumn("dist", GraftFunctions.haversineKm(
+          col("lat"), col("lon"), col("clat"), col("clon")))
+      d.groupBy("o_orderkey")
+        .agg(min(struct(col("dist"), col("city_id"))).as("m"))
+        .select(col("o_orderkey"), col("m.city_id").as("nearest_id"),
+          round(col("m.dist"), 1).as("dist_km"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -2015,6 +2040,26 @@ object SparkEntry {
         |SELECT interval_id, COALESCE(n, 0) AS n,
         |  COALESCE(value_cents, 0) AS value_cents
         |FROM iv LEFT JOIN m USING (interval_id)""".stripMargin,
+
+    // q80 — same haversine term order (clamped asin) so libm differences
+    // stay sub-ulp; argmin replayed as QUALIFY row_number over (dist, id)
+    "q80_haversine_nn" ->
+      s"""WITH c AS (
+         |  SELECT i AS city_id,
+         |    ((i*9973+12345) % 150000)/1000.0 - 75.0 AS clat,
+         |    ((i*7919+54321) % 360000)/1000.0 - 180.0 AS clon
+         |  FROM range(0, 64) t(i)),
+         |p AS ($probeSql),
+         |d AS (
+         |  SELECT o_orderkey, city_id,
+         |    2*6371.0 * asin(least(1.0, sqrt(
+         |      sin(radians(clat-lat)/2)*sin(radians(clat-lat)/2)
+         |      + cos(radians(lat))*cos(radians(clat))
+         |        * sin(radians(clon-lon)/2)*sin(radians(clon-lon)/2)))) AS dist
+         |  FROM p CROSS JOIN c)
+         |SELECT o_orderkey, city_id AS nearest_id, round(dist, 1) AS dist_km
+         |FROM d
+         |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY dist, city_id) = 1""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

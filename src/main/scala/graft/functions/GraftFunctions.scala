@@ -43,6 +43,19 @@ object GraftFunctions {
   def lonOfKey(key: Column): Column =
     (abs(key * lit(7919L) + lit(54321L)) % lit(360000L)).cast("double") / lit(1000.0) - lit(180.0)
 
+  /** Great-circle distance in km (haversine, sphere R = 6371 km) as pure
+    * column arithmetic — codegen'd, no UDF, and term-for-term replayable in
+    * ANSI SQL for the oracle. The asin argument is clamped to 1: for
+    * near-antipodal pairs the float sum can exceed 1 by an ulp, and
+    * asin(1 + ε) is NaN on both engines.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val s1 = sin(radians(lat2 - lat1) / lit(2.0))
+    val s2 = sin(radians(lon2 - lon1) / lit(2.0))
+    val h = s1 * s1 + cos(radians(lat1)) * cos(radians(lat2)) * s2 * s2
+    lit(2.0 * 6371.0) * asin(least(lit(1.0), sqrt(h)))
+  }
+
   /** Register engine expressions for SQL + call_function use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
