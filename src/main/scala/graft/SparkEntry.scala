@@ -777,6 +777,40 @@ object SparkEntry {
           round(col("m.dist"), 1).as("dist_km"))
     }),
 
+    // Bloom-gated decontamination — the BROADCAST-side scale path next to
+    // q67's exact join: the eval set's 13-gram keys build an m=2^16, k=4
+    // Bloom bitset (one tiny job, 8 KB collected), and the corpus is then
+    // gated by a pure map-side predicate — zero corpus shuffle before the
+    // per-doc count, vs q67 shuffling every corpus gram through a join.
+    // False positives are part of the operator's contract and are
+    // DETERMINISTIC here (splitmix64 probes), so the oracle reproduces the
+    // exact same bitset and the exact same verdicts, FPs included.
+    "q81_bloom_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val n = 13
+      def gramKeys(df: DataFrame): DataFrame = df.as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val w = graft.text.TextOps.tokenize(t)
+          (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
+        }.toDF("doc_id", "gram")
+        .select(col("doc_id"), // 60-bit key: md5 prefix, hex-parsed identically in DuckDB
+          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("key"))
+        .distinct()
+      val docs0 = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalKeys = gramKeys(docs0.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), expr("substring(text, 21, 200)").as("text")))
+        .select("key").distinct()
+      val bloom = graft.text.Bloom.build(s, evalKeys, "key", 1 << 16, 4)
+      val hits = gramKeys(docs0)
+        .filter(graft.text.Bloom.contains(s, bloom, col("key"), 1 << 16, 4))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
+      docs0.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+          (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("flagged"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -2060,6 +2094,52 @@ object SparkEntry {
          |SELECT o_orderkey, city_id AS nearest_id, round(dist, 1) AS dist_km
          |FROM d
          |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY dist, city_id) = 1""".stripMargin,
+
+    // q81 — the Bloom gate recomputed relationally: the same eval slice and
+    // 13-gram tokenization as q67, each gram keyed by its md5's first 15 hex
+    // chars ('0x'-cast, exactly Spark's conv(_,16,10) on a 60-bit value),
+    // the m=2^16 bitset replayed as a DISTINCT position set (bit_or over
+    // words ≡ set-of-positions), and the 4 splitmix64 probes per key
+    // re-mixed in the HUGEINT domain — so even the false positives match
+    // bit-for-bit. Membership = all 4 probe positions present (a probe row
+    // joins ≤1 position row, so count(*)=4 ⟺ conjunction).
+    "q81_bloom_decontam" -> {
+      def gramKeys(src: String, alias: String): String =
+        s"""${alias}_toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM $src),
+           |${alias}_grams AS (
+           |  SELECT doc_id, w, unnest(range(len(w) - 12)) AS i
+           |  FROM ${alias}_toks WHERE len(w) >= 13),
+           |$alias AS (
+           |  SELECT DISTINCT doc_id,
+           |    CAST(CAST('0x' || substr(md5(array_to_string(
+           |      list_slice(w, CAST(i+1 AS INT), CAST(i+13 AS INT)), ' ')), 1, 15)
+           |      AS UBIGINT) AS BIGINT) AS key
+           |  FROM ${alias}_grams)""".stripMargin
+      s"""WITH evaldocs AS (
+         |  SELECT doc_id, substr(text, 21, 200) AS text FROM documents WHERE doc_id % 9 = 0),
+         |${gramKeys("evaldocs", "ekeys")},
+         |eseeds AS (
+         |  SELECT CAST(key AS HUGEINT) + j.jv AS seed
+         |  FROM (SELECT DISTINCT key FROM ekeys) CROSS JOIN range(4) j(jv)),
+         |${splitmixChain("bb", Seq(), "eseeds", "seed")},
+         |bits AS (SELECT DISTINCT (z >> 32) % 65536 AS pos FROM bb3),
+         |${gramKeys("documents", "tkeys")},
+         |tseeds AS (
+         |  SELECT doc_id, key, CAST(key AS HUGEINT) + j.jv AS seed
+         |  FROM tkeys CROSS JOIN range(4) j(jv)),
+         |${splitmixChain("tp", Seq("doc_id", "key"), "tseeds", "seed")},
+         |hits AS (
+         |  SELECT doc_id, key
+         |  FROM (SELECT doc_id, key, (z >> 32) % 65536 AS pos FROM tp3) p
+         |  JOIN bits USING (pos)
+         |  GROUP BY doc_id, key HAVING count(*) = 4),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hits GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(p.n, 0) AS n_bloom_hits, COALESCE(p.n, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin
+    },
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection
