@@ -811,6 +811,70 @@ object SparkEntry {
           (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("flagged"))
     }),
 
+    // Iceberg-semantics snapshot MERGE (copy-on-write upsert): a 600-row
+    // image-metadata table (captions from the same splitmix cell arithmetic
+    // as ImageTable.makeRow) takes an 86-update + 100-insert merge; the
+    // read-back of v2 IS the upsert semantics, oracled closed-form. Buckets
+    // come from splitmix64(idx) % 64 so DuckDB replays the assignment; the
+    // file-level carry-forward property is pinned in SnapshotTableSpec and
+    // exercised at the row level by q83's incremental scan.
+    "q82_snapshot_merge" -> ((s, dir) => {
+      import graft.lake.SnapshotTable
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q82_${ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(out); sys.addShutdownHook(rm(out))
+      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      def baseRows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
+        col("id").as("idx"),
+        format_string("img_%09d", col("id")).as("image_id"),
+        concat(lit("caption_"), col("id"), lit(" of cell "),
+          abs(mix(col("id"))) % 97).as("caption"))
+      val bucketOf = pmod(mix(col("idx")), lit(64L))
+      SnapshotTable.create(s, baseRows(0, 600), out.getPath, 64, bucketOf)
+      val updates = s.range(0, 600).filter(col("id") % 7 === 0).select(
+          col("id").as("idx"),
+          format_string("img_%09d", col("id")).as("image_id"),
+          concat(lit("updated_"), col("id"), lit(" rev 2")).as("caption"))
+        .unionByName(baseRows(600, 700))
+      SnapshotTable.merge(s, updates, out.getPath, "idx", bucketOf)
+      SnapshotTable.read(s, out.getPath, verify = true)
+        .select(col("image_id"), col("caption"))
+    }),
+
+    // time travel + incremental scan over the same snapshot mechanics: a
+    // SPARSE merge (7 updates + 5 inserts into 64 buckets) so the
+    // incremental row count discriminates carry-forward from rewrite-all —
+    // if merge rewrote every bucket the count would be 605, the oracle's
+    // closed-form replay of affected-buckets-only says far less.
+    "q83_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q83_${ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(out); sys.addShutdownHook(rm(out))
+      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      def baseRows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
+        col("id").as("idx"),
+        concat(lit("caption_"), col("id")).as("caption"))
+      val bucketOf = pmod(mix(col("idx")), lit(64L))
+      SnapshotTable.create(s, baseRows(0, 600), out.getPath, 64, bucketOf)
+      val updates = s.range(0, 600).filter(col("id") % 97 === 0).select(
+          col("id").as("idx"), concat(lit("updated_"), col("id")).as("caption"))
+        .unionByName(baseRows(600, 605))
+      SnapshotTable.merge(s, updates, out.getPath, "idx", bucketOf)
+      Seq(
+        ("v1", SnapshotTable.read(s, out.getPath, Some(1L)).count()),
+        ("v2", SnapshotTable.read(s, out.getPath, Some(2L)).count()),
+        ("incr_v1_v2", SnapshotTable.incremental(s, out.getPath, 1L, 2L).count())
+      ).toDF("label", "n_rows")
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -2140,6 +2204,42 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(p.n, 0) AS n_bloom_hits, COALESCE(p.n, 0) > 0 AS flagged
          |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin
     },
+
+    // q82 — the MERGE read-back replayed closed-form: all 700 final rows,
+    // caption = updated text for merged keys, else the base formula with
+    // the cell from the HUGEINT splitmix chain (abs via 2^64 - z on the
+    // negative half, exactly JVM math.abs on the signed reinterpretation)
+    "q82_snapshot_merge" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 700) t(i)),
+         |${splitmixChain("sm", Seq("i"), "ids", "seed")},
+         |cells AS (
+         |  SELECT i, CAST((CASE WHEN z >= 9223372036854775808::HUGEINT
+         |    THEN 18446744073709551616::HUGEINT - z ELSE z END) % 97 AS BIGINT) AS cell
+         |  FROM sm3)
+         |SELECT printf('img_%09d', i) AS image_id,
+         |  CASE WHEN i < 600 AND i % 7 = 0 THEN 'updated_' || i || ' rev 2'
+         |       ELSE 'caption_' || i || ' of cell ' || cell END AS caption
+         |FROM cells""".stripMargin,
+
+    // q83 — the version/changelog counts replayed from the bucket function:
+    // v1 = 600, v2 = 605, and the incremental scan = every base row living
+    // in a bucket the sparse merge touched (survivors of rewritten buckets)
+    // plus the 12 merge rows themselves — the closed form of copy-on-write
+    "q83_time_travel" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 605) t(i)),
+         |${splitmixChain("sb", Seq("i"), "ids", "seed")},
+         |bk AS (SELECT i, CAST(z % 64 AS BIGINT) AS bucket FROM sb3),
+         |upd AS (SELECT i FROM range(0, 600) t(i) WHERE i % 97 = 0
+         |        UNION ALL SELECT i FROM range(600, 605) t(i)),
+         |aff AS (SELECT DISTINCT bucket FROM bk JOIN upd USING (i)),
+         |incr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM bk
+         |  WHERE i < 600 AND bucket IN (SELECT bucket FROM aff)
+         |    AND i NOT IN (SELECT i FROM upd))
+         |SELECT 'v1' AS label, CAST(600 AS BIGINT) AS n_rows
+         |UNION ALL SELECT 'v2', CAST(605 AS BIGINT)
+         |UNION ALL SELECT 'incr_v1_v2', n + (SELECT CAST(count(*) AS BIGINT) FROM upd)
+         |FROM incr""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

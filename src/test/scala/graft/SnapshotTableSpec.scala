@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.SnapshotTable
+
+/** Versioned-snapshot table semantics: upsert correctness, copy-on-write
+  * file carry-forward (the O(changed-buckets) property), time travel,
+  * incremental scans, rollback, expiry, and manifest-driven reads.
+  */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val B = 16
+  private def bucketOf = pmod(hash(col("k")), lit(B))
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("snaptab").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def rows(lo: Int, hi: Int, tag: String) =
+    (lo until hi).map(i => (i.toLong, s"$tag$i")).toDF("k", "v")
+
+  test("create + read round trip, version 1") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    assert(SnapshotTable.currentVersion(dir) === 1L)
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.length === 100 && got(7) === ((7L, "a7")))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, rows(0, 1, "x"), dir, B, bucketOf)
+    }
+  }
+
+  test("append: v2 adds rows, v1 is unchanged, incremental is exact") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    SnapshotTable.append(spark, rows(100, 130, "b"), dir, bucketOf)
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 130)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 100)
+    val inc = SnapshotTable.incremental(spark, dir, 1L, 2L)
+      .as[(Long, String)].collect().map(_._1).sorted
+    assert(inc.toSeq === (100L until 130L))
+  }
+
+  test("merge upserts and carries forward untouched buckets by reference") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 200, "a"), dir, B, bucketOf)
+    // 3 updated keys + 2 inserts -> at most 5 affected buckets of 16
+    val upd = Seq((5L, "UPD5"), (17L, "UPD17"), (40L, "UPD40"),
+      (200L, "NEW200"), (201L, "NEW201")).toDF("k", "v")
+    SnapshotTable.merge(spark, upd, dir, "k", bucketOf)
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 202)
+    assert(got(5L) === "UPD5" && got(17L) === "UPD17" && got(200L) === "NEW200")
+    assert(got(6L) === "a6") // untouched key survives
+    val m1 = SnapshotTable.manifest(dir, 1L)
+    val m2 = SnapshotTable.manifest(dir, 2L)
+    val affected = upd.select(bucketOf.cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val carried = m2.files.map(_.path).toSet intersect m1.files.map(_.path).toSet
+    // every untouched-bucket file is the SAME file object, not a copy
+    assert(carried === m1.files.filterNot(f => affected(f.bucket)).map(_.path).toSet)
+    assert(carried.nonEmpty, "merge must not rewrite the whole table")
+    // rewritten-bucket files are all new
+    assert(m2.files.filter(f => affected(f.bucket)).map(_.path).toSet
+      .intersect(m1.files.map(_.path).toSet).isEmpty)
+  }
+
+  test("rollback moves the pointer; the future version stays readable") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 50, "a"), dir, B, bucketOf)
+    SnapshotTable.append(spark, rows(50, 60, "b"), dir, bucketOf)
+    SnapshotTable.rollback(dir, 1L)
+    assert(SnapshotTable.currentVersion(dir) === 1L)
+    assert(SnapshotTable.read(spark, dir).count() === 50)
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 60)
+  }
+
+  test("expire deletes only files no retained manifest references") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    val upd = Seq((3L, "U3"), (100L, "N100")).toDF("k", "v")
+    SnapshotTable.merge(spark, upd, dir, "k", bucketOf)
+    val deleted = SnapshotTable.expire(dir, keepFromVersion = 2L)
+    // v1's rewritten-bucket files are gone, carried-forward files survive
+    assert(deleted > 0)
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 101)
+    intercept[Exception](SnapshotTable.manifest(dir, 1L))
+  }
+
+  test("reads are manifest-driven: unreferenced files are invisible") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 40, "a"), dir, B, bucketOf)
+    // a torn commit: data files land but no manifest/pointer swap happened
+    rows(1000, 1010, "torn").withColumn("__bucket", bucketOf.cast("int"))
+      .write.partitionBy("__bucket").parquet(s"$dir/data/s99")
+    assert(SnapshotTable.currentVersion(dir) === 1L)
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 40)
+  }
+
+  test("verify=true catches a manifest/file row mismatch") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 30, "a"), dir, B, bucketOf)
+    // tamper: append a duplicate data file into a referenced bucket dir
+    val m = SnapshotTable.manifest(dir, 1L)
+    val f = Paths.get(m.files.head.path.stripPrefix("file:"))
+    Files.copy(f, f.resolveSibling("part-copy.parquet"))
+    // the copy is unreferenced -> still fine (manifest-driven)
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 30)
+    // but a manifest that lists it with the wrong count would fail: emulate
+    // by deleting a referenced file -> the verified read must not succeed
+    Files.delete(f)
+    intercept[Exception] {
+      SnapshotTable.read(spark, dir, verify = true).count()
+    }
+  }
+}
