@@ -875,6 +875,47 @@ object SparkEntry {
       ).toDF("label", "n_rows")
     }),
 
+    // URL canonicalization + crawl dedup: deterministic planted URLs (the
+    // q64/q67 precedent — augmentation shared with the oracle) are
+    // canonicalized by pure column regex arithmetic (no UDF, no java.net)
+    // and deduped per canonical form; %4∈{0,2} docs with equal (%7,%13)
+    // residues collapse cross-case, so the keeper window does real work.
+    "q84_url_canonical" -> ((s, dir) => {
+      import graft.text.TextOps
+      val url =
+        when(col("doc_id") % 4 === 0, concat(lit("HTTPS://Example.COM:443/a/"),
+          col("doc_id") % 7, lit("?utm_source=feed&id="), col("doc_id") % 13,
+          lit("&b=2#frag")))
+        .when(col("doc_id") % 4 === 1, concat(lit("http://news.example.org/p/"),
+          col("doc_id") % 11, lit("?b=2&a=1&utm_campaign=x")))
+        .when(col("doc_id") % 4 === 2, concat(lit("https://example.com/a/"),
+          col("doc_id") % 7, lit("?id="), col("doc_id") % 13, lit("&b=2")))
+        .otherwise(concat(lit("http://CDN.Example.net:80/img/"), col("doc_id") % 5))
+      val w = Window.partitionBy(col("canon_url"))
+      table(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          TextOps.canonicalUrlCol(col("url")).as("canon_url"),
+          TextOps.registeredDomainCol(col("url")).as("domain"))
+        .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
+    }),
+
+    // as-of join (nearest preceding event per key): each click matches the
+    // latest purchase at-or-before it for the same user. One union + one
+    // key shuffle + one per-key sort (AsofJoin.backward) vs DuckDB's
+    // native ASOF LEFT JOIN as the oracle; ~7% of clicks precede every
+    // purchase and exercise the null path.
+    "q85_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("bval"))
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.join.AsofJoin.backward(probe, build, "user_id", "ts", Seq("bval"))
+        .select(col("event_id"),
+          unix_micros(col("asof_ts").cast("timestamp")).as("asof_ts_us"), // NTZ → UTC (session TZ pinned)
+          round(col("asof_bval") * 100).cast("long").as("asof_value_cents"))
+    }),
+
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
       val w = Window.partitionBy(md5(col("text")))
@@ -2240,6 +2281,61 @@ object SparkEntry {
          |UNION ALL SELECT 'v2', CAST(605 AS BIGINT)
          |UNION ALL SELECT 'incr_v1_v2', n + (SELECT CAST(count(*) AS BIGINT) FROM upd)
          |FROM incr""".stripMargin,
+
+    // q84 — identical planted URLs, identical canonicalization regexes
+    // (Java∩RE2-portable), list_sort ≡ array_sort on ASCII params, and the
+    // same min-per-canon keeper window
+    "q84_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://Example.COM:443/a/' || (doc_id % 7) ||
+        |        '?utm_source=feed&id=' || (doc_id % 13) || '&b=2#frag'
+        |      WHEN 1 THEN 'http://news.example.org/p/' || (doc_id % 11) ||
+        |        '?b=2&a=1&utm_campaign=x'
+        |      WHEN 2 THEN 'https://example.com/a/' || (doc_id % 7) ||
+        |        '?id=' || (doc_id % 13) || '&b=2'
+        |      ELSE 'http://CDN.Example.net:80/img/' || (doc_id % 5)
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+        |    string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
+        |  FROM norm)
+        |SELECT doc_id, canon_url, domain,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_keeper
+        |FROM canon""".stripMargin,
+
+    // q85 — DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union+window implementation; build side pre-aggregated per (user, ts)
+    // on both sides so the matched payload is well defined
+    "q85_asof_join" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, max(value) AS bval FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, epoch_us(b.ts) AS asof_ts_us,
+        |  CAST(round(b.bval * 100) AS BIGINT) AS asof_value_cents
+        |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -481,4 +481,42 @@ object TextOps {
         col("dup_word_frac") <= maxDupWordFrac && col("top_bigram_frac") <= maxTopBigramFrac)
       .drop("m")
   }
+
+  /** URL canonicalization for crawl dedup, as pure column expressions (no
+    * UDF, no java.net.URI — the SAME regexes replay in the SQL oracle):
+    * lowercase scheme + host, strip the scheme's default port, normalize an
+    * empty path to `/`, drop the fragment, drop `utm_*` tracking params,
+    * and sort the surviving query params so param order never splits a
+    * duplicate. Narrow map over the corpus; dedup is then one groupBy (or
+    * window) on the canonical string.
+    */
+  def canonicalUrlCol(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val host = hostCol(u, scheme)
+    val path0 = regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val qs = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Registered-domain heuristic: last two dot-labels of the canonical
+    * host (the public-suffix list is the production upgrade; two labels is
+    * the deterministic sandbox stand-in, stated as such).
+    */
+  def registeredDomainCol(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val labels = split(hostCol(u, scheme), "\\.")
+    concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+  }
+
+  private def hostCol(u: Column, scheme: Column): Column = {
+    val hostport = lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+  }
 }
