@@ -1232,14 +1232,20 @@ object SparkEntry {
 
   /** documents ∪ perturbed copies of doc_id%10==0 (id+100000, one word
     * appended) — deterministic planted near-duplicates for dedup queries.
+    * Built as a single-scan explode (1 row → 1-or-2 rows), not a
+    * self-union: minhashPairs/simhashPairs scan their input three times
+    * (signature pass + both verify-join sides), and the union form paid
+    * two parquet scans per pass where this pays one. Same rows either way
+    * (the DuckDB oracle keeps the UNION spelling).
     */
-  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
-    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
-    val dups = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"),
-        concat(col("text"), lit(" perturbed")).as("text"))
-    base.union(dups)
-  }
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(when(col("doc_id") % 10 === 0,
+          array(struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 100000L).as("doc_id"),
+              concat(col("text"), lit(" perturbed")).as("text"))))
+        .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   // ——————————————————————— oracles ———————————————————————
 
