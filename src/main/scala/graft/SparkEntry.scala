@@ -41,6 +41,72 @@ object SparkEntry {
     rects.map { case (id, la0, lo0, la1, lo1) => s"($id, $la0, $lo0, $la1, $lo1)" }
       .mkString("(VALUES ", ", ", ") AS r(relation_id, lat_min, lon_min, lat_max, lon_max)")
 
+  /** Integer-vertex polygons for the raster↔vector queries (q86/q87):
+    * an L, a three-tooth comb (rows with six ray crossings), a two-ring
+    * union, a diamond (slope-±1 edges put cell centers exactly ON edges —
+    * pinned deterministic either way since both engines evaluate the same
+    * IEEE expression), and a slope-7/3 triangle (non-terminating binary
+    * division — exercises IEEE-identical rounding across engines).
+    * Vertices are (lat, lon) integers, exact in the f32 ring encoding.
+    */
+  private val rasterPolys: Seq[(Long, Seq[Seq[(Int, Int)]])] = Seq(
+    7000L -> Seq(Seq((0, 0), (7, 0), (7, 2), (2, 2), (2, 6), (0, 6))),
+    7001L -> Seq(Seq((0, 0), (5, 0), (5, 1), (1, 1), (1, 4), (5, 4), (5, 5),
+      (1, 5), (1, 8), (5, 8), (5, 9), (0, 9))),
+    7002L -> Seq(Seq((0, 0), (4, 0), (4, 4), (0, 4)), Seq((0, 6), (3, 6), (3, 9), (0, 9))),
+    7003L -> Seq(Seq((0, 4), (4, 8), (8, 4), (4, 0))),
+    7004L -> Seq(Seq((0, 0), (3, 7), (6, 0))))
+
+  private def rasterPolyDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.createDataset(rasterPolys.map { case (id, rings) =>
+      PolygonRow(s"raster_$id", rings.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }),
+        id, 8L)
+    }).toDF()
+  }
+
+  /** Shared oracle scaffolding for q86/q87: CTEs down to `inside(pid, cx,
+    * cy)` — the unit-cell raster of [[rasterPolys]] — followed by `tail`
+    * (a full SELECT, or with `extraCte` a further CTE chain + SELECT).
+    */
+  private def rasterCellsSql(tail: String, extraCte: Boolean = false): String =
+    s"""WITH edges AS (SELECT * FROM $rasterEdgesSqlValues),
+       |bbox AS (
+       |  SELECT pid,
+       |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
+       |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
+       |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
+       |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
+       |  FROM edges GROUP BY pid),
+       |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
+       |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
+       |crossings AS (
+       |  SELECT c.pid, c.cx, c.cy, e.ring,
+       |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
+       |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
+       |      THEN 1 ELSE 0 END) AS n
+       |  FROM lattice c JOIN edges e USING (pid)
+       |  GROUP BY c.pid, c.cx, c.cy, e.ring),
+       |inside AS (
+       |  SELECT pid, cx, cy FROM crossings
+       |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+
+  /** The same polygons as a SQL edge list (pid, ring, yi, xi, yj, xj) —
+    * consecutive vertex pairs incl. the closing edge; the crossing test is
+    * symmetric in edge direction so orientation needn't match the kernel.
+    */
+  private def rasterEdgesSqlValues: String =
+    rasterPolys.flatMap { case (id, rings) =>
+      rings.zipWithIndex.flatMap { case (ring, r) =>
+        ring.indices.map { i =>
+          val (yi, xi) = ring(i)
+          val (yj, xj) = ring((i + 1) % ring.length)
+          s"($id::BIGINT, $r, $yi::DOUBLE, $xi::DOUBLE, $yj::DOUBLE, $xj::DOUBLE)"
+        }
+      }
+    }.mkString("(VALUES ", ", ", ") AS e(pid, ring, yi, xi, yj, xj)")
+
   /** Probe points derived from orders by pure BIGINT arithmetic
     * (FIXTURES.md §2) — reproducible in DuckDB.
     */
@@ -915,6 +981,20 @@ object SparkEntry {
           unix_micros(col("asof_ts").cast("timestamp")).as("asof_ts_us"), // NTZ → UTC (session TZ pinned)
           round(col("asof_bval") * 100).cast("long").as("asof_value_cents"))
     }),
+
+    // vector→raster: burn the non-convex fixture polygons into the unit
+    // cell grid — bounded lattice explode + the codegen'd ray-cast
+    // expression; oracled cell-by-cell against a DuckDB replication of
+    // the same even-odd crossing arithmetic (IEEE-identical division)
+    "q86_rasterize" -> ((s, _) =>
+      graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)),
+
+    // raster→vector: marching-squares boundary extraction over q86's
+    // raster — scatter ×4, one groupBy to the 2×2-block case index,
+    // literal segment lookup; exact integers end to end
+    "q87_marching_squares" -> ((s, _) =>
+      graft.geom.Raster.marchingSquares(
+        graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0))),
 
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
@@ -2342,6 +2422,32 @@ object SparkEntry {
         |SELECT p.event_id, epoch_us(b.ts) AS asof_ts_us,
         |  CAST(round(b.bval * 100) AS BIGINT) AS asof_value_cents
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+
+    // q86 — the same even-odd ray cast over the same unit lattice: bbox
+    // from the edge endpoints, cell centers at half-integers, crossing
+    // parity per ring, union over rings. The division in the crossing
+    // test is IEEE-correctly-rounded in both engines, so the comparison
+    // is deterministic even for the slope-7/3 triangle.
+    "q86_rasterize" -> rasterCellsSql("SELECT pid AS relation_id, cx, cy FROM inside"),
+
+    // q87 — marching squares over q86's cells: each cell scatters 1/2/4/8
+    // into its four incident 2×2 blocks, the block sum is the case index,
+    // saddles (6, 9 in this bit layout) carry two segments, empty/full none, the rest one
+    "q87_marching_squares" -> rasterCellsSql(
+      """blocks AS (
+        |  SELECT pid, bx, by, sum(w) AS case_idx FROM (
+        |    SELECT pid, cx+1 AS bx, cy+1 AS by, 1 AS w FROM inside
+        |    UNION ALL SELECT pid, cx, cy+1, 2 FROM inside
+        |    UNION ALL SELECT pid, cx+1, cy, 4 FROM inside
+        |    UNION ALL SELECT pid, cx, cy, 8 FROM inside)
+        |  GROUP BY 1, 2, 3)
+        |SELECT pid AS relation_id,
+        |  CAST(sum((case_idx // 8) % 2) AS BIGINT) AS n_cells,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN case_idx IN (0, 15) THEN 0
+        |                WHEN case_idx IN (6, 9) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN case_idx IN (6, 9) THEN 1 ELSE 0 END) AS BIGINT) AS n_saddles
+        |FROM blocks GROUP BY 1""".stripMargin, extraCte = true),
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

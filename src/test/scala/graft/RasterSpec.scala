@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.geom.{Geom, Pt, PolygonRow, Raster}
+
+/** Raster↔vector: closed-form pins independent of the DuckDB oracle (the
+  * oracle replicates the same arithmetic, so a symmetric mistake — e.g.
+  * the classic-numbering saddle indices applied to the row-major bit
+  * layout — would slip through it; these counts are hand-derived from the
+  * fixture geometry instead).
+  */
+class RasterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def polyDF(polys: (Long, Seq[Seq[(Int, Int)]])*) =
+    spark.createDataset(polys.map { case (id, rings) =>
+      PolygonRow(s"p$id", rings.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }), id, 8L)
+    }).toDF()
+
+  private val lShape = 1L -> Seq(Seq((0, 0), (7, 0), (7, 2), (2, 2), (2, 6), (0, 6)))
+  private val comb = 2L -> Seq(Seq((0, 0), (5, 0), (5, 1), (1, 1), (1, 4), (5, 4), (5, 5),
+    (1, 5), (1, 8), (5, 8), (5, 9), (0, 9)))
+  private val twoRings = 3L -> Seq(Seq((0, 0), (4, 0), (4, 4), (0, 4)),
+    Seq((0, 6), (3, 6), (3, 9), (0, 9)))
+
+  test("rasterize: hand-counted cells for rectilinear fixtures") {
+    val got = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+      .groupBy("relation_id").count().as[(Long, Long)].collect().toMap
+    // L: 2×7 vertical bar + 4×2 horizontal remainder = 22
+    // comb: 1×9 base + three 1×4 teeth = 21
+    // two rings: 4×4 + 3×3 = 25
+    assert(got === Map(1L -> 22L, 2L -> 21L, 3L -> 25L))
+  }
+
+  test("rasterize agrees with the scalar ray-cast kernel cell by cell") {
+    val polys = Seq(lShape, comb, twoRings,
+      4L -> Seq(Seq((0, 4), (4, 8), (8, 4), (4, 0))),
+      5L -> Seq(Seq((0, 0), (3, 7), (6, 0))))
+    val got = Raster.rasterize(polyDF(polys: _*), 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = polys.flatMap { case (id, ringsI) =>
+      val rings = ringsI.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) })
+      val (la0, lo0, la1, lo1) = Geom.bbox(rings)
+      for {
+        cy <- math.floor(la0).toLong to math.floor(la1).toLong
+        cx <- math.floor(lo0).toLong to math.floor(lo1).toLong
+        if Geom.containsPoint(rings, cy + 0.5, cx + 0.5)
+      } yield (id, cx, cy)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("marching squares: perimeter unit-steps for rectilinear rasters, no saddles") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+    val got = Raster.marchingSquares(cells)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // (id, n_cells, n_blocks, n_segments, n_saddles); segments = perimeter
+    // unit steps: L-outline 7+2+5+4+2+6=26; comb walk 44; 2(4+4)+2(3+3)=28
+    assert(got(1L)._2 === 22L); assert(got(1L)._4 === 26L); assert(got(1L)._5 === 0L)
+    assert(got(2L)._2 === 21L); assert(got(2L)._4 === 44L); assert(got(2L)._5 === 0L)
+    assert(got(3L)._2 === 25L); assert(got(3L)._4 === 28L); assert(got(3L)._5 === 0L)
+  }
+
+  test("marching squares: diagonal cell pair is the saddle, with two segments") {
+    val cells = Seq((9L, 0L, 0L), (9L, 1L, 1L)).toDF("relation_id", "cx", "cy")
+    val Array((id, nCells, nBlocks, nSegs, nSaddles)) =
+      Raster.marchingSquares(cells).as[(Long, Long, Long, Long, Long)].collect()
+    assert(id === 9L && nCells === 2L)
+    // 7 nonzero blocks: each cell's 4, minus the shared corner block
+    // (1,1) counted once — it holds both diagonal bits (case 9, saddle)
+    assert(nBlocks === 7L)
+    assert(nSaddles === 1L)
+    // two isolated cells each contribute a 4-segment loop; the saddle
+    // block carries 2 of the 8
+    assert(nSegs === 8L)
+  }
+
+  test("two separated rings raster to two loops' worth of boundary (counted via blocks)") {
+    // vertically adjacent pair (NOT diagonal) must not count as a saddle
+    val cells = Seq((9L, 0L, 0L), (9L, 0L, 1L)).toDF("relation_id", "cx", "cy")
+    val Array((_, _, _, nSegs, nSaddles)) =
+      Raster.marchingSquares(cells).as[(Long, Long, Long, Long, Long)].collect()
+    assert(nSaddles === 0L)
+    assert(nSegs === 6L) // 1×2 rectangle: 2(1+2)=6
+  }
+
+  test("spreadRows plan inserts the (polygon, row) exchange; default stays narrow") {
+    val df = Raster.rasterize(polyDF(lShape), 1.0, spreadRows = true)
+    assert(df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    val narrow = Raster.rasterize(polyDF(lShape), 1.0)
+    assert(!narrow.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(narrow.count() === 22L)
+    assert(df.count() === 22L)
+  }
+}
