@@ -92,12 +92,12 @@ object SparkEntry {
        |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))${if (extraCte) "," else ""}
        |$tail""".stripMargin
 
-  /** The same polygons as a SQL edge list (pid, ring, yi, xi, yj, xj) —
-    * consecutive vertex pairs incl. the closing edge; the crossing test is
-    * symmetric in edge direction so orientation needn't match the kernel.
+  /** Polygons as a SQL edge list (pid, ring, yi, xi, yj, xj) — consecutive
+    * vertex pairs incl. the closing edge; the crossing test is symmetric
+    * in edge direction so orientation needn't match the kernel.
     */
-  private def rasterEdgesSqlValues: String =
-    rasterPolys.flatMap { case (id, rings) =>
+  private def polyEdgesSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
+    polys.flatMap { case (id, rings) =>
       rings.zipWithIndex.flatMap { case (ring, r) =>
         ring.indices.map { i =>
           val (yi, xi) = ring(i)
@@ -106,6 +106,33 @@ object SparkEntry {
         }
       }
     }.mkString("(VALUES ", ", ", ") AS e(pid, ring, yi, xi, yj, xj)")
+
+  private def rasterEdgesSqlValues: String = polyEdgesSqlValues(rasterPolys)
+
+  private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
+    polys.flatMap { case (id, rings) =>
+      rings.flatMap(_.map { case (vy, vx) => s"($id::BIGINT, $vy::DOUBLE, $vx::DOUBLE)" })
+    }.mkString("(VALUES ", ", ", ") AS v(pid, vy, vx)")
+
+  /** 24 translated instances of the [[rasterPolys]] shapes — the
+    * polygon-overlap-join fixture (q88). Integer translations keep every
+    * coordinate exact; the (5 mod 13, 7 mod 19) stride mixes clear
+    * overlaps, containments, and disjoint pairs.
+    */
+  private val overlapPolys: Seq[(Long, Seq[Seq[(Int, Int)]])] =
+    (0 until 24).map { i =>
+      val (_, rings) = rasterPolys(i % rasterPolys.length)
+      val dy = (i * 5) % 13; val dx = (i * 7) % 19
+      (7100L + i, rings.map(_.map { case (la, lo) => (la + dy, lo + dx) }))
+    }
+
+  private def overlapPolyDS(s: SparkSession): Dataset[PolygonRow] = {
+    import s.implicits._
+    s.createDataset(overlapPolys.map { case (id, rings) =>
+      PolygonRow(s"ov_$id", rings.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }),
+        id, 8L)
+    })
+  }
 
   /** Probe points derived from orders by pure BIGINT arithmetic
     * (FIXTURES.md §2) — reproducible in DuckDB.
@@ -995,6 +1022,14 @@ object SparkEntry {
     "q87_marching_squares" -> ((s, _) =>
       graft.geom.Raster.marchingSquares(
         graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0))),
+
+    // polygon–polygon overlap join: grid-partitioned candidates (cell
+    // cover equi-join, pair-deduped) + exact proper-cross/containment
+    // verify via the poly_intersects native expression; the oracle is
+    // the all-pairs form of the SAME exact predicate — identical result,
+    // quadratic plan, which is the point of the operator
+    "q88_poly_overlap_join" -> ((s, _) =>
+      graft.geom.PolyOverlap.overlapSelfJoin(s, overlapPolyDS(s), res = 6)),
 
     // end-to-end training-set selection: exact-dedup keeper ∧ quality gates
     "q40_training_select" -> ((s, dir) => {
@@ -2448,6 +2483,34 @@ object SparkEntry {
         |                WHEN case_idx IN (6, 9) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments,
         |  CAST(sum(CASE WHEN case_idx IN (6, 9) THEN 1 ELSE 0 END) AS BIGINT) AS n_saddles
         |FROM blocks GROUP BY 1""".stripMargin, extraCte = true),
+
+    // q88 — all-pairs replication of the exact overlap predicate: proper
+    // edge crossing (four orientation signs, exact integer products) OR a
+    // vertex of one strictly inside the other (even-odd ray cast per
+    // ring). Same arithmetic as the Spark kernel; only the candidate plan
+    // differs (quadratic here, grid-partitioned there).
+    "q88_poly_overlap_join" ->
+      s"""WITH edges AS (SELECT * FROM ${polyEdgesSqlValues(overlapPolys)}),
+         |verts AS (SELECT * FROM ${polyVertsSqlValues(overlapPolys)}),
+         |xd AS (
+         |  SELECT ea.pid AS id_a, eb.pid AS id_b,
+         |    (ea.xj-ea.xi)*(eb.yi-ea.yi) - (ea.yj-ea.yi)*(eb.xi-ea.xi) AS d1,
+         |    (ea.xj-ea.xi)*(eb.yj-ea.yi) - (ea.yj-ea.yi)*(eb.xj-ea.xi) AS d2,
+         |    (eb.xj-eb.xi)*(ea.yi-eb.yi) - (eb.yj-eb.yi)*(ea.xi-eb.xi) AS d3,
+         |    (eb.xj-eb.xi)*(ea.yj-eb.yi) - (eb.yj-eb.yi)*(ea.xj-eb.xi) AS d4
+         |  FROM edges ea JOIN edges eb ON ea.pid < eb.pid),
+         |xpairs AS (
+         |  SELECT DISTINCT id_a, id_b FROM xd WHERE d1*d2 < 0 AND d3*d4 < 0),
+         |vin AS (
+         |  SELECT v.pid AS pv, e.pid AS pe, v.vy, v.vx, e.ring,
+         |    sum(CASE WHEN ((e.yi > v.vy) <> (e.yj > v.vy)) AND
+         |      (v.vx < (e.xj-e.xi)*(v.vy-e.yi)/(e.yj-e.yi)+e.xi) THEN 1 ELSE 0 END) AS n
+         |  FROM verts v JOIN edges e ON v.pid <> e.pid
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |vhit AS (
+         |  SELECT DISTINCT least(pv, pe) AS id_a, greatest(pv, pe) AS id_b
+         |  FROM vin WHERE n % 2 = 1)
+         |SELECT id_a, id_b FROM xpairs UNION SELECT id_a, id_b FROM vhit""".stripMargin,
 
     // q55 — SemDeDup end-to-end: shared quantizer replication + cosine
     // edges + reachability components + keeper selection

@@ -64,11 +64,20 @@ object GraftFunctions {
       "cosine_f32", exprs => CosineF32(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "splitmix64", exprs => SplitMix64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_intersects", exprs => PolyIntersects(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column form: rings array<array<struct<lat:float,lon:float>>>, lat, lon. */
   def rayCastContains(rings: Column, lat: Column, lon: Column): Column =
     call_function("ray_cast_contains", rings, lat, lon)
+
+  /** Polygon-pair interior-overlap test over two rings columns — native
+    * codegen'd Expression (see [[graft.geom.PolyOverlapKernel]]); call
+    * `register(spark)` first (idempotent, cheap).
+    */
+  def polyIntersects(ringsA: Column, ringsB: Column): Column =
+    call_function("poly_intersects", ringsA, ringsB)
 
   /** Cosine similarity of two array<float> columns — native codegen'd
     * Expression; call `register(spark)` first (idempotent, cheap).
@@ -297,6 +306,61 @@ object CosineKernel {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+/** Polygon-pair interior-overlap test — proper edge crossing ∪ strict
+  * vertex containment, exact for integer-valued coordinates (semantics
+  * and kernel in [[graft.geom.PolyOverlapKernel]]). Both inputs are the
+  * reference ring shape `array<array<struct<lat:float,lon:float>>>`.
+  */
+case class PolyIntersects(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "poly_intersects"
+
+  private def ringsType(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(StructType(fields), _), _)
+        if fields.length == 2 && fields.forall(_.dataType == FloatType) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ringsType(left.dataType) && ringsType(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"poly_intersects needs two array<array<struct<float,float>>> inputs, " +
+        s"got ${left.dataType} / ${right.dataType}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return false
+    graft.geom.PolyOverlapKernel.intersects(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.value} = false;
+        if (!${a.isNull} && !${b.isNull}) {
+          ${ev.value} = graft.geom.PolyOverlapKernel.intersects(${a.value}, ${b.value});
+        }
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Static kernel shared by interpreted eval and generated code. */

@@ -1,0 +1,141 @@
+package graft.geom
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cell.CellIndex
+
+/** Polygon–polygon overlap join: which polygon pairs' regions intersect.
+  *
+  * The naive form is an all-pairs theta join — quadratic in the polygon
+  * count, the one shape that cannot run when both sides are large. This
+  * is the classic grid-partitioned spatial join instead: cover every
+  * polygon with the fixed-resolution cells its region touches
+  * ([[CellIndex.cover]] — a superset cover, so no true pair is missed),
+  * equi-join on the cell id (ONE hash shuffle, keyed on space), dedupe
+  * the candidate pairs (a polygon pair sharing k cells must verify once,
+  * not k times), and exact-verify only candidates with the
+  * [[graft.functions.PolyIntersects]] native expression.
+  *
+  * Exact-verify semantics ("interiors intersect", generic position):
+  * true iff any edge of A properly crosses an edge of B, or any vertex
+  * of one lies strictly inside the other (even-odd ray cast, union of
+  * rings). All sign tests are exact for integer-valued coordinates
+  * (products of small doubles). Degenerate contact — identical
+  * polygons, overlap only along collinear edges, vertex-through-vertex
+  * crossings — follows the ray-cast's deterministic boundary behavior
+  * rather than a specified rule; a production upgrade point (exact
+  * clipping), documented not hidden.
+  *
+  * Scale shape: cover flatMap is narrow and bounded by `maxCells`; the
+  * cell equi-join shuffles (cell, id) pairs only — rings attach to the
+  * deduped candidates afterwards, so polygon payloads never multiply
+  * through the cover. Dense cells (many polygons stacked in one place)
+  * are the skew mode: the per-cell candidate blowup is quadratic in
+  * that cell's polygon count, visible in `observe` metrics upstream of
+  * any OOM (same policy as the LSH bucket caps in [[graft.dedup.Dedup]]).
+  */
+object PolyOverlap {
+
+  /** Self-join form: pairs (id_a < id_b) of polygons whose regions
+    * intersect. `res` is the grid resolution for candidate generation —
+    * finer res = fewer false candidates, more cover rows per polygon.
+    */
+  def overlapSelfJoin(spark: SparkSession, polys: Dataset[PolygonRow], res: Int,
+      maxCells: Int = 4096, broadcastRings: Boolean = true): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cells = polys.flatMap(p =>
+      CellIndex.cover(p.rings, res, maxCells).map(c => (c, p.relation_id)))
+      .toDF("cell", "id")
+    val cand = cells.toDF("cell", "id_a")
+      .join(cells.toDF("cell", "id_b"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .observe("graft_poly_overlap", count(lit(1)).as("candidate_pairs"))
+    val rings = polys.map(p => (p.relation_id, p.rings)).toDF("rid", "rings")
+    val ringsDf = if (broadcastRings) broadcast(rings) else rings
+    cand
+      .join(ringsDf.select(col("rid").as("id_a"), col("rings").as("rings_a")), Seq("id_a"))
+      .join(ringsDf.select(col("rid").as("id_b"), col("rings").as("rings_b")), Seq("id_b"))
+      .filter(graft.functions.GraftFunctions.polyIntersects(col("rings_a"), col("rings_b")))
+      .select(col("id_a"), col("id_b"))
+  }
+}
+
+/** Scalar kernel shared by the interpreted and generated paths of
+  * [[graft.functions.PolyIntersects]].
+  */
+object PolyOverlapKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Strict proper crossing of segments (a1,a2) × (b1,b2): both endpoints
+    * of each segment strictly on opposite sides of the other's line.
+    * Exact for integer-valued inputs (products stay far below 2^53).
+    */
+  def properCross(ay1: Double, ax1: Double, ay2: Double, ax2: Double,
+      by1: Double, bx1: Double, by2: Double, bx2: Double): Boolean = {
+    def orient(oy: Double, ox: Double, py: Double, px: Double, qy: Double, qx: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val d1 = orient(ay1, ax1, ay2, ax2, by1, bx1)
+    val d2 = orient(ay1, ax1, ay2, ax2, by2, bx2)
+    val d3 = orient(by1, bx1, by2, bx2, ay1, ax1)
+    val d4 = orient(by1, bx1, by2, bx2, ay2, ax2)
+    d1 * d2 < 0 && d3 * d4 < 0
+  }
+
+  private def anyVertexInside(verts: ArrayData, other: ArrayData): Boolean = {
+    var k = 0
+    while (k < verts.numElements()) {
+      if (!verts.isNullAt(k)) {
+        val ring = verts.getArray(k)
+        var i = 0
+        while (i < ring.numElements()) {
+          val p = ring.getStruct(i, 2)
+          if (graft.functions.RayCastKernel.contains(other,
+              p.getFloat(0).toDouble, p.getFloat(1).toDouble)) return true
+          i += 1
+        }
+      }
+      k += 1
+    }
+    false
+  }
+
+  private def anyProperCross(a: ArrayData, b: ArrayData): Boolean = {
+    var ka = 0
+    while (ka < a.numElements()) {
+      if (!a.isNullAt(ka)) {
+        val ra = a.getArray(ka)
+        val na = ra.numElements()
+        var i = 0
+        while (i < na) {
+          val p1 = ra.getStruct(i, 2); val p2 = ra.getStruct((i + 1) % na, 2)
+          var kb = 0
+          while (kb < b.numElements()) {
+            if (!b.isNullAt(kb)) {
+              val rb = b.getArray(kb)
+              val nb = rb.numElements()
+              var j = 0
+              while (j < nb) {
+                val q1 = rb.getStruct(j, 2); val q2 = rb.getStruct((j + 1) % nb, 2)
+                if (properCross(
+                    p1.getFloat(0), p1.getFloat(1), p2.getFloat(0), p2.getFloat(1),
+                    q1.getFloat(0), q1.getFloat(1), q2.getFloat(0), q2.getFloat(1)))
+                  return true
+                j += 1
+              }
+            }
+            kb += 1
+          }
+          i += 1
+        }
+      }
+      ka += 1
+    }
+    false
+  }
+
+  def intersects(a: ArrayData, b: ArrayData): Boolean =
+    anyProperCross(a, b) || anyVertexInside(a, b) || anyVertexInside(b, a)
+}
