@@ -1023,6 +1023,18 @@ object SparkEntry {
       graft.geom.Raster.marchingSquares(
         graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0))),
 
+    // ANN quality eval: recall@5 of the IVF index against exact brute
+    // kNN, per probe, as exact integers (n_hit of k_actual) — the metric
+    // a pipeline gates an index build on; both legs are the already-
+    // oracled q27/q52 computations
+    "q89_ann_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 20)
+      graft.sim.Similarity.recallAtK(
+        graft.sim.Similarity.bruteForceTopK(probes, e, k = 5),
+        graft.sim.Similarity.ivfTopK(s, probes, e, k = 5))
+    }),
+
     // polygon–polygon overlap join: grid-partitioned candidates (cell
     // cover equi-join, pair-deduped) + exact proper-cross/containment
     // verify via the poly_intersects native expression; the oracle is
@@ -1996,6 +2008,15 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** q27's exact-kNN oracle, shared with q89's recall eval. */
+  private val embedKnnOracleSql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
+      |FROM embeddings q CROSS JOIN embeddings c
+      |WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+      |QUALIFY rank <= 5""".stripMargin
+
   private def ivfOracleSql: String =
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
        |$ivfTrainAssignCte,
@@ -2484,6 +2505,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN case_idx IN (6, 9) THEN 1 ELSE 0 END) AS BIGINT) AS n_saddles
         |FROM blocks GROUP BY 1""".stripMargin, extraCte = true),
 
+    // q89 — recall joins the two already-replicated legs: q27's exact
+    // kNN and q52's full IVF (training included), WITH-in-subquery so
+    // each leg keeps its own CTE stack
+    "q89_ann_recall" ->
+      s"""WITH exact AS (SELECT * FROM ($embedKnnOracleSql) t),
+         |approx AS (SELECT * FROM ($ivfOracleSql) t)
+         |SELECT e.query_id,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k_actual
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin,
+
     // q88 — all-pairs replication of the exact overlap predicate: proper
     // edge crossing (four orientation signs, exact integer products) OR a
     // vertex of one strictly inside the other (even-odd ray cast per
@@ -2933,13 +2967,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
         |FROM documents""".stripMargin,
 
-    "q27_embed_knn" ->
-      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
-        |FROM embeddings q CROSS JOIN embeddings c
-        |WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
+    "q27_embed_knn" -> embedKnnOracleSql,
 
     "q49_exact_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact FROM lineitem GROUP BY 1",

@@ -641,4 +641,23 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         (col("component").isNull || col("vec_id") === col("component")).as("kept"))
   }
+
+  /** ANN quality evaluation: per-query recall of an approximate top-k
+    * result against the exact one. Both inputs carry (query_id,
+    * neighbor_id); the output is (query_id, n_hit, k_actual) in exact
+    * integers — recall@k = n_hit / k_actual, left as a ratio of two
+    * BIGINTs so no engine's float summation order enters the comparison.
+    *
+    * Scale shape: one equi-join keyed (query_id, neighbor_id) + one
+    * groupBy on query_id — eval sets are probe-sized, not corpus-sized,
+    * so both exchanges are small; a query whose approximate list missed
+    * everything still appears (left join, n_hit = 0).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("k_actual"))
 }

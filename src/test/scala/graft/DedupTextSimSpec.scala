@@ -550,4 +550,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L), "hub not kept")
     (1L until 40L).foreach(i => assert(!out(i), s"copy $i survived star-path dedup"))
   }
+
+  test("recallAtK: exact hit counts, zero-hit query kept, exact self-recall is total") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L), (2L, 78L), (3L, 55L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(1L -> ((2L, 3L)), 2L -> ((0L, 2L)), 3L -> ((0L, 1L))))
+    // an index evaluated against itself recalls everything
+    val self = Similarity.recallAtK(exact, exact).as[(Long, Long, Long)].collect()
+    assert(self.forall(r => r._2 === r._3))
+  }
 }
