@@ -968,6 +968,41 @@ object SparkEntry {
       ).toDF("label", "n_rows")
     }),
 
+    // lake maintenance: small-file compaction. Three commits fragment
+    // most buckets into three files; compact rewrites only fragmented
+    // buckets into one file each (O(fragmented), carried-by-reference
+    // otherwise), rows bit-identical, and a second compact is a no-op
+    // (no new version). File counts are oracle-replayed from the same
+    // splitmix bucket arithmetic; sum_idx pins content preservation.
+    "q90_compaction" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q90_${ProcessHandle.current().pid()}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(out); sys.addShutdownHook(rm(out))
+      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      def rows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
+        col("id").as("idx"), concat(lit("caption_"), col("id")).as("caption"))
+      val bucketOf = pmod(mix(col("idx")), lit(16L))
+      SnapshotTable.create(s, rows(0, 300), out.getPath, 16, bucketOf)
+      SnapshotTable.append(s, rows(300, 500), out.getPath, bucketOf)
+      SnapshotTable.append(s, rows(500, 650), out.getPath, bucketOf)
+      val before = SnapshotTable.manifest(out.getPath, SnapshotTable.currentVersion(out.getPath))
+      val after = SnapshotTable.compact(s, out.getPath)
+      val sumIdx = SnapshotTable.read(s, out.getPath, verify = true)
+        .agg(sum(col("idx"))).first().getLong(0)
+      Seq(
+        ("files_before", before.files.size.toLong),
+        ("files_after", after.files.size.toLong),
+        ("rows_after", after.totalRows),
+        ("sum_idx", sumIdx),
+        ("noop_version", SnapshotTable.compact(s, out.getPath).version)
+      ).toDF("label", "n")
+    }),
+
     // URL canonicalization + crawl dedup: deterministic planted URLs (the
     // q64/q67 precedent — augmentation shared with the oracle) are
     // canonicalized by pure column regex arithmetic (no UDF, no java.net)
@@ -2423,6 +2458,23 @@ object SparkEntry {
          |UNION ALL SELECT 'v2', CAST(605 AS BIGINT)
          |UNION ALL SELECT 'incr_v1_v2', n + (SELECT CAST(count(*) AS BIGINT) FROM upd)
          |FROM incr""".stripMargin,
+
+    // q90 — file counts replayed from the same splitmix bucket arithmetic
+    // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =
+    // Σ per-commit distinct buckets, files_after = distinct buckets
+    // overall (fragmented buckets rewrite to one file, singles carry)
+    "q90_compaction" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 650) t(i)),
+         |${splitmixChain("sc", Seq("i"), "ids", "seed")},
+         |bk AS (SELECT i, CAST(z % 16 AS BIGINT) AS bucket FROM sc3),
+         |cm AS (SELECT i, bucket,
+         |  CASE WHEN i < 300 THEN 1 WHEN i < 500 THEN 2 ELSE 3 END AS c FROM bk)
+         |SELECT 'files_before' AS label, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT DISTINCT c, bucket FROM cm)
+         |UNION ALL SELECT 'files_after', CAST(count(DISTINCT bucket) AS BIGINT) FROM cm
+         |UNION ALL SELECT 'rows_after', 650::BIGINT
+         |UNION ALL SELECT 'sum_idx', CAST(sum(i) AS BIGINT) FROM ids
+         |UNION ALL SELECT 'noop_version', 4::BIGINT""".stripMargin,
 
     // q84 — identical planted URLs, identical canonicalization regexes
     // (Java∩RE2-portable), list_sort ≡ array_sort on ASCII params, and the

@@ -179,6 +179,31 @@ object SnapshotTable {
     df
   }
 
+  /** Small-file compaction: rewrite every bucket fragmented across more
+    * than one data file (appends accumulate one file per commit per
+    * bucket) into a single file; single-file buckets carry forward by
+    * reference. A pure layout commit — rows are bit-identical, the work
+    * is O(fragmented buckets), never O(table). Bucket ids are recovered
+    * from the `__bucket=` path segment, so no bucket expression (and no
+    * key knowledge) is needed. Returns the parent manifest unchanged (no
+    * new commit) when nothing is fragmented — compaction is idempotent.
+    */
+  def compact(spark: SparkSession, dir: String): Manifest = {
+    val parent = manifest(dir, currentVersion(dir))
+    val byBucket = parent.files.groupBy(_.bucket)
+    val (frag, single) = byBucket.partition(_._2.size > 1)
+    if (frag.isEmpty) return parent
+    val carried = single.values.flatten.toSeq
+    val v = parent.version + 1
+    val df = spark.read.parquet(frag.values.flatten.map(_.path).toSeq: _*)
+      .withColumn("__bucket",
+        regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
+    val files = commitFiles(spark, df, dir, v)
+    val m = Manifest(v, parent.version, "compact", parent.buckets,
+      carried ++ files, parent.totalRows)
+    writeManifest(dir, m); m
+  }
+
   /** Rows in files referenced by `toV` but not by `fromV` — the exact
     * changelog for append commits; for merge commits, the rewritten
     * buckets' full contents (Iceberg's same superset semantics).

@@ -121,4 +121,45 @@ class SnapshotTableSpec extends AnyFunSuite {
       SnapshotTable.read(spark, dir, verify = true).count()
     }
   }
+
+  test("compact: fragmented buckets merge to one file, content bit-identical, idempotent") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    SnapshotTable.append(spark, rows(100, 200, "b"), dir, bucketOf)
+    SnapshotTable.append(spark, rows(200, 300, "c"), dir, bucketOf)
+    val before = SnapshotTable.read(spark, dir).as[(Long, String)].collect().sorted
+    val mBefore = SnapshotTable.manifest(dir, 3L)
+    val m = SnapshotTable.compact(spark, dir)
+    assert(m.version === 4L && m.op === "compact")
+    assert(m.files.size < mBefore.files.size)
+    // one file per bucket now
+    assert(m.files.map(_.bucket).distinct.size === m.files.size)
+    assert(m.totalRows === mBefore.totalRows)
+    val after = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String)].collect().sorted
+    assert(after.toSeq === before.toSeq)
+    // the pre-compaction version is still time-travelable
+    assert(SnapshotTable.read(spark, dir, Some(3L)).count() === 300)
+    // second compact: nothing fragmented, NO new commit
+    assert(SnapshotTable.compact(spark, dir).version === 4L)
+    assert(SnapshotTable.currentVersion(dir) === 4L)
+  }
+
+  test("compact carries single-file buckets forward by reference") {
+    val dir = tmp()
+    // one commit => every bucket has exactly one file => nothing to do
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    val m1 = SnapshotTable.manifest(dir, 1L)
+    assert(SnapshotTable.compact(spark, dir).version === 1L)
+    // fragment exactly the buckets hit by 3 keys; the rest must keep
+    // their ORIGINAL v1 file paths after compaction
+    SnapshotTable.append(spark, rows(100, 103, "b"), dir, bucketOf)
+    val fragBuckets = rows(100, 103, "b").select(bucketOf.cast("int"))
+      .as[Int].collect().toSet
+    val m = SnapshotTable.compact(spark, dir)
+    val keptOld = m.files.filter(f => !fragBuckets(f.bucket)).map(_.path).toSet
+    val origOld = m1.files.filter(f => !fragBuckets(f.bucket)).map(_.path).toSet
+    assert(keptOld === origOld, "untouched buckets must carry forward by reference")
+    assert(m.files.count(f => fragBuckets(f.bucket)) === fragBuckets.size)
+  }
 }
