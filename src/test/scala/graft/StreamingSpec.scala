@@ -39,6 +39,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.subsetOf(got), s"closed windows missing: ${closed -- got}")
   }
 
+  test("stream-stream interval join matches across micro-batches and equals the batch join") {
+    import graft.streaming.StreamJoin
+    def ev(id: Long, minute: Int, user: Long, typ: String, value: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), user, typ, value)
+    // batch 1: purchases; batch 2: clicks — every match must SPAN batches,
+    // which is exactly what the buffered join state exists for
+    val batch1 = Seq(
+      ev(1, 0, 7, "purchase", 10.0),   // 10:00 — inside u7's click window
+      ev(2, 30, 7, "purchase", 20.0),  // 10:30 — inside
+      ev(3, 5, 8, "purchase", 30.0),   // different user
+      ev(4, 1, 9, "purchase", 40.0))   // user with no later click
+    val batch2 = Seq(
+      ev(10, 45, 7, "click", 0.0),     // matches purchases 1 and 2 (60-min window)
+      ev(11, 50, 8, "click", 0.0),     // matches purchase 3
+      ev(12, 55, 12, "click", 0.0))    // user with no purchases
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)], n: Int): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/b$n")
+    stage(batch1, 1); stage(batch2, 2)
+    val staged = java.nio.file.Files.createTempDirectory("graft-ssj-in").toString
+    // one file per micro-batch, in order
+    Seq(1, 2).foreach { n =>
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b$n"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$staged/batch$n.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val joined = StreamJoin.clicksWithRecentPurchase(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream-stream join timed out")
+    val got = spark.table("ssj_out")
+      .select("click_id", "purchase_id", "purchase_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 1L, 10.0), (10L, 2L, 20.0), (11L, 3L, 30.0)))
+    // batch equivalence on the same rows
+    val all = (batch1 ++ batch2).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchGot = StreamJoin.clicksWithRecentPurchase(
+      all.filter(col("event_type") === "click"),
+      all.filter(col("event_type") === "purchase"))
+      .select("click_id", "purchase_id", "purchase_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchGot === got)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on the gap") {
     import graft.streaming.EventStream.EventRow
     def ev(id: Long, user: Long, minute: Long, v: Double) =
