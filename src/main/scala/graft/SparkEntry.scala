@@ -1253,6 +1253,28 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // image fuzzy-dedup select — the q53 pipeline on the IMAGE side:
+    // Hamming-banded LSH over the table's phash column (the input-hint
+    // schema; q57 pins the real pixel pHash) → exact bit_count verify →
+    // connected components → min-id keeper. Planted near-dups flip ONE
+    // phash bit (below bit 60 — bit 63 shifts diverge between engines'
+    // signed semantics), so every 5th image gains a hamming-1 twin.
+    "q91_image_dedup_select" -> ((s, _) => {
+      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      val base = s.range(0, 200).select(col("id"), mix(col("id")).as("fp"))
+      val dups = s.range(0, 200).filter(col("id") % 5 === 0).select(
+        (col("id") + 100000L).as("id"),
+        mix(col("id")).bitwiseXOR(
+          expr("shiftleft(1L, cast(id % 60 as int))")).as("fp"))
+      val fps = base.unionByName(dups)
+      val pairs = graft.dedup.Dedup.hammingPairs(s, fps, maxHamming = 3)
+      val labels = graft.dedup.Dedup.connectedComponents(s,
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      fps.join(labels, Seq("id"), "left")
+        .filter(col("component").isNull || col("id") === col("component"))
+        .select(col("id").as("image_idx"))
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2458,6 +2480,32 @@ object SparkEntry {
          |UNION ALL SELECT 'v2', CAST(605 AS BIGINT)
          |UNION ALL SELECT 'incr_v1_v2', n + (SELECT CAST(count(*) AS BIGINT) FROM upd)
          |FROM incr""".stripMargin,
+
+    // q91 — all-pairs bit_count replication of the banded pipeline (the
+    // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket
+    // caps trigger at 240 fps, so the two plans are result-identical),
+    // then the q53 reachability fixpoint for components
+    "q91_image_dedup_select" ->
+      s"""WITH RECURSIVE ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 200) t(i)),
+         |${splitmixChain("sp", Seq("i"), "ids", "seed")},
+         |base AS (SELECT i AS id, ${toSigned("z")} AS fp FROM sp3),
+         |dups AS (SELECT id + 100000 AS id,
+         |    xor(fp, CAST(1 AS BIGINT) << CAST(id % 60 AS INT)) AS fp
+         |  FROM base WHERE id % 5 = 0),
+         |fps AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         |edges AS (
+         |  SELECT a.id AS src, b.id AS dst FROM fps a JOIN fps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+         |labels AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+         |SELECT f.id AS image_idx
+         |FROM fps f LEFT JOIN labels l ON l.id = f.id
+         |WHERE l.component IS NULL OR f.id = l.component""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =
