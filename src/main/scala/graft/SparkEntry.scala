@@ -137,6 +137,28 @@ object SparkEntry {
   /** Probe points derived from orders by pure BIGINT arithmetic
     * (FIXTURES.md §2) — reproducible in DuckDB.
     */
+  /** Scratch dir for the snapshot-table queries (q82/q83/q90): pid-scoped
+    * under tmpdir, wiped up front so reruns in one JVM start clean, and
+    * removed at JVM exit by a shutdown hook registered ONCE per name (the
+    * bench/verify drivers invoke each query several times; re-registering
+    * per invocation would leak hooks).
+    */
+  private val snapshotHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def snapshotScratchDir(name: String): java.io.File = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(out)
+    if (snapshotHooked.add(name)) sys.addShutdownHook(rm(out))
+    out
+  }
+
+  private def mixCol(s: SparkSession, c: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.splitmixCol(s, c)
+
   private def probePoints(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders").select(
       col("o_orderkey"),
@@ -913,13 +935,8 @@ object SparkEntry {
     // exercised at the row level by q83's incremental scan.
     "q82_snapshot_merge" -> ((s, dir) => {
       import graft.lake.SnapshotTable
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q82_${ProcessHandle.current().pid()}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(out); sys.addShutdownHook(rm(out))
-      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      val out = snapshotScratchDir("q82")
+      def mix(c: org.apache.spark.sql.Column) = mixCol(s, c)
       def baseRows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
         col("id").as("idx"),
         format_string("img_%09d", col("id")).as("image_id"),
@@ -945,17 +962,11 @@ object SparkEntry {
     "q83_time_travel" -> ((s, dir) => {
       import s.implicits._
       import graft.lake.SnapshotTable
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q83_${ProcessHandle.current().pid()}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(out); sys.addShutdownHook(rm(out))
-      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      val out = snapshotScratchDir("q83")
       def baseRows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
         col("id").as("idx"),
         concat(lit("caption_"), col("id")).as("caption"))
-      val bucketOf = pmod(mix(col("idx")), lit(64L))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(64L))
       SnapshotTable.create(s, baseRows(0, 600), out.getPath, 64, bucketOf)
       val updates = s.range(0, 600).filter(col("id") % 97 === 0).select(
           col("id").as("idx"), concat(lit("updated_"), col("id")).as("caption"))
@@ -977,16 +988,10 @@ object SparkEntry {
     "q90_compaction" -> ((s, dir) => {
       import s.implicits._
       import graft.lake.SnapshotTable
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q90_${ProcessHandle.current().pid()}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(out); sys.addShutdownHook(rm(out))
-      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      val out = snapshotScratchDir("q90")
       def rows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
         col("id").as("idx"), concat(lit("caption_"), col("id")).as("caption"))
-      val bucketOf = pmod(mix(col("idx")), lit(16L))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(16L))
       SnapshotTable.create(s, rows(0, 300), out.getPath, 16, bucketOf)
       SnapshotTable.append(s, rows(300, 500), out.getPath, bucketOf)
       SnapshotTable.append(s, rows(500, 650), out.getPath, bucketOf)
@@ -2560,7 +2565,9 @@ object SparkEntry {
         |  SELECT doc_id,
         |    scheme || '://' || host || path ||
         |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
-        |    string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
+        |    CASE WHEN len(string_split(host, '.')) >= 2
+        |      THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |      ELSE host END AS domain
         |  FROM norm)
         |SELECT doc_id, canon_url, domain,
         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_keeper

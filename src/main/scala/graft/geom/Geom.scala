@@ -85,11 +85,16 @@ object Geom {
   }
 
   /** Twice the signed area on DECIMICRO integer coords — EXACT (no float
-    * anywhere). Origin-translated to the first vertex: coordinate deltas
-    * are polygon-span-sized, so the Long accumulation cannot overflow even
-    * at ±1.8e9 extremes, where untranslated cross products blow past 2^63
-    * within a dozen vertices. Duplicate consecutive vertices and a closing
-    * duplicate contribute zero. >0 = counter-clockwise (x=lon, y=lat).
+    * anywhere). Origin-translated to the first vertex so per-product
+    * magnitudes stay ≤ 3.6e9·1.8e9 ≈ 6.5e18 (inside Long), then
+    * accumulated in signed 128 bits via Math.multiplyHigh. Intermediate
+    * two's-complement wraps would self-correct, but the RESULT itself
+    * reaches 2·(3.6e9·1.8e9) ≈ 1.3e19 for a world-spanning ring — past
+    * 2^63 — and a Long accumulator hands back the wrapped garbage with no
+    * warning. The 128-bit narrowing throws ArithmeticException when the
+    * true value exceeds Long range — loud, never silently wrong.
+    * Duplicate consecutive vertices and a closing duplicate contribute
+    * zero. >0 = counter-clockwise (x=lon, y=lat).
     */
   def signedArea2Dm(latDm: Array[Int], lonDm: Array[Int]): Long = {
     val n = latDm.length
@@ -97,14 +102,31 @@ object Geom {
     if (n < 3) return 0L
     val x0 = lonDm(0).toLong
     val y0 = latDm(0).toLong
-    var s = 0L
+    var hi = 0L
+    var lo = 0L
     var i = 0
     while (i < n) {
       val j = if (i + 1 == n) 0 else i + 1
-      s += (lonDm(i) - x0) * (latDm(j) - y0) - (lonDm(j) - x0) * (latDm(i) - y0)
+      val xi = lonDm(i) - x0; val yi = latDm(i) - y0
+      val xj = lonDm(j) - x0; val yj = latDm(j) - y0
+      // (hi, lo) += xi*yj  followed by  (hi, lo) += (-xj)*yi, each product
+      // as a full signed 128-bit value (|delta| ≤ 3.6e9 so -xj never wraps)
+      var pLo = xi * yj
+      var newLo = lo + pLo
+      hi += Math.multiplyHigh(xi, yj) +
+        (if (java.lang.Long.compareUnsigned(newLo, pLo) < 0) 1L else 0L)
+      lo = newLo
+      pLo = -xj * yi
+      newLo = lo + pLo
+      hi += Math.multiplyHigh(-xj, yi) +
+        (if (java.lang.Long.compareUnsigned(newLo, pLo) < 0) 1L else 0L)
+      lo = newLo
       i += 1
     }
-    s
+    if (hi != (lo >> 63))
+      throw new ArithmeticException(
+        s"signed area2 of $n-vertex ring exceeds Long range (hi=$hi lo=$lo)")
+    lo
   }
 
   /** Polygon centroid on decimicro coords, EXACT: the standard

@@ -44,9 +44,13 @@ object PolyOverlap {
       maxCells: Int = 4096, broadcastRings: Boolean = true): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    // the cover flatMap (a ray-cast of every bbox cell against the rings)
+    // feeds BOTH sides of the self-join; persisted so it runs once, not
+    // twice (same policy as BoundaryExtract's two-subtree persists)
     val cells = polys.flatMap(p =>
       CellIndex.cover(p.rings, res, maxCells).map(c => (c, p.relation_id)))
       .toDF("cell", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = cells.toDF("cell", "id_a")
       .join(cells.toDF("cell", "id_b"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))

@@ -93,38 +93,48 @@ object Simplify {
     (ka.result(), ko.result())
   }
 
-  /** Exact recursive refine over span (i, j): mark the farthest interior
-    * vertex if it clears the tolerance, recurse both halves.
+  /** Exact refine over span (i, j): mark the farthest interior vertex if
+    * it clears the tolerance, then refine both halves. Driven by an
+    * explicit work stack, not recursion — adjacent-split shapes
+    * (staircases, spirals) make the split depth O(n), which would
+    * overflow a task thread's call stack on 100k-vertex
+    * coastline-following rings.
     */
-  private def dp(la: Array[Int], lo: Array[Int], i: Int, j: Int, tol: Long,
+  private def dp(la: Array[Int], lo: Array[Int], i0: Int, j0: Int, tol: Long,
       keep: Array[Boolean]): Unit = {
-    if (j - i < 2) return
-    val ax = lo(i).toLong; val ay = la(i).toLong
-    val bx = lo(j).toLong; val by = la(j).toLong
-    val abx = big(bx - ax); val aby = big(by - ay)
-    val len2 = abx * abx + aby * aby
     val tol2 = big(tol) * big(tol)
-    var bestK = -1
-    var bestM = BigInt(-1)
-    var k = i + 1
-    while (k < j) {
-      val apx = big(lo(k).toLong - ax); val apy = big(la(k).toLong - ay)
-      val m =
-        if (len2 == 0) apx * apx + apy * apy // degenerate anchors: point distance
-        else { val c = abx * apy - aby * apx; c * c }
-      if (m > bestM) { bestM = m; bestK = k }
-      k += 1
-    }
-    if (bestK < 0) return
-    val clears =
-      if (len2 == 0) {
-        val apx = big(lo(bestK).toLong - ax); val apy = big(la(bestK).toLong - ay)
-        apx * apx + apy * apy > tol2
-      } else bestM > tol2 * len2
-    if (clears) {
-      keep(bestK) = true
-      dp(la, lo, i, bestK, tol, keep)
-      dp(la, lo, bestK, j, tol, keep)
+    var stack: List[(Int, Int)] = (i0, j0) :: Nil
+    while (stack.nonEmpty) {
+      val (i, j) = stack.head
+      stack = stack.tail
+      if (j - i >= 2) {
+        val ax = lo(i).toLong; val ay = la(i).toLong
+        val bx = lo(j).toLong; val by = la(j).toLong
+        val abx = big(bx - ax); val aby = big(by - ay)
+        val len2 = abx * abx + aby * aby
+        var bestK = -1
+        var bestM = BigInt(-1)
+        var k = i + 1
+        while (k < j) {
+          val apx = big(lo(k).toLong - ax); val apy = big(la(k).toLong - ay)
+          val m =
+            if (len2 == 0) apx * apx + apy * apy // degenerate anchors: point distance
+            else { val c = abx * apy - aby * apx; c * c }
+          if (m > bestM) { bestM = m; bestK = k }
+          k += 1
+        }
+        if (bestK >= 0) {
+          val clears =
+            if (len2 == 0) {
+              val apx = big(lo(bestK).toLong - ax); val apy = big(la(bestK).toLong - ay)
+              apx * apx + apy * apy > tol2
+            } else bestM > tol2 * len2
+          if (clears) {
+            keep(bestK) = true
+            stack = (i, bestK) :: (bestK, j) :: stack
+          }
+        }
+      }
     }
   }
 }

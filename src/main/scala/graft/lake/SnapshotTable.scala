@@ -94,12 +94,21 @@ object SnapshotTable {
       v: Long, bucketOf: Column): Seq[FileEntry] =
     commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v)
 
-  /** Write a `__bucket`-carrying frame as commit-`v` files and stat them. */
+  /** Write a `__bucket`-carrying frame as commit-`v` files and stat them.
+    * A zero-row frame writes no data files (only _SUCCESS); the stats
+    * read-back would then fail schema inference, so it is guarded — an
+    * empty delta is a clean no-op commit, not a crash.
+    */
   private def commitFiles(spark: SparkSession, bucketed: DataFrame, dir: String,
       v: Long): Seq[FileEntry] = {
     val out = s"$dir/data/s$v"
     bucketed.repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(out)
+    val walk = Files.walk(Paths.get(out))
+    val hasFiles =
+      try walk.anyMatch(p => p.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!hasFiles) return Seq.empty
     spark.read.parquet(out)
       .groupBy(input_file_name().as("path")).agg(count(lit(1)).as("rows"))
       .collect().map { r =>
@@ -142,6 +151,15 @@ object SnapshotTable {
     val parent = manifest(dir, currentVersion(dir))
     val v = parent.version + 1
     val up = updates.withColumn("__bucket", bucketOf.cast("int"))
+    // upsert is only well defined for one update row per key: duplicate
+    // keys would all survive the anti-join and land as duplicate table
+    // rows, silently un-keying the table. The check is delta-sized (one
+    // small job), same contract style as AsofJoin's uniqueness require.
+    val dupKey = up.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"merge updates contain duplicate '$keyCol' key ${dupKey.head.get(0)}; " +
+        "upsert requires exactly one update row per key")
     val affected = up.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val (touched, carried) = parent.files.partition(f => affected(f.bucket))

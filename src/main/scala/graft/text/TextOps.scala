@@ -505,12 +505,19 @@ object TextOps {
 
   /** Registered-domain heuristic: last two dot-labels of the canonical
     * host (the public-suffix list is the production upgrade; two labels is
-    * the deterministic sandbox stand-in, stated as such).
+    * the deterministic sandbox stand-in, stated as such). A single-label
+    * host (intranet names, `localhost`) is its own registered domain —
+    * written as an explicit branch so the SQL-oracle replay states the
+    * same rule (bare `||` would NULL-propagate there while `concat_ws`
+    * silently skips the missing label here).
     */
   def registeredDomainCol(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
-    val labels = split(hostCol(u, scheme), "\\.")
-    concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val host = hostCol(u, scheme)
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
   }
 
   private def hostCol(u: Column, scheme: Column): Column = {

@@ -75,15 +75,8 @@ object Tiling {
       tx <- 0 until (w + TileSize - 1) / TileSize
     } yield (tx, ty, math.min(TileSize, w - tx * TileSize), math.min(TileSize, h - ty * TileSize))
 
-  def crop(px: Array[Int], w: Int, x0: Int, y0: Int, cw: Int, ch: Int): Array[Int] = {
-    val out = new Array[Int](cw * ch)
-    var y = 0
-    while (y < ch) {
-      System.arraycopy(px, (y0 + y) * w + x0, out, y * cw, cw)
-      y += 1
-    }
-    out
-  }
+  def crop(px: Array[Int], w: Int, x0: Int, y0: Int, cw: Int, ch: Int): Array[Int] =
+    graft.img.ImageOps.crop(px, w, px.length / w, x0, y0, cw, ch)
 
   /** All pyramid tiles of one image (pure kernel). `pngLevel` 0 trades ~3x
     * tile size for ~6x encode speed (see Codecs.encodePngRegion).

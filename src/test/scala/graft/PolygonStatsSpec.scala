@@ -97,4 +97,25 @@ class PolygonStatsSpec extends AnyFunSuite {
       assert(s.max_lon_dm == s.min_lon_dm + 144000000)
     }
   }
+
+  test("signedArea2Dm: near-Long-max C-ring exact, full-world ring throws") {
+    // C-shaped ring: full world rectangle with a 3.0e9 x 0.8e9 bite cut
+    // into the left edge, traversed AFTER the rectangle corners so the
+    // running sum passes 1.296e19 (wraps a Long accumulator mid-way)
+    // before the bite subtracts back under Long.MaxValue. The exact
+    // area2 = 2*(3.6e9*1.8e9 - 3.0e9*0.8e9) = 8.16e18 must come out.
+    val lat = Array(-900000000, -900000000, 900000000, 900000000,
+      -900000000 + 1200000000, -900000000 + 1200000000,
+      -900000000 + 400000000, -900000000 + 400000000)
+    val lon = Array(-1800000000, 1800000000, 1800000000, -1800000000,
+      -1800000000, 1200000000, // bite reaches x-delta 3.0e9 from the west edge
+      1200000000, -1800000000)
+    assert(Geom.signedArea2Dm(lat, lon) == 8160000000000000000L)
+    // the full-world rectangle's TRUE area2 is 1.296e19 > Long.MaxValue:
+    // a Long accumulator silently returns wrapped garbage; the 128-bit
+    // path must refuse loudly instead
+    val wl = Array(-900000000, -900000000, 900000000, 900000000)
+    val wo = Array(-1800000000, 1800000000, 1800000000, -1800000000)
+    intercept[ArithmeticException] { Geom.signedArea2Dm(wl, wo) }
+  }
 }

@@ -62,4 +62,25 @@ class SimplifySpec extends AnyFunSuite {
     assert(la.toSeq == Seq(0, 0, 7, 0) || la.toSeq == Seq(0, 7, 0),
       s"duplicates must not survive: ${la.toSeq} / ${lo.toSeq}")
   }
+
+  test("staircase polyline: O(n) split depth runs in a 128 KiB stack") {
+    // alternating 0/10 staircase makes DP split adjacent to an anchor at
+    // every level — split depth ~n. The explicit work stack must survive
+    // where call-stack recursion (with BigInt locals) would overflow a
+    // small task-thread stack.
+    val n = 3000
+    val la = Array.tabulate(n + 1)(k => if (k % 2 == 1) 10 else 0)
+    val lo = Array.tabulate(n + 1)(k => k * 2)
+    @volatile var result: (Array[Int], Array[Int]) = null
+    @volatile var err: Throwable = null
+    val t = new Thread(null, () => {
+      try result = Simplify.polyline(la, lo, tolDm = 1)
+      catch { case e: Throwable => err = e }
+    }, "dp-small-stack", 128 * 1024)
+    t.start(); t.join()
+    assert(err == null, s"dp failed in small stack: $err")
+    // every step vertex deviates 10 > tol from any chord, so the
+    // staircase is essentially incompressible
+    assert(result._1.length > n / 2)
+  }
 }

@@ -162,4 +162,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(keptOld === origOld, "untouched buckets must carry forward by reference")
     assert(m.files.count(f => fragBuckets(f.bucket)) === fragBuckets.size)
   }
+
+  test("zero-row append and merge are clean no-op commits, not crashes") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 50, "a"), dir, B, bucketOf)
+    // an empty delta writes no parquet files; the stats read-back must
+    // not die on schema inference — the commit lands with parent files
+    // carried forward untouched
+    val m2 = SnapshotTable.append(spark, rows(0, 0, "b"), dir, bucketOf)
+    assert(m2.version === 2L && m2.totalRows === 50L)
+    val m3 = SnapshotTable.merge(spark, rows(0, 0, "c"), dir, "k", bucketOf)
+    assert(m3.version === 3L && m3.totalRows === 50L)
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.length === 50 && got(7) === ((7L, "a7")))
+  }
+
+  test("merge rejects duplicate update keys (upsert needs one row per key)") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 20, "a"), dir, B, bucketOf)
+    val dup = Seq((5L, "x"), (5L, "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dup, dir, "k", bucketOf)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // table untouched by the rejected merge
+    assert(SnapshotTable.currentVersion(dir) === 1L)
+    assert(SnapshotTable.read(spark, dir).count() === 20)
+  }
 }

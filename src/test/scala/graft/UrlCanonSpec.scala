@@ -38,6 +38,15 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(got === Seq("example.com", "example.org"))
   }
 
+  test("single-label host is its own registered domain (SQL-parity rule)") {
+    // concat_ws would silently skip the missing label while the SQL
+    // oracle's bare || NULL-propagates; the explicit branch states one
+    // rule both engines replay
+    val got = Seq("http://localhost/x", "http://intranet:80/", "https://a.b.example.com/")
+      .toDF("u").select(TextOps.registeredDomainCol(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("localhost", "intranet", "example.com"))
+  }
+
   test("canonicalization is a pure column expression (no UDF in plan)") {
     val plan = Seq("https://e.com/x").toDF("u")
       .select(TextOps.canonicalUrlCol(col("u")))
