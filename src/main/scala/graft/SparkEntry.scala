@@ -1280,6 +1280,20 @@ object SparkEntry {
         .select(col("id").as("image_idx"))
     }),
 
+    // Z-order lake layout — Morton-interleave the probe points' cell
+    // coords (res 8) by pure shift/and/or column arithmetic, key files by
+    // the top 6 z-bits, and report per-file stats + the pruning verdict
+    // for the bbox lat [10,20] lon [30,50] (cells x 149..163, y 142..156;
+    // its containing z-interval is [morton(x0,y0), morton(x1,y1)] by the
+    // per-coordinate monotonicity of bit-spreading). The decision a
+    // manifest makes at 100 TB, computed as one narrow map + one bounded
+    // groupBy; the physical clustered write + static partition pruning is
+    // pinned in ZOrderSpec.
+    "q92_zorder_layout" -> ((s, dir) => {
+      graft.cell.ZOrder.layoutStats(probePoints(s, dir), "lat", "lon",
+        res = 8, prefixBits = 6, qx0 = 149, qy0 = 142, qx1 = 163, qy1 = 156)
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2511,6 +2525,28 @@ object SparkEntry {
          |SELECT f.id AS image_idx
          |FROM fps f LEFT JOIN labels l ON l.id = f.id
          |WHERE l.component IS NULL OR f.id = l.component""".stripMargin,
+
+    // q92 — the same five Morton mask steps as BIGINT shift/and/or; the
+    // bbox z-interval endpoints are query parameters computed by the one
+    // scalar kernel both plans share
+    "q92_zorder_layout" ->
+      s"""WITH pts AS ($probeSql),
+         |xy AS (SELECT
+         |  LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*256.0) AS BIGINT), 0), 255) AS x,
+         |  LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*256.0) AS BIGINT), 0), 255) AS y
+         |  FROM pts),
+         |s1 AS (SELECT (x | (x << 8)) & 16711935 AS xs, (y | (y << 8)) & 16711935 AS ys FROM xy),
+         |s2 AS (SELECT (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+         |s3 AS (SELECT (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+         |s4 AS (SELECT (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+         |zt AS (SELECT xs | (ys << 1) AS z FROM s4),
+         |g AS (SELECT z >> 10 AS file_key, count(*) AS n_rows,
+         |        min(z) AS min_z, max(z) AS max_z
+         |      FROM zt GROUP BY 1)
+         |SELECT file_key, n_rows, min_z, max_z,
+         |  (min_z <= ${graft.cell.ZOrder.morton(163L, 156L)}
+         |    AND max_z >= ${graft.cell.ZOrder.morton(149L, 142L)}) AS scanned
+         |FROM g""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

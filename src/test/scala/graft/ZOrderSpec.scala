@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cell.ZOrder
+
+/** Z-order clustering pins: the Morton kernel against a naive bit
+  * interleave, column/scalar parity with no UDF, the rectangle-corner
+  * monotonicity the pruning interval relies on, and the physical
+  * clustered write actually pruning partitions for a bbox read.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def naiveMorton(x: Long, y: Long): Long = {
+    var z = 0L
+    var b = 0
+    while (b < 16) {
+      z |= ((x >> b) & 1L) << (2 * b)
+      z |= ((y >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+
+  test("morton mask chain equals the naive bit interleave") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val x = rnd.nextInt(1 << 16).toLong
+      val y = rnd.nextInt(1 << 16).toLong
+      assert(ZOrder.morton(x, y) == naiveMorton(x, y), s"x=$x y=$y")
+    }
+    assert(ZOrder.morton(0, 0) == 0L)
+    assert(ZOrder.morton(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+  }
+
+  test("mortonCol matches the scalar kernel and compiles to no UDF") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), shiftright(col("id"), 6).as("y"))
+    val got = df.select(col("x"), col("y"),
+        ZOrder.mortonCol(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ZOrder.morton(x, y), s"($x,$y)") }
+    val plan = df.select(ZOrder.mortonCol(col("x"), col("y")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("z is monotone per coordinate: rectangle corners bound the box") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val x0 = rnd.nextInt(200).toLong; val x1 = x0 + rnd.nextInt(56)
+      val y0 = rnd.nextInt(200).toLong; val y1 = y0 + rnd.nextInt(56)
+      val lo = ZOrder.morton(x0, y0); val hi = ZOrder.morton(x1, y1)
+      for (_ <- 0 until 20) {
+        val x = x0 + rnd.nextInt((x1 - x0 + 1).toInt)
+        val y = y0 + rnd.nextInt((y1 - y0 + 1).toInt)
+        val z = ZOrder.morton(x, y)
+        assert(lo <= z && z <= hi, s"box ($x0,$y0)-($x1,$y1) point ($x,$y)")
+      }
+    }
+  }
+
+  test("layoutStats: counts cover every row, z-ranges sit inside the prefix") {
+    val pts = spark.range(0, 5000).select(
+      (rand(11) * 180 - 90).as("lat"), (rand(13) * 360 - 180).as("lon"))
+    val stats = ZOrder.layoutStats(pts, "lat", "lon", res = 8, prefixBits = 6,
+      qx0 = 149, qy0 = 142, qx1 = 163, qy1 = 156).collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == 5000L)
+    stats.foreach { r =>
+      val fk = r.getAs[Long]("file_key")
+      assert(r.getAs[Long]("min_z") >> 10 == fk && r.getAs[Long]("max_z") >> 10 == fk)
+    }
+    // the bbox is ~6% of the world; a z-clustered layout must not scan
+    // every file
+    val scanned = stats.count(_.getAs[Boolean]("scanned"))
+    assert(scanned < stats.length, s"scanned $scanned of ${stats.length}")
+  }
+
+  test("clusteredWrite prunes partitions for a bbox read, rows identical") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val pts = spark.range(0, 20000).select(col("id"),
+      (rand(3) * 180 - 90).as("lat"), (rand(5) * 360 - 180).as("lon"))
+    ZOrder.clusteredWrite(pts, "lat", "lon", res = 8, prefixBits = 6, dir)
+    val table = spark.read.parquet(dir)
+    // bbox lat [10,20] lon [30,50] → z-interval → candidate file keys
+    val zLo = ZOrder.morton(149, 142); val zHi = ZOrder.morton(163, 156)
+    val keys: Seq[Long] = ((zLo >> 10) to (zHi >> 10)).toSeq
+    val pruned = table.filter(col("z_file").isin(keys: _*) &&
+      col("lat").between(10, 20) && col("lon").between(30, 50))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*z_file".r.findFirstIn(plan).isDefined,
+      s"no static pruning:\n$plan")
+    // pruning is conservative: identical rows to the unpruned filter
+    val full = table.filter(col("lat").between(10, 20) && col("lon").between(30, 50))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ===
+      full.select("id").as[Long].collect().sorted.toSeq)
+    assert(pruned.count() > 0)
+  }
+}
