@@ -1294,6 +1294,26 @@ object SparkEntry {
         res = 8, prefixBits = 6, qx0 = 149, qy0 = 142, qx1 = 163, qy1 = 156)
     }),
 
+    // Count-Min sketch over event user activity: the sketch is a bounded
+    // (row, cell) table built by a narrow explode(4) + one groupBy (max
+    // 4x256 cells), estimates are min-over-rows upper bounds resolved
+    // against the broadcast sketch. Completes the sketch trio (Misra-
+    // Gries lower bound, KLL quantiles, CM upper bound); every hash is
+    // the codegen'd splitmix64, so counters AND estimates - collisions
+    // included - replay bit-exactly in the oracle.
+    "q93_cm_sketch" -> ((s, dir) => {
+      import graft.text.CountMin
+      val ev = table(s, dir, "events")
+      val sk = CountMin.counters(s, ev, "user_id", depth = 4, width = 256)
+      val probes = ev.filter(col("user_id") % 11 === 0)
+      val est = CountMin.estimate(s, sk, probes, "user_id", depth = 4, width = 256)
+      val tru = probes.groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("true_cnt"))
+      est.join(tru, Seq("k"))
+        .select(col("k").as("user_id"), col("est"), col("true_cnt"),
+          (col("est") >= col("true_cnt")).as("is_upper_bound"))
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2547,6 +2567,25 @@ object SparkEntry {
          |  (min_z <= ${graft.cell.ZOrder.morton(163L, 156L)}
          |    AND max_z >= ${graft.cell.ZOrder.morton(149L, 142L)}) AS scanned
          |FROM g""".stripMargin,
+
+    // q93 — the full CM build replayed: splitmix chain per (user_id, row),
+    // low-8-bit cells, counter groupBy, min-over-rows estimates
+    "q93_cm_sketch" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |ex AS (SELECT user_id, i FROM ev CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)),
+         |sm AS (SELECT user_id, i,
+         |         CAST(xor(user_id, CAST(i AS BIGINT)) AS HUGEINT) AS sd FROM ex),
+         |${splitmixChain("h", Seq("user_id", "i"), "sm", "sd")},
+         |cells AS (SELECT user_id, i, CAST(z % 256 AS BIGINT) AS cell FROM h3),
+         |counters AS (SELECT i, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |pc AS (SELECT DISTINCT user_id, i, cell FROM cells WHERE user_id % 11 = 0),
+         |est AS (SELECT pc.user_id, min(ct.cnt) AS est
+         |        FROM pc JOIN counters ct ON ct.i = pc.i AND ct.cell = pc.cell
+         |        GROUP BY 1),
+         |tru AS (SELECT user_id, count(*) AS true_cnt FROM ev
+         |        WHERE user_id % 11 = 0 GROUP BY 1)
+         |SELECT e.user_id, e.est, t.true_cnt, e.est >= t.true_cnt AS is_upper_bound
+         |FROM est e JOIN tru t ON t.user_id = e.user_id""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

@@ -206,3 +206,53 @@ object MisraGries {
       .reduce(_ merge _)
   }
 }
+
+/** Count–Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) in its
+  * DataFrame-native form: the sketch IS a bounded (row, cell) → count
+  * table. Each key updates one cell per row via h_i(k) = splitmix64(k ⊕ i)
+  * masked to the table width, so building it is a narrow explode(depth) +
+  * ONE groupBy on at most depth·width cells — no term-universe shuffle,
+  * no driver state — and two sketches merge by adding counts (linearity,
+  * pinned in SketchSpec). Estimates are UPPER bounds (min over rows never
+  * undercounts — the dual of Misra–Gries' lower bound), with the standard
+  * guarantee err ≤ e·N/width at probability 1 − e^−depth per query.
+  * Every hash is the codegen'd splitmix64 expression, so counters and
+  * estimates replay bit-exactly in the ANSI oracle (q93).
+  */
+object CountMin {
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  /** Row-i cell of `key` (non-negative long): low bits of splitmix64(k ⊕ i).
+    * `width` must be a power of two so the signed mask equals the unsigned
+    * modulus the oracle computes.
+    */
+  def cellCol(spark: SparkSession, key: Column, i: Column, width: Int): Column = {
+    require(width >= 2 && (width & (width - 1)) == 0, s"width=$width not a power of 2")
+    graft.functions.GraftFunctions
+      .splitmixCol(spark, key.bitwiseXOR(i.cast("long")))
+      .bitwiseAND(lit((width - 1).toLong))
+  }
+
+  /** Build the sketch: (i, cell, cnt) with i < depth, cell < width. */
+  def counters(spark: SparkSession, df: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth")
+    df.select(col(keyCol).cast("long").as("k"))
+      .withColumn("i", explode(array((0 until depth).map(d => lit(d.toLong)): _*)))
+      .withColumn("cell", cellCol(spark, col("k"), col("i"), width))
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes`' distinct keys: min over rows of the
+    * key's cells, 0 for never-seen keys. The sketch is depth·width rows —
+    * broadcast — so estimation is map-side over the probe set.
+    */
+  def estimate(spark: SparkSession, sketch: DataFrame, probes: DataFrame,
+      keyCol: String, depth: Int, width: Int): DataFrame =
+    probes.select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("i", explode(array((0 until depth).map(d => lit(d.toLong)): _*)))
+      .withColumn("cell", cellCol(spark, col("k"), col("i"), width))
+      .join(broadcast(sketch), Seq("i", "cell"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

@@ -174,4 +174,60 @@ class SketchSpec extends AnyFunSuite {
     assert(out((2L, 1)) == (("z", 2L, 1L, 2000000L)))
     assert(out((2L, 2)) == (("common", 1L, 3L, 333333L)))
   }
+
+  test("count-min: estimates never undercount, exact keys stay exact") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.text.CountMin
+    // zipf-ish longs: key = floorMod(mix, 40)^2 / 40 skews mass low
+    val keys = (0 until 8000).map { i =>
+      val z = Math.floorMod(ImageTable.splitmix64(99L + i), 40L)
+      z * z / 40L
+    }
+    val df = keys.toDF("k")
+    val sk = CountMin.counters(spark, df, "k", depth = 4, width = 64)
+    val est = CountMin.estimate(spark, sk, df, "k", depth = 4, width = 64)
+      .as[(Long, Long)].collect().toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = keys.size.toLong
+    exact.foreach { case (k, tr) =>
+      val e = est(k)
+      assert(e >= tr, s"key $k: est $e under true $tr")
+      // deterministic data, generous theory-shaped ceiling: e*N/width
+      assert(e - tr <= math.ceil(math.E * n / 64).toLong, s"key $k err ${e - tr}")
+    }
+    // a never-seen key resolves through empty cells or collisions, never null
+    val unseen = CountMin.estimate(spark, sk, Seq(999999L).toDF("k"), "k", 4, 64)
+      .as[(Long, Long)].collect().head._2
+    assert(unseen >= 0L)
+  }
+
+  test("count-min: counters are linear — sketch(A ∪ B) = sketch(A) + sketch(B)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.text.CountMin
+    val a = (0 until 500).map(i => Math.floorMod(ImageTable.splitmix64(3L + i), 30L))
+    val b = (0 until 700).map(i => Math.floorMod(ImageTable.splitmix64(77L + i), 30L))
+    def cells(xs: Seq[Long]) =
+      CountMin.counters(spark, xs.toDF("k"), "k", depth = 3, width = 32)
+        .as[(Long, Long, Long)].collect().map { case (i, c, n) => (i, c) -> n }.toMap
+    val merged = {
+      val ca = cells(a); val cb = cells(b)
+      (ca.keySet ++ cb.keySet).map(k => k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    }
+    assert(cells(a ++ b) === merged)
+  }
+
+  test("count-min: cells are in range and the plan has no UDF") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.text.CountMin
+    val df = (0L until 200L).toDF("k")
+    val sk = CountMin.counters(spark, df, "k", depth = 4, width = 128)
+    val rows = sk.as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (i, c, _) => i >= 0 && i < 4 && c >= 0 && c < 128 })
+    assert(rows.map(_._3).sum == 200L * 4)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
