@@ -1314,6 +1314,24 @@ object SparkEntry {
           (col("est") >= col("true_cnt")).as("is_upper_bound"))
     }),
 
+    // Integer-exact PageRank over a planted link graph: each document
+    // links to 3 splitmix-derived targets (low-63-bit mod N, multi-edges
+    // kept), 4 BSP rounds of scaled-long arithmetic - rank div outdeg
+    // contributions, (sum*85) div 100 damping - so the result is
+    // bit-reproducible (float PageRank would hash-diverge on summation
+    // order alone). The crawl-quality ranking signal of a training-data
+    // pipeline; N comes from one metadata-sized count.
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
+        .select(col("doc_id").as("src"),
+          pmod(mixCol(s, col("doc_id") * 7 + col("j"))
+            .bitwiseAND(lit(Long.MaxValue)), lit(n)).as("dst"))
+      graft.graph.PageRank.ranks(s, edges, iters = 4)
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2586,6 +2604,34 @@ object SparkEntry {
          |        WHERE user_id % 11 = 0 GROUP BY 1)
          |SELECT e.user_id, e.est, t.true_cnt, e.est >= t.true_cnt AS is_upper_bound
          |FROM est e JOIN tru t ON t.user_id = e.user_id""".stripMargin,
+
+    // q94 — the same planted edges (splitmix low-63 mod N), the same four
+    // integer BSP rounds: contributions rank // outdeg, damping
+    // (sum*85)//100, base 15% of the 1e12 scale
+    "q94_pagerank" -> {
+      def round(prev: String, out: String): String =
+        s"""c$out AS (SELECT e.dst, sum(r.rank // od.outdeg) AS s
+           |  FROM edges e JOIN $prev r ON r.doc_id = e.src
+           |  JOIN od ON od.src = e.src GROUP BY 1),
+           |$out AS (SELECT d.doc_id,
+           |  CAST(150000000000 + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS rank
+           |  FROM docs d LEFT JOIN c$out c ON c.dst = d.doc_id)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |ex AS (SELECT doc_id, j FROM docs CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
+         |sm AS (SELECT doc_id, j, CAST(doc_id * 7 + j AS HUGEINT) AS sd FROM ex),
+         |${splitmixChain("h", Seq("doc_id", "j"), "sm", "sd")},
+         |edges AS (SELECT doc_id AS src,
+         |  CAST((z % 9223372036854775808::HUGEINT)
+         |    % CAST((SELECT count(*) FROM docs) AS HUGEINT) AS BIGINT) AS dst
+         |  FROM h3),
+         |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |r0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS rank FROM docs),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")}
+         |SELECT doc_id, rank FROM r4""".stripMargin
+    },
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank (Page, Brin, Motwani, Winograd 1999) in INTEGER arithmetic:
+  * ranks are scaled longs, per-edge contributions are `rank div outdeg`,
+  * and damping applies as `(sum * dampNum) div dampDen` — every operation
+  * is exact integer division, so the fixed-iteration result is
+  * bit-reproducible on any engine and replays verbatim in the ANSI oracle
+  * (float PageRank would hash-diverge on summation order alone). The
+  * crawl-quality signal a training-data pipeline ranks pages with.
+  *
+  * Scale shape per iteration: one equi-join of edges with ranks on src
+  * (both sides keyed on src — at production scale pre-partition/bucket
+  * edges by src so the join is exchange-free), one groupBy(dst) shuffle
+  * for the contribution sums, one left join back to the node set. That is
+  * the canonical BSP round; nothing is driver-sized except the loop
+  * counter. Fixed `iters` keeps the plan a linear DAG; a convergence-
+  * tested variant would checkpoint each round (same policy as
+  * [[graft.dedup.Dedup.connectedComponents]]'s lineage cuts).
+  *
+  * Dangling nodes (no out-edges) leak their mass — the classic simplest
+  * variant, stated rather than hidden; redistribute-to-all needs one
+  * extra scalar aggregate per round if a caller wants it.
+  */
+object PageRank {
+
+  /** Fixed-iteration integer PageRank over `edges` (columns `src`, `dst`;
+    * multi-edges count multiply). Returns (doc_id, rank) for every node
+    * appearing as a src or dst; initial rank = `scale`, per-round rank =
+    * floor((1−d)·scale) + floor(d·Σ in-contributions) with d =
+    * dampNum/dampDen.
+    */
+  def ranks(spark: SparkSession, edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters")
+    require(dampNum >= 0 && dampNum <= dampDen, s"damp $dampNum/$dampDen")
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id")))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var rank = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) +
+            expr(s"coalesce(in_sum, CAST(0 AS BIGINT)) * $dampNum div $dampDen"))
+            .as("rank"))
+    }
+    rank
+  }
+}
