@@ -1332,6 +1332,19 @@ object SparkEntry {
       graft.graph.PageRank.ranks(s, edges, iters = 4)
     }),
 
+    // positional inverted index - the retrieval primitive: one row per
+    // (term, doc) with tf + sorted 0-based positions; narrow posexplode +
+    // one bounded groupBy
+    "q95_inverted_index" -> ((s, dir) =>
+      graft.text.TextOps.positionalPostings(s, table(s, dir, "documents"))),
+
+    // exact phrase search by position adjacency over the index: per-word
+    // postings filter BEFORE the (doc, anchor) equi-join, so the rarest
+    // word bounds the join input - no LIKE scan over full texts
+    "q96_phrase_search" -> ((s, dir) =>
+      graft.text.TextOps.phraseSearch(s, table(s, dir, "documents"),
+        Seq("table", "value"))),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2632,6 +2645,31 @@ object SparkEntry {
          |${round("r3", "r4")}
          |SELECT doc_id, rank FROM r4""".stripMargin
     },
+
+    // q95 — parallel unnest of the filtered token list and its index
+    // range replays posexplode's positions exactly
+    "q95_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(ws) AS term,
+        |        unnest(range(len(ws))) AS pos FROM tok)
+        |SELECT term, doc_id, count(*) AS tf, list_sort(list(pos)) AS positions
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q96 — anchor = pos - word_index; a phrase occurrence is one anchor
+    // present in every word's posting set
+    "q96_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(ws) AS term,
+        |        unnest(range(len(ws))) AS pos FROM tok),
+        |a0 AS (SELECT doc_id, pos AS anchor FROM p WHERE term = 'table'),
+        |a1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE term = 'value')
+        |SELECT a0.doc_id, count(*) AS n_matches, min(a0.anchor) AS first_pos
+        |FROM a0 JOIN a1 ON a1.doc_id = a0.doc_id AND a1.anchor = a0.anchor
+        |GROUP BY 1""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

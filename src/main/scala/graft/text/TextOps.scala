@@ -526,4 +526,39 @@ object TextOps {
       .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .otherwise(hostport)
   }
+
+  /** Positional inverted index: one row per (term, doc) with term
+    * frequency and the sorted 0-based token positions — the retrieval
+    * primitive phrase search, proximity scoring, and highlight snippets
+    * all read from. Narrow posexplode + ONE (term, doc) groupBy; postings
+    * rows are bounded by Σ distinct-terms-per-doc, never tokens².
+    */
+  def positionalPostings(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+
+  /** Exact phrase search by position adjacency: an occurrence at anchor p
+    * means phrase(i) sits at p+i for every i. Each word's postings filter
+    * BEFORE any join (predicate pushdown to the scan), then equi-join on
+    * (doc, anchor) — no LIKE scan over full texts, no tokens² blowup; the
+    * rarest word bounds the join input. Returns (doc_id, n_matches,
+    * first_pos) for matching docs.
+    */
+  def phraseSearch(spark: SparkSession, docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), s"bad phrase $phrase")
+    val pos = docs.select(col("doc_id"),
+      posexplode(tokensCol(col(textCol))).as(Seq("pos", "term")))
+    val anchors = phrase.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("anchor"))
+    }
+    anchors.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("anchor").as("first_pos"))
+  }
 }

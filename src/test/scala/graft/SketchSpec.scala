@@ -175,6 +175,40 @@ class SketchSpec extends AnyFunSuite {
     assert(out((2L, 2)) == (("common", 1L, 3L, 333333L)))
   }
 
+  test("positional postings: tf and sorted positions per (term, doc)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((1L, "b a b  c a"), (2L, "a")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.positionalPostings(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getSeq[Long](3))))
+      .toMap
+    // double space collapses: positions index the FILTERED token array
+    assert(out(("b", 1L)) == ((2L, Seq(0L, 2L))))
+    assert(out(("a", 1L)) == ((2L, Seq(1L, 4L))))
+    assert(out(("c", 1L)) == ((1L, Seq(3L))))
+    assert(out(("a", 2L)) == ((1L, Seq(0L))))
+    assert(out.size == 4)
+  }
+
+  test("phrase search: adjacency, overlaps, cross-doc, no match") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b y a b"),   // two non-overlapping occurrences of "a b"
+      (2L, "a a a"),          // overlapping occurrences of "a a"
+      (3L, "b a")             // reversed: no "a b"
+    ).toDF("doc_id", "text")
+    val ab = graft.text.TextOps.phraseSearch(spark, docs, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ab == Map(1L -> ((2L, 1L))))
+    val aa = graft.text.TextOps.phraseSearch(spark, docs, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(aa == Map(2L -> ((2L, 0L))))
+    val aby = graft.text.TextOps.phraseSearch(spark, docs, Seq("a", "b", "y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(aby == Map(1L -> ((1L, 1L))))
+  }
+
   test("count-min: estimates never undercount, exact keys stay exact") {
     val spark = SparkTestSession.spark
     import spark.implicits._
