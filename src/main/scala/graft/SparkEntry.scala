@@ -1345,6 +1345,13 @@ object SparkEntry {
       graft.text.TextOps.phraseSearch(s, table(s, dir, "documents"),
         Seq("table", "value"))),
 
+    // BM25 scoring for a 3-term query in exact scaled-integer arithmetic
+    // (rational Robertson idf + cleared-denominator tf saturation, k1=1.2
+    // b=0.75) - float ln/division would hash-diverge between engines
+    "q97_bm25" -> ((s, dir) =>
+      graft.text.TextOps.bm25(s, table(s, dir, "documents"),
+        Seq("table", "fast", "merge"))),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2670,6 +2677,28 @@ object SparkEntry {
         |SELECT a0.doc_id, count(*) AS n_matches, min(a0.anchor) AS first_pos
         |FROM a0 JOIN a1 ON a1.doc_id = a0.doc_id AND a1.anchor = a0.anchor
         |GROUP BY 1""".stripMargin,
+
+    // q97 — the same cleared-denominator integer BM25: rational idf
+    // (2n-2df+1)/(2df+1) and ratio 22*D*tf/(10*D*tf+3*D+9*dl*n), both
+    // floor-scaled by 1e6, per-term scores summed exactly
+    "q97_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS d, count(*) AS n FROM dl),
+        |p AS (SELECT doc_id, unnest(ws) AS term FROM tok),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p
+        |       WHERE term IN ('table', 'fast', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |  (((1000000 * (2*(SELECT n FROM tot) - 2*f.df + 1)) // (2*f.df + 1))
+        |   * ((1000000 * 22 * (SELECT d FROM tot) * t.tf) //
+        |      (10*(SELECT d FROM tot)*t.tf + 3*(SELECT d FROM tot)
+        |       + 9*l.dl*(SELECT n FROM tot)))) // 1000000 AS s
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN dfq f USING (term))
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
+        |FROM sc GROUP BY 1""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

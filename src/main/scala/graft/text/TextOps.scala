@@ -541,6 +541,45 @@ object TextOps {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos").cast("long"))).as("positions"))
 
+  /** BM25 document scoring (Robertson & Walker, SIGIR'94 Okapi weighting)
+    * for a query term set, in EXACT scaled-integer arithmetic so scores
+    * hash-reproduce on any engine: with k1 = 6/5 and b = 3/4 the
+    * tf-saturation ratio tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) clears its
+    * denominators as 22·D·tf / (10·D·tf + 3·D + 9·dl·n) (D = Σdl, n =
+    * docs), floor-scaled by 1e6; idf uses the Robertson half-counts as
+    * the exact rational (2n−2df+1)/(2df+1), floor-scaled by 1e6 — the
+    * ln() of textbook BM25 is monotone per term, and a float ln would
+    * hash-diverge between engines, so the rational variant is the
+    * deterministic stand-in, stated as such (same policy as
+    * [[tfidfTopK]]'s floor-division scoring).
+    *
+    * Scale shape: tf is a term-filtered narrow explode + one groupBy; df
+    * is a groupBy of that bounded tf table; D and n are ONE metadata-
+    * sized scalar aggregate collected up front. Long arithmetic holds to
+    * ~1e12 total corpus tokens; past that the scaled products need
+    * DECIMAL — stated, not hidden.
+    */
+  def bm25(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val tok = docs.select(col("doc_id"), tokensCol(col(textCol)).as("ws"))
+    val dl = tok.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val totRow = dl.agg(sum("dl").cast("long").as("d"),
+      count(lit(1)).as("n")).first()
+    val bigD = totRow.getLong(0); val n = totRow.getLong(1)
+    val tf = tok.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfOfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("doc_id")).join(broadcast(dfOfTerm), Seq("term"))
+      .select(col("doc_id"),
+        expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L))").as("idf_s"),
+        expr(s"((1000000L * 22L * ${bigD}L * tf) div " +
+          s"(10L*${bigD}L*tf + 3L*${bigD}L + 9L*dl*${n}L))").as("ratio_s"))
+      .select(col("doc_id"), expr("(idf_s * ratio_s) div 1000000L").as("s"))
+      .groupBy("doc_id").agg(sum("s").cast("long").as("score_scaled"))
+  }
+
   /** Exact phrase search by position adjacency: an occurrence at anchor p
     * means phrase(i) sits at p+i for every i. Each word's postings filter
     * BEFORE any join (predicate pushdown to the scan), then equi-join on

@@ -209,6 +209,22 @@ class SketchSpec extends AnyFunSuite {
     assert(aby == Map(1L -> ((1L, 1L))))
   }
 
+  test("bm25: hand-computed integer scores on a 3-doc corpus") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table fast table"), (2L, "table slow"), (3L, "merge")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.bm25(spark, docs, Seq("table", "fast", "merge"))
+      .as[(Long, Long)].collect().toMap
+    // D=6 n=3; idf_s: table (3e6)//5=600000, fast/merge (5e6)//3=1666666
+    // ratio_s = (132e6*tf)//(60tf+18+27dl):
+    //   (1,table) 264e6//219=1205479; (1,fast) 132e6//159=830188
+    //   (2,table) 132e6//132=1000000; (3,merge) 132e6//105=1257142
+    // s = (idf*ratio)//1e6, summed per doc
+    assert(got == Map(1L -> 2106933L, 2L -> 600000L, 3L -> 2095235L), got.toString)
+  }
+
   test("count-min: estimates never undercount, exact keys stay exact") {
     val spark = SparkTestSession.spark
     import spark.implicits._
