@@ -1352,6 +1352,13 @@ object SparkEntry {
       graft.text.TextOps.bm25(s, table(s, dir, "documents"),
         Seq("table", "fast", "merge"))),
 
+    // key-skew diagnostics: discrete count quantiles from the HISTOGRAM
+    // of counts (the only window runs over distinct frequency VALUES,
+    // never the key set), max/median ratio, and the salt factor that
+    // levels the heaviest key - the pre-job report that decides salting
+    "q98_skew_report" -> ((s, dir) =>
+      graft.lineage.Skew.keyReport(table(s, dir, "events"), col("user_id"))),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2699,6 +2706,26 @@ object SparkEntry {
         |  FROM tf t JOIN dl l USING (doc_id) JOIN dfq f USING (term))
         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // q98 — same histogram-of-counts quantiles: smallest count whose
+    // cumulative key coverage reaches ceil(q * n_keys)
+    "q98_skew_report" ->
+      """WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, count(*) AS freq FROM counts GROUP BY 1),
+        |cum AS (SELECT c, freq, sum(freq) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM hist),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+        |          CAST(sum(c * freq) AS BIGINT) AS n_rows,
+        |          max(c) AS max_count FROM cum),
+        |p AS (SELECT
+        |  CAST(min(CASE WHEN cum * 2 >= (SELECT n_keys FROM tot) THEN c END) AS BIGINT) AS p50_count,
+        |  CAST(min(CASE WHEN cum * 100 >= (SELECT n_keys FROM tot) * 99 THEN c END) AS BIGINT) AS p99_count
+        |  FROM cum)
+        |SELECT n_keys, n_rows, max_count, p50_count, p99_count,
+        |  CAST((max_count * 100) // p50_count AS BIGINT) AS skew_ratio_x100,
+        |  CAST((max_count + p50_count - 1) // p50_count AS BIGINT) AS suggested_salt
+        |FROM tot, p""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =
