@@ -1359,6 +1359,13 @@ object SparkEntry {
     "q98_skew_report" -> ((s, dir) =>
       graft.lineage.Skew.keyReport(table(s, dir, "events"), col("user_id"))),
 
+    // JL +-1 random projection 64->16: the narrow zero-shuffle pre-step
+    // that shrinks every kNN downstream; sign matrix baked into the plan
+    // as literals, double folds in array order (bit-reproducible)
+    "q99_jl_project" -> ((s, dir) =>
+      graft.sim.Similarity.jlProject(s, table(s, dir, "embeddings"),
+        inDim = 64, outDim = 16)),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2726,6 +2733,21 @@ object SparkEntry {
         |  CAST((max_count * 100) // p50_count AS BIGINT) AS skew_ratio_x100,
         |  CAST((max_count + p50_count - 1) // p50_count AS BIGINT) AS suggested_salt
         |FROM tot, p""".stripMargin,
+
+    // q99 — the same 16x64 +-1 coefficients as literal lists, the same
+    // array-order double folds (list_reduce), bit-exact by construction
+    "q99_jl_project" -> {
+      def yj(j: Int): String = {
+        val signs = (0 until 64).map { i =>
+          if ((graft.img.ImageTable.splitmix64(j * 131071L + i * 524287L + 99L) & 1L) == 0L)
+            "1.0" else "-1.0"
+        }.mkString("[", ", ", "]")
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(64), i -> " +
+          s"CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * ($signs)[CAST(i+1 AS INT)]))," +
+          s" (acc, x) -> acc + x) AS y$j"
+      }
+      s"SELECT vec_id,\n  ${(0 until 16).map(yj).mkString(",\n  ")}\nFROM embeddings"
+    },
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

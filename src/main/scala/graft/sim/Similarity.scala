@@ -653,6 +653,34 @@ object Similarity {
     * so both exchanges are small; a query whose approximate list missed
     * everything still appears (left join, n_hit = 0).
     */
+  /** Johnson–Lindenstrauss random projection with the ±1 sign matrix
+    * (Achlioptas, PODS'01 — ±1 entries preserve the JL distance guarantee
+    * without Gaussians): each output dim y_j = Σᵢ emb[i]·s(j,i), s = ±1
+    * from splitmix64 parity, folded in ARRAY ORDER so the double sums are
+    * bit-reproducible and the q99 oracle replays them exactly (the 1/√k
+    * normalization is a constant factor on every coordinate — folded into
+    * downstream comparisons rather than multiplied here, stated).
+    *
+    * Scale shape: a narrow map — the sign matrix is outDim·inDim literal
+    * coefficients baked into the plan (codegen'd HOF folds, no UDF, no
+    * matrix broadcast), so projecting 10^12 rows is one pass with zero
+    * shuffle. The standard pre-step that makes brute/IVF kNN 4× cheaper
+    * at the same recall target.
+    */
+  def jlProject(spark: SparkSession, vecs: DataFrame, inDim: Int, outDim: Int,
+      seed: Long = 99L, embCol: String = "embedding"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim, s"dims $inDim->$outDim")
+    val cols = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map { i =>
+        lit(if ((splitmix64(j * 131071L + i * 524287L + seed) & 1L) == 0L) 1.0 else -1.0)
+      }: _*)
+      aggregate(
+        zip_with(col(embCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v).as(s"y$j")
+    }
+    vecs.select(col("vec_id") +: cols: _*)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),

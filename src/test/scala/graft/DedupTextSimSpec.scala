@@ -563,4 +563,40 @@ class SimilaritySpec extends AnyFunSuite {
     val self = Similarity.recallAtK(exact, exact).as[(Long, Long, Long)].collect()
     assert(self.forall(r => r._2 === r._3))
   }
+
+  test("JL projection matches the scalar fold order and preserves distances") {
+    val v = vecs(100, dim = 64)
+    val out = Similarity.jlProject(spark, v, inDim = 64, outDim = 16)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (0 until 16).map(j => r.getDouble(j + 1))).toMap
+    // bit-exact against the same-order scalar fold
+    val in = v.as[(Long, Seq[Float])].collect().toMap
+    def signOf(j: Int, i: Int): Double =
+      if ((graft.img.ImageTable.splitmix64(j * 131071L + i * 524287L + 99L) & 1L) == 0L)
+        1.0 else -1.0
+    for ((id, emb) <- in.take(10); j <- 0 until 16) {
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += emb(i).toDouble * signOf(j, i); i += 1 }
+      assert(rows(id)(j) == acc, s"vec $id dim $j")
+    }
+    // JL guarantee shape: E||ya-yb||^2 = k * ||a-b||^2 with +-1 entries.
+    // Deterministic fixture, so these observed ratios are stable pins.
+    val ids = in.keys.toSeq.sorted.take(20)
+    val ratios = for (a <- ids; b <- ids if a < b) yield {
+      val (ea, eb) = (in(a), in(b))
+      var dx = 0.0
+      for (i <- 0 until 64) { val t = ea(i).toDouble - eb(i); dx += t * t }
+      var dy = 0.0
+      for (j <- 0 until 16) { val t = rows(a)(j) - rows(b)(j); dy += t * t }
+      dy / (16.0 * dx)
+    }
+    assert(ratios.forall(r => r > 0.1 && r < 3.0), s"worst ${ratios.min}/${ratios.max}")
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.size / 2)
+    assert(median > 0.6 && median < 1.5, s"median distortion $median")
+    // narrow plan: literals baked in, no UDF, no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Exchange"), plan)
+  }
 }
