@@ -1366,6 +1366,18 @@ object SparkEntry {
       graft.sim.Similarity.jlProject(s, table(s, dir, "embeddings"),
         inDim = 64, outDim = 16)),
 
+    // event funnel view -> click -> purchase within 48h per step:
+    // earliest-qualifying-chain semantics, one filtered aggregate per
+    // stage + key-sized joins - no per-user history window or collect
+    "q100_funnel" -> ((s, dir) => {
+      graft.join.Funnel.funnel(table(s, dir, "events"),
+        Seq("view", "click", "purchase"), expr("INTERVAL 48 HOURS"))
+        .select(col("user_id"), col("n_stages"),
+          unix_micros(col("t1").cast("timestamp")).as("t1_us"), // NTZ → UTC (session TZ pinned)
+          unix_micros(col("t2").cast("timestamp")).as("t2_us"),
+          unix_micros(col("t3").cast("timestamp")).as("t3_us"))
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2748,6 +2760,32 @@ object SparkEntry {
       }
       s"SELECT vec_id,\n  ${(0 until 16).map(yj).mkString(",\n  ")}\nFROM embeddings"
     },
+
+    // q100 — the same earliest-qualifying-chain: per-stage min with the
+    // [t_prev, t_prev + 48h] containment, left-joined down the chain
+    "q100_funnel" ->
+      """WITH keys AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOURS
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t2, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 48 HOURS
+        |       GROUP BY 1, 2)
+        |SELECT k.user_id,
+        |  (CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_stages,
+        |  epoch_us(s1.t1) AS t1_us, epoch_us(s2.t2) AS t2_us, epoch_us(s3.t3) AS t3_us
+        |FROM keys k
+        |LEFT JOIN s1 ON s1.user_id = k.user_id
+        |LEFT JOIN s2 ON s2.user_id = k.user_id
+        |LEFT JOIN s3 ON s3.user_id = k.user_id""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =
