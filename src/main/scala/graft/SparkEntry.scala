@@ -1378,6 +1378,29 @@ object SparkEntry {
           unix_micros(col("t3").cast("timestamp")).as("t3_us"))
     }),
 
+    // snapshot-table schema evolution: v2 appends rows carrying a NEW
+    // lang column, v3 merges lang into some v1 rows; the manifest schema
+    // is authoritative (inference over mixed-schema files would pick
+    // whichever file lists first), pre-evolution rows read typed NULLs
+    "q101_schema_evolution" -> ((s, dir) => {
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q101")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(16L))
+      val base = s.range(0, 200).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      SnapshotTable.create(s, base, out.getPath, 16, bucketOf)
+      val withLang = s.range(200, 260).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"),
+        when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+      SnapshotTable.append(s, withLang, out.getPath, bucketOf)
+      val upd = s.range(0, 200).filter(col("id") % 50 === 0).select(
+        col("id").as("idx"), concat(lit("upd_"), col("id")).as("caption"),
+        lit("fr").as("lang"))
+      SnapshotTable.merge(s, upd, out.getPath, "idx", bucketOf)
+      SnapshotTable.read(s, out.getPath, verify = true)
+        .select(col("idx"), col("caption"), col("lang"))
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantizer
     // clusters → within-cluster cosine edges → duplicate groups → one
     // keeper per group. Same planted near-dups as q28; driver-oracled
@@ -2786,6 +2809,18 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = k.user_id
         |LEFT JOIN s2 ON s2.user_id = k.user_id
         |LEFT JOIN s3 ON s3.user_id = k.user_id""".stripMargin,
+
+    // q101 — closed form: the three commits' contents are fully
+    // determined by idx (bucketing never changes row values)
+    "q101_schema_evolution" ->
+      """WITH ids AS (SELECT unnest(range(260)) AS idx)
+        |SELECT idx,
+        |  CASE WHEN idx < 200 AND idx % 50 = 0 THEN 'upd_' || idx
+        |       ELSE 'cap_' || idx END AS caption,
+        |  CASE WHEN idx < 200 AND idx % 50 = 0 THEN 'fr'
+        |       WHEN idx >= 200 THEN (CASE WHEN idx % 2 = 0 THEN 'en' ELSE 'de' END)
+        |       ELSE NULL END AS lang
+        |FROM ids""".stripMargin,
 
     // q90 — file counts replayed from the same splitmix bucket arithmetic
     // (pmod on a power-of-two modulus ≡ unsigned z % 16): files_before =

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Multi-snapshot Iceberg-shaped table on plain Parquet — the versioned
   * complement of [[graft.img.IcebergShaped]] (which commits exactly one
@@ -47,7 +48,32 @@ object SnapshotTable {
 
   final case class FileEntry(path: String, bucket: Int, rows: Long)
   final case class Manifest(version: Long, parent: Long, op: String,
-      buckets: Int, files: Seq[FileEntry], totalRows: Long)
+      buckets: Int, files: Seq[FileEntry], totalRows: Long,
+      schemaDdl: String) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  /** Columns the delta ADDS evolve the table schema (appended, nullable
+    * for pre-existing files); columns it shares must keep their type;
+    * columns it OMITS stay and read as NULL in the delta's rows. This is
+    * the manifest-tracked schema evolution Iceberg does — inference over
+    * mixed-schema files would pick whichever file the reader lists first.
+    */
+  private def evolve(parent: StructType, delta: StructType, op: String): StructType = {
+    parent.foreach { pf =>
+      delta.find(_.name == pf.name).foreach { d =>
+        require(d.dataType == pf.dataType,
+          s"$op: column '${pf.name}' arrives as ${d.dataType}, table has ${pf.dataType}")
+      }
+    }
+    StructType(parent ++ delta.filterNot(f => parent.exists(_.name == f.name)))
+  }
+
+  /** Project `df` onto `schema`: missing columns become typed NULLs. */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "_meta")
   private def manifestPath(dir: String, v: Long): Path = metaDir(dir).resolve(s"v$v.json")
@@ -66,8 +92,10 @@ object SnapshotTable {
       .findAllMatchIn(json)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong)).toSeq
     val op = """"op":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
+    val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"manifest v$v missing schema")).group(1)
     Manifest(num("version"), num("parent"), op, num("buckets").toInt,
-      files, num("total_rows"))
+      files, num("total_rows"), ddl)
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
@@ -75,8 +103,11 @@ object SnapshotTable {
     val fs = m.files.sortBy(_.path)
       .map(f => s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows}}""")
       .mkString(",")
+    require(!m.schemaDdl.contains('"') && !m.schemaDdl.contains('\\'),
+      s"schema DDL not JSON-safe: ${m.schemaDdl}")
     val json = s"""{"version":${m.version},"parent":${m.parent},"op":"${m.op}",""" +
-      s""""buckets":${m.buckets},"total_rows":${m.totalRows},"files":[$fs]}"""
+      s""""buckets":${m.buckets},"total_rows":${m.totalRows},""" +
+      s""""schema":"${m.schemaDdl}","files":[$fs]}"""
     Files.writeString(manifestPath(dir, m.version), json)
     // the pointer swap IS the commit: a crash before this line leaves the
     // previous version current and the new files unreferenced (expirable)
@@ -124,19 +155,24 @@ object SnapshotTable {
       buckets: Int, bucketOf: Column): Manifest = {
     require(currentVersion(dir) == 0L, s"table already exists at $dir")
     val files = writeData(spark, df, dir, 1L, bucketOf)
-    val m = Manifest(1L, 0L, "create", buckets, files, files.map(_.rows).sum)
+    val m = Manifest(1L, 0L, "create", buckets, files, files.map(_.rows).sum,
+      df.schema.toDDL)
     writeManifest(dir, m); m
   }
 
   /** Append-only commit: parent files carried forward + the new files.
-    * No key check (Iceberg append semantics).
+    * No key check (Iceberg append semantics). The delta may add columns
+    * (schema evolves) or omit table columns (stored as typed NULLs) —
+    * see [[evolve]].
     */
   def append(spark: SparkSession, df: DataFrame, dir: String,
       bucketOf: Column): Manifest = {
     val parent = manifest(dir, currentVersion(dir))
-    val files = writeData(spark, df, dir, parent.version + 1, bucketOf)
+    val schema = evolve(parent.schema, df.schema, "append")
+    val files = writeData(spark, align(df, schema), dir, parent.version + 1, bucketOf)
     val m = Manifest(parent.version + 1, parent.version, "append", parent.buckets,
-      parent.files ++ files, parent.totalRows + files.map(_.rows).sum)
+      parent.files ++ files, parent.totalRows + files.map(_.rows).sum,
+      schema.toDDL)
     writeManifest(dir, m); m
   }
 
@@ -150,7 +186,8 @@ object SnapshotTable {
       keyCol: String, bucketOf: Column): Manifest = {
     val parent = manifest(dir, currentVersion(dir))
     val v = parent.version + 1
-    val up = updates.withColumn("__bucket", bucketOf.cast("int"))
+    val schema = evolve(parent.schema, updates.schema, "merge")
+    val up = align(updates, schema).withColumn("__bucket", bucketOf.cast("int"))
     // upsert is only well defined for one update row per key: duplicate
     // keys would all survive the anti-join and land as duplicate table
     // rows, silently un-keying the table. The check is delta-sized (one
@@ -163,10 +200,11 @@ object SnapshotTable {
     val affected = up.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val (touched, carried) = parent.files.partition(f => affected(f.bucket))
-    // read ONLY the touched buckets' files; anti-join out replaced keys
+    // read ONLY the touched buckets' files (under the EVOLVED schema, so
+    // pre-evolution files surface typed NULLs); anti-join out replaced keys
     val survivors =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.map(_.path): _*)
+      else Some(spark.read.schema(schema).parquet(touched.map(_.path): _*)
         .join(up.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
     val newData = survivors match {
       case Some(s) => s.withColumn("__bucket", bucketOf.cast("int"))
@@ -175,7 +213,8 @@ object SnapshotTable {
     }
     val files = commitFiles(spark, newData, dir, v)
     val m = Manifest(v, parent.version, "merge", parent.buckets,
-      carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum)
+      carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
+      schema.toDDL)
     writeManifest(dir, m); m
   }
 
@@ -188,8 +227,12 @@ object SnapshotTable {
     require(v > 0, s"no committed snapshot at $dir")
     val m = manifest(dir, v)
     if (m.files.isEmpty)
-      return spark.emptyDataFrame
-    val df = spark.read.parquet(m.files.map(_.path): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema)
+    // the MANIFEST schema is authoritative — files committed before an
+    // evolution lack the added columns and surface typed NULLs; schema
+    // inference would instead pick whichever file lists first
+    val df = spark.read.schema(m.schema).parquet(m.files.map(_.path): _*)
     if (verify) {
       val n = df.count()
       require(n == m.totalRows, s"v$v manifest says ${m.totalRows} rows, files have $n")
@@ -213,12 +256,15 @@ object SnapshotTable {
     if (frag.isEmpty) return parent
     val carried = single.values.flatten.toSeq
     val v = parent.version + 1
-    val df = spark.read.parquet(frag.values.flatten.map(_.path).toSeq: _*)
+    // parent-schema read, not inference: fragmented buckets can mix files
+    // from before and after a schema evolution
+    val df = spark.read.schema(parent.schema)
+      .parquet(frag.values.flatten.map(_.path).toSeq: _*)
       .withColumn("__bucket",
         regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
     val files = commitFiles(spark, df, dir, v)
     val m = Manifest(v, parent.version, "compact", parent.buckets,
-      carried ++ files, parent.totalRows)
+      carried ++ files, parent.totalRows, parent.schemaDdl)
     writeManifest(dir, m); m
   }
 
@@ -227,10 +273,13 @@ object SnapshotTable {
     * buckets' full contents (Iceberg's same superset semantics).
     */
   def incremental(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    val to = manifest(dir, toV)
     val before = manifest(dir, fromV).files.map(_.path).toSet
-    val added = manifest(dir, toV).files.map(_.path).filterNot(before)
-    if (added.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(added: _*)
+    val added = to.files.map(_.path).filterNot(before)
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        to.schema)
+    else spark.read.schema(to.schema).parquet(added: _*)
   }
 
   /** Move CURRENT back to `version` (its manifest must still exist). */

@@ -178,6 +178,61 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(got.length === 50 && got(7) === ((7L, "a7")))
   }
 
+  test("schema evolution: appended column reads as NULL from old files") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 40, "a"), dir, B, bucketOf)
+    val withLang = (40 until 60).map(i => (i.toLong, s"b$i", "en")).toDF("k", "v", "lang")
+    val m2 = SnapshotTable.append(spark, withLang, dir, bucketOf)
+    assert(m2.schema.fieldNames.toSeq === Seq("k", "v", "lang"))
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(got.length === 60)
+    assert(got(5) === ((5L, "a5", None)))       // pre-evolution file -> NULL
+    assert(got(45) === ((45L, "b45", Some("en"))))
+    // time travel to v1 keeps the OLD schema
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("schema evolution: merge with a new column updates old rows in place") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 30, "a"), dir, B, bucketOf)
+    val upd = Seq((7L, "u7", "fr"), (30L, "u30", "fr")).toDF("k", "v", "lang")
+    SnapshotTable.merge(spark, upd, dir, "k", bucketOf)
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got.length === 31)
+    assert(got(7) === ((7L, "u7", Some("fr"))))
+    assert(got(30) === ((30L, "u30", Some("fr"))))
+    assert(got(8) === ((8L, "a8", None)))       // untouched survivor -> NULL
+  }
+
+  test("schema evolution: delta may omit table columns (typed NULLs), type conflicts refuse") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 10, "a"), dir, B, bucketOf)
+    val keysOnly = Seq(100L, 101L).toDF("k")
+    SnapshotTable.append(spark, keysOnly, dir, bucketOf)
+    val got = SnapshotTable.read(spark, dir).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(100L).isEmpty && got(3L).contains("a3"))
+    val badType = Seq((1, "x")).toDF("k", "v") // k INT, table has BIGINT
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, badType, dir, bucketOf)
+    }
+  }
+
+  test("compaction across a schema evolution keeps the manifest schema") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 30, "a"), dir, B, bucketOf)
+    val withLang = (0 until 30).map(i => (i + 100L, s"b$i", "en")).toDF("k", "v", "lang")
+    SnapshotTable.append(spark, withLang, dir, bucketOf)
+    val m = SnapshotTable.compact(spark, dir)
+    assert(m.schema.fieldNames.toSeq === Seq("k", "v", "lang"))
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String, Option[String])].collect()
+    assert(got.length === 60)
+    assert(got.count(_._3.isDefined) === 30)
+  }
+
   test("merge rejects duplicate update keys (upsert needs one row per key)") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 20, "a"), dir, B, bucketOf)
