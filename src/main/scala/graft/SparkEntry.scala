@@ -159,6 +159,29 @@ object SparkEntry {
   private def mixCol(s: SparkSession, c: org.apache.spark.sql.Column) =
     graft.functions.GraftFunctions.splitmixCol(s, c)
 
+  /** Planted link graph shared by q94/q102: each doc links to 3
+    * splitmix-derived targets (low-63-bit mod N); CTEs `docs` + `edges`.
+    */
+  private def plantedEdgesCte: String =
+    s"""docs AS (SELECT doc_id FROM documents),
+       |ex AS (SELECT doc_id, j FROM docs CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
+       |sm AS (SELECT doc_id, j, CAST(doc_id * 7 + j AS HUGEINT) AS sd FROM ex),
+       |${splitmixChain("pe", Seq("doc_id", "j"), "sm", "sd")},
+       |edges AS (SELECT doc_id AS src,
+       |  CAST((z % 9223372036854775808::HUGEINT)
+       |    % CAST((SELECT count(*) FROM docs) AS HUGEINT) AS BIGINT) AS dst
+       |  FROM pe3)""".stripMargin
+
+  /** The Spark side of [[plantedEdgesCte]]. */
+  private def plantedEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    docs.withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
+      .select(col("doc_id").as("src"),
+        pmod(mixCol(s, col("doc_id") * 7 + col("j"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(n)).as("dst"))
+  }
+
   private def probePoints(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders").select(
       col("o_orderkey"),
@@ -1321,16 +1344,15 @@ object SparkEntry {
     // bit-reproducible (float PageRank would hash-diverge on summation
     // order alone). The crawl-quality ranking signal of a training-data
     // pipeline; N comes from one metadata-sized count.
-    "q94_pagerank" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs
-        .withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
-        .select(col("doc_id").as("src"),
-          pmod(mixCol(s, col("doc_id") * 7 + col("j"))
-            .bitwiseAND(lit(Long.MaxValue)), lit(n)).as("dst"))
-      graft.graph.PageRank.ranks(s, edges, iters = 4)
-    }),
+    "q94_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.ranks(s, plantedEdges(s, dir), iters = 4)),
+
+    // HITS hubs/authorities over the same planted graph: L-infinity-
+    // normalized integer power iteration, 3 rounds - the link-analysis
+    // complement of q94's PageRank
+    "q102_hits" -> ((s, dir) =>
+      graft.graph.Hits.hubsAuthorities(s, plantedEdges(s, dir), iters = 3)
+        .select(col("doc_id"), col("h").as("hub"), col("a").as("authority"))),
 
     // positional inverted index - the retrieval primitive: one row per
     // (term, doc) with tf + sorted 0-based positions; narrow posexplode +
@@ -2685,14 +2707,7 @@ object SparkEntry {
            |$out AS (SELECT d.doc_id,
            |  CAST(150000000000 + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS rank
            |  FROM docs d LEFT JOIN c$out c ON c.dst = d.doc_id)""".stripMargin
-      s"""WITH docs AS (SELECT doc_id FROM documents),
-         |ex AS (SELECT doc_id, j FROM docs CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
-         |sm AS (SELECT doc_id, j, CAST(doc_id * 7 + j AS HUGEINT) AS sd FROM ex),
-         |${splitmixChain("h", Seq("doc_id", "j"), "sm", "sd")},
-         |edges AS (SELECT doc_id AS src,
-         |  CAST((z % 9223372036854775808::HUGEINT)
-         |    % CAST((SELECT count(*) FROM docs) AS HUGEINT) AS BIGINT) AS dst
-         |  FROM h3),
+      s"""WITH $plantedEdgesCte,
          |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
          |r0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS rank FROM docs),
          |${round("r0", "r1")},
@@ -2700,6 +2715,30 @@ object SparkEntry {
          |${round("r2", "r3")},
          |${round("r3", "r4")}
          |SELECT doc_id, rank FROM r4""".stripMargin
+    },
+
+    // q102 — same planted edges; three HITS rounds, each half-step a
+    // join+groupBy then L-infinity rescale to 1e6 by integer floor
+    // division against the round's scalar max
+    "q102_hits" -> {
+      def half(prev: String, prevCol: String, joinCol: String,
+          groupCol: String, out: String, outCol: String): String =
+        s"""${out}raw AS (SELECT e.$groupCol AS doc_id, sum(p.$prevCol) AS v
+           |  FROM edges e JOIN $prev p ON p.doc_id = e.$joinCol GROUP BY 1),
+           |$out AS (SELECT n.doc_id,
+           |  CAST(COALESCE(r.v, 0) * 1000000 // (SELECT max(v) FROM ${out}raw) AS BIGINT) AS $outCol
+           |  FROM nodes n LEFT JOIN ${out}raw r ON r.doc_id = n.doc_id)""".stripMargin
+      s"""WITH $plantedEdgesCte,
+         |nodes AS (SELECT src AS doc_id FROM edges UNION SELECT dst FROM edges),
+         |a0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS a FROM nodes),
+         |${half("a0", "a", "dst", "src", "h1", "h")},
+         |${half("h1", "h", "src", "dst", "a1", "a")},
+         |${half("a1", "a", "dst", "src", "h2", "h")},
+         |${half("h2", "h", "src", "dst", "a2", "a")},
+         |${half("a2", "a", "dst", "src", "h3", "h")},
+         |${half("h3", "h", "src", "dst", "a3", "a")}
+         |SELECT h3.doc_id, h3.h AS hub, a3.a AS authority
+         |FROM h3 JOIN a3 ON a3.doc_id = h3.doc_id""".stripMargin
     },
 
     // q95 — parallel unnest of the filtered token list and its index

@@ -59,3 +59,48 @@ object PageRank {
     rank
   }
 }
+
+/** HITS hubs & authorities (Kleinberg, JACM 1999) in integer arithmetic:
+  * h(u) = Σ_{u→v} a(v), a(v) = Σ_{u→v} h(u), each vector rescaled after
+  * every half-step to max = `scale` by integer floor division — the
+  * L∞-normalized power iteration, deterministic where float L2
+  * normalization would hash-diverge. The per-round maxima are ONE
+  * metadata-sized scalar aggregate each (the same cost class as an
+  * Iceberg stats read); each half-step is one equi-join + one groupBy —
+  * the PageRank round shape. Vectors persist per round so iteration k
+  * doesn't recompute the whole lineage k times.
+  */
+object Hits {
+
+  /** (doc_id, hub, authority) after `iters` rounds over `edges`
+    * (columns src, dst; multi-edges count multiply). Nodes outside any
+    * edge of the relevant direction score 0.
+    */
+  def hubsAuthorities(spark: SparkSession, edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var auth = nodes.withColumn("a", lit(scale))
+    var hub = nodes.withColumn("h", lit(scale))
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val mx = raw.agg(max("v")).first().getLong(0)
+      require(mx > 0, "HITS needs at least one edge")
+      nodes.join(raw, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(s"coalesce(v, 0L) * ${scale}L div ${mx}L").as(outCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    for (_ <- 0 until iters) {
+      hub = normalized(
+        e.join(auth.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(sum("a").as("v")), "h")
+      auth = normalized(
+        e.join(hub.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id")).agg(sum("h").as("v")), "a")
+    }
+    hub.join(auth, Seq("doc_id"))
+  }
+}

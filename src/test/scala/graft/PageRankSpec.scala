@@ -45,6 +45,18 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(3L) == 150000000000L + (third * 85L) / 100L)
   }
 
+  test("HITS: hand-computed hubs/authorities with L-inf integer rescale") {
+    // 1->3, 2->3, 3->4: 1,2 are pure hubs; 3 is the top authority AND a
+    // weaker hub; 4 is a pure (weaker) authority
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = graft.graph.Hits.hubsAuthorities(spark, edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1000000L, 0L)))
+    assert(r(2L) == ((1000000L, 0L)))
+    assert(r(3L) == ((500000L, 1000000L)))
+    assert(r(4L) == ((0L, 250000L)))
+  }
+
   test("result is identical under different partition layouts") {
     val edges = (0L until 300L).flatMap(i =>
       Seq((i, (i * 7 + 3) % 300), (i, (i * i + 1) % 300)))
