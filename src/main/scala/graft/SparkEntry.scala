@@ -172,10 +172,19 @@ object SparkEntry {
        |    % CAST((SELECT count(*) FROM docs) AS HUGEINT) AS BIGINT) AS dst
        |  FROM pe3)""".stripMargin
 
-  /** The Spark side of [[plantedEdgesCte]]. */
+  /** The Spark side of [[plantedEdgesCte]]. dst = hash mod N is only a
+    * valid doc_id when doc_ids are contiguous 0..N-1 — the oracle derives
+    * its node set from `docs` while PageRank/HITS derive theirs from the
+    * edges, and contiguity is what makes the two sets equal. Checked, not
+    * assumed (one metadata-sized agg).
+    */
   private def plantedEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select(col("doc_id"))
-    val n = docs.count()
+    val st = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).first()
+    val n = st.getLong(0)
+    require(st.getLong(1) == 0L && st.getLong(2) == n - 1,
+      s"planted graph needs contiguous doc_id 0..${n - 1}, " +
+        s"got [${st.getLong(1)}, ${st.getLong(2)}]")
     docs.withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
       .select(col("doc_id").as("src"),
         pmod(mixCol(s, col("doc_id") * 7 + col("j"))
@@ -2745,7 +2754,7 @@ object SparkEntry {
     // range replays posexplode's positions exactly
     "q95_inverted_index" ->
       """WITH tok AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(ws) AS term,
         |        unnest(range(len(ws))) AS pos FROM tok)
@@ -2756,7 +2765,7 @@ object SparkEntry {
     // present in every word's posting set
     "q96_phrase_search" ->
       """WITH tok AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(ws) AS term,
         |        unnest(range(len(ws))) AS pos FROM tok),
@@ -2771,7 +2780,7 @@ object SparkEntry {
     // floor-scaled by 1e6, per-term scores summed exactly
     "q97_bm25" ->
       """WITH tok AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
         |  FROM documents),
         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS d, count(*) AS n FROM dl),

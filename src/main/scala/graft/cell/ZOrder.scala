@@ -59,12 +59,17 @@ object ZOrder {
     * as [[CellIndex]] / the q11 oracle).
     */
   def cellXCol(lon: Column, res: Int): Column = {
+    // res > 16 would exceed spread's 16-bit mask: coords would WRAP, and
+    // wrapped z keys break the corner-monotonicity pruning relies on —
+    // silently dropping rows, the one failure a guard must make loud
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
     val n = (1L << res).toDouble
     least(greatest(floor((lon + lit(180.0)) / lit(360.0) * lit(n)).cast("long"),
       lit(0L)), lit((1L << res) - 1L))
   }
 
   def cellYCol(lat: Column, res: Int): Column = {
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
     val n = (1L << res).toDouble
     least(greatest(floor((lat + lit(90.0)) / lit(180.0) * lit(n)).cast("long"),
       lit(0L)), lit((1L << res) - 1L))

@@ -46,7 +46,10 @@ object PolyOverlap {
     graft.functions.GraftFunctions.register(spark)
     // the cover flatMap (a ray-cast of every bbox cell against the rings)
     // feeds BOTH sides of the self-join; persisted so it runs once, not
-    // twice (same policy as BoundaryExtract's two-subtree persists)
+    // twice (measured: ReuseExchange does NOT canonicalize the two aliased
+    // typed-flatMap subtrees together). The candidate pairs — the bounded
+    // stage output — are materialized eagerly so the big cover cache can
+    // be RELEASED before returning; only pair-sized blocks stay cached.
     val cells = polys.flatMap(p =>
       CellIndex.cover(p.rings, res, maxCells).map(c => (c, p.relation_id)))
       .toDF("cell", "id")
@@ -57,6 +60,9 @@ object PolyOverlap {
       .select(col("id_a"), col("id_b"))
       .distinct()
       .observe("graft_poly_overlap", count(lit(1)).as("candidate_pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count(): Unit // fills the pair cache (one extra bounded action)
+    cells.unpersist()
     val rings = polys.map(p => (p.relation_id, p.rings)).toDF("rid", "rings")
     val ringsDf = if (broadcastRings) broadcast(rings) else rings
     cand

@@ -49,11 +49,18 @@ object PageRank {
         .join(outdeg, Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
+      // floor(s·d) computed as (s div den)·num + ((s mod den)·num) div den —
+      // identical value (s = q·den + r ⇒ floor(s·num/den) = q·num +
+      // floor(r·num/den)), but the only product is r·num < den·num, so the
+      // damping step can never wrap even when s is near Long range; the
+      // remaining bound is the contribution SUM itself: N·scale < 2^63
+      // (choose scale accordingly for graphs past ~9e6 nodes at 1e12)
       rank = nodes
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (lit(base) +
-            expr(s"coalesce(in_sum, CAST(0 AS BIGINT)) * $dampNum div $dampDen"))
+          (lit(base) + expr(
+            s"(coalesce(in_sum, 0L) div ${dampDen}L) * ${dampNum}L" +
+              s" + ((coalesce(in_sum, 0L) % ${dampDen}L) * ${dampNum}L) div ${dampDen}L"))
             .as("rank"))
     }
     rank
@@ -84,23 +91,34 @@ object Hits {
       .union(e.select(col("dst").as("doc_id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var auth = nodes.withColumn("a", lit(scale))
-    var hub = nodes.withColumn("h", lit(scale))
+    var hub: DataFrame = null // assigned on round 1 (auth alone seeds HITS)
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
-      val mx = raw.agg(max("v")).first().getLong(0)
-      require(mx > 0, "HITS needs at least one edge")
+      val row = raw.agg(max("v")).first()
+      require(!row.isNullAt(0) && row.getLong(0) > 0, "HITS needs at least one edge")
+      val mx = row.getLong(0)
+      // overflow-safe rescale, same split-multiply identity as PageRank's
+      // damping: the only product is (v mod mx)·scale < mx·scale
       nodes.join(raw, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          expr(s"coalesce(v, 0L) * ${scale}L div ${mx}L").as(outCol))
+          expr(s"(coalesce(v, 0L) div ${mx}L) * ${scale}L" +
+            s" + ((coalesce(v, 0L) % ${mx}L) * ${scale}L) div ${mx}L").as(outCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     for (_ <- 0 until iters) {
+      val (prevHub, prevAuth) = (hub, auth)
       hub = normalized(
         e.join(auth.withColumnRenamed("doc_id", "dst"), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(sum("a").as("v")), "h")
       auth = normalized(
         e.join(hub.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id")).agg(sum("h").as("v")), "a")
+      // this round's max jobs have materialized the new caches; release
+      // the previous round's (a cold recompute would fall back to lineage)
+      if (prevHub != null) prevHub.unpersist()
+      prevAuth.unpersist()
     }
-    hub.join(auth, Seq("doc_id"))
+    val out = hub.join(auth, Seq("doc_id"))
+    nodes.unpersist()
+    out
   }
 }

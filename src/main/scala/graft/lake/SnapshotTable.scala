@@ -66,7 +66,11 @@ object SnapshotTable {
           s"$op: column '${pf.name}' arrives as ${d.dataType}, table has ${pf.dataType}")
       }
     }
-    StructType(parent ++ delta.filterNot(f => parent.exists(_.name == f.name)))
+    // added columns are ALWAYS nullable: every pre-evolution file reads
+    // them as NULL, so recording the delta's NOT NULL would be a lie the
+    // empty-snapshot path and external DDL consumers would act on
+    StructType(parent ++ delta.filterNot(f => parent.exists(_.name == f.name))
+      .map(_.copy(nullable = true)))
   }
 
   /** Project `df` onto `schema`: missing columns become typed NULLs. */
@@ -184,6 +188,8 @@ object SnapshotTable {
     */
   def merge(spark: SparkSession, updates: DataFrame, dir: String,
       keyCol: String, bucketOf: Column): Manifest = {
+    require(updates.columns.contains(keyCol),
+      s"merge updates lack the key column '$keyCol' (have ${updates.columns.mkString(", ")})")
     val parent = manifest(dir, currentVersion(dir))
     val v = parent.version + 1
     val schema = evolve(parent.schema, updates.schema, "merge")

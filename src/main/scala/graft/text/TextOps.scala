@@ -555,9 +555,10 @@ object TextOps {
     *
     * Scale shape: tf is a term-filtered narrow explode + one groupBy; df
     * is a groupBy of that bounded tf table; D and n are ONE metadata-
-    * sized scalar aggregate collected up front. Long arithmetic holds to
-    * ~1e12 total corpus tokens; past that the scaled products need
-    * DECIMAL — stated, not hidden.
+    * sized scalar aggregate collected up front. Long arithmetic holds
+    * while D·tf < 2^63 / 2.2e7 ≈ 4.2e11 (the 1e6·22·D·tf product) —
+    * roughly 4e11 total corpus tokens at small tf; past that the scaled
+    * products need DECIMAL — stated, not hidden.
     */
   def bm25(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String],
       textCol: String = "text"): DataFrame = {
