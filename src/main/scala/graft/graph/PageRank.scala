@@ -71,17 +71,23 @@ object PageRank {
   * h(u) = Σ_{u→v} a(v), a(v) = Σ_{u→v} h(u), each vector rescaled after
   * every half-step to max = `scale` by integer floor division — the
   * L∞-normalized power iteration, deterministic where float L2
-  * normalization would hash-diverge. The per-round maxima are ONE
-  * metadata-sized scalar aggregate each (the same cost class as an
-  * Iceberg stats read); each half-step is one equi-join + one groupBy —
-  * the PageRank round shape. Vectors persist per round so iteration k
-  * doesn't recompute the whole lineage k times.
+  * normalization would hash-diverge. Each half-step is one equi-join +
+  * one groupBy (the PageRank round shape); the rescale divisor arrives
+  * as a BROADCAST one-row aggregate joined into the half-step — no
+  * driver-side scalar reads. Each half-step's raw sums are eagerly
+  * lineage-cut (`localCheckpoint(true)`, the same per-round policy as
+  * [[graft.dedup.Dedup.starContraction]]): the rescale references the
+  * raw frame TWICE (left join + max aggregate), so an uncut plan tree
+  * doubles per half-step and analysis time grows 2^rounds — with the cut
+  * it is constant-size, one node-sized checkpoint per half-step. (On a
+  * cluster with unreliable executors, swap for reliable checkpoint().)
   */
 object Hits {
 
   /** (doc_id, hub, authority) after `iters` rounds over `edges`
     * (columns src, dst; multi-edges count multiply). Nodes outside any
-    * edge of the relevant direction score 0.
+    * edge of the relevant direction score 0; an empty edge set yields an
+    * empty result (the node universe is empty).
     */
   def hubsAuthorities(spark: SparkSession, edges: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame = {
@@ -89,36 +95,26 @@ object Hits {
     val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("doc_id"))
       .union(e.select(col("dst").as("doc_id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var auth = nodes.withColumn("a", lit(scale))
     var hub: DataFrame = null // assigned on round 1 (auth alone seeds HITS)
-    def normalized(raw: DataFrame, outCol: String): DataFrame = {
-      val row = raw.agg(max("v")).first()
-      require(!row.isNullAt(0) && row.getLong(0) > 0, "HITS needs at least one edge")
-      val mx = row.getLong(0)
+    def normalized(raw0: DataFrame, outCol: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
       // overflow-safe rescale, same split-multiply identity as PageRank's
       // damping: the only product is (v mod mx)·scale < mx·scale
       nodes.join(raw, Seq("doc_id"), "left")
+        .crossJoin(broadcast(raw.agg(max("v").as("mx"))))
         .select(col("doc_id"),
-          expr(s"(coalesce(v, 0L) div ${mx}L) * ${scale}L" +
-            s" + ((coalesce(v, 0L) % ${mx}L) * ${scale}L) div ${mx}L").as(outCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          expr(s"(coalesce(v, 0L) div mx) * ${scale}L" +
+            s" + ((coalesce(v, 0L) % mx) * ${scale}L) div mx").as(outCol))
     }
     for (_ <- 0 until iters) {
-      val (prevHub, prevAuth) = (hub, auth)
       hub = normalized(
         e.join(auth.withColumnRenamed("doc_id", "dst"), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(sum("a").as("v")), "h")
       auth = normalized(
         e.join(hub.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id")).agg(sum("h").as("v")), "a")
-      // this round's max jobs have materialized the new caches; release
-      // the previous round's (a cold recompute would fall back to lineage)
-      if (prevHub != null) prevHub.unpersist()
-      prevAuth.unpersist()
     }
-    val out = hub.join(auth, Seq("doc_id"))
-    nodes.unpersist()
-    out
+    hub.join(auth, Seq("doc_id"))
   }
 }
