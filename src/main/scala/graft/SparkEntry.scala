@@ -1363,6 +1363,29 @@ object SparkEntry {
       graft.graph.Hits.hubsAuthorities(s, plantedEdges(s, dir), iters = 3)
         .select(col("doc_id"), col("h").as("hub"), col("a").as("authority"))),
 
+    // trigram-indexed regex search (Cox 2012 / Google Code Search): the
+    // inverted trigram index prunes to candidates containing ALL required
+    // trigrams of the pattern's literal segments; the exact regex runs on
+    // candidates only - the result is DEFINED by the regex, the index
+    // only prunes (so it can never be wrong, only slow)
+    "q103_trigram_search" -> ((s, dir) =>
+      graft.text.Trigram.search(s, table(s, dir, "documents"), TrigramPattern)),
+
+    // shingle CONTAINMENT (Broder 1997): inter/min(|SA|,|SB|) >= 8/10 over
+    // distinct 5-shingles via the inverted-index join with a hot-bucket
+    // cap - catches the asymmetric quote-embedding duplication Jaccard
+    // structurally misses; planted wrapper docs embed originals whole
+    "q104_containment" -> ((s, dir) =>
+      graft.dedup.Containment.containedPairs(s, docsWithQuotedDups(s, dir))),
+
+    // sorted-neighborhood dedup (Hernandez & Stolfo 1995): global ranks
+    // from a range exchange + driver-cumsum partition offsets, in-window
+    // pairs as a rank equi-join (boundary pairs fall out for free), exact
+    // levenshtein verify - the no-global-sort, O(w*N)-verify plan
+    "q105_snm_pairs" -> ((s, dir) =>
+      graft.dedup.Snm.neighborPairs(s, docsWithPlantedDups(s, dir),
+        substring(col("text"), 1, 32), w = 4, maxDist = 16)),
+
     // positional inverted index - the retrieval primitive: one row per
     // (term, doc) with tf + sorted 0-based positions; narrow posexplode +
     // one bounded groupBy
@@ -1579,6 +1602,25 @@ object SparkEntry {
     * two parquet scans per pass where this pays one. Same rows either way
     * (the DuckDB oracle keeps the UNION spelling).
     */
+  /** q103's pattern — one constant so the Spark query and the oracle's
+    * required-trigram list can never drift apart.
+    */
+  private val TrigramPattern = "merge batch.*part"
+
+  /** Planted CONTAINMENT dups (q104): every 10th doc also appears quoted
+    * whole inside a wrapper doc — containment(orig, wrapper) = 1 while
+    * Jaccard stays low when the wrapper grows.
+    */
+  private def docsWithQuotedDups(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(when(col("doc_id") % 10 === 0,
+          array(struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 300000L).as("doc_id"),
+              concat(lit("quoted wrapper begins "), col("text"),
+                lit(" wrapper ends here now")).as("text"))))
+        .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+
   private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(explode(when(col("doc_id") % 10 === 0,
@@ -2749,6 +2791,64 @@ object SparkEntry {
          |SELECT h3.doc_id, h3.h AS hub, a3.a AS authority
          |FROM h3 JOIN a3 ON a3.doc_id = h3.doc_id""".stripMargin
     },
+
+    // q103 — full pipeline replay: distinct char trigrams, candidates
+    // holding ALL required trigrams (list generated from the SAME
+    // pattern constant), then the exact regex (identical unanchored
+    // search semantics, pattern restricted to the Java∩RE2 charset)
+    "q103_trigram_search" -> {
+      val grams = graft.text.Trigram.requiredTrigrams(TrigramPattern)
+      val inList = grams.map(g => s"'$g'").mkString(", ")
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(text)-1),
+         |    i -> text[i:i+2]))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |cand AS (
+         |  SELECT doc_id FROM tg WHERE g IN ($inList)
+         |  GROUP BY doc_id HAVING count(*) = ${grams.size})
+         |SELECT d.doc_id FROM documents d JOIN cand USING (doc_id)
+         |WHERE regexp_matches(d.text, '$TrigramPattern')""".stripMargin
+    },
+
+    // q104 — identical planted wrapper docs, identical md5 5-shingles
+    // (inclusive list slice [i:i+4] ≡ slice(toks,i,5)), the same
+    // 2..64 bucket cap, and the same integer 8/10 threshold
+    "q104_containment" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'quoted wrapper begins ' || text || ' wrapper ends here now'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 3, 2)),
+        |    i -> md5(array_to_string((string_split(text,' '))[i:i+4], ' '))))) AS g
+        |  FROM docs2),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        |ok AS (SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b USING (g) JOIN ok USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.nsh AS n_a, sb.nsh AS n_b
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter * 10 >= least(sa.nsh, sb.nsh) * 8""".stripMargin,
+
+    // q105 — the same total order (32-char blocking prefix, id tiebreak)
+    // via one global row_number, pairs within rank distance w-1 = 3,
+    // identical classic levenshtein in both engines
+    "q105_snm_pairs" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+        |r AS (SELECT doc_id, text,
+        |  row_number() OVER (ORDER BY substring(text, 1, 32), doc_id) AS rk FROM docs2),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 16""".stripMargin,
 
     // q95 — parallel unnest of the filtered token list and its index
     // range replays posexplode's positions exactly
