@@ -1363,6 +1363,13 @@ object SparkEntry {
       graft.graph.Hits.hubsAuthorities(s, plantedEdges(s, dir), iters = 3)
         .select(col("doc_id"), col("h").as("hub"), col("a").as("authority"))),
 
+    // exact triangle enumeration with degree-ordered orientation (the
+    // "last reducer" fix: wedge fan-out bounded O(sqrt(m)) per node) over
+    // the planted graph plus a planted clique - the random 3-out graph
+    // alone is triangle-free w.h.p., the clique plants C(k,3) knowns
+    "q106_triangles" -> ((s, dir) =>
+      graft.graph.Triangles.perNode(s, plantedTriEdges(s, dir))),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -1602,6 +1609,19 @@ object SparkEntry {
     * two parquet scans per pass where this pays one. Same rows either way
     * (the DuckDB oracle keeps the UNION spelling).
     */
+  /** q106's edge set: the planted 3-out graph PLUS a clique over every
+    * 50th doc. The planted clique is definitionally quadratic — it is
+    * test scaffolding (k = N/50 nodes), not an engine path; the
+    * inequality self-join broadcast-nested-loops the k-row side.
+    */
+  private def plantedTriEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 50 === 0)
+    val cl = ids.select(col("doc_id").as("src"))
+      .join(ids.select(col("doc_id").as("dst")), col("src") < col("dst"))
+    plantedEdges(s, dir).unionByName(cl)
+  }
+
   /** q103's pattern — one constant so the Spark query and the oracle's
     * required-trigram list can never drift apart.
     */
@@ -2790,6 +2810,23 @@ object SparkEntry {
          |${half("h3", "h", "src", "dst", "a3", "a")}
          |SELECT h3.doc_id, h3.h AS hub, a3.a AS authority
          |FROM h3 JOIN a3 ON a3.doc_id = h3.doc_id""".stripMargin
+    },
+
+    // q106 — same planted edges + clique; triangles found once each via
+    // the a<b<c three-way join over the canonical simple edge set (the
+    // orientation trick changes the join ORDER, never the triangle set)
+    "q106_triangles" -> {
+      s"""WITH $plantedEdgesCte,
+         |cl AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM docs a, docs b
+         |       WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 0 AND a.doc_id < b.doc_id),
+         |alle AS (SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM cl),
+         |canon AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |          FROM alle WHERE src <> dst),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM canon e1 JOIN canon e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+         |        JOIN canon e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         |pn AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_tri FROM pn GROUP BY 1""".stripMargin
     },
 
     // q103 — full pipeline replay: distinct char trigrams, candidates

@@ -67,4 +67,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.size == 300)
   }
+
+  test("triangles: two triangles sharing an edge, hand-counted") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 sit in both; 5 dangles
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = graft.graph.Triangles.perNode(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: direction, multi-edges and self-loops are erased") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 1L), (2L, 3L), (1L, 3L),
+      (3L, 3L)).toDF("src", "dst")
+    val r = graft.graph.Triangles.perNode(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: K6 clique gives each node C(5,2) = 10 triangles") {
+    val edges = (for {
+      i <- 0 until 6; j <- (i + 1) until 6
+    } yield (i.toLong, j.toLong)).toDF("src", "dst")
+    val r = graft.graph.Triangles.perNode(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 6 && r.values.forall(_ == 10L))
+  }
 }
