@@ -1370,6 +1370,17 @@ object SparkEntry {
     "q106_triangles" -> ((s, dir) =>
       graft.graph.Triangles.perNode(s, plantedTriEdges(s, dir))),
 
+    // exact per-group convex hull (extreme points, strict monotone
+    // chain): two-level reduction - partial hulls per (grp, salt) bucket
+    // after ONE hash exchange, then the exact hull of the partial hull
+    // points; hull(S) = hull(hull(S1) u ... u hull(Sk)) makes it exact
+    "q107_convex_hull" -> ((s, dir) =>
+      graft.geom.Hull.extremePoints(s,
+        table(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") % 4).as("grp"),
+            (abs(col("o_orderkey") * 9973 + 12345) % 2000001 - 1000000).as("x"),
+            (abs(col("o_orderkey") * 7919 + 54321) % 2000001 - 1000000).as("y")))),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -2828,6 +2839,43 @@ object SparkEntry {
          |pn AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
          |SELECT doc_id, count(*) AS n_tri FROM pn GROUP BY 1""".stripMargin
     },
+
+    // q107 — the extreme-point definition verified from first principles
+    // via Caratheodory in 2D: p is NOT extreme iff it lies in a
+    // nondegenerate triangle of three OTHER group points (inclusive,
+    // orientation-robust sign test) or on a segment between two others.
+    // All integer cross products - no epsilon anywhere
+    "q107_convex_hull" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT o_orderkey % 4 AS grp,
+        |    abs(o_orderkey*9973+12345) % 2000001 - 1000000 AS x,
+        |    abs(o_orderkey*7919+54321) % 2000001 - 1000000 AS y
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT g.grp, g.x, g.y FROM pts g
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts a, pts b, pts c
+        |  WHERE a.grp = g.grp AND b.grp = g.grp AND c.grp = g.grp
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |    AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+        |    AND NOT (a.x = g.x AND a.y = g.y) AND NOT (b.x = g.x AND b.y = g.y)
+        |    AND NOT (c.x = g.x AND c.y = g.y)
+        |    AND (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+        |    AND NOT (
+        |      (((b.x-a.x)*(g.y-a.y) - (b.y-a.y)*(g.x-a.x) < 0) OR
+        |       ((c.x-b.x)*(g.y-b.y) - (c.y-b.y)*(g.x-b.x) < 0) OR
+        |       ((a.x-c.x)*(g.y-c.y) - (a.y-c.y)*(g.x-c.x) < 0))
+        |      AND
+        |      (((b.x-a.x)*(g.y-a.y) - (b.y-a.y)*(g.x-a.x) > 0) OR
+        |       ((c.x-b.x)*(g.y-b.y) - (c.y-b.y)*(g.x-b.x) > 0) OR
+        |       ((a.x-c.x)*(g.y-c.y) - (a.y-c.y)*(g.x-c.x) > 0))))
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM pts a, pts b
+        |  WHERE a.grp = g.grp AND b.grp = g.grp
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |    AND NOT (a.x = g.x AND a.y = g.y) AND NOT (b.x = g.x AND b.y = g.y)
+        |    AND (b.x-a.x)*(g.y-a.y) = (b.y-a.y)*(g.x-a.x)
+        |    AND least(a.x,b.x) <= g.x AND g.x <= greatest(a.x,b.x)
+        |    AND least(a.y,b.y) <= g.y AND g.y <= greatest(a.y,b.y))""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME
