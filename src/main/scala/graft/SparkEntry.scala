@@ -1381,6 +1381,15 @@ object SparkEntry {
             (abs(col("o_orderkey") * 9973 + 12345) % 2000001 - 1000000).as("x"),
             (abs(col("o_orderkey") * 7919 + 54321) % 2000001 - 1000000).as("y")))),
 
+    // integer Sobel edge energy per image - the detail/blur quality
+    // signal: decode the REAL binary column through graft's own codecs,
+    // BT.601 integer grayscale, 3x3 Sobel on interior pixels; narrow
+    // mapPartitions, no shuffle. Driver-oracled bit-exactly from the
+    // synthetic pixel formula
+    "q108_sobel_energy" -> ((s, dir) =>
+      graft.img.ImageOps.sobelStats(s,
+        graft.img.ImageTable.generate(s, 500, 16).toDF())),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -2876,6 +2885,43 @@ object SparkEntry {
         |    AND (b.x-a.x)*(g.y-a.y) = (b.y-a.y)*(g.x-a.x)
         |    AND least(a.x,b.x) <= g.x AND g.x <= greatest(a.x,b.x)
         |    AND least(a.y,b.y) <= g.y AND g.y <= greatest(a.y,b.y))""".stripMargin,
+
+    // q108 — the whole pipeline replayed relationally: dims + unsigned
+    // splitmix hash from the shared CTE, the banded-gradient pixel
+    // formula per (x, y), grayscale floor division, and the Sobel pair
+    // as 8 equi-joins on neighbor coordinates. Every value integer —
+    // energy/gmax are bit-exact, not approximate
+    "q108_sobel_energy" ->
+      s"""WITH ${splitmixDimsCtes(500)},
+         |hv AS (SELECT i, w, h,
+         |    CAST(hz % 256 AS BIGINT) AS hr,
+         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
+         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
+         |  FROM (SELECT i, w, h,
+         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
+         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
+         |px AS (SELECT i, w, h, x, unnest(range(h)) AS y,
+         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
+         |  FROM t1),
+         |sob AS (
+         |  SELECT p.i, p.w, p.h,
+         |    (ne.g + 2*e.g + se.g - nw.g - 2*w_.g - sw.g) AS gx,
+         |    (sw.g + 2*s_.g + se.g - nw.g - 2*n_.g - ne.g) AS gy
+         |  FROM px p
+         |  JOIN px nw ON nw.i = p.i AND nw.x = p.x-1 AND nw.y = p.y-1
+         |  JOIN px n_ ON n_.i = p.i AND n_.x = p.x   AND n_.y = p.y-1
+         |  JOIN px ne ON ne.i = p.i AND ne.x = p.x+1 AND ne.y = p.y-1
+         |  JOIN px w_ ON w_.i = p.i AND w_.x = p.x-1 AND w_.y = p.y
+         |  JOIN px e  ON e.i  = p.i AND e.x  = p.x+1 AND e.y  = p.y
+         |  JOIN px sw ON sw.i = p.i AND sw.x = p.x-1 AND sw.y = p.y+1
+         |  JOIN px s_ ON s_.i = p.i AND s_.x = p.x   AND s_.y = p.y+1
+         |  JOIN px se ON se.i = p.i AND se.x = p.x+1 AND se.y = p.y+1
+         |  WHERE p.x BETWEEN 1 AND p.w-2 AND p.y BETWEEN 1 AND p.h-2)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CAST(sum(abs(gx)+abs(gy)) AS BIGINT) AS energy,
+         |  CAST(max(abs(gx)+abs(gy)) AS BIGINT) AS gmax
+         |FROM sob GROUP BY 1, 2, 3""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME

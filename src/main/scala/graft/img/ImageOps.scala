@@ -79,4 +79,63 @@ object ImageOps {
     }
     out
   }
+
+  /** Integer Sobel gradient stats for one image: grayscale by the
+    * BT.601 integer weights (r·299 + g·587 + b·114) div 1000 (floor —
+    * exact, no float), then the 3×3 Sobel pair on INTERIOR pixels;
+    * returns (Σ(|gx|+|gy|), max(|gx|+|gy|)). The edge-energy signal an
+    * image-quality filter ranks with (flat/blank images score ~0,
+    * detailed ones high) — pure integer, so it replays bit-exactly in
+    * SQL from the synthetic pixel formula.
+    */
+  def sobelEnergy(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    var energy = 0L
+    var gmax = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        @inline def g(xx: Int, yy: Int) = gray(yy * w + xx)
+        val gx = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+        val gy = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+        val m = math.abs(gx).toLong + math.abs(gy).toLong
+        energy += m
+        if (m > gmax) gmax = m
+        x += 1
+      }
+      y += 1
+    }
+    (energy, gmax)
+  }
+
+  /** (image_id, w, h, energy, gmax) per image: decode the binary column
+    * with graft's own codecs, then [[sobelEnergy]]. Narrow mapPartitions
+    * over (id, bytes) — no shuffle, the 100 TB shape of every per-image
+    * feature extractor in this repo.
+    */
+  def sobelStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (energy, gmax) = sobelEnergy(px, w, h)
+          (id, w, h, energy, gmax)
+        }
+      }
+      .toDF("image_id", "w", "h", "energy", "gmax")
+  }
 }

@@ -45,4 +45,32 @@ class ImageOpsSpec extends AnyFunSuite {
       assert(c(y * 5 + x) == px((3 + y) * w + 2 + x))
     intercept[IllegalArgumentException](ImageOps.crop(px, w, h, w - 2, 0, 5, 2))
   }
+
+  test("sobelEnergy: flat image scores zero, step edge hand-computed") {
+    val flat = Array.fill(25)(0x808080)
+    assert(ImageOps.sobelEnergy(flat, 5, 5) == ((0L, 0L)))
+    // 5x5, left two columns black, right three white: gray = 0 | 255.
+    // Interior: x=1 sees the edge with gx = 255*4 = 1020, x=2 also
+    // (its x-1 is black), x=3 is all-white; gy = 0 everywhere
+    val step = Array.tabulate(25)(k => if (k % 5 < 2) 0 else 0xFFFFFF)
+    val (e, m) = ImageOps.sobelEnergy(step, 5, 5)
+    assert(m == 1020L)
+    assert(e == 3L * 2L * 1020L) // 3 interior rows x 2 edge-adjacent columns
+  }
+
+  test("sobelEnergy over decoded bytes equals sobelEnergy over raw pixels") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val got = ImageOps.sobelStats(spark,
+        graft.img.ImageTable.generate(spark, 6, 2).toDF())
+      .as[(String, Int, Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    (0L until 6L).foreach { i =>
+      val w = graft.img.ImageTable.widthOf(i)
+      val h = graft.img.ImageTable.heightOf(i)
+      val (e, m) = ImageOps.sobelEnergy(
+        graft.img.ImageTable.renderPixels(i, w, h), w, h)
+      assert(got(f"img_$i%09d") == ((w, h, e, m)))
+    }
+  }
 }
