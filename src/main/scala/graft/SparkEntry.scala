@@ -1390,6 +1390,13 @@ object SparkEntry {
       graft.img.ImageOps.sobelStats(s,
         graft.img.ImageTable.generate(s, 500, 16).toDF())),
 
+    // grid-density spatial clustering (DBSCAN-lite): occupied res-7 cells
+    // merge through Chebyshev-1 adjacency (kRing semantics: x wraps the
+    // antimeridian) via connected components; corpus scanned twice, the
+    // cluster graph is GRID-sized - never a point-pairwise anything
+    "q109_grid_cluster" -> ((s, dir) =>
+      graft.cell.GridCluster.clusters(s, probePoints(s, dir), res = 7)),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -2922,6 +2929,29 @@ object SparkEntry {
          |  CAST(sum(abs(gx)+abs(gy)) AS BIGINT) AS energy,
          |  CAST(max(abs(gx)+abs(gy)) AS BIGINT) AS gmax
          |FROM sob GROUP BY 1, 2, 3""".stripMargin,
+
+    // q109 — same probe->cell arithmetic as q11 at res 7 (128-cell axes),
+    // occupied-cell adjacency with the antimeridian wrap (|dx| <= 1 OR
+    // |dx| = 127), reachability fixpoint (q51 style), min-id labels
+    "q109_grid_cluster" ->
+      s"""WITH RECURSIVE pts AS ($probeSql),
+         |pc AS (SELECT o_orderkey,
+         |  LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*128.0) AS BIGINT), 0), 127) AS cx,
+         |  LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*128.0) AS BIGINT), 0), 127) AS cy
+         |  FROM pts),
+         |cells AS (SELECT DISTINCT cx, cy FROM pc),
+         |ids AS (SELECT cx, cy, 7*288230376151711744 + cx*536870912 + cy AS id FROM cells),
+         |und AS (SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
+         |        ON (abs(a.cx-b.cx) <= 1 OR abs(a.cx-b.cx) = 127) AND abs(a.cy-b.cy) <= 1),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM ids
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM walk GROUP BY id),
+         |pcell AS (SELECT o_orderkey,
+         |  7*288230376151711744 + cx*536870912 + cy AS id FROM pc)
+         |SELECT c.cluster, count(DISTINCT p.id) AS n_cells, count(*) AS n_points
+         |FROM pcell p JOIN comp c ON c.id = p.id GROUP BY 1""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME
