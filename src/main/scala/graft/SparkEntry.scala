@@ -1397,6 +1397,13 @@ object SparkEntry {
     "q109_grid_cluster" -> ((s, dir) =>
       graft.cell.GridCluster.clusters(s, probePoints(s, dir), res = 7)),
 
+    // multi-resolution heatmap pyramid: ONE corpus groupBy at the finest
+    // level, then each coarser level aggregates the grid-sized previous
+    // level by integer cell halving (floor composition makes every level
+    // exact) - aggregate the aggregate, never re-scan the corpus
+    "q110_heatmap_pyramid" -> ((s, dir) =>
+      graft.cell.Heatmap.pyramid(s, probePoints(s, dir), res = 7)),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -2952,6 +2959,20 @@ object SparkEntry {
          |  7*288230376151711744 + cx*536870912 + cy AS id FROM pc)
          |SELECT c.cluster, count(DISTINCT p.id) AS n_cells, count(*) AS n_points
          |FROM pcell p JOIN comp c ON c.id = p.id GROUP BY 1""".stripMargin,
+
+    // q110 — every level recomputed DIRECTLY from the points (the Spark
+    // side derives coarse levels by halving the fine level; floor
+    // composition + clamp/halve commutation make the two equal exactly —
+    // scaling a double by a power of two is exact)
+    "q110_heatmap_pyramid" ->
+      s"""WITH pts AS ($probeSql),
+         |lv(r, g) AS (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (5, 32), (6, 64), (7, 128))
+         |SELECT CAST(r AS INT) AS res,
+         |  CAST(r AS BIGINT)*288230376151711744
+         |    + LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*g) AS BIGINT), 0), g-1)*536870912
+         |    + LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*g) AS BIGINT), 0), g-1) AS cell,
+         |  count(*) AS n
+         |FROM pts CROSS JOIN lv GROUP BY 1, 2""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME

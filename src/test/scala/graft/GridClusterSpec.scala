@@ -49,4 +49,25 @@ class GridClusterSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((math.min(base, diag), 2L, 2L), (far, 1L, 1L)))
   }
+
+  test("heatmap pyramid: every level exact vs direct cellOf counts") {
+    def mix(i: Long) = { // deterministic scatter incl. pole/antimeridian edges
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 27)
+    }
+    val pts = (0 until 400).map { i =>
+      ((math.abs(mix(i)) % 180000) / 1000.0 - 90.0,
+        (math.abs(mix(i * 3 + 1)) % 360000) / 1000.0 - 180.0)
+    }
+    val got = graft.cell.Heatmap.pyramid(spark, pts.toDF("lat", "lon"), res = 6)
+      .as[(Int, Long, Long)].collect().toSet
+    val want = (0 to 6).flatMap { r =>
+      pts.groupBy { case (la, lo) => CellIndex.cellOf(la, lo, r) }
+        .map { case (c, ps) => (r, c, ps.size.toLong) }
+    }.toSet
+    assert(got == want)
+    // and each level's counts total the point count
+    assert((0 to 6).forall(r => got.toSeq.filter(_._1 == r).map(_._3).sum == 400L))
+  }
 }
