@@ -1404,6 +1404,34 @@ object SparkEntry {
     "q110_heatmap_pyramid" -> ((s, dir) =>
       graft.cell.Heatmap.pyramid(s, probePoints(s, dir), res = 7)),
 
+    // snapshot-table copy-on-write DELETE + snapshot expiry - the GDPR /
+    // retention leg of the lake CRUD story: only match-containing files
+    // rewrite, the rest carry by reference; expire then physically drops
+    // the replaced files and the old manifests, and time travel to an
+    // expired version fails loudly (asserted, emitted as a row)
+    "q111_snapshot_delete" -> ((s, dir) => {
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q111")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(16L))
+      def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      SnapshotTable.create(s, mk(0, 400), out.getPath, 16, bucketOf)
+      SnapshotTable.append(s, mk(400, 650), out.getPath, bucketOf)
+      val m3 = SnapshotTable.delete(s, out.getPath, col("idx") % 50 === 0, bucketOf)
+      val expired = SnapshotTable.expire(out.getPath, 3L)
+      val ttFails =
+        try { SnapshotTable.read(s, out.getPath, Some(2L)); 0L }
+        catch { case _: Exception => 1L }
+      val rowsAfter = SnapshotTable.read(s, out.getPath).count()
+      import s.implicits._
+      Seq(
+        ("rows_after", rowsAfter),
+        ("files_v3", m3.files.size.toLong),
+        ("expired_data_files", expired.toLong),
+        ("current_version", SnapshotTable.currentVersion(out.getPath)),
+        ("tt_expired_fails", ttFails)).toDF("label", "n")
+    }),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -2973,6 +3001,29 @@ object SparkEntry {
          |    + LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*g) AS BIGINT), 0), g-1) AS cell,
          |  count(*) AS n
          |FROM pts CROSS JOIN lv GROUP BY 1, 2""".stripMargin,
+
+    // q111 — file counts replayed from the q90-style bucket arithmetic:
+    // touched = (commit, bucket) files holding a deleted row; the delete
+    // commit rewrites those buckets' survivors (one file per surviving
+    // bucket); expire physically drops exactly the touched files
+    "q111_snapshot_delete" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 650) t(i)),
+         |${splitmixChain("sc", Seq("i"), "ids", "seed")},
+         |bk AS (SELECT i, CAST(z % 16 AS BIGINT) AS bucket FROM sc3),
+         |cm AS (SELECT i, bucket, CASE WHEN i < 400 THEN 1 ELSE 2 END AS c FROM bk),
+         |touched AS (SELECT DISTINCT c, bucket FROM cm WHERE i % 50 = 0),
+         |rw AS (SELECT DISTINCT m.bucket FROM cm m
+         |       JOIN touched t ON t.c = m.c AND t.bucket = m.bucket
+         |       WHERE m.i % 50 <> 0)
+         |SELECT 'rows_after' AS label,
+         |  CAST((SELECT count(*) FROM cm WHERE i % 50 <> 0) AS BIGINT) AS n
+         |UNION ALL SELECT 'files_v3',
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT c, bucket FROM cm))
+         |    - (SELECT count(*) FROM touched) + (SELECT count(*) FROM rw) AS BIGINT)
+         |UNION ALL SELECT 'expired_data_files',
+         |  CAST((SELECT count(*) FROM touched) AS BIGINT)
+         |UNION ALL SELECT 'current_version', 3::BIGINT
+         |UNION ALL SELECT 'tt_expired_fails', 1::BIGINT""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME

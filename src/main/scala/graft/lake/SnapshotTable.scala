@@ -274,6 +274,38 @@ object SnapshotTable {
     writeManifest(dir, m); m
   }
 
+  /** Copy-on-write DELETE: remove rows where `pred` is TRUE (NULL-pred
+    * rows survive — SQL DELETE semantics, via coalesce). Only files
+    * CONTAINING a match are rewritten; every other parent file carries
+    * forward by reference. The find pass is one scan returning matched
+    * file PATHS (driver-sized — bounded by the file count, the same
+    * metadata class as merge's affected-bucket set); the rewrite then
+    * reads matched files only. A predicate matching nothing returns the
+    * parent manifest unchanged (no new commit) — delete is idempotent.
+    */
+  def delete(spark: SparkSession, dir: String, pred: Column,
+      bucketOf: Column): Manifest = {
+    val parent = manifest(dir, currentVersion(dir))
+    if (parent.files.isEmpty) return parent
+    val hit = coalesce(pred, lit(false))
+    val matched = spark.read.schema(parent.schema)
+      .parquet(parent.files.map(_.path): _*)
+      .filter(hit).select(input_file_name().as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (matched.isEmpty) return parent
+    val (touched, carried) = parent.files.partition(f => matched(f.path))
+    val v = parent.version + 1
+    val survivors = spark.read.schema(parent.schema)
+      .parquet(touched.map(_.path): _*)
+      .filter(!hit)
+      .withColumn("__bucket", bucketOf.cast("int"))
+    val files = commitFiles(spark, survivors, dir, v)
+    val m = Manifest(v, parent.version, "delete", parent.buckets,
+      carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
+      parent.schemaDdl)
+    writeManifest(dir, m); m
+  }
+
   /** Rows in files referenced by `toV` but not by `fromV` — the exact
     * changelog for append commits; for merge commits, the rewritten
     * buckets' full contents (Iceberg's same superset semantics).

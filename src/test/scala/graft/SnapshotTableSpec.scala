@@ -245,4 +245,51 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(dir) === 1L)
     assert(SnapshotTable.read(spark, dir).count() === 20)
   }
+
+  test("delete removes matching rows and rewrites ONLY match-containing files") {
+    val dir = tmp()
+    val m1 = SnapshotTable.create(spark, rows(0, 200, "a"), dir, B, bucketOf)
+    // delete one key: only that key's bucket file rewrites
+    val m2 = SnapshotTable.delete(spark, dir, col("k") === 13L, bucketOf)
+    assert(m2.version === 2L && m2.op === "delete")
+    assert(m2.totalRows === 199L)
+    val kept = m1.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet)
+    assert(kept.size === m1.files.size - 1) // exactly one file replaced
+    val got = SnapshotTable.read(spark, dir, verify = true)
+      .as[(Long, String)].collect()
+    assert(!got.exists(_._1 == 13L) && got.length === 199)
+    // v1 time travel still sees the row
+    assert(SnapshotTable.read(spark, dir, Some(1L)).filter(col("k") === 13L).count() === 1L)
+  }
+
+  test("delete with NULL predicate keeps NULL rows (SQL DELETE semantics)") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("k", "v")
+    SnapshotTable.create(spark, df, dir, B, bucketOf)
+    // v = 'a' is NULL for row 2 -> row 2 survives
+    SnapshotTable.delete(spark, dir, col("v") === "a", bucketOf)
+    assert(SnapshotTable.read(spark, dir).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("delete matching nothing is a no-op commit; expire drops replaced files") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    val noop = SnapshotTable.delete(spark, dir, col("k") === 999L, bucketOf)
+    assert(noop.version === 1L) // parent manifest returned, no commit
+    val m2 = SnapshotTable.delete(spark, dir, col("k") % 10 === 0, bucketOf)
+    assert(m2.version === 2L && m2.totalRows === 90L)
+    val replaced = SnapshotTable.manifest(dir, 1L).files.map(_.path).toSet --
+      m2.files.map(_.path).toSet
+    val deleted = SnapshotTable.expire(dir, 2L)
+    assert(deleted === replaced.size && deleted > 0)
+    // expired version is gone, current still reads clean
+    intercept[Exception](SnapshotTable.read(spark, dir, Some(1L)))
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 90L)
+    // and the replaced files are physically gone
+    replaced.foreach { p =>
+      assert(!Files.exists(Paths.get(p.stripPrefix("file:"))))
+    }
+  }
 }
