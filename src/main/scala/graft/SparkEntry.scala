@@ -1432,6 +1432,13 @@ object SparkEntry {
         ("tt_expired_fails", ttFails)).toDF("label", "n")
     }),
 
+    // sparse bag-of-bigrams cosine join: inverted-index candidates with a
+    // hot-term cap, cosine >= 8/10 decided SQUARED in pure integers
+    // (dot^2 * den^2 >= num^2 * |A|^2 * |B|^2) - the exact IR-style
+    // similarity complementing the dense ANN family
+    "q112_sparse_cosine" -> ((s, dir) =>
+      graft.sim.SparseCosine.similarPairs(s, docsWithPlantedDups(s, dir))),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -3024,6 +3031,29 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM touched) AS BIGINT)
          |UNION ALL SELECT 'current_version', 3::BIGINT
          |UNION ALL SELECT 'tt_expired_fails', 1::BIGINT""".stripMargin,
+
+    // q112 — identical planted dups, bigram tf with multiplicity, the
+    // same 2..64 df cap, and the squared integer cosine test
+    "q112_sparse_cosine" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+        |tg AS (
+        |  SELECT doc_id AS id, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')), 2)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+1], ' '))) AS term
+        |  FROM docs2),
+        |tfc AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM tg GROUP BY 1, 2),
+        |norms AS (SELECT id, CAST(sum(tf*tf) AS BIGINT) AS nsq FROM tfc GROUP BY 1),
+        |ok AS (SELECT term FROM tfc GROUP BY term HAVING count(*) BETWEEN 2 AND 64),
+        |p AS (SELECT t.term, t.id, t.tf FROM tfc t JOIN ok USING (term)),
+        |dot AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+        |  FROM p a JOIN p b USING (term) WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b, d.dot, na.nsq AS n_a, nb.nsq AS n_b
+        |FROM dot d JOIN norms na ON na.id = d.id_a JOIN norms nb ON nb.id = d.id_b
+        |WHERE d.dot*d.dot*100 >= 64*na.nsq*nb.nsq""".stripMargin,
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME

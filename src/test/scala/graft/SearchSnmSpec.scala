@@ -96,6 +96,38 @@ class SearchSnmSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ————————————————— sparse cosine —————————————————
+
+  test("sparse cosine: exact threshold at cos = 0.8, no floats anywhere") {
+    // "a b a b" -> tf(a b)=2, tf(b a)=1; "b a b a" -> (1, 2).
+    // dot = 4, norms 5 and 5 -> cos = 4/5 exactly
+    val docs = Seq((1L, "a b a b"), (2L, "b a b a")).toDF("doc_id", "text")
+    val at80 = graft.sim.SparseCosine.similarPairs(spark, docs, num = 4, den = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(at80.toSeq == Seq((1L, 2L, 4L, 5L, 5L)))
+    // one notch above the exact value -> excluded
+    assert(graft.sim.SparseCosine.similarPairs(spark, docs, num = 81, den = 100)
+      .count() == 0)
+  }
+
+  test("sparse cosine: identical docs score 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "x y z x y"), (2L, "x y z x y"), // identical
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = graft.sim.SparseCosine.similarPairs(spark, docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, got.head._4, got.head._4, got.head._4)))
+    assert(got.head._3 * got.head._3 == got.head._4 * got.head._5) // cos = 1 exactly
+  }
+
+  test("sparse cosine: hot-term df cap cuts stopword fan-out") {
+    // 10 identical docs: every bigram has df 10; cap 4 leaves no
+    // candidate terms, raising the cap finds all 45 pairs
+    val docs = (1 to 10).map(i => (i.toLong, "s t s t s")).toDF("doc_id", "text")
+    assert(graft.sim.SparseCosine.similarPairs(spark, docs, maxDf = 4).count() == 0)
+    assert(graft.sim.SparseCosine.similarPairs(spark, docs, maxDf = 64).count() == 45)
+  }
+
   // ————————————————— sorted neighborhood —————————————————
 
   private def bruteSnm(rows: Seq[(Long, String)], key: String => String,
