@@ -1439,6 +1439,14 @@ object SparkEntry {
     "q112_sparse_cosine" -> ((s, dir) =>
       graft.sim.SparseCosine.similarPairs(s, docsWithPlantedDups(s, dir))),
 
+    // Hilbert-curve lake layout (the locality upgrade over q92's
+    // Z-order): unit-step curve -> tighter per-file cell bounding boxes
+    // at the same file count; per-file stats are the manifest bbox a
+    // scan prunes with. Narrow key chain + one bounded groupBy
+    "q113_hilbert_layout" -> ((s, dir) =>
+      graft.cell.Hilbert.layoutStats(probePoints(s, dir), "lat", "lon",
+        res = 7, prefixBits = 6)),
+
     // trigram-indexed regex search (Cox 2012 / Google Code Search): the
     // inverted trigram index prunes to candidates containing ALL required
     // trigrams of the pattern's literal segments; the exact regex runs on
@@ -1689,6 +1697,36 @@ object SparkEntry {
     val cl = ids.select(col("doc_id").as("src"))
       .join(ids.select(col("doc_id").as("dst")), col("src") < col("dst"))
     plantedEdges(s, dir).unionByName(cl)
+  }
+
+  /** q113's oracle scaffolding: the Hilbert xy2d level chain unrolled as
+    * CTEs with per-level SUFFIXED column names (DuckDB resolves
+    * same-name lateral aliases against the source relation — suffixes
+    * make the reference unambiguous). Carries the original cell coords
+    * (xh, yh) through for the bbox stats. Mirrors [[graft.cell.Hilbert]]
+    * level by level.
+    */
+  private def hilbertCtes(res: Int, from: String): String = {
+    val n = 1L << res
+    val sb = new StringBuilder(
+      s"h0 AS (SELECT x AS x0, y AS y0, CAST(0 AS BIGINT) AS d0, x AS xh, y AS yh FROM $from)")
+    var k = 0
+    var s = n >> 1
+    while (s > 0) {
+      val j = k + 1
+      sb.append(",\n" +
+        s"""h$j AS (SELECT
+           |  CASE WHEN (y$k & $s) > 0 THEN x$k
+           |       WHEN (x$k & $s) > 0 THEN ${n - 1} - y$k ELSE y$k END AS x$j,
+           |  CASE WHEN (y$k & $s) > 0 THEN y$k
+           |       WHEN (x$k & $s) > 0 THEN ${n - 1} - x$k ELSE x$k END AS y$j,
+           |  d$k + ${s * s} * xor(CASE WHEN (x$k & $s) > 0 THEN 3 ELSE 0 END,
+           |                       CASE WHEN (y$k & $s) > 0 THEN 1 ELSE 0 END) AS d$j,
+           |  xh, yh
+           |  FROM h$k)""".stripMargin)
+      k = j; s >>= 1
+    }
+    sb.toString
   }
 
   /** q103's pattern — one constant so the Spark query and the oracle's
@@ -3054,6 +3092,22 @@ object SparkEntry {
         |SELECT d.id_a, d.id_b, d.dot, na.nsq AS n_a, nb.nsq AS n_b
         |FROM dot d JOIN norms na ON na.id = d.id_a JOIN norms nb ON nb.id = d.id_b
         |WHERE d.dot*d.dot*100 >= 64*na.nsq*nb.nsq""".stripMargin,
+
+    // q113 — the same cell arithmetic at res 7, the xy2d state machine
+    // unrolled as 7 generated CTE levels, per-file stats over the final d
+    "q113_hilbert_layout" -> {
+      s"""WITH pts AS ($probeSql),
+         |xy AS (SELECT
+         |  LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*128.0) AS BIGINT), 0), 127) AS x,
+         |  LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*128.0) AS BIGINT), 0), 127) AS y
+         |  FROM pts),
+         |${hilbertCtes(7, "xy")}
+         |SELECT d7 >> 8 AS file_key, count(*) AS n_rows,
+         |  min(d7) AS min_d, max(d7) AS max_d,
+         |  min(xh) AS min_x, max(xh) AS max_x,
+         |  min(yh) AS min_y, max(yh) AS max_y
+         |FROM h7 GROUP BY 1""".stripMargin
+    },
 
     // q103 — full pipeline replay: distinct char trigrams, candidates
     // holding ALL required trigrams (list generated from the SAME

@@ -1,0 +1,94 @@
+package graft.cell
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hilbert-curve clustering for lake layout — the locality upgrade over
+  * Z-order ([[ZOrder]], q92): the Hilbert curve visits every cell of a
+  * 2^res × 2^res grid with UNIT steps (adjacent d ⇒ adjacent cells), so
+  * equal-size key ranges cut files whose cell sets are tighter blobs
+  * than Morton's Z-shaped jumps — smaller per-file bounding boxes, so a
+  * bbox scan reads fewer files at the same file count. The price:
+  * Hilbert keys are not corner-monotone, so a query bbox's containing
+  * d-interval is not [d(corner), d(corner)] — pruning runs against
+  * per-file min/max STATS (x/y bounds), exactly what a manifest or
+  * parquet footer stores, rather than against a closed-form interval.
+  *
+  * The key transform is the classic bit-level state machine (the
+  * public-domain xy2d of Warren's Hacker's Delight / the Wikipedia
+  * Hilbert-curve reference implementation): per level s = n/2 … 1,
+  * quadrant digit (3·rx) xor ry joins the key and the lower bits rotate
+  * — res levels of pure integer CASE/mask arithmetic, expressed here
+  * THREE times from one parametrization: a scalar kernel (specs), a
+  * Column chain (whole-stage codegen, no UDF), and generated oracle SQL
+  * (SparkEntry) — all pinned equal.
+  */
+object Hilbert {
+
+  /** Scalar Hilbert index of (x, y) on the 2^res grid. */
+  def d(res: Int, x0: Long, y0: Long): Long = {
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
+    val n = 1L << res
+    require(x0 >= 0 && x0 < n && y0 >= 0 && y0 < n, s"($x0, $y0) outside $n-grid")
+    var x = x0; var y = y0; var out = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      out += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    out
+  }
+
+  /** Column form of [[d]]: res unrolled levels of CASE/mask arithmetic
+    * over (xCol, yCol) — codegen'd, bit-identical to the scalar kernel
+    * (pinned in ZOrderSpec).
+    */
+  def dCol(xCol: Column, yCol: Column, res: Int): Column = {
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
+    val n = 1L << res
+    var x = xCol; var y = yCol
+    var out: Column = lit(0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(3L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      out = out + lit(s * s) * rx.bitwiseXOR(ry)
+      val flipX = when(x.bitwiseAND(lit(s)) > 0, lit(n - 1) - y).otherwise(y)
+      val flipY = when(x.bitwiseAND(lit(s)) > 0, lit(n - 1) - x).otherwise(x)
+      val nx = when(y.bitwiseAND(lit(s)) > 0, x).otherwise(flipX)
+      val ny = when(y.bitwiseAND(lit(s)) > 0, y).otherwise(flipY)
+      x = nx; y = ny
+      s >>= 1
+    }
+    out
+  }
+
+  /** Per-file layout stats under Hilbert clustering: file = top
+    * `prefixBits` of the 2·res-bit key; per file the row count, key
+    * range, and the CELL BOUNDING BOX (the manifest stats bbox pruning
+    * reads at scale — and the locality metric that beats Z-order).
+    * Same shuffle shape as [[ZOrder.layoutStats]]: narrow key
+    * derivation + one bounded groupBy.
+    */
+  def layoutStats(points: DataFrame, latCol: String, lonCol: String,
+      res: Int, prefixBits: Int): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 2 * res,
+      s"prefixBits=$prefixBits outside [1, ${2 * res}]")
+    val x = ZOrder.cellXCol(col(lonCol), res)
+    val y = ZOrder.cellYCol(col(latCol), res)
+    points
+      .withColumn("x", x).withColumn("y", y)
+      .withColumn("d", dCol(col("x"), col("y"), res))
+      .withColumn("file_key", shiftright(col("d"), 2 * res - prefixBits))
+      .groupBy("file_key")
+      .agg(count(lit(1)).as("n_rows"), min("d").as("min_d"), max("d").as("max_d"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+}

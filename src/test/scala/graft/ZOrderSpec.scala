@@ -98,4 +98,52 @@ class ZOrderSpec extends AnyFunSuite {
       full.select("id").as[Long].collect().sorted.toSeq)
     assert(pruned.count() > 0)
   }
+
+  test("hilbert: bijective on the grid and UNIT-step (the locality claim)") {
+    import graft.cell.Hilbert
+    for (res <- 1 to 4) {
+      val n = 1 << res
+      val byD = (for (x <- 0L until n; y <- 0L until n)
+        yield Hilbert.d(res, x, y) -> ((x, y))).toMap
+      assert(byD.size == n * n) // bijection onto 0..n^2-1
+      assert(byD.keys.min == 0L && byD.keys.max == n.toLong * n - 1)
+      // consecutive keys are GRID-ADJACENT - Hilbert's defining property
+      val maxStep = (1L until n.toLong * n).map { k =>
+        val (ax, ay) = byD(k - 1); val (bx, by) = byD(k)
+        math.abs(ax - bx) + math.abs(ay - by)
+      }.max
+      assert(maxStep == 1L, s"res=$res")
+    }
+    // Morton does NOT have it - the jump Z-order pays at block seams
+    val mByZ = (for (x <- 0L until 8; y <- 0L until 8)
+      yield ZOrder.morton(x, y) -> ((x, y))).toMap
+    val mStep = (1L until 64L).map { k =>
+      val (ax, ay) = mByZ(k - 1); val (bx, by) = mByZ(k)
+      math.abs(ax - bx) + math.abs(ay - by)
+    }.max
+    assert(mStep > 1L)
+  }
+
+  test("hilbert: column chain is bit-identical to the scalar kernel") {
+    import graft.cell.Hilbert
+    val pts = (for (x <- 0L until 16; y <- 0L until 16) yield (x, y))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Hilbert.dCol(col("x"), col("y"), 4).as("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d == Hilbert.d(4, x, y), s"($x, $y)") }
+  }
+
+  test("hilbert layoutStats: totals and bboxes are exact") {
+    import graft.cell.Hilbert
+    val pts = (0 until 500).map { i =>
+      ((i * 37 % 170) / 1.0 - 85.0, (i * 53 % 360) / 1.0 - 180.0)
+    }.toDF("lat", "lon")
+    val st = Hilbert.layoutStats(pts, "lat", "lon", res = 7, prefixBits = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(st.map(_._2).sum == 500L)
+    st.foreach { case (fk, _, minD, maxD, minX, maxX, minY, maxY) =>
+      assert(minD >> 10 == fk && maxD >> 10 == fk) // file = d-prefix, exact
+      assert(minX <= maxX && minY <= maxY)
+    }
+  }
 }
