@@ -1432,6 +1432,34 @@ object SparkEntry {
         ("tt_expired_fails", ttFails)).toDF("label", "n")
     }),
 
+    // row-level change-data-feed (Iceberg create_changelog_view semantics):
+    // v1 create(500) -> v2 merge(39 updates + 40 inserts) -> v3 delete
+    // (idx%10=7). The diff reads ONLY each manifest pair's
+    // symmetric-difference files (carried files are never opened) and
+    // filters rewritten-but-identical co-bucketed survivors with a
+    // null-safe struct compare - so the oracle's closed form IS the
+    // proof that nothing but real changes surfaces
+    "q114_change_data_feed" -> ((s, dir) => {
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q114")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(32L))
+      def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
+        concat(lit("caption_"), col("id")).as("caption"))
+      SnapshotTable.create(s, mk(0, 500), out.getPath, 32, bucketOf)
+      val updates = s.range(0, 500).filter(col("id") % 13 === 0)
+        .select(col("id").as("idx"),
+          concat(lit("updated_"), col("id")).as("caption"))
+        .unionByName(mk(500, 540))
+      SnapshotTable.merge(s, updates, out.getPath, "idx", bucketOf)
+      SnapshotTable.delete(s, out.getPath, col("idx") % 10 === 7, bucketOf)
+      SnapshotTable.changes(s, out.getPath, 1L, 2L, "idx")
+        .withColumn("step", lit("v1_v2"))
+        .unionByName(SnapshotTable.changes(s, out.getPath, 2L, 3L, "idx")
+          .withColumn("step", lit("v2_v3")))
+        .select(col("step"), col("_change_type").as("op"),
+          col("idx"), col("caption"))
+    }),
+
     // sparse bag-of-bigrams cosine join: inverted-index candidates with a
     // hot-term cap, cosine >= 8/10 decided SQUARED in pure integers
     // (dot^2 * den^2 >= num^2 * |A|^2 * |B|^2) - the exact IR-style
@@ -3069,6 +3097,25 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM touched) AS BIGINT)
          |UNION ALL SELECT 'current_version', 3::BIGINT
          |UNION ALL SELECT 'tt_expired_fails', 1::BIGINT""".stripMargin,
+
+    // q114 — the changelog replayed closed-form from the planted
+    // arithmetic: v1→v2 = 40 inserts + 39 update pre/post pairs (i%13=0
+    // under 500), v2→v3 = every surviving key with i%10=7 as a delete
+    // carrying its v2 caption — and NOTHING else, which is the pin that
+    // rewritten-but-identical co-bucketed survivors never leak into the feed
+    "q114_change_data_feed" ->
+      """WITH upd AS (SELECT i FROM range(0, 500) t(i) WHERE i % 13 = 0),
+        |v12 AS (
+        |  SELECT 'v1_v2' AS step, 'insert' AS op, i AS idx,
+        |         'caption_' || i AS caption FROM range(500, 540) t(i)
+        |  UNION ALL SELECT 'v1_v2', 'update_pre', i, 'caption_' || i FROM upd
+        |  UNION ALL SELECT 'v1_v2', 'update_post', i, 'updated_' || i FROM upd),
+        |v23 AS (
+        |  SELECT 'v2_v3' AS step, 'delete' AS op, i AS idx,
+        |         CASE WHEN i < 500 AND i % 13 = 0 THEN 'updated_' || i
+        |              ELSE 'caption_' || i END AS caption
+        |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
+        |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
 
     // q112 — identical planted dups, bigram tf with multiplicity, the
     // same 2..64 df cap, and the squared integer cosine test

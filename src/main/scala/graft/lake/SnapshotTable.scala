@@ -320,6 +320,71 @@ object SnapshotTable {
     else spark.read.schema(to.schema).parquet(added: _*)
   }
 
+  /** Row-level change-data-feed between two versions — the changelog
+    * Iceberg's `create_changelog_view` derives: one row per inserted or
+    * deleted key, two rows (`update_pre`/`update_post`) per key whose
+    * payload changed. Scale shape: files referenced by BOTH manifests were
+    * carried by reference and hold bit-identical rows, so they are never
+    * read — the diff touches only the symmetric difference of the two file
+    * lists, O(changed buckets) exactly like the commits that produced
+    * them. Within that scope, rows rewritten with identical content (the
+    * co-bucketed survivors of a copy-on-write merge/delete, or an entire
+    * compaction) are filtered by a null-safe struct compare, so a pure
+    * layout commit yields an EMPTY feed.
+    *
+    * Defined for key-unique tables (the merge contract); both sides get a
+    * delta-sized duplicate-key check. Old files are read under the FROM
+    * schema and aligned to the TO schema, so columns added by an evolution
+    * surface as `update_*` only when a later commit actually wrote values.
+    */
+  def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+      keyCol: String): DataFrame = {
+    val from = manifest(dir, fromV)
+    val to = manifest(dir, toV)
+    val toSchema = to.schema
+    require(toSchema.fieldNames.contains(keyCol),
+      s"changes: v$toV schema has no key column '$keyCol'")
+    val sharedPaths = from.files.map(_.path).toSet & to.files.map(_.path).toSet
+    val oldOnly = from.files.map(_.path).filterNot(sharedPaths)
+    val newOnly = to.files.map(_.path).filterNot(sharedPaths)
+    val payload = toSchema.filterNot(_.name == keyCol).map(f => col(f.name))
+    def side(paths: Seq[String], readSchema: StructType): DataFrame = {
+      val df =
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            readSchema)
+        else spark.read.schema(readSchema).parquet(paths: _*)
+      align(df, toSchema)
+    }
+    def checkUnique(df: DataFrame, label: String): DataFrame = {
+      val dup = df.groupBy(col(keyCol)).count().filter(col("count") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"changes: duplicate '$keyCol' key ${dup.headOption.map(_.get(0)).orNull} " +
+          s"in the $label diff scope; CDC requires key-unique tables")
+      df
+    }
+    val pre = checkUnique(side(oldOnly, from.schema), s"v$fromV")
+      .select(col(keyCol).as("__k"), struct(payload: _*).as("__pre"))
+    val post = checkUnique(side(newOnly, toSchema), s"v$toV")
+      .select(col(keyCol).as("__k"), struct(payload: _*).as("__post"))
+    pre.join(post, Seq("__k"), "full_outer")
+      // rewritten-but-identical rows are layout noise, not changes
+      .filter(col("__pre").isNull || col("__post").isNull ||
+        !(col("__pre") <=> col("__post")))
+      .select(col("__k"), explode(
+        when(col("__pre").isNull,
+          array(struct(lit("insert").as("op"), col("__post").as("v"))))
+        .when(col("__post").isNull,
+          array(struct(lit("delete").as("op"), col("__pre").as("v"))))
+        .otherwise(array(
+          struct(lit("update_pre").as("op"), col("__pre").as("v")),
+          struct(lit("update_post").as("op"), col("__post").as("v"))))).as("c"))
+      .select((col("c.op").as("_change_type") +: col("__k").as(keyCol) +:
+        toSchema.filterNot(_.name == keyCol)
+          .map(f => col(s"c.v.${f.name}").as(f.name))): _*)
+  }
+
   /** Move CURRENT back to `version` (its manifest must still exist). */
   def rollback(dir: String, version: Long): Unit = {
     require(Files.exists(manifestPath(dir, version)), s"no manifest v$version")

@@ -273,6 +273,53 @@ class SnapshotTableSpec extends AnyFunSuite {
       .map(_._1).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("changes: merge yields inserts + update pairs, never identical survivors") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
+    val upd = rows(0, 100, "b").filter(col("k") % 10 === 0) // 10 updates
+      .union(rows(100, 105, "a")) // 5 inserts
+    SnapshotTable.merge(spark, upd, dir, "k", bucketOf)
+    val cdc = SnapshotTable.changes(spark, dir, 1L, 2L, "k")
+      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1))
+    assert(cdc.count(_._1 == "insert") === 5)
+    assert(cdc.count(_._1 == "update_pre") === 10)
+    assert(cdc.count(_._1 == "update_post") === 10)
+    assert(cdc.length === 25) // co-bucketed identical survivors filtered
+    assert(cdc.contains(("update_pre", 30L, "a30")))
+    assert(cdc.contains(("update_post", 30L, "b30")))
+    assert(cdc.contains(("insert", 103L, "a103")))
+  }
+
+  test("changes: delete yields deletes only; compaction yields an empty feed") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 60, "a"), dir, B, bucketOf)
+    SnapshotTable.append(spark, rows(60, 90, "a"), dir, bucketOf)
+    SnapshotTable.delete(spark, dir, col("k") % 9 === 1, bucketOf)
+    val cdc = SnapshotTable.changes(spark, dir, 2L, 3L, "k")
+      .as[(String, Long, String)].collect()
+    assert(cdc.forall(_._1 == "delete") && cdc.length === 10)
+    SnapshotTable.compact(spark, dir) // v4: pure layout commit
+    assert(SnapshotTable.changes(spark, dir, 3L, 4L, "k").count() === 0L)
+    // append CDC is pure inserts even across the full span v1 -> v3
+    val span = SnapshotTable.changes(spark, dir, 1L, 3L, "k")
+      .as[(String, Long, String)].collect()
+    assert(span.filter(_._1 == "insert").map(_._2).sorted ===
+      (60L until 90L).filterNot(_ % 9 == 1).toArray)
+    assert(span.count(_._1 == "delete") === (0L until 60L).count(_ % 9 == 1))
+  }
+
+  test("changes: refuses duplicate keys in the diff scope") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 20, "a"), dir, B, bucketOf)
+    // two appends of the same keys: the v1→v3 diff's NEW side holds each
+    // key twice — the table is no longer key-unique and CDC must refuse
+    SnapshotTable.append(spark, rows(0, 10, "dup"), dir, bucketOf)
+    SnapshotTable.append(spark, rows(0, 10, "dup2"), dir, bucketOf)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, dir, 1L, 3L, "k").collect()
+    }
+  }
+
   test("delete matching nothing is a no-op commit; expire drops replaced files") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
