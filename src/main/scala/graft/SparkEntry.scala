@@ -1460,6 +1460,25 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // vector overlay: segment-intersection join between two planted line
+    // layers - grid-cell candidates, PBSM reference-point dedup (zero
+    // dedup shuffle), and the four-orientation + collinear-on-segment
+    // predicate in pure BIGINT column arithmetic. Coordinates bit-sliced
+    // from the splitmix low-62 bits so DuckDB replays the layers and
+    // brute-forces the same predicate over all 600x600 pairs
+    "q115_segment_overlay" -> ((s, dir) => {
+      val zl = mixCol(s, col("id")).bitwiseAND(lit((1L << 62) - 1))
+      val x1 = pmod(zl.bitwiseAND(lit(0xFFFFFL)), lit(30000L))
+      val y1 = pmod(shiftright(zl, 20).bitwiseAND(lit(0xFFFFFL)), lit(30000L))
+      val segs = s.range(0, 1200).select(
+        col("id"), x1.as("x1"), y1.as("y1"),
+        (x1 + shiftright(zl, 40).bitwiseAND(lit(0x7FFL)) - 1024).as("x2"),
+        (y1 + shiftright(zl, 51).bitwiseAND(lit(0x7FFL)) - 1024).as("y2"))
+      graft.geom.SegmentJoin.intersectingPairs(
+        segs.filter(col("id") % 2 === 0),
+        segs.filter(col("id") % 2 === 1), cellSize = 2048L)
+    }),
+
     // sparse bag-of-bigrams cosine join: inverted-index candidates with a
     // hot-term cap, cosine >= 8/10 decided SQUARED in pure integers
     // (dot^2 * den^2 >= num^2 * |A|^2 * |B|^2) - the exact IR-style
@@ -3116,6 +3135,41 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q115 — same bit-sliced layers, but the oracle brute-forces ALL
+    // 600×600 pairs with the identical integer predicate: a plan-
+    // independent check that the grid + reference-point dedup loses and
+    // duplicates nothing
+    "q115_segment_overlay" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 1200) t(i)),
+         |${splitmixChain("sg", Seq("i"), "ids", "seed")},
+         |segs AS (
+         |  SELECT i AS id,
+         |    (zl & 1048575) % 30000 AS x1,
+         |    ((zl >> 20) & 1048575) % 30000 AS y1,
+         |    (zl & 1048575) % 30000 + ((zl >> 40) & 2047) - 1024 AS x2,
+         |    ((zl >> 20) & 1048575) % 30000 + ((zl >> 51) & 2047) - 1024 AS y2
+         |  FROM (SELECT i, CAST(z % 4611686018427387904::HUGEINT AS BIGINT) AS zl FROM sg3)),
+         |p AS (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         |    b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+         |    sign((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)) AS d1,
+         |    sign((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) AS d2,
+         |    sign((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)) AS d3,
+         |    sign((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) AS d4
+         |  FROM (SELECT * FROM segs WHERE id % 2 = 0) a,
+         |       (SELECT * FROM segs WHERE id % 2 = 1) b)
+         |SELECT a_id, b_id FROM p
+         |WHERE (d1*d2 < 0 AND d3*d4 < 0)
+         |   OR (d1 = 0 AND bx1 BETWEEN least(ax1,ax2) AND greatest(ax1,ax2)
+         |              AND by1 BETWEEN least(ay1,ay2) AND greatest(ay1,ay2))
+         |   OR (d2 = 0 AND bx2 BETWEEN least(ax1,ax2) AND greatest(ax1,ax2)
+         |              AND by2 BETWEEN least(ay1,ay2) AND greatest(ay1,ay2))
+         |   OR (d3 = 0 AND ax1 BETWEEN least(bx1,bx2) AND greatest(bx1,bx2)
+         |              AND ay1 BETWEEN least(by1,by2) AND greatest(by1,by2))
+         |   OR (d4 = 0 AND ax2 BETWEEN least(bx1,bx2) AND greatest(bx1,bx2)
+         |              AND ay2 BETWEEN least(by1,by2) AND greatest(by1,by2))""".stripMargin,
 
     // q112 — identical planted dups, bigram tf with multiplicity, the
     // same 2..64 df cap, and the squared integer cosine test
