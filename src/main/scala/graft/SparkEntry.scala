@@ -1460,6 +1460,29 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // k-core decomposition (iterative peeling) on a planted graph whose
+    // 3-core is closed-form: a 10-clique and a 20-spoke wheel survive; a
+    // leaf-decorated path unravels over several rounds (leaves first,
+    // then the exposed path) - the multi-round behavior that makes
+    // peeling a loop, not a filter
+    "q116_kcore" -> ((s, dir) => {
+      val r10 = s.range(0, 10)
+      val clique = r10.select(col("id").as("src"))
+        .crossJoin(r10.select(col("id").as("dst")))
+        .filter(col("src") < col("dst"))
+      val spokes = s.range(51, 71).select(lit(50L).as("src"), col("id").as("dst"))
+      val cyc = s.range(51, 70).select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionByName(s.range(70, 71).select(col("id").as("src"), lit(51L).as("dst")))
+      val path = s.range(100, 119).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val leaves = s.range(100, 120)
+        .select(col("id").as("src"), (col("id") * 2 + 1000).as("dst"))
+        .unionByName(s.range(100, 120)
+          .select(col("id").as("src"), (col("id") * 2 + 1001).as("dst")))
+      val edges = clique.unionByName(spokes).unionByName(cyc)
+        .unionByName(path).unionByName(leaves)
+      graft.graph.KCore.kCore(s, edges, k = 3)
+    }),
+
     // vector overlay: segment-intersection join between two planted line
     // layers - grid-cell candidates, PBSM reference-point dedup (zero
     // dedup shuffle), and the four-orientation + collinear-on-segment
@@ -3135,6 +3158,14 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q116 — the planted 3-core in closed form: every clique node keeps
+    // degree 9, the hub keeps all 20 spokes, each rim node keeps its two
+    // cycle neighbors + the hub; the caterpillar contributes nothing
+    "q116_kcore" ->
+      """SELECT i AS node, CAST(9 AS BIGINT) AS core_degree FROM range(0, 10) t(i)
+        |UNION ALL SELECT 50, 20
+        |UNION ALL SELECT i, 3 FROM range(51, 71) t(i)""".stripMargin,
 
     // q115 — same bit-sliced layers, but the oracle brute-forces ALL
     // 600×600 pairs with the identical integer predicate: a plan-
