@@ -1460,6 +1460,36 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // trajectory cleaning: per-device GPS teleport filter - planted
+    // integer positions (smooth per-user jitter + a 5e7-unit teleport on
+    // event_id%37) ordered by time per user; a consecutive pair is
+    // flagged when dist^2 > (50 units/s * dt)^2, all in exact BIGINT
+    // (squared compare, no sqrt, no floats). One window shuffle on the
+    // device key, narrow arithmetic - the geotag sanity pass an image
+    // crawl runs before trusting locations
+    "q117_teleport_filter" -> ((s, dir) => {
+      val tele = when(col("event_id") % 37 === 0, 50000000L).otherwise(0L)
+      val pts = table(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        ((col("user_id") * 7919) % 1000000 + (col("event_id") * 31) % 2001
+          - 1000 + tele).as("x"),
+        ((col("user_id") * 104729) % 1000000 + (col("event_id") * 37) % 2001
+          - 1000).as("y"),
+        floor(unix_millis(col("ts").cast("timestamp")) / 1000.0).cast("long").as("sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      pts.select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          (col("x") - lag(col("x"), 1).over(w)).as("dx"),
+          (col("y") - lag(col("y"), 1).over(w)).as("dy"),
+          (col("sec") - lag(col("sec"), 1).over(w)).as("dt_s"))
+        .filter(col("prev_id").isNotNull &&
+          col("dx") * col("dx") + col("dy") * col("dy") >
+            lit(2500L) * col("dt_s") * col("dt_s"))
+        .select(col("user_id"), col("prev_id"), col("event_id"),
+          (col("dx") * col("dx") + col("dy") * col("dy")).as("dist2"),
+          col("dt_s"))
+    }),
+
     // k-core decomposition (iterative peeling) on a planted graph whose
     // 3-core is closed-form: a 10-clique and a 20-spoke wheel survive; a
     // leaf-decorated path unravels over several rounds (leaves first,
@@ -3158,6 +3188,27 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q117 — identical planted positions and the identical squared-speed
+    // predicate; epoch seconds via epoch_ms // 1000 to match Spark's
+    // floor(unix_millis/1000) exactly
+    "q117_teleport_filter" ->
+      """WITH pts AS (
+        |  SELECT event_id, user_id, ts,
+        |    (user_id * 7919) % 1000000 + (event_id * 31) % 2001 - 1000 +
+        |      CASE WHEN event_id % 37 = 0 THEN 50000000 ELSE 0 END AS x,
+        |    (user_id * 104729) % 1000000 + (event_id * 37) % 2001 - 1000 AS y,
+        |    epoch_ms(ts) // 1000 AS sec
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id,
+        |    lag(event_id) OVER w AS prev_id,
+        |    x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+        |    sec - lag(sec) OVER w AS dt_s
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, prev_id, event_id, dx*dx + dy*dy AS dist2, dt_s
+        |FROM p
+        |WHERE prev_id IS NOT NULL AND dx*dx + dy*dy > 2500 * dt_s * dt_s""".stripMargin,
 
     // q116 — the planted 3-core in closed form: every clique node keeps
     // degree 9, the hub keeps all 20 spokes, each rim node keeps its two
