@@ -1460,6 +1460,32 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // incremental view maintenance: a (count,sum) aggregate kept current
+    // by applying the v1->v3 changelog delta (q114's CDC) instead of
+    // rescanning - O(delta) refresh vs O(table), the reason the
+    // changelog exists. v1 create(600) -> merge(47 val updates + 60
+    // inserts) -> COW delete(idx%9=4); the maintained view must equal
+    // the oracle's direct closed-form aggregate of the v3 state
+    "q118_incremental_view" -> ((s, dir) => {
+      import graft.lake.{Ivm, SnapshotTable}
+      val out = snapshotScratchDir("q118")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(32L))
+      def mk(lo: Long, hi: Long, rev: Long) = s.range(lo, hi).select(
+        col("id").as("idx"), (col("id") * 10 + rev).as("val"))
+      SnapshotTable.create(s, mk(0, 600, 0), out.getPath, 32, bucketOf)
+      val agg1 = SnapshotTable.read(s, out.getPath, Some(1L))
+        .groupBy((col("idx") % 10).as("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sm"))
+      val updates = s.range(0, 600).filter(col("id") % 13 === 0)
+        .select(col("id").as("idx"), (col("id") * 10 + 1).as("val"))
+        .unionByName(mk(600, 660, 0))
+      SnapshotTable.merge(s, updates, out.getPath, "idx", bucketOf)
+      SnapshotTable.delete(s, out.getPath, col("idx") % 9 === 4, bucketOf)
+      val cdc = SnapshotTable.changes(s, out.getPath, 1L, 3L, "idx")
+        .withColumn("grp", col("idx") % 10)
+      Ivm.maintainSumCount(agg1, cdc, "grp", "val")
+    }),
+
     // trajectory cleaning: per-device GPS teleport filter - planted
     // integer positions (smooth per-user jitter + a 5e7-unit teleport on
     // event_id%37) ordered by time per user; a consecutive pair is
@@ -3188,6 +3214,19 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q118 — the oracle aggregates the v3 state DIRECTLY (rows 0..660
+    // minus idx%9=4, val = idx*10 + 1 for merged keys): if the
+    // maintained view equals a from-scratch rescan, the delta application
+    // was exact
+    "q118_incremental_view" ->
+      """WITH v3 AS (
+        |  SELECT i AS idx,
+        |    i * 10 + CASE WHEN i < 600 AND i % 13 = 0 THEN 1 ELSE 0 END AS val
+        |  FROM range(0, 660) t(i) WHERE i % 9 <> 4)
+        |SELECT idx % 10 AS grp, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(val) AS BIGINT) AS sm
+        |FROM v3 GROUP BY 1""".stripMargin,
 
     // q117 — identical planted positions and the identical squared-speed
     // predicate; epoch seconds via epoch_ms // 1000 to match Spark's
