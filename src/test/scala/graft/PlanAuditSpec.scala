@@ -213,6 +213,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
   }
 
+  test("q115 segment overlay: no aggregate/dedup exchange, no cartesian, one join") {
+    val df = SparkEntry.queries("q115_segment_overlay")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // reference-point dedup is a FILTER: distinct pairs must not cost an
+    // Aggregate (dropDuplicates) or any exchange beyond the cell equi-join
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"q115 must dedup by reference point, not aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q115 must join on the cell key, never a cross product:\n$plan")
+  }
+
+  test("q117 teleport filter: one device-key window, no extra exchange") {
+    val df = SparkEntry.queries("q117_teleport_filter")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"expected exactly the window's device-key exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"q117 must not sort or gather globally:\n$plan")
+  }
+
   test("semanticDedup costs TWO pre-output jobs: quantizer sample + edge collect") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
