@@ -1460,6 +1460,16 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // mask QA: connected-component labeling (4-connected, two-pass
+    // union-find) over thresholded REAL encoded images - blob count, max
+    // blob area, coverage per mask. The planted masks put a solid
+    // rectangle in quadrant q iff splitmix bit q is set (sizes from 8
+    // more bits, anchored so rects never touch), so every statistic is
+    // closed-form in the same bits; decode runs graft's own PNG and BMP
+    // codecs. Narrow mapPartitions, zero shuffle
+    "q119_blob_label" -> ((s, dir) =>
+      graft.img.Blobs.blobStats(s, graft.img.Blobs.maskTable(s, 300))),
+
     // incremental view maintenance: a (count,sum) aggregate kept current
     // by applying the v1->v3 changelog delta (q114's CDC) instead of
     // rescanning - O(delta) refresh vs O(table), the reason the
@@ -3214,6 +3224,23 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q119 — blob stats replayed from the plant bits alone: rectangles
+    // never touch by construction, so n_blobs = popcount(z & 15) and
+    // each area is the product of its two 2-bit size fields
+    "q119_blob_label" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 300) t(i)),
+         |${splitmixChain("sb", Seq("i"), "ids", "seed")},
+         |bits AS (SELECT i, ${toSigned("z")} AS zl FROM sb3),
+         |quads AS (
+         |  SELECT i, q, (zl >> q) & 1 AS present,
+         |    (8 + ((zl >> (4 + 2*q)) & 3)) * (8 + ((zl >> (12 + 2*q)) & 3)) AS area
+         |  FROM bits, range(0, 4) r(q))
+         |SELECT printf('img_%09d', i) AS image_id,
+         |  CAST(sum(present) AS BIGINT) AS n_blobs,
+         |  CAST(coalesce(max(CASE WHEN present = 1 THEN area END), 0) AS BIGINT) AS max_area,
+         |  CAST(sum(present * area) AS BIGINT) AS on_pixels
+         |FROM quads GROUP BY i""".stripMargin,
 
     // q118 — the oracle aggregates the v3 state DIRECTLY (rows 0..660
     // minus idx%9=4, val = idx*10 + 1 for merged keys): if the
