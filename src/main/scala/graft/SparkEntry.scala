@@ -1460,6 +1460,35 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // ring-simplicity audit: the QA gate between ring assembly and the
+    // .poly/GeoJSON sinks. Planted octagon rings; ring%7==0 swaps two
+    // far vertices (bowtie - crossing non-adjacent edges), ring%7==1
+    // moves vertex 2 onto vertex 0 (spike + pinch). Non-adjacent pairs
+    // flag on ANY contact, adjacent pairs only on collinear retrace
+    // beyond the shared vertex - all exact BIGINT, grid + reference-
+    // point dedup, oracle brute-forces within-ring pairs
+    "q120_ring_validity" -> ((s, dir) => {
+      val oxA = array(Seq(2L, 4L, 6L, 6L, 4L, 2L, 0L, 0L).map(lit): _*)
+      val oyA = array(Seq(0L, 0L, 2L, 4L, 6L, 6L, 4L, 2L).map(lit): _*)
+      def eoi(v: org.apache.spark.sql.Column) =
+        when(col("c") === 0 && v === 2, lit(5L))
+          .when(col("c") === 0 && v === 5, lit(2L))
+          .when(col("c") === 1 && v === 2, lit(0L))
+          .otherwise(v)
+      val zl = mixCol(s, col("ring_id")).bitwiseAND(lit((1L << 62) - 1))
+      val edges = s.range(0, 400).select(col("id").as("ring_id"))
+        .withColumn("c", col("ring_id") % 7)
+        .withColumn("cx", pmod(zl.bitwiseAND(lit(0xFFFFL)), lit(50000L)))
+        .withColumn("cy", pmod(shiftright(zl, 16).bitwiseAND(lit(0xFFFFL)), lit(50000L)))
+        .withColumn("idx", explode(sequence(lit(0L), lit(7L))))
+        .select(col("ring_id"), col("idx"), lit(8L).as("n"),
+          (col("cx") + element_at(oxA, (eoi(col("idx")) + 1).cast("int")) * 8).as("x1"),
+          (col("cy") + element_at(oyA, (eoi(col("idx")) + 1).cast("int")) * 8).as("y1"),
+          (col("cx") + element_at(oxA, (eoi((col("idx") + 1) % 8) + 1).cast("int")) * 8).as("x2"),
+          (col("cy") + element_at(oyA, (eoi((col("idx") + 1) % 8) + 1).cast("int")) * 8).as("y2"))
+      graft.geom.SegmentJoin.selfIntersections(edges, cellSize = 64L)
+    }),
+
     // mask QA: connected-component labeling (4-connected, two-pass
     // union-find) over thresholded REAL encoded images - blob count, max
     // blob area, coverage per mask. The planted masks put a solid
@@ -3224,6 +3253,56 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q120 — within-ring pairs brute-forced with the identical adjacency
+    // dispatch: spike test on consecutive/wrap pairs, full inclusive
+    // intersection on the rest; same planted transforms
+    "q120_ring_validity" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 400) t(i)),
+         |${splitmixChain("sr", Seq("i"), "ids", "seed")},
+         |ctr AS (
+         |  SELECT i AS ring_id, i % 7 AS c,
+         |    (zl & 65535) % 50000 AS cx, ((zl >> 16) & 65535) % 50000 AS cy
+         |  FROM (SELECT i, ${toSigned("z")} & 4611686018427387903 AS zl FROM sr3)),
+         |off(v, ox, oy) AS (VALUES (0,2,0),(1,4,0),(2,6,2),(3,6,4),(4,4,6),(5,2,6),(6,0,4),(7,0,2)),
+         |edges AS (
+         |  SELECT ring_id, e AS idx,
+         |    cx + o1.ox*8 AS x1, cy + o1.oy*8 AS y1,
+         |    cx + o2.ox*8 AS x2, cy + o2.oy*8 AS y2
+         |  FROM ctr, range(0, 8) r(e)
+         |  JOIN off o1 ON o1.v = CASE WHEN c = 0 AND e = 2 THEN 5
+         |    WHEN c = 0 AND e = 5 THEN 2 WHEN c = 1 AND e = 2 THEN 0 ELSE e END
+         |  JOIN off o2 ON o2.v = CASE WHEN c = 0 AND (e+1)%8 = 2 THEN 5
+         |    WHEN c = 0 AND (e+1)%8 = 5 THEN 2 WHEN c = 1 AND (e+1)%8 = 2 THEN 0
+         |    ELSE (e+1)%8 END),
+         |p AS (
+         |  SELECT a.ring_id, a.idx AS i, b.idx AS j,
+         |    a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         |    b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+         |    sign((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)) AS d1,
+         |    sign((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) AS d2,
+         |    sign((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)) AS d3,
+         |    sign((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) AS d4
+         |  FROM edges a JOIN edges b ON a.ring_id = b.ring_id AND a.idx < b.idx)
+         |SELECT ring_id, i, j FROM p
+         |WHERE CASE
+         |  WHEN j = i + 1 THEN
+         |    (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) = 0
+         |    AND (ax1-ax2)*(bx2-ax2) + (ay1-ay2)*(by2-ay2) > 0
+         |  WHEN i = 0 AND j = 7 THEN
+         |    (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) = 0
+         |    AND (bx1-bx2)*(ax2-bx2) + (by1-by2)*(ay2-by2) > 0
+         |  ELSE
+         |    (d1*d2 < 0 AND d3*d4 < 0)
+         |    OR (d1 = 0 AND bx1 BETWEEN least(ax1,ax2) AND greatest(ax1,ax2)
+         |               AND by1 BETWEEN least(ay1,ay2) AND greatest(ay1,ay2))
+         |    OR (d2 = 0 AND bx2 BETWEEN least(ax1,ax2) AND greatest(ax1,ax2)
+         |               AND by2 BETWEEN least(ay1,ay2) AND greatest(ay1,ay2))
+         |    OR (d3 = 0 AND ax1 BETWEEN least(bx1,bx2) AND greatest(bx1,bx2)
+         |               AND ay1 BETWEEN least(by1,by2) AND greatest(by1,by2))
+         |    OR (d4 = 0 AND ax2 BETWEEN least(bx1,bx2) AND greatest(bx1,bx2)
+         |               AND ay2 BETWEEN least(by1,by2) AND greatest(by1,by2))
+         |  END""".stripMargin,
 
     // q119 — blob stats replayed from the plant bits alone: rectangles
     // never touch by construction, so n_blobs = popcount(z & 15) and

@@ -70,6 +70,65 @@ object SegmentJoin {
     // double because the contract bounds |coord| < 2^30 << 2^53
     floor(c.cast("double") / d).cast("long")
 
+  /** Ring-simplicity audit: every edge pair within a ring that violates
+    * simple-polygon topology — the QA gate between ring assembly and the
+    * `.poly`/GeoJSON sinks (the reference stitches rings,
+    * converter.rs:35-105, but never validates them). Input `edges`:
+    * (ring_id, idx, n, x1, y1, x2, y2) with idx ∈ [0, n) in ring order
+    * and no zero-length edges. Flags:
+    *  - NON-ADJACENT pairs that intersect at all (a shared point is a
+    *    pinch, a crossing is a bowtie — both break simplicity);
+    *  - ADJACENT pairs (idx j = i+1, or the (0, n−1) wrap) that overlap
+    *    COLLINEARLY beyond their shared vertex (a spike): with shared
+    *    vertex M between P→M and M→Q, flagged iff orient(P,M,Q) = 0 and
+    *    (P−M)·(Q−M) > 0. Touching at M alone is what a ring IS.
+    * Same plan as [[intersectingPairs]]: cell explode, equi-join on
+    * (cell, ring_id), reference-point dedup, exact BIGINT predicate.
+    * Returns (ring_id, i, j) with i < j.
+    */
+  def selfIntersections(edges: DataFrame, cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    def prep(p: String): DataFrame = {
+      val minx = least(col("x1"), col("x2"))
+      val maxx = greatest(col("x1"), col("x2"))
+      val miny = least(col("y1"), col("y2"))
+      val maxy = greatest(col("y1"), col("y2"))
+      edges.select(
+          col("ring_id"),
+          col("idx").as(s"${p}i"), col("n").as(s"${p}n"),
+          col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"),
+          col("x2").as(s"${p}x2"), col("y2").as(s"${p}y2"),
+          floorDiv(minx, cellSize).as(s"${p}cx0"),
+          floorDiv(maxx, cellSize).as(s"${p}cx1"),
+          floorDiv(miny, cellSize).as(s"${p}cy0"),
+          floorDiv(maxy, cellSize).as(s"${p}cy1"))
+        .withColumn("cx", explode(sequence(col(s"${p}cx0"), col(s"${p}cx1"))))
+        .withColumn("cy", explode(sequence(col(s"${p}cy0"), col(s"${p}cy1"))))
+    }
+    val joined = prep("a").join(prep("b"), Seq("cx", "cy", "ring_id"))
+      .filter(col("ai") < col("bi"))
+      .filter(col("cx") === greatest(col("acx0"), col("bcx0")) &&
+        col("cy") === greatest(col("acy0"), col("bcy0")))
+    val succAdj = col("bi") === col("ai") + 1
+    val wrapAdj = col("ai") === 0 && col("bi") === col("an") - 1
+    // spike test around the shared vertex M: P→M then M→Q retraces
+    def spike(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column, my: org.apache.spark.sql.Column,
+        qx: org.apache.spark.sql.Column, qy: org.apache.spark.sql.Column) =
+      ((mx - px) * (qy - py) - (my - py) * (qx - px)) === 0 &&
+        ((px - mx) * (qx - mx) + (py - my) * (qy - my)) > 0
+    val verdict =
+      when(succAdj, spike(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+        col("bx2"), col("by2")))
+      .when(wrapAdj, spike(col("bx1"), col("by1"), col("bx2"), col("by2"),
+        col("ax2"), col("ay2")))
+      .otherwise(segIntersects(
+        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+        col("bx1"), col("by1"), col("bx2"), col("by2")))
+    joined.filter(verdict)
+      .select(col("ring_id"), col("ai").as("i"), col("bi").as("j"))
+  }
+
   /** sign((b-a) × (p-a)) as a BIGINT column: +1 left, -1 right, 0 collinear. */
   private def orient(ax: org.apache.spark.sql.Column, ay: org.apache.spark.sql.Column,
       bx: org.apache.spark.sql.Column, by: org.apache.spark.sql.Column,

@@ -65,6 +65,51 @@ class SegmentJoinSpec extends AnyFunSuite {
       (1L, 100L), (0L, 101L)))
   }
 
+  private def ringEdges(pts: Seq[(Long, Long)], ringId: Long = 7L) = {
+    val n = pts.length
+    (0 until n).map { i =>
+      val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % n)
+      (ringId, i.toLong, n.toLong, x1, y1, x2, y2)
+    }.toDF("ring_id", "idx", "n", "x1", "y1", "x2", "y2")
+  }
+  private def audit(pts: Seq[(Long, Long)], cell: Long = 8L): Set[(Long, Long)] =
+    SegmentJoin.selfIntersections(ringEdges(pts), cell)
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+
+  test("ring audit: square and convex octagon are clean (adjacent touch allowed)") {
+    assert(audit(Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))) === Set.empty)
+    assert(audit(Seq((2L, 0L), (4L, 0L), (6L, 2L), (6L, 4L), (4L, 6L),
+      (2L, 6L), (0L, 4L), (0L, 2L))) === Set.empty)
+  }
+
+  test("ring audit: bowtie flags exactly its crossing diagonals") {
+    // A(0,0) B(10,0) D(0,10) C(10,10): edges 1 (B→D) and 3 (C→A) cross
+    assert(audit(Seq((0L, 0L), (10L, 0L), (0L, 10L), (10L, 10L))) ===
+      Set((1L, 3L)))
+  }
+
+  test("ring audit: pinch (shared vertex between non-adjacent edges) flags") {
+    // hourglass pinched at (5,5): two triangles sharing one vertex
+    val got = audit(Seq((0L, 0L), (10L, 0L), (5L, 5L), (10L, 10L), (0L, 10L), (5L, 5L)))
+    // every non-adjacent pair meeting at the doubled vertex must flag;
+    // the adjacent pairs around each copy must NOT (they only touch at M)
+    assert(got.nonEmpty && got.forall { case (i, j) => j - i > 1 && !(i == 0 && j == 5) })
+    assert(got === Set((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L)))
+  }
+
+  test("ring audit: collinear spike flags the retracing adjacent pair, wrap included") {
+    // spike at vertex 2: path goes ...B(10,0), out to (20,0), straight back
+    // through B's row — edge 1 (B→S) and edge 2 (S→C with C behind) retrace
+    val got = audit(Seq((0L, 0L), (10L, 0L), (20L, 0L), (15L, 0L), (15L, 10L), (0L, 10L)))
+    assert(got.contains((1L, 2L)), s"spike pair missing from $got")
+    // wrap spike: the closing edge comes into v0 and edge 0 retraces it
+    val wrap = audit(Seq((0L, 0L), (10L, 0L), (10L, 10L), (20L, 0L)))
+    assert(wrap.contains((0L, 3L)), s"wrap spike missing from $wrap")
+    // straight collinear CONTINUATION through a vertex is clean geometry
+    val straight = audit(Seq((0L, 0L), (5L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)))
+    assert(straight === Set.empty, s"straight vertex wrongly flagged: $straight")
+  }
+
   test("random layers incl. negative coords: grid plan equals brute force at several cell sizes") {
     val rnd = new scala.util.Random(20260818L)
     def layer(idBase: Long, n: Int): Seq[Seg] = (0 until n).map { i =>
