@@ -1460,6 +1460,36 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // frequent co-occurring term pairs (Apriori level 2, Agrawal &
+    // Srikant 1994): pass 1 counts single-term support, pass 2 self-joins
+    // only the frequent-term-filtered posting lists (broadcast prune) -
+    // support is anti-monotone, so the within-doc join can never be
+    // vocabulary^2 at corpus scale
+    "q121_frequent_pairs" -> ((s, dir) =>
+      graft.text.TextOps.frequentPairs(s, table(s, dir, "documents"),
+        minItem = 100L, minPair = 150L)),
+
+    // exact Jaccard>=0.9 set-similarity join with PREFIX FILTERING
+    // (SSJoin/PPJoin): candidates only where rarest-first prefixes
+    // share a token - a theorem, not a cap, so nothing is dropped.
+    // Planted 20-item sets from a 10k universe; every tenth doc gets a
+    // twin with item 7 swapped out (Jaccard 19/21) - cross-doc overlap
+    // is negligible, so the filter prunes ~everything
+    "q122_jaccard_join" -> ((s, dir) => {
+      val base = s.range(0, 500).select(col("id").as("doc_id"))
+        .withColumn("j", explode(sequence(lit(0L), lit(19L))))
+        .select(col("doc_id"),
+          pmod(mixCol(s, col("doc_id") * 20 + col("j")), lit(10000L)).as("item"))
+      val dups = s.range(0, 500).filter(col("id") % 10 === 0)
+        .select(col("id").as("b"))
+        .withColumn("j", explode(sequence(lit(0L), lit(19L))))
+        .select((col("b") + 100000L).as("doc_id"),
+          when(col("j") === 7, col("b") + 10000L)
+            .otherwise(pmod(mixCol(s, col("b") * 20 + col("j")), lit(10000L))).as("item"))
+      graft.dedup.JaccardJoin.similarPairs(s, base.unionByName(dups),
+        tNum = 9, tDen = 10)
+    }),
+
     // ring-simplicity audit: the QA gate between ring assembly and the
     // .poly/GeoJSON sinks. Planted octagon rings; ring%7==0 swaps two
     // far vertices (bowtie - crossing non-adjacent edges), ring%7==1
@@ -3253,6 +3283,45 @@ object SparkEntry {
         |              ELSE 'caption_' || i END AS caption
         |  FROM range(0, 540) t(i) WHERE i % 10 = 7)
         |SELECT * FROM v12 UNION ALL SELECT * FROM v23""".stripMargin,
+
+    // q121 — the same two Apriori passes in SQL (presence counts via
+    // DISTINCT (doc, term)); the frequent-item prune changes nothing on
+    // a qualifying pair by the anti-monotone property, so the oracle can
+    // also be read as the brute-force definition
+    "q121_frequent_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term FROM tok GROUP BY term HAVING count(*) >= 100),
+        |ftok AS (SELECT doc_id, term FROM tok JOIN freq USING (term))
+        |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
+        |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q122 — brute force over ALL pairs with the integer threshold test:
+    // plan-independent proof the prefix filter loses nothing
+    "q122_jaccard_join" ->
+      s"""WITH cells AS (
+         |  SELECT i, j, CAST(i*20 + j AS HUGEINT) AS seed
+         |  FROM range(0, 500) a(i), range(0, 20) b(j)),
+         |${splitmixChain("sj", Seq("i", "j"), "cells", "seed")},
+         |it AS (SELECT i, j,
+         |  ((${toSigned("z")} % 10000) + 10000) % 10000 AS item FROM sj3),
+         |alltok AS (
+         |  SELECT i AS doc_id, item FROM it
+         |  UNION ALL
+         |  SELECT i + 100000, CASE WHEN j = 7 THEN i + 10000 ELSE item END
+         |  FROM it WHERE i % 10 = 0),
+         |tok AS (SELECT DISTINCT doc_id, item FROM alltok),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM tok a JOIN tok b ON a.item = b.item AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, na.sz AS sz_a, nb.sz AS sz_b
+         |FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |WHERE inter * 10 >= (na.sz + nb.sz - inter) * 9""".stripMargin,
 
     // q120 — within-ring pairs brute-forced with the identical adjacency
     // dispatch: spike test on consecutive/wrap pairs, full inclusive

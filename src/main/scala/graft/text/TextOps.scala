@@ -601,4 +601,31 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min("anchor").as("first_pos"))
   }
+
+  /** Frequent co-occurring term pairs (the 2-itemset level of Apriori,
+    * Agrawal & Srikant 1994): a pair can only reach `minPair` support if
+    * BOTH terms reach `minItem ≤ minPair` alone, so pass 1 counts single
+    * terms and pass 2 generates pairs only over the frequent-term-filtered
+    * posting lists — the pruning that keeps the within-doc self-join from
+    * being vocabulary² on a 10^12-doc corpus. The frequent-term set is
+    * broadcast (items above corpus-scale support are FEW by definition —
+    * support is anti-monotone in set size). Presence counts: one row per
+    * (doc, term) regardless of multiplicity.
+    */
+  def frequentPairs(spark: SparkSession, docs: DataFrame,
+      minItem: Long, minPair: Long): DataFrame = {
+    require(minItem <= minPair,
+      s"apriori needs minItem <= minPair, got $minItem > $minPair")
+    val tok = docs.select(col("doc_id"),
+      explode(tokensCol(col("text"))).as("term")).distinct()
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minItem).select(col("term"))
+    val ftok = tok.join(broadcast(freq), Seq("term"))
+    ftok.select(col("doc_id"), col("term").as("term_a"))
+      .join(ftok.select(col("doc_id"), col("term").as("term_b")), Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minPair)
+  }
 }
