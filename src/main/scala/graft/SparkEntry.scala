@@ -1460,6 +1460,22 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // audio silence segmentation: real WAV decode -> per-frame peaks
+    // (imperative per row) -> gaps-and-islands over silent frames
+    // (declarative window) - the speech/music segmenter an audio
+    // pipeline gates clips with. Planted silent gaps make the segment
+    // table closed-form; peak < 100 is the exact integer verdict
+    "q123_silence_segments" -> ((s, dir) => {
+      val peaks = graft.img.Multimodal.framePeaks(s,
+        graft.img.Multimodal.synthAudioGapped(s, 300), frame = 64)
+      val w = Window.partitionBy(col("audio_id")).orderBy(col("frame"))
+      peaks.filter(col("peak") < 100)
+        .withColumn("grp", col("frame") - row_number().over(w))
+        .groupBy(col("audio_id"), col("grp"))
+        .agg(min(col("frame")).as("seg_start"), count(lit(1)).as("n_frames"))
+        .select(col("audio_id"), col("seg_start"), col("n_frames"))
+    }),
+
     // frequent co-occurring term pairs (Apriori level 2, Agrawal &
     // Srikant 1994): pass 1 counts single-term support, pass 2 self-joins
     // only the frequent-term-filtered posting lists (broadcast prune) -
@@ -3298,6 +3314,40 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q123 — the gapped synth replayed sample by sample (q62's triangle
+    // CTEs + the zeroed gap frames), then the same frame-peak / islands
+    // arithmetic; WAV PCM-16 is lossless so decode == synth exactly
+    "q123_silence_segments" ->
+      s"""WITH ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, 300)),
+         |${splitmixChain("gl", Seq("i"), "ids", "i")},
+         |${splitmixChain("gp", Seq("i"), "ids", "(i * 3::HUGEINT + 1::HUGEINT)")},
+         |${splitmixChain("ga", Seq("i"), "ids", "(i * 3::HUGEINT + 2::HUGEINT)")},
+         |${splitmixChain("gg", Seq("i"), "ids", "(i * 5::HUGEINT + 3::HUGEINT)")},
+         |${splitmixChain("gh", Seq("i"), "ids", "(i * 5::HUGEINT + 4::HUGEINT)")},
+         |params AS (
+         |  SELECT gl3.i AS i,
+         |    512 + CAST(gl3.z & 255::HUGEINT AS INT) AS len,
+         |    256 + CAST(gp3.z & 511::HUGEINT AS INT) AS period,
+         |    4000 + CAST(ga3.z & 8191::HUGEINT AS INT) AS amp,
+         |    1 + CAST(gg3.z & 3::HUGEINT AS INT) AS g,
+         |    1 + CAST(gh3.z & 1::HUGEINT AS INT) AS glen
+         |  FROM gl3 JOIN gp3 ON gp3.i = gl3.i JOIN ga3 ON ga3.i = gl3.i
+         |    JOIN gg3 ON gg3.i = gl3.i JOIN gh3 ON gh3.i = gl3.i),
+         |ks AS (SELECT i, len, period, amp, g, glen, unnest(range(len)) AS k FROM params),
+         |samples AS (
+         |  SELECT i, k // 64 AS f,
+         |    CASE WHEN k // 64 BETWEEN g AND g + glen - 1 THEN 0
+         |      ELSE (2 * least(k % period, period - (k % period)) * amp) // period - amp // 2
+         |    END AS s
+         |  FROM ks),
+         |peaks AS (SELECT i, f, max(abs(s)) AS peak FROM samples GROUP BY 1, 2),
+         |silent AS (
+         |  SELECT i, f, f - row_number() OVER (PARTITION BY i ORDER BY f) AS grp
+         |  FROM peaks WHERE peak < 100)
+         |SELECT printf('aud_%09d', CAST(i AS BIGINT)) AS audio_id,
+         |  min(f) AS seg_start, CAST(count(*) AS BIGINT) AS n_frames
+         |FROM silent GROUP BY i, grp""".stripMargin,
 
     // q122 — brute force over ALL pairs with the integer threshold test:
     // plan-independent proof the prefix filter loses nothing

@@ -344,6 +344,66 @@ object Multimodal {
     }
   }
 
+  /** Same triangle synth as [[synthAudioFlac]] but with a planted SILENT
+    * gap — frames (64 samples) g..g+glen−1 zeroed, g ∈ 1..4, glen ∈ 1..2
+    * from two more splitmix draws — encoded through the real RIFF/WAVE
+    * codec. The corpus for silence segmentation (q123): gap placement is
+    * closed-form, so the segment table is SQL-replicable end to end.
+    */
+  def synthAudioGapped(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val len = 512 + (ImageTable.splitmix64(i) & 0xFF).toInt
+      val period = 256 + (ImageTable.splitmix64(i * 3 + 1) & 0x1FF).toInt
+      val amp = 4000 + (ImageTable.splitmix64(i * 3 + 2) & 0x1FFF).toInt
+      val g = 1 + (ImageTable.splitmix64(i * 5 + 3) & 3L).toInt
+      val glen = 1 + (ImageTable.splitmix64(i * 5 + 4) & 1L).toInt
+      val samples = Array.tabulate(len) { k =>
+        val f = k / 64
+        if (f >= g && f < g + glen) 0.toShort
+        else {
+          val p = k % period
+          (2L * math.min(p, period - p) * amp / period - amp / 2).toShort
+        }
+      }
+      AudioRow(f"aud_$i%09d", Wav.encode(samples, 16000), 16000, len, "wav",
+        s"audio caption_$i")
+    }
+  }
+
+  /** Decode dispatch shared by the feature extractors. */
+  private def pcmOf(a: AudioRow): Array[Short] = a.fmt match {
+    case "wav" => Wav.decode(a.bytes)._1
+    case "wav_adpcm" => Adpcm.decodeWav(a.bytes)._1
+    case "flac" => Flac.decode(a.bytes)._1
+    case _ => decodeAudioStub(a.bytes)
+  }
+
+  /** Per-frame peak magnitude (max |sample| over each `frame`-sample
+    * window, last window partial): the decode stays imperative per row,
+    * the segmentation on top stays declarative — (audio_id, frame, peak)
+    * is the narrow zero-shuffle hand-off between the two.
+    */
+  def framePeaks(spark: SparkSession, audio: Dataset[AudioRow],
+      frame: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(frame > 0, s"frame size must be positive, got $frame")
+    audio.flatMap { a =>
+      val pcm = pcmOf(a)
+      (0 until (pcm.length + frame - 1) / frame).map { f =>
+        var m = 0L
+        var k = f * frame
+        val end = math.min(k + frame, pcm.length)
+        while (k < end) {
+          val v = math.abs(pcm(k).toLong)
+          if (v > m) m = v
+          k += 1
+        }
+        (a.audio_id, f.toLong, m)
+      }
+    }.toDF("audio_id", "frame", "peak")
+  }
+
   /** Feature extraction over the opaque audio column — partition-batched.
     * fmt="wav" rows go through the real RIFF/WAVE PCM decoder,
     * fmt="wav_adpcm" through the real IMA-ADPCM decoder, and fmt="flac"

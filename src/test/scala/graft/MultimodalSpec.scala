@@ -155,4 +155,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(graft.img.ImageTable.psnrDb(px, want) >= 40.0, s"${f.video_id}#${f.frame_idx}")
     }
   }
+
+  test("framePeaks through the real WAV codec: planted gap silent, full wave frames loud") {
+    import graft.img.{ImageTable, Multimodal}
+    val peaks = Multimodal.framePeaks(spark, Multimodal.synthAudioGapped(spark, 30), 64)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    for (i <- 0L until 30L) {
+      val g = 1 + (ImageTable.splitmix64(i * 5 + 3) & 3L)
+      val glen = 1 + (ImageTable.splitmix64(i * 5 + 4) & 1L)
+      val len = 512 + (ImageTable.splitmix64(i) & 0xFF)
+      val p = peaks(f"aud_$i%09d")
+      assert(p.keySet === (0L until (len + 63) / 64).toSet, s"i=$i frame coverage")
+      for (f <- g until g + glen) assert(p(f) === 0L, s"i=$i gap frame $f not silent")
+      // every FULL non-gap frame carries real signal (the partial tail may
+      // straddle a zero crossing and dip arbitrarily low — that is audio,
+      // not a bug, and the oracle replays it)
+      for (f <- 0L until len / 64 if f < g || f >= g + glen)
+        assert(p(f) >= 100L, s"i=$i frame $f peak ${p(f)}")
+    }
+  }
 }
