@@ -1460,6 +1460,34 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // CDC-driven incremental tile maintenance: a completed staged tiling
+    // run takes an image-level delta (20 inserts, 5 deletes, 10 same-id
+    // re-upserts) and re-tiles ONLY the batches containing a changed
+    // image - O(changed batches) like the snapshot table's merge. The
+    // read-back of the WHOLE tile store must equal the closed-form
+    // full-build pyramid over the post-delta id set: the proof that
+    // incremental maintenance converges to the rebuild
+    "q124_tile_refresh" -> ((s, dir) => {
+      import s.implicits._
+      import graft.img.ImageTable
+      import graft.tile.TileManifest
+      val out = snapshotScratchDir("q124")
+      def withRel(df: DataFrame) =
+        df.withColumn("relation_id", pmod(col("phash"), lit(64)))
+      val base = withRel(ImageTable.generate(s, 200, 8).toDF())
+      TileManifest.runStaged(s, base, out.getPath, nBatches = 8)
+      val inserts = s.range(200, 220).as[Long].map(ImageTable.makeRow).toDF()
+      val reups = s.range(0, 200).filter(col("id") % 20 === 0)
+        .as[Long].map(ImageTable.makeRow).toDF()
+      val deletes = s.range(0, 200).filter(col("id") % 40 === 3)
+        .select(format_string("img_%09d", col("id")).as("image_id"))
+      TileManifest.refreshStaged(s, withRel(inserts.unionByName(reups)),
+        deletes, out.getPath)
+      s.read.parquet(s"${out.getPath}/tiles")
+        .select(col("image_id"), col("relation_id"), col("level"),
+          col("tx"), col("ty"), col("tw"), col("th"))
+    }),
+
     // audio silence segmentation: real WAV decode -> per-frame peaks
     // (imperative per row) -> gaps-and-islands over silent frames
     // (declarative window) - the speech/music segmenter an audio
@@ -2064,8 +2092,14 @@ object SparkEntry {
        |FROM bits""".stripMargin
   }
 
-  private def splitmixDimsCtes(n: Int): String = {
-    s"""ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)),
+  private def splitmixDimsCtes(n: Int): String =
+    splitmixDimsCtesFrom(s"SELECT CAST(range AS HUGEINT) AS i FROM range(0, $n)")
+
+  /** [[splitmixDimsCtes]] over an arbitrary id set (q124 refreshes a
+    * subset of ids; the dims arithmetic is identical).
+    */
+  private def splitmixDimsCtesFrom(idsSql: String): String = {
+    s"""ids AS ($idsSql),
        |seeds AS (
        |  SELECT i, 'w' AS k, (3*i+1) AS s FROM ids
        |  UNION ALL SELECT i, 'h', (3*i+2) FROM ids
@@ -3314,6 +3348,29 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q124 — q32's pyramid geometry CTE over the POST-DELTA id set
+    // (0..199 minus i%40==3, plus 200..219; re-upserts are id-identical
+    // so they alter nothing): incremental result == closed-form rebuild
+    "q124_tile_refresh" -> {
+      val ids = "SELECT CAST(i AS HUGEINT) AS i FROM range(0, 220) t(i) " +
+        "WHERE NOT (i < 200 AND i % 40 = 3)"
+      s"""WITH RECURSIVE ${splitmixDimsCtesFrom(ids)},
+         |lv AS (
+         |  SELECT i, w, h, phash, 0 AS level FROM dims
+         |  UNION ALL
+         |  SELECT i, (w+1)//2, (h+1)//2, phash, level+1 FROM lv WHERE NOT (w <= 16 AND h <= 16)
+         |),
+         |t1 AS (SELECT *, unnest(range((w+15)//16)) AS tx FROM lv),
+         |t2 AS (SELECT *, unnest(range((h+15)//16)) AS ty FROM t1)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  ((phash % 64) + 64) % 64 AS relation_id,
+         |  CAST(level AS INT) AS level,
+         |  CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+         |  CAST(least(16, w - tx*16) AS INT) AS tw,
+         |  CAST(least(16, h - ty*16) AS INT) AS th
+         |FROM t2""".stripMargin
+    },
 
     // q123 — the gapped synth replayed sample by sample (q62's triangle
     // CTEs + the zeroed gap frames), then the same frame-peak / islands

@@ -45,7 +45,9 @@ object TileManifest {
     val fin = dir.resolve(s"batch-$batch.json")
     Files.writeString(tmp,
       s"""{"batch":$batch,"images":$images,"tiles":$tiles,"schema_v":1}""")
-    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE: a refresh re-commits an existing batch's entry
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run (or resume) the tiling job. `assigned` needs image_id, relation_id,
@@ -141,5 +143,58 @@ object TileManifest {
       if (done.contains(b)) BatchResult(b, 0, 0, skipped = true)
       else tileBatch(spark, staged.filter(col("batch") === b).drop("batch"), outDir, b)
     }
+  }
+
+  /** Incremental refresh of a completed [[runStaged]] output: apply an
+    * image-level delta (upserts carry the full assigned row; deletes just
+    * image_ids) by re-tiling ONLY the batches containing a changed image
+    * — the CDC-driven maintenance path, O(changed batches) like the
+    * snapshot table's merge, against O(corpus) for a rebuild.
+    *
+    * Per affected batch: the old slice reads back partition-PRUNED from
+    * the staging, changed ids anti-join out, upserts union in; the new
+    * slice is eagerly localCheckpointed BEFORE the staging partition is
+    * overwritten (the read and the write touch the same directory — the
+    * checkpoint is what makes the swap safe), then the batch re-tiles and
+    * re-commits its manifest entry. Untouched batches: zero reads, zero
+    * writes. The staging swap is not atomic; the manifest entry remains
+    * the commit point, and a crashed refresh is safe to re-run with the
+    * same (deterministic) delta.
+    */
+  def refreshStaged(spark: SparkSession, upserts: DataFrame, deleteIds: DataFrame,
+      outDir: String): Seq[BatchResult] = {
+    val stagedDir = s"$outDir/_staged"
+    val metaPath = Paths.get(outDir, "_staged_meta.json")
+    require(Files.exists(metaPath), s"no staged tiling run at $outDir to refresh")
+    val nBatches = """"n_batches":(\d+)""".r
+      .findFirstMatchIn(Files.readString(metaPath))
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"unreadable $metaPath"))
+    def batched(df: DataFrame) =
+      df.withColumn("batch", pmod(hash(col("image_id")), lit(nBatches)))
+    val up = batched(upserts)
+    val del = batched(deleteIds.select(col("image_id")))
+    // metadata-sized by construction: ≤ nBatches values
+    val affected = up.select(col("batch")).union(del.select(col("batch")))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty)
+      return (0 until nBatches).map(BatchResult(_, 0, 0, skipped = true))
+    val changedIds = up.select(col("image_id"))
+      .union(del.select(col("image_id"))).distinct()
+    val oldSlices = spark.read.parquet(stagedDir)
+      .filter(col("batch").isin(affected.map(Int.box): _*)) // partition prune
+    val newSlices = oldSlices.join(changedIds, Seq("image_id"), "left_anti")
+      .unionByName(up)
+      .localCheckpoint(true) // delta-sized; severs lineage from stagedDir
+    try {
+      val res = affected.toSeq.map { b =>
+        newSlices.filter(col("batch") === b).drop("batch")
+          .write.mode("overwrite").parquet(s"$stagedDir/batch=$b")
+        tileBatch(spark,
+          spark.read.parquet(s"$stagedDir/batch=$b"), outDir, b)
+      }
+      res ++ (0 until nBatches).filterNot(affected.contains)
+        .map(BatchResult(_, 0, 0, skipped = true))
+    } finally newSlices.unpersist(blocking = false)
   }
 }

@@ -133,6 +133,46 @@ class TilingSpec extends AnyFunSuite {
       TileManifest.runStaged(spark, images, dir, nBatches = 8))
     assert(e.getMessage.contains("n_batches=4"), e.getMessage)
   }
+
+  test("refreshStaged re-tiles only affected batches and converges to a rebuild") {
+    import spark.implicits._
+    def withRel(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("relation_id", lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    TileManifest.runStaged(spark, withRel(ImageTable.generate(spark, 40, 4).toDF()),
+      dir, nBatches = 8)
+    val before = (0 until 8).map { b =>
+      b -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "_manifest", s"batch-$b.json"))
+    }.toMap
+
+    // delta: 1 insert + 2 deletes into 8 batches
+    val inserts = withRel(spark.range(40, 41).as[Long].map(ImageTable.makeRow).toDF())
+    val deletes = Seq("img_000000003", "img_000000017").toDF("image_id")
+    val res = TileManifest.refreshStaged(spark, inserts, deletes, dir)
+    val affected = res.filterNot(_.skipped).map(_.batch).toSet
+    assert(affected.nonEmpty && affected.size <= 3,
+      s"a 3-image delta must touch at most 3 of 8 batches: $affected")
+    // untouched batches: manifest entries not rewritten
+    for (b <- 0 until 8 if !affected(b))
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "_manifest", s"batch-$b.json")) == before(b),
+        s"untouched batch $b was rewritten")
+
+    // convergence: the refreshed store equals a from-scratch build over
+    // the post-delta image set (same tile rows, any batch layout)
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
+    val finalSet = withRel(ImageTable.generate(spark, 41, 4).toDF()
+      .filter(!col("image_id").isin("img_000000003", "img_000000017")))
+    TileManifest.runStaged(spark, finalSet, rebuiltDir, nBatches = 8)
+    def tiles(d: String) = spark.read.parquet(s"$d/tiles")
+      .select("image_id", "level", "tx", "ty", "tw", "th")
+      .as[(String, Int, Int, Int, Int, Int)].collect().sorted.toSeq
+    assert(tiles(dir) === tiles(rebuiltDir))
+    // idempotence: re-running the same delta converges to the same store
+    TileManifest.refreshStaged(spark, inserts, deletes, dir)
+    assert(tiles(dir) === tiles(rebuiltDir))
+  }
 }
 
 class SpatialJoinSpec extends AnyFunSuite {
