@@ -1460,6 +1460,36 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // manifest-stats file skipping (Iceberg lower/upper bounds): the
+    // table is key-clustered (bucket = idx div 50, so every file holds a
+    // contiguous key range), each commit records per-file min/max of the
+    // stats column, and a range read opens ONLY intersecting files - a
+    // pure metadata decision. create(16 files) + append(4) + delete of
+    // one whole file's range leaves 19; [375,520] keeps exactly 4
+    "q125_stats_pruning" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q125")
+      val bucketOf = floor(col("idx") / lit(50.0))
+      def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      SnapshotTable.create(s, mk(0, 800), out.getPath, 20, bucketOf,
+        statsCol = Some("idx"))
+      SnapshotTable.append(s, mk(800, 1000), out.getPath, bucketOf)
+      SnapshotTable.delete(s, out.getPath, col("idx") >= 100 && col("idx") < 150,
+        bucketOf)
+      val (kept, skipped) = SnapshotTable.prunePlan(out.getPath, 375L, 520L)
+      val pruned = SnapshotTable.readPruned(s, out.getPath, 375L, 520L)
+      val (nRows, sumIdx) = pruned.agg(count(lit(1)), sum(col("idx")))
+        .as[(Long, Long)].first()
+      Seq(
+        ("files_total_v3", (kept.size + skipped.size).toLong),
+        ("files_kept", kept.size.toLong),
+        ("files_skipped", skipped.size.toLong),
+        ("rows_in_range", nRows),
+        ("sum_idx_in_range", sumIdx)).toDF("label", "n")
+    }),
+
     // CDC-driven incremental tile maintenance: a completed staged tiling
     // run takes an image-level delta (20 inserts, 5 deletes, 10 same-id
     // re-upserts) and re-tiles ONLY the batches containing a changed
@@ -3348,6 +3378,17 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q125 — the whole layout is plain division, so everything is
+    // closed-form: 20 create/append files minus the deleted [100,150)
+    // file = 19; [375,520] intersects files 7..10 (ranges [350,400) ..
+    // [500,550)) = 4 kept; rows/sum are the range arithmetic
+    "q125_stats_pruning" ->
+      """SELECT 'files_total_v3' AS label, CAST(19 AS BIGINT) AS n
+        |UNION ALL SELECT 'files_kept', 4
+        |UNION ALL SELECT 'files_skipped', 15
+        |UNION ALL SELECT 'rows_in_range', 520 - 375 + 1
+        |UNION ALL SELECT 'sum_idx_in_range', (375 + 520) * (520 - 375 + 1) // 2""".stripMargin,
 
     // q124 — q32's pyramid geometry CTE over the POST-DELTA id set
     // (0..199 minus i%40==3, plus 200..219; re-upserts are id-identical

@@ -46,10 +46,16 @@ import org.apache.spark.sql.types.StructType
   */
 object SnapshotTable {
 
-  final case class FileEntry(path: String, bucket: Int, rows: Long)
+  /** `minKey`/`maxKey` are per-file stats of the table's STATS COLUMN
+    * (the Iceberg lower_bounds/upper_bounds idea, one designated BIGINT
+    * column): present on files written by a stats-aware commit, absent on
+    * older files — absence means "can't skip", never "skip".
+    */
+  final case class FileEntry(path: String, bucket: Int, rows: Long,
+      minKey: Option[Long] = None, maxKey: Option[Long] = None)
   final case class Manifest(version: Long, parent: Long, op: String,
       buckets: Int, files: Seq[FileEntry], totalRows: Long,
-      schemaDdl: String) {
+      schemaDdl: String, statsCol: Option[String] = None) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -92,25 +98,36 @@ object SnapshotTable {
     val json = Files.readString(manifestPath(dir, v))
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest v$v missing $k")).group(1).toLong
-    val files = """\{"path":"([^"]+)","bucket":(\d+),"rows":(\d+)\}""".r
+    val files =
+      ("""\{"path":"([^"]+)","bucket":(\d+),"rows":(\d+)""" +
+        """(?:,"min":(-?\d+),"max":(-?\d+))?\}""").r
       .findAllMatchIn(json)
-      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong)).toSeq
+      .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong,
+        Option(m.group(4)).map(_.toLong), Option(m.group(5)).map(_.toLong))).toSeq
     val op = """"op":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
     val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest v$v missing schema")).group(1)
+    val statsCol = """"stats_col":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
     Manifest(num("version"), num("parent"), op, num("buckets").toInt,
-      files, num("total_rows"), ddl)
+      files, num("total_rows"), ddl, statsCol)
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
     Files.createDirectories(metaDir(dir))
     val fs = m.files.sortBy(_.path)
-      .map(f => s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows}}""")
+      .map { f =>
+        val stats = (f.minKey, f.maxKey) match {
+          case (Some(lo), Some(hi)) => s""","min":$lo,"max":$hi"""
+          case _ => ""
+        }
+        s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows}$stats}"""
+      }
       .mkString(",")
     require(!m.schemaDdl.contains('"') && !m.schemaDdl.contains('\\'),
       s"schema DDL not JSON-safe: ${m.schemaDdl}")
+    val sc = m.statsCol.map(c => s""""stats_col":"$c",""").getOrElse("")
     val json = s"""{"version":${m.version},"parent":${m.parent},"op":"${m.op}",""" +
-      s""""buckets":${m.buckets},"total_rows":${m.totalRows},""" +
+      s""""buckets":${m.buckets},"total_rows":${m.totalRows},$sc""" +
       s""""schema":"${m.schemaDdl}","files":[$fs]}"""
     Files.writeString(manifestPath(dir, m.version), json)
     // the pointer swap IS the commit: a crash before this line leaves the
@@ -126,8 +143,8 @@ object SnapshotTable {
     * files just written (delta-sized, never table-sized).
     */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
-      v: Long, bucketOf: Column): Seq[FileEntry] =
-    commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v)
+      v: Long, bucketOf: Column, statsCol: Option[String]): Seq[FileEntry] =
+    commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v, statsCol)
 
   /** Write a `__bucket`-carrying frame as commit-`v` files and stat them.
     * A zero-row frame writes no data files (only _SUCCESS); the stats
@@ -135,7 +152,7 @@ object SnapshotTable {
     * empty delta is a clean no-op commit, not a crash.
     */
   private def commitFiles(spark: SparkSession, bucketed: DataFrame, dir: String,
-      v: Long): Seq[FileEntry] = {
+      v: Long, statsCol: Option[String]): Seq[FileEntry] = {
     val out = s"$dir/data/s$v"
     bucketed.repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(out)
@@ -144,23 +161,35 @@ object SnapshotTable {
       try walk.anyMatch(p => p.toString.endsWith(".parquet"))
       finally walk.close()
     if (!hasFiles) return Seq.empty
+    val statAggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
+      Seq(min(col(c)).as("__lo"), max(col(c)).as("__hi")))
     spark.read.parquet(out)
-      .groupBy(input_file_name().as("path")).agg(count(lit(1)).as("rows"))
+      .groupBy(input_file_name().as("path")).agg(statAggs.head, statAggs.tail: _*)
       .collect().map { r =>
         val path = r.getString(0)
         val b = "__bucket=(\\d+)".r.findFirstMatchIn(path)
           .getOrElse(sys.error(s"unbucketed data file $path")).group(1).toInt
-        FileEntry(path, b, r.getLong(1))
+        val (lo, hi) =
+          if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
+            (Some(r.getLong(2)), Some(r.getLong(3)))
+          else (None, None)
+        FileEntry(path, b, r.getLong(1), lo, hi)
       }.toSeq
   }
 
-  /** Create version 1. Fails if the table already exists. */
+  /** Create version 1. Fails if the table already exists. `statsCol`
+    * designates ONE BIGINT column whose per-file min/max every commit
+    * records (Iceberg bounds) — [[readPruned]] then skips files whose
+    * range misses a predicate. Inherited by every later commit.
+    */
   def create(spark: SparkSession, df: DataFrame, dir: String,
-      buckets: Int, bucketOf: Column): Manifest = {
+      buckets: Int, bucketOf: Column, statsCol: Option[String] = None): Manifest = {
     require(currentVersion(dir) == 0L, s"table already exists at $dir")
-    val files = writeData(spark, df, dir, 1L, bucketOf)
+    statsCol.foreach(c => require(df.columns.contains(c),
+      s"stats column '$c' not in ${df.columns.mkString(", ")}"))
+    val files = writeData(spark, df, dir, 1L, bucketOf, statsCol)
     val m = Manifest(1L, 0L, "create", buckets, files, files.map(_.rows).sum,
-      df.schema.toDDL)
+      df.schema.toDDL, statsCol)
     writeManifest(dir, m); m
   }
 
@@ -173,10 +202,11 @@ object SnapshotTable {
       bucketOf: Column): Manifest = {
     val parent = manifest(dir, currentVersion(dir))
     val schema = evolve(parent.schema, df.schema, "append")
-    val files = writeData(spark, align(df, schema), dir, parent.version + 1, bucketOf)
+    val files = writeData(spark, align(df, schema), dir, parent.version + 1,
+      bucketOf, parent.statsCol)
     val m = Manifest(parent.version + 1, parent.version, "append", parent.buckets,
       parent.files ++ files, parent.totalRows + files.map(_.rows).sum,
-      schema.toDDL)
+      schema.toDDL, parent.statsCol)
     writeManifest(dir, m); m
   }
 
@@ -217,10 +247,10 @@ object SnapshotTable {
         .unionByName(up)
       case None => up
     }
-    val files = commitFiles(spark, newData, dir, v)
+    val files = commitFiles(spark, newData, dir, v, parent.statsCol)
     val m = Manifest(v, parent.version, "merge", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
-      schema.toDDL)
+      schema.toDDL, parent.statsCol)
     writeManifest(dir, m); m
   }
 
@@ -268,9 +298,9 @@ object SnapshotTable {
       .parquet(frag.values.flatten.map(_.path).toSeq: _*)
       .withColumn("__bucket",
         regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
-    val files = commitFiles(spark, df, dir, v)
+    val files = commitFiles(spark, df, dir, v, parent.statsCol)
     val m = Manifest(v, parent.version, "compact", parent.buckets,
-      carried ++ files, parent.totalRows, parent.schemaDdl)
+      carried ++ files, parent.totalRows, parent.schemaDdl, parent.statsCol)
     writeManifest(dir, m); m
   }
 
@@ -299,10 +329,10 @@ object SnapshotTable {
       .parquet(touched.map(_.path): _*)
       .filter(!hit)
       .withColumn("__bucket", bucketOf.cast("int"))
-    val files = commitFiles(spark, survivors, dir, v)
+    val files = commitFiles(spark, survivors, dir, v, parent.statsCol)
     val m = Manifest(v, parent.version, "delete", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
-      parent.schemaDdl)
+      parent.schemaDdl, parent.statsCol)
     writeManifest(dir, m); m
   }
 
@@ -383,6 +413,39 @@ object SnapshotTable {
       .select((col("c.op").as("_change_type") +: col("__k").as(keyCol) +:
         toSchema.filterNot(_.name == keyCol)
           .map(f => col(s"c.v.${f.name}").as(f.name))): _*)
+  }
+
+  /** Manifest-stats file skipping: the files of `version` (default
+    * current) whose [min,max] stats column range INTERSECTS [lo, hi],
+    * plus every file without stats (absence can't skip). Returns
+    * (kept, skipped) — a pure metadata decision, no file is opened.
+    */
+  def prunePlan(dir: String, lo: Long, hi: Long,
+      version: Option[Long] = None): (Seq[FileEntry], Seq[FileEntry]) = {
+    val m = manifest(dir, version.getOrElse(currentVersion(dir)))
+    require(m.statsCol.isDefined, s"table at $dir carries no stats column")
+    m.files.partition(f => (f.minKey, f.maxKey) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true // no stats: must read
+    })
+  }
+
+  /** Read only the rows with statsCol ∈ [lo, hi], opening only the files
+    * [[prunePlan]] keeps — Iceberg data skipping: the scan cost tracks
+    * the PREDICATE's selectivity across files, not the table size. The
+    * residual filter still applies (file ranges overlap the predicate
+    * without every row matching).
+    */
+  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(dir, version.getOrElse(currentVersion(dir)))
+    val (kept, _) = prunePlan(dir, lo, hi, version)
+    val c = col(m.statsCol.get)
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema)
+    else spark.read.schema(m.schema).parquet(kept.map(_.path): _*)
+      .filter(c >= lo && c <= hi)
   }
 
   /** Move CURRENT back to `version` (its manifest must still exist). */

@@ -320,6 +320,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("stats pruning: range reads open only intersecting files, parity with full scan") {
+    val dir = tmp()
+    val byRange = floor(col("k") / lit(25.0)) // key-clustered: 4 files of 25
+    SnapshotTable.create(spark, rows(0, 100, "a"), dir, 4, byRange,
+      statsCol = Some("k"))
+    val (kept, skipped) = SnapshotTable.prunePlan(dir, 30L, 60L)
+    assert(kept.size === 2 && skipped.size === 2) // files [25,50) and [50,75)
+    assert(kept.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
+    val got = SnapshotTable.readPruned(spark, dir, 30L, 60L)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val want = SnapshotTable.read(spark, dir).filter(col("k").between(30, 60))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got === want && got.length === 31)
+    // stats survive a merge (inherited statsCol, rewritten file re-statted)
+    SnapshotTable.merge(spark, rows(40, 45, "m"), dir, "k", byRange)
+    val m2 = SnapshotTable.manifest(dir, 2L)
+    assert(m2.statsCol === Some("k"))
+    assert(m2.files.forall(_.minKey.isDefined))
+    assert(SnapshotTable.readPruned(spark, dir, 40L, 44L).count() === 5L)
+    // a table created without a stats column refuses to prune-plan
+    val plain = tmp()
+    SnapshotTable.create(spark, rows(0, 10, "a"), plain, 2, bucketOf)
+    intercept[IllegalArgumentException](SnapshotTable.prunePlan(plain, 0L, 5L))
+  }
+
+  test("stats pruning: a file without bounds is always read (absence can't skip)") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 50, "a"), dir, 2,
+      floor(col("k") / lit(25.0)), statsCol = Some("k"))
+    // simulate a pre-stats manifest: strip one file's bounds in place
+    val p = Paths.get(dir, "_meta", "v1.json")
+    val json = Files.readString(p)
+    val stripped = ""","min":0,"max":24""".r.replaceAllIn(json, "")
+    assert(stripped != json, "expected to strip the [0,25) file's bounds")
+    Files.writeString(p, stripped)
+    // predicate range [30,60] misses [0,25) — but without bounds the file
+    // must be KEPT, and the residual filter still yields correct rows
+    val (kept, skipped) = SnapshotTable.prunePlan(dir, 30L, 60L)
+    assert(kept.size === 2 && skipped.isEmpty)
+    assert(SnapshotTable.readPruned(spark, dir, 30L, 60L).count() === 20L)
+  }
+
   test("delete matching nothing is a no-op commit; expire drops replaced files") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
