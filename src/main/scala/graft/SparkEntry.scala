@@ -1491,12 +1491,13 @@ object SparkEntry {
     }),
 
     // CDC-driven incremental tile maintenance: a completed staged tiling
-    // run takes an image-level delta (20 inserts, 5 deletes, 10 same-id
-    // re-upserts) and re-tiles ONLY the batches containing a changed
-    // image - O(changed batches) like the snapshot table's merge. The
-    // read-back of the WHOLE tile store must equal the closed-form
-    // full-build pyramid over the post-delta id set: the proof that
-    // incremental maintenance converges to the rebuild
+    // run takes an image-level delta (2 inserts, 2 deletes, 1 same-id
+    // re-upsert - 5 ids into 6 batches, so some batches stay untouched)
+    // and re-tiles ONLY the batches containing a changed image -
+    // O(changed batches) like the snapshot table's merge. The read-back
+    // of the WHOLE tile store must equal the closed-form full-build
+    // pyramid over the post-delta id set: the proof that incremental
+    // maintenance converges to the rebuild
     "q124_tile_refresh" -> ((s, dir) => {
       import s.implicits._
       import graft.img.ImageTable
@@ -1504,15 +1505,13 @@ object SparkEntry {
       val out = snapshotScratchDir("q124")
       def withRel(df: DataFrame) =
         df.withColumn("relation_id", pmod(col("phash"), lit(64)))
-      val base = withRel(ImageTable.generate(s, 200, 8).toDF())
-      TileManifest.runStaged(s, base, out.getPath, nBatches = 8)
-      val inserts = s.range(200, 220).as[Long].map(ImageTable.makeRow).toDF()
-      val reups = s.range(0, 200).filter(col("id") % 20 === 0)
+      val base = withRel(ImageTable.generate(s, 120, 8).toDF())
+      TileManifest.runStaged(s, base, out.getPath, nBatches = 6)
+      val upserts = s.range(120, 122).unionByName(s.range(20, 21))
         .as[Long].map(ImageTable.makeRow).toDF()
-      val deletes = s.range(0, 200).filter(col("id") % 40 === 3)
+      val deletes = s.range(0, 120).filter(col("id") === 3 || col("id") === 43)
         .select(format_string("img_%09d", col("id")).as("image_id"))
-      TileManifest.refreshStaged(s, withRel(inserts.unionByName(reups)),
-        deletes, out.getPath)
+      TileManifest.refreshStaged(s, withRel(upserts), deletes, out.getPath)
       s.read.parquet(s"${out.getPath}/tiles")
         .select(col("image_id"), col("relation_id"), col("level"),
           col("tx"), col("ty"), col("tw"), col("th"))
@@ -3391,11 +3390,11 @@ object SparkEntry {
         |UNION ALL SELECT 'sum_idx_in_range', (375 + 520) * (520 - 375 + 1) // 2""".stripMargin,
 
     // q124 — q32's pyramid geometry CTE over the POST-DELTA id set
-    // (0..199 minus i%40==3, plus 200..219; re-upserts are id-identical
-    // so they alter nothing): incremental result == closed-form rebuild
+    // (0..119 minus {3, 43}, plus {120, 121}; the re-upsert is
+    // id-identical so it alters nothing): incremental == rebuild
     "q124_tile_refresh" -> {
-      val ids = "SELECT CAST(i AS HUGEINT) AS i FROM range(0, 220) t(i) " +
-        "WHERE NOT (i < 200 AND i % 40 = 3)"
+      val ids = "SELECT CAST(i AS HUGEINT) AS i FROM range(0, 122) t(i) " +
+        "WHERE i NOT IN (3, 43)"
       s"""WITH RECURSIVE ${splitmixDimsCtesFrom(ids)},
          |lv AS (
          |  SELECT i, w, h, phash, 0 AS level FROM dims

@@ -69,6 +69,41 @@ object Hilbert {
     out
   }
 
+  /** [[dCol]] as one materialized projection per level: `dCol`'s single
+    * expression references the previous level's x/y three times each, so
+    * its tree QUADRUPLES per level — at res 7 that is a ~16k-node
+    * expression whose analysis + codegen dominated the whole query
+    * (measured 16.7 s at sf0.1, all constant plan-compile cost). Leveled
+    * projections keep every expression level-sized; CollapseProject
+    * leaves them alone (the aliases are non-cheap and multiply
+    * referenced), and whole-stage codegen fuses the chain into local
+    * variables — same single narrow stage, linearly-sized code.
+    * Expects columns `x`, `y`; adds `d`.
+    */
+  def withD(df: DataFrame, res: Int): DataFrame = {
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
+    val n = 1L << res
+    var cur = df.withColumn("__hx", col("x"))
+      .withColumn("__hy", col("y"))
+      .withColumn("__hd", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(3L)).otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val flipX = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(n - 1) - col("__hy"))
+        .otherwise(col("__hy"))
+      val flipY = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(n - 1) - col("__hx"))
+        .otherwise(col("__hx"))
+      val swap = col("__hy").bitwiseAND(lit(s)) > 0
+      cur = cur.withColumns(Map(
+        "__hd" -> (col("__hd") + lit(s * s) * rx.bitwiseXOR(ry)),
+        "__hx" -> when(swap, col("__hx")).otherwise(flipX),
+        "__hy" -> when(swap, col("__hy")).otherwise(flipY)))
+      s >>= 1
+    }
+    cur.withColumn("d", col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
   /** Per-file layout stats under Hilbert clustering: file = top
     * `prefixBits` of the 2·res-bit key; per file the row count, key
     * range, and the CELL BOUNDING BOX (the manifest stats bbox pruning
@@ -82,9 +117,7 @@ object Hilbert {
       s"prefixBits=$prefixBits outside [1, ${2 * res}]")
     val x = ZOrder.cellXCol(col(lonCol), res)
     val y = ZOrder.cellYCol(col(latCol), res)
-    points
-      .withColumn("x", x).withColumn("y", y)
-      .withColumn("d", dCol(col("x"), col("y"), res))
+    withD(points.withColumn("x", x).withColumn("y", y), res)
       .withColumn("file_key", shiftright(col("d"), 2 * res - prefixBits))
       .groupBy("file_key")
       .agg(count(lit(1)).as("n_rows"), min("d").as("min_d"), max("d").as("max_d"),

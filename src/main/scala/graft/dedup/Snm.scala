@@ -74,8 +74,18 @@ object Snm {
     probes.join(
         ranked.select(col("id").as("id_b"), col("txt").as("tb"), col("rk").as("rk_b")),
         Seq("rk_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // length-band prefilter: |len(a) − len(b)| lower-bounds the edit
+      // distance, so out-of-band pairs skip the O(len²) levenshtein
+      // entirely — exact (loses nothing), and it removes most of the
+      // quadratic verify work (the verify WAS the whole 14.3 s cost of
+      // q105 at sf0.1: neighbors in sorted order mostly differ in length)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      // thresholded levenshtein: the banded O(len·maxDist) algorithm
+      // (returns −1 above the threshold) instead of the full O(len²)
+      // table — with the band ≪ len this is the other order of magnitude
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -133,6 +133,16 @@ class ZOrderSpec extends AnyFunSuite {
     got.foreach { case (x, y, d) => assert(d == Hilbert.d(4, x, y), s"($x, $y)") }
   }
 
+  test("hilbert: leveled-projection withD is bit-identical to the scalar kernel") {
+    import graft.cell.Hilbert
+    // res 7 — the layoutStats production path (dCol's single expression
+    // quadruples per level; withD must agree at full depth)
+    val pts = (0 until 400).map(i => ((i * 37L) % 128, (i * 53L) % 128))
+    val got = Hilbert.withD(pts.toDF("x", "y"), 7)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d == Hilbert.d(7, x, y), s"($x, $y)") }
+  }
+
   test("hilbert layoutStats: totals and bboxes are exact") {
     import graft.cell.Hilbert
     val pts = (0 until 500).map { i =>
