@@ -1460,6 +1460,39 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // orphan-file GC (Iceberg remove_orphan_files): two stray parquet
+    // files planted under data/s99 simulate a torn commit (data lands
+    // before its manifest, so a crash strands it invisibly); the walk
+    // finds exactly those two, deletes them, and the table still reads
+    // verified - files referenced by ANY retained manifest are never
+    // touched, and a grace window shields in-flight commits
+    "q126_orphan_gc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q126")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(16L))
+      def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      SnapshotTable.create(s, mk(0, 400), out.getPath, 16, bucketOf)
+      SnapshotTable.merge(s,
+        s.range(0, 400).filter(col("id") % 13 === 0)
+          .select(col("id").as("idx"), concat(lit("upd_"), col("id")).as("caption"))
+          .unionByName(mk(400, 430)), out.getPath, "idx", bucketOf)
+      // torn-commit residue: data files of a version that never committed
+      for (b <- Seq(0, 1))
+        mk(0, 5).coalesce(1).write.mode("overwrite")
+          .parquet(s"${out.getPath}/data/s99/__bucket=$b")
+      val found = SnapshotTable.orphanFiles(out.getPath, graceMs = 0L).size
+      val deleted = SnapshotTable.deleteOrphans(out.getPath, graceMs = 0L)
+      val rows = SnapshotTable.read(s, out.getPath, verify = true).count()
+      val after = SnapshotTable.orphanFiles(out.getPath, graceMs = 0L).size
+      Seq(
+        ("orphans_found", found.toLong),
+        ("orphans_deleted", deleted.toLong),
+        ("rows_after_gc", rows),
+        ("orphans_after_gc", after.toLong)).toDF("label", "n")
+    }),
+
     // manifest-stats file skipping (Iceberg lower/upper bounds): the
     // table is key-clustered (bucket = idx div 50, so every file holds a
     // contiguous key range), each commit records per-file min/max of the
@@ -3377,6 +3410,14 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q126 — all counts closed-form: exactly the two planted strays are
+    // orphans (one coalesced part file each), 430 rows survive verified
+    "q126_orphan_gc" ->
+      """SELECT 'orphans_found' AS label, CAST(2 AS BIGINT) AS n
+        |UNION ALL SELECT 'orphans_deleted', 2
+        |UNION ALL SELECT 'rows_after_gc', 430
+        |UNION ALL SELECT 'orphans_after_gc', 0""".stripMargin,
 
     // q125 — the whole layout is plain division, so everything is
     // closed-form: 20 create/append files minus the deleted [100,150)

@@ -457,6 +457,49 @@ object SnapshotTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Data files on disk that NO retained manifest references — the
+    * residue of torn commits (a crash between `writeData` and the
+    * CURRENT swap leaves that commit's files unreferenced forever; the
+    * commit protocol makes them invisible, this finds them). Iceberg's
+    * `remove_orphan_files`. Walk cost is O(files on disk) metadata,
+    * no file is opened.
+    *
+    * `graceMs`: only files older than this count — data files land
+    * BEFORE their manifest, so an in-flight commit's files must never
+    * look like orphans (Iceberg's `older_than` guard; default 1h).
+    * Tests pass 0 to see freshly-planted orphans.
+    */
+  def orphanFiles(dir: String, graceMs: Long = 3600000L): Seq[Path] = {
+    val dataDir = Paths.get(dir, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val versions = Files.list(metaDir(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+    val referenced = versions.flatMap(v => manifest(dir, v).files.map(f =>
+      Paths.get(f.path.stripPrefix("file:")).toAbsolutePath.normalize)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val walk = Files.walk(dataDir)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .map(_.toAbsolutePath.normalize)
+      .filterNot(referenced)
+      .toSeq
+    finally walk.close()
+  }
+
+  /** Delete every orphan (see [[orphanFiles]]); returns the count.
+    * A file referenced by ANY retained manifest — current, past, or a
+    * written-but-not-yet-current version — is never touched (manifests
+    * land before the pointer swap and all are read); files younger than
+    * the grace window are never touched either (an in-flight commit's
+    * data lands before its manifest).
+    */
+  def deleteOrphans(dir: String, graceMs: Long = 3600000L): Int =
+    orphanFiles(dir, graceMs).count(Files.deleteIfExists)
+
   /** Delete manifests below `keepFromVersion` and every data file no
     * retained manifest references. Returns deleted file count. Refuses to
     * expire the current version's lineage head.

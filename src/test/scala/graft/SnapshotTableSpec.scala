@@ -362,6 +362,24 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readPruned(spark, dir, 30L, 60L).count() === 20L)
   }
 
+  test("orphan GC: finds only unreferenced files, respects the grace window") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 60, "a"), dir, B, bucketOf)
+    SnapshotTable.merge(spark, rows(0, 10, "b"), dir, "k", bucketOf)
+    assert(SnapshotTable.orphanFiles(dir, graceMs = 0L).isEmpty)
+    // torn commit: stray data file with no manifest
+    rows(0, 3, "x").coalesce(1).write.parquet(s"$dir/data/s9/__bucket=0")
+    assert(SnapshotTable.orphanFiles(dir, graceMs = 0L).size === 1)
+    // fresh files are shielded by the grace window (in-flight commits)
+    assert(SnapshotTable.orphanFiles(dir).isEmpty)
+    // v1 files REPLACED by the merge are still referenced by v1's
+    // manifest (time travel) — never orphans until expire drops v1
+    assert(SnapshotTable.deleteOrphans(dir, graceMs = 0L) === 1)
+    assert(SnapshotTable.orphanFiles(dir, graceMs = 0L).isEmpty)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 60L)
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 60L)
+  }
+
   test("delete matching nothing is a no-op commit; expire drops replaced files") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
