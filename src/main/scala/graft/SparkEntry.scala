@@ -1460,6 +1460,37 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // layout-locality comparison: the QUANTIFIED form of q113's claim.
+    // Same points, same file count - but files are 48 EQUAL-WIDTH key
+    // ranges, NOT power-of-4-aligned prefixes (aligned prefixes make
+    // Morton blocks perfect squares and the comparison a tie; real
+    // file splits - equal row counts, compaction boundaries - are never
+    // aligned). Across unaligned ranges the Hilbert curve's unit steps
+    // keep each file's cells one contiguous blob while a Morton range
+    // straddles a Z-jump, so Hilbert's summed per-file cell-bbox area
+    // must come out smaller - the number a bbox scan actually pays
+    "q127_layout_locality" -> ((s, dir) => {
+      import graft.cell.{Hilbert, ZOrder}
+      val res = 7; val nFiles = 48
+      val cells = 1L << (2 * res)
+      val pts = probePoints(s, dir)
+        .withColumn("x", ZOrder.cellXCol(col("lon"), res))
+        .withColumn("y", ZOrder.cellYCol(col("lat"), res))
+      def locality(keyed: DataFrame, label: String) = keyed
+        .withColumn("file_key",
+          floor(col("key") * nFiles / lit(cells.toDouble)).cast("long"))
+        .groupBy(col("file_key"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("x1") - col("x0") + 1) * (col("y1") - col("y0") + 1))
+            .as("sum_bbox_cells"))
+        .select(lit(label).as("layout"), col("n_files"), col("sum_bbox_cells"))
+      val zk = pts.withColumn("key", ZOrder.zCol(col("lat"), col("lon"), res))
+      val hk = Hilbert.withD(pts, res).withColumn("key", col("d"))
+      locality(zk, "zorder").unionByName(locality(hk, "hilbert"))
+    }),
+
     // orphan-file GC (Iceberg remove_orphan_files): two stray parquet
     // files planted under data/s99 simulate a torn commit (data lands
     // before its manifest, so a crash strands it invisibly); the walk
@@ -3410,6 +3441,32 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q127 — both key chains replayed (the q92 spread masks with x/y
+    // carried through + the q113 hilbert state machine), 48 equal-width
+    // key ranges, bbox areas summed per layout
+    "q127_layout_locality" -> {
+      s"""WITH pts AS ($probeSql),
+         |xy AS (SELECT
+         |  LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*128.0) AS BIGINT), 0), 127) AS x,
+         |  LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*128.0) AS BIGINT), 0), 127) AS y
+         |  FROM pts),
+         |z1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs, (y | (y << 8)) & 16711935 AS ys FROM xy),
+         |z2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM z1),
+         |z3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM z2),
+         |z4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM z3),
+         |zt AS (SELECT x, y, xs | (ys << 1) AS z FROM z4),
+         |zg AS (SELECT (z * 48) // 16384 AS fk, min(x) AS x0, max(x) AS x1,
+         |         min(y) AS y0, max(y) AS y1 FROM zt GROUP BY 1),
+         |${hilbertCtes(7, "xy")},
+         |hg AS (SELECT (d7 * 48) // 16384 AS fk, min(xh) AS x0, max(xh) AS x1,
+         |         min(yh) AS y0, max(yh) AS y1 FROM h7 GROUP BY 1)
+         |SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum((x1-x0+1)*(y1-y0+1)) AS BIGINT) AS sum_bbox_cells FROM zg
+         |UNION ALL
+         |SELECT 'hilbert', CAST(count(*) AS BIGINT),
+         |  CAST(sum((x1-x0+1)*(y1-y0+1)) AS BIGINT) FROM hg""".stripMargin
+    },
 
     // q126 — all counts closed-form: exactly the two planted strays are
     // orphans (one coalesced part file each), 430 rows survive verified
