@@ -1460,6 +1460,16 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // geohash cell naming (Niemeyer base32) - the third cell-naming
+    // scheme next to quadkey (q78) and Morton keys (q92), and the one
+    // geo APIs exchange; a prefix IS containment, so truncated-hash
+    // equality joins are grid joins. Pure column arithmetic (spread
+    // masks + 5-bit slices), no UDF
+    "q128_geohash" -> ((s, dir) =>
+      probePoints(s, dir).select(col("o_orderkey"),
+        graft.cell.Geohash.geohashCol(col("lat"), col("lon"), p = 6)
+          .as("geohash"))),
+
     // layout-locality comparison: the QUANTIFIED form of q113's claim.
     // Same points, same file count - but files are 48 EQUAL-WIDTH key
     // ranges, NOT power-of-4-aligned prefixes (aligned prefixes make
@@ -3441,6 +3451,30 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q128 — the same quantize + spread + 5-bit-slice chain in SQL;
+    // division-before-multiply order matches the Column form exactly so
+    // the double quantization is IEEE-identical
+    "q128_geohash" ->
+      s"""WITH pts AS ($probeSql),
+         |q AS (SELECT o_orderkey,
+         |  LEAST(32767, GREATEST(0, CAST(floor((lon+180.0)/360.0*32768.0) AS BIGINT))) AS lo,
+         |  LEAST(32767, GREATEST(0, CAST(floor((lat+90.0)/180.0*32768.0) AS BIGINT))) AS la
+         |  FROM pts),
+         |g1 AS (SELECT o_orderkey, (lo | (lo << 8)) & 16711935 AS xs, (la | (la << 8)) & 16711935 AS ys FROM q),
+         |g2 AS (SELECT o_orderkey, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM g1),
+         |g3 AS (SELECT o_orderkey, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM g2),
+         |g4 AS (SELECT o_orderkey, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM g3),
+         |vv AS (SELECT o_orderkey, (xs << 1) | ys AS v FROM g4),
+         |b AS (SELECT '${graft.cell.Geohash.Base32}' AS t)
+         |SELECT o_orderkey,
+         |  substr(t, CAST((v >> 25) & 31 AS INT) + 1, 1) ||
+         |  substr(t, CAST((v >> 20) & 31 AS INT) + 1, 1) ||
+         |  substr(t, CAST((v >> 15) & 31 AS INT) + 1, 1) ||
+         |  substr(t, CAST((v >> 10) & 31 AS INT) + 1, 1) ||
+         |  substr(t, CAST((v >> 5) & 31 AS INT) + 1, 1) ||
+         |  substr(t, CAST(v & 31 AS INT) + 1, 1) AS geohash
+         |FROM vv, b""".stripMargin,
 
     // q127 — both key chains replayed (the q92 spread masks with x/y
     // carried through + the q113 hilbert state machine), 48 equal-width

@@ -143,6 +143,29 @@ class ZOrderSpec extends AnyFunSuite {
     got.foreach { case (x, y, d) => assert(d == Hilbert.d(7, x, y), s"($x, $y)") }
   }
 
+  test("geohash: known vectors, column/scalar parity, prefix containment") {
+    import graft.cell.Geohash
+    // classic reference point (geohash.org example): u4pruydqqvj
+    assert(Geohash.encode(57.64911, 10.40744, 6) === "u4pruy")
+    assert(Geohash.encode(57.64911, 10.40744, 8) === "u4pruydq")
+    // column form is bit-identical to the scalar
+    val pts = (0 until 300).map { i =>
+      ((i * 37 % 170) - 85 + 0.5, (i * 53 % 360) - 180 + 0.5)
+    }
+    val got = pts.toDF("lat", "lon")
+      .select(col("lat"), col("lon"),
+        Geohash.geohashCol(col("lat"), col("lon"), 6).as("g"))
+      .as[(Double, Double, String)].collect()
+    got.foreach { case (la, lo, g) =>
+      assert(g === Geohash.encode(la, lo, 6), s"($la, $lo)")
+    }
+    // prefix containment: a longer hash starts with the shorter one
+    got.foreach { case (la, lo, g) =>
+      assert(Geohash.encode(la, lo, 8).startsWith(g), s"($la, $lo)")
+    }
+    intercept[IllegalArgumentException](Geohash.encode(0, 0, 5)) // odd p
+  }
+
   test("hilbert layoutStats: totals and bboxes are exact") {
     import graft.cell.Hilbert
     val pts = (0 until 500).map { i =>
