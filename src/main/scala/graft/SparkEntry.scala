@@ -1460,6 +1460,33 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // cohort retention: users bucketed by first-activity week, exact
+    // distinct-user counts per (cohort, week offset) - the standard
+    // growth-analytics matrix; two aggregations + one key join
+    "q129_retention" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("user_id"),
+        floor(unix_millis(col("ts").cast("timestamp")) / lit(604800000.0))
+          .cast("long").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // event transition matrix: per-user next-event pairs via one lead
+    // window (one device-key shuffle), exact transition counts - the
+    // path-analysis primitive behind sankeys and Markov models
+    "q130_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // geohash cell naming (Niemeyer base32) - the third cell-naming
     // scheme next to quadkey (q78) and Morton keys (q92), and the one
     // geo APIs exchange; a prefix IS containment, so truncated-hash
@@ -3451,6 +3478,25 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q129 — epoch_ms // 604800000 == floor(unix_millis/604800000):
+    // identical week bucketing, then the same two aggregations
+    "q129_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // q130 — the same lead window over (ts, event_id) order
+    "q130_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // q128 — the same quantize + spread + 5-bit-slice chain in SQL;
     // division-before-multiply order matches the Column form exactly so
