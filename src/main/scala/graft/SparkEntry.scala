@@ -1460,6 +1460,15 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // video shot-boundary detection: real AVI/DIB decode -> integer
+    // frame-diff -> threshold; frames within a planted shot are
+    // identical and cuts land where splitmix bit f-1 is set, so the
+    // detected list must equal the closed-form plant exactly (the
+    // codec is lossless - any bit-slip becomes a phantom cut)
+    "q131_shot_cuts" -> ((s, dir) =>
+      graft.img.Multimodal.shotCuts(s,
+        graft.img.Multimodal.synthVideoShots(s, 200), thr = 0L)),
+
     // cohort retention: users bucketed by first-activity week, exact
     // distinct-user counts per (cohort, week offset) - the standard
     // growth-analytics matrix; two aggregations + one key join
@@ -3478,6 +3487,16 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q131 — the planted cut list straight from the bits: frame f ≥ 1
+    // is a cut iff bit f−1 of splitmix64(i·7+5) is set
+    "q131_shot_cuts" ->
+      s"""WITH ids AS (SELECT i, CAST(i*7 + 5 AS HUGEINT) AS seed FROM range(0, 200) t(i)),
+         |${splitmixChain("sc", Seq("i"), "ids", "seed")},
+         |bits AS (SELECT i, ${toSigned("z")} AS zl FROM sc3)
+         |SELECT printf('vid_%09d', i) AS video_id, f AS frame_idx
+         |FROM bits, range(1, 12) r(f)
+         |WHERE ((zl >> (f - 1)) & 1) = 1""".stripMargin,
 
     // q129 — epoch_ms // 604800000 == floor(unix_millis/604800000):
     // identical week bucketing, then the same two aggregations

@@ -605,6 +605,59 @@ object Multimodal {
     }
   }
 
+  /** Shot-structured video corpus for boundary detection (q131): frames
+    * within a shot are IDENTICAL (pixel source renderPixels(i·1000 +
+    * shotIdx)), and a cut happens before frame f (f ≥ 1) iff bit f−1 of
+    * splitmix64(i·7+5) is set — so the true cut list is closed-form in
+    * the same bits. Encoded through the real RIFF/AVI DIB container
+    * (lossless, so decode == synth exactly).
+    */
+  def synthVideoShots(spark: SparkSession, n: Long, frames: Int = 12,
+      partitions: Int = 4): Dataset[VideoRow] = {
+    import spark.implicits._
+    require(frames >= 2 && frames <= 60, s"frames=$frames")
+    spark.range(0, n, 1, partitions).map { i =>
+      val w = 16; val h = 16
+      val cuts = ImageTable.splitmix64(i * 7 + 5)
+      var shot = 0L
+      val px = (0 until frames).map { f =>
+        if (f > 0 && ((cuts >>> (f - 1)) & 1L) == 1L) shot += 1
+        ImageTable.renderPixels(i * 1000 + shot, w, h)
+      }
+      VideoRow(f"vid_$i%09d", Avi.encode(px, w, h, 10, "dib"), w, h, 10, frames, "avi")
+    }
+  }
+
+  /** Shot-boundary detection: decode the real container, sum absolute
+    * per-channel differences between consecutive frames, report frames
+    * whose diff exceeds `thr` — the shot segmenter a video-training
+    * pipeline cuts clips with. Narrow flatMap, zero shuffle; all
+    * integer arithmetic, so over a lossless codec the detected cuts are
+    * exactly the planted ones.
+    */
+  def shotCuts(spark: SparkSession, videos: Dataset[VideoRow],
+      thr: Long = 0L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    videos.flatMap { v =>
+      val (frames, _, _, _) =
+        if (v.fmt.startsWith("avi")) Avi.decode(v.bytes)
+        else sys.error(s"shotCuts: unsupported container ${v.fmt}")
+      (1 until frames.length).flatMap { f =>
+        val a = frames(f - 1); val b = frames(f)
+        var s = 0L
+        var k = 0
+        while (k < a.length) {
+          val p = a(k); val q = b(k)
+          s += math.abs(((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)) +
+            math.abs(((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)) +
+            math.abs((p & 0xFF) - (q & 0xFF))
+          k += 1
+        }
+        if (s > thr) Some((v.video_id, f.toLong)) else None
+      }
+    }.toDF("video_id", "frame_idx")
+  }
+
   /** STUB container for COMPRESSED video: length-prefixed PNG frames. A
     * real h264 demux (absent from this container) replaces only the
     * splitter; kept to exercise the fmt-dispatch path.

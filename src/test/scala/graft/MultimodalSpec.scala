@@ -156,6 +156,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("shotCuts through the real AVI codec equals the bit-planted cut list") {
+    import graft.img.{ImageTable, Multimodal}
+    val got = Multimodal.shotCuts(spark, Multimodal.synthVideoShots(spark, 25), 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- 0L until 25L
+      f <- 1 until 12
+      if ((ImageTable.splitmix64(i * 7 + 5) >>> (f - 1)) & 1L) == 1L
+    } yield (f"vid_$i%09d", f.toLong)).toSet
+    assert(got === want)
+  }
+
   test("framePeaks through the real WAV codec: planted gap silent, full wave frames loud") {
     import graft.img.{ImageTable, Multimodal}
     val peaks = Multimodal.framePeaks(spark, Multimodal.synthAudioGapped(spark, 30), 64)
