@@ -1460,6 +1460,31 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // timestamp time travel (Iceberg FOR TIMESTAMP AS OF): each commit
+    // records its wall-clock in the manifest; versionAsOf resolves the
+    // latest commit at-or-before a timestamp, and a time before the
+    // first commit fails loudly instead of returning an empty table
+    "q132_asof_timestamp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q132")
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(8L))
+      def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      SnapshotTable.create(s, mk(0, 300), out.getPath, 8, bucketOf)
+      val t1 = SnapshotTable.manifest(out.getPath, 1L).tsMillis
+      SnapshotTable.append(s, mk(300, 350), out.getPath, bucketOf)
+      val t2 = SnapshotTable.manifest(out.getPath, 2L).tsMillis
+      val failsBefore =
+        try { SnapshotTable.versionAsOf(out.getPath, t1 - 1); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      Seq(
+        ("asof_t1_rows", SnapshotTable.readAsOf(s, out.getPath, t1).count()),
+        ("asof_t1_version", SnapshotTable.versionAsOf(out.getPath, t1)),
+        ("asof_t2_rows", SnapshotTable.readAsOf(s, out.getPath, t2).count()),
+        ("asof_before_create_fails", failsBefore)).toDF("label", "n")
+    }),
+
     // video shot-boundary detection: real AVI/DIB decode -> integer
     // frame-diff -> threshold; frames within a planted shot are
     // identical and cuts land where splitmix bit f-1 is set, so the
@@ -3487,6 +3512,14 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q132 — closed-form: as-of t1 reads v1's 300 rows, as-of t2 reads
+    // 350, before-create refuses
+    "q132_asof_timestamp" ->
+      """SELECT 'asof_t1_rows' AS label, CAST(300 AS BIGINT) AS n
+        |UNION ALL SELECT 'asof_t1_version', 1
+        |UNION ALL SELECT 'asof_t2_rows', 350
+        |UNION ALL SELECT 'asof_before_create_fails', 1""".stripMargin,
 
     // q131 — the planted cut list straight from the bits: frame f ≥ 1
     // is a cut iff bit f−1 of splitmix64(i·7+5) is set

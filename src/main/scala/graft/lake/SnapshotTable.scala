@@ -55,7 +55,8 @@ object SnapshotTable {
       minKey: Option[Long] = None, maxKey: Option[Long] = None)
   final case class Manifest(version: Long, parent: Long, op: String,
       buckets: Int, files: Seq[FileEntry], totalRows: Long,
-      schemaDdl: String, statsCol: Option[String] = None) {
+      schemaDdl: String, statsCol: Option[String] = None,
+      tsMillis: Long = 0L) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -108,8 +109,10 @@ object SnapshotTable {
     val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest v$v missing schema")).group(1)
     val statsCol = """"stats_col":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    // ts_ms absent on pre-upgrade manifests: 0 = "before any timestamp"
+    val ts = """"ts_ms":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     Manifest(num("version"), num("parent"), op, num("buckets").toInt,
-      files, num("total_rows"), ddl, statsCol)
+      files, num("total_rows"), ddl, statsCol, ts)
   }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
@@ -126,8 +129,9 @@ object SnapshotTable {
     require(!m.schemaDdl.contains('"') && !m.schemaDdl.contains('\\'),
       s"schema DDL not JSON-safe: ${m.schemaDdl}")
     val sc = m.statsCol.map(c => s""""stats_col":"$c",""").getOrElse("")
+    val ts = if (m.tsMillis > 0) m.tsMillis else System.currentTimeMillis()
     val json = s"""{"version":${m.version},"parent":${m.parent},"op":"${m.op}",""" +
-      s""""buckets":${m.buckets},"total_rows":${m.totalRows},$sc""" +
+      s""""buckets":${m.buckets},"total_rows":${m.totalRows},$sc"ts_ms":$ts,""" +
       s""""schema":"${m.schemaDdl}","files":[$fs]}"""
     Files.writeString(manifestPath(dir, m.version), json)
     // the pointer swap IS the commit: a crash before this line leaves the
@@ -447,6 +451,27 @@ object SnapshotTable {
     else spark.read.schema(m.schema).parquet(kept.map(_.path): _*)
       .filter(c >= lo && c <= hi)
   }
+
+  /** The latest version whose commit timestamp is ≤ `tsMillis` —
+    * Iceberg's `FOR TIMESTAMP AS OF`. Commit timestamps are recorded in
+    * each manifest at write time; reading as of a time before the first
+    * commit fails loudly.
+    */
+  def versionAsOf(dir: String, tsMillis: Long): Long = {
+    val versions = Files.list(metaDir(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    val eligible = versions.filter(v => manifest(dir, v).tsMillis <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot at $dir committed at or before ts=$tsMillis")
+    eligible.max
+  }
+
+  /** [[read]] of [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(dir, tsMillis)))
 
   /** Move CURRENT back to `version` (its manifest must still exist). */
   def rollback(dir: String, version: Long): Unit = {

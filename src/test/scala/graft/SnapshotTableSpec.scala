@@ -362,6 +362,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readPruned(spark, dir, 30L, 60L).count() === 20L)
   }
 
+  test("timestamp time travel: versionAsOf resolves commit times, rollback-safe") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 30, "a"), dir, B, bucketOf)
+    val t1 = SnapshotTable.manifest(dir, 1L).tsMillis
+    assert(t1 > 0L)
+    SnapshotTable.append(spark, rows(30, 50, "a"), dir, bucketOf)
+    val t2 = SnapshotTable.manifest(dir, 2L).tsMillis
+    assert(t2 >= t1)
+    assert(SnapshotTable.versionAsOf(dir, t2) === 2L)
+    assert(SnapshotTable.readAsOf(spark, dir, t2 + 1000).count() === 50L)
+    if (t2 > t1) { // same-millisecond commits collapse to the later version
+      assert(SnapshotTable.versionAsOf(dir, t1) === 1L)
+      assert(SnapshotTable.readAsOf(spark, dir, t1).count() === 30L)
+    }
+    intercept[IllegalArgumentException](SnapshotTable.versionAsOf(dir, t1 - 1))
+  }
+
   test("orphan GC: finds only unreferenced files, respects the grace window") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 60, "a"), dir, B, bucketOf)
