@@ -1460,6 +1460,27 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // corrupt-input quarantine: every 13th image truncated mid-stream,
+    // every (remaining) 17th magic-corrupted; decode runs under a
+    // per-row guard that routes failures to a quarantine status instead
+    // of killing the stage - the hygiene pass a 10^12-image crawl needs
+    // before any decoder touches the hot path. Dims of surviving rows
+    // stay bit-exact (splitmix replay); statuses are closed-form
+    "q133_decode_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      import graft.img.ImageTable
+      val imgs = ImageTable.generate(s, 300, 8).map { r =>
+        val i = r.image_id.stripPrefix("img_").toLong
+        val b =
+          if (i % 13 == 0) r.bytes.take(r.bytes.length / 2)
+          else if (i % 17 == 0) {
+            val c = r.bytes.clone(); c(0) = (c(0) ^ 0xFF).toByte; c
+          } else r.bytes
+        (r.image_id, b)
+      }.toDF("image_id", "bytes")
+      graft.img.ImageOps.decodeAudit(s, imgs)
+    }),
+
     // timestamp time travel (Iceberg FOR TIMESTAMP AS OF): each commit
     // records its wall-clock in the manifest; versionAsOf resolves the
     // latest commit at-or-before a timestamp, and a time before the
@@ -3512,6 +3533,16 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
         |FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 150""".stripMargin,
+
+    // q133 — statuses from the plant arithmetic, dims from the shared
+    // splitmix chain for surviving rows, typed NULLs for quarantined
+    "q133_decode_quarantine" ->
+      s"""WITH ${splitmixDimsCtes(300)}
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CASE WHEN i % 13 = 0 OR i % 17 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+         |  CASE WHEN i % 13 = 0 OR i % 17 = 0 THEN NULL ELSE w END AS w,
+         |  CASE WHEN i % 13 = 0 OR i % 17 = 0 THEN NULL ELSE h END AS h
+         |FROM dims""".stripMargin,
 
     // q132 — closed-form: as-of t1 reads v1's 300 rows, as-of t2 reads
     // 350, before-create refuses

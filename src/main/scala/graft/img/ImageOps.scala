@@ -80,6 +80,33 @@ object ImageOps {
     out
   }
 
+  /** Decode audit / quarantine: at 10^12 crawled images some bytes are
+    * truncated, mislabeled, or hostile, and a pipeline that throws on
+    * the first bad row never finishes. Each row decodes under a guard:
+    * success emits ("ok", w, h), any decode failure emits ("corrupt",
+    * NULL, NULL) and the row routes to quarantine instead of killing
+    * the stage. Narrow mapPartitions, zero shuffle; the error CLASS is
+    * coarse on purpose (decoder messages are not a stable contract).
+    */
+  def decodeAudit(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val (_, w, h) = Codecs.decode(bytes)
+            (id, "ok", Option(w), Option(h))
+          } catch {
+            case _: Exception => (id, "corrupt", Option.empty[Int], Option.empty[Int])
+          }
+        }
+      }
+      .toDF("image_id", "status", "w", "h")
+  }
+
   /** Integer Sobel gradient stats for one image: grayscale by the
     * BT.601 integer weights (r·299 + g·587 + b·114) div 1000 (floor —
     * exact, no float), then the 3×3 Sobel pair on INTERIOR pixels;

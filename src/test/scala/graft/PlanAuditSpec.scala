@@ -233,6 +233,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q117 must not sort or gather globally:\n$plan")
   }
 
+  test("q121 apriori prune is a broadcast; q128 geohash plan has no UDF") {
+    val p121 = SparkEntry.queries("q121_frequent_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p121.contains("BroadcastHashJoin"),
+      s"frequent-term prune must broadcast:\n$p121")
+    val p128 = SparkEntry.queries("q128_geohash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p128.contains("ScalaUDF") && !p128.contains("BatchEvalPython"),
+      s"geohash must be pure column arithmetic:\n$p128")
+    assert(!p128.contains("Exchange"),
+      s"geohash is a narrow projection, no shuffle:\n$p128")
+  }
+
   test("semanticDedup costs TWO pre-output jobs: quantizer sample + edge collect") {
     import spark.implicits._
     val vecs = (0 until 200).map { i =>
