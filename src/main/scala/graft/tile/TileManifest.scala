@@ -188,10 +188,27 @@ object TileManifest {
       .localCheckpoint(true) // delta-sized; severs lineage from stagedDir
     try {
       val res = affected.toSeq.map { b =>
-        newSlices.filter(col("batch") === b).drop("batch")
-          .write.mode("overwrite").parquet(s"$stagedDir/batch=$b")
-        tileBatch(spark,
-          spark.read.parquet(s"$stagedDir/batch=$b"), outDir, b)
+        val slice = newSlices.filter(col("batch") === b).drop("batch")
+        slice.write.mode("overwrite").parquet(s"$stagedDir/batch=$b")
+        // a delta can drain a batch completely: the staging partition
+        // then holds only _SUCCESS, and both the staging read-back and
+        // tileBatch's written-tiles read-back would fail schema
+        // inference — short-circuit: drop the batch's stale tiles and
+        // commit an empty manifest entry
+        val walk = Files.walk(Paths.get(s"$stagedDir/batch=$b"))
+        val hasFiles =
+          try walk.anyMatch(p => p.toString.endsWith(".parquet"))
+          finally walk.close()
+        if (hasFiles)
+          tileBatch(spark, spark.read.parquet(s"$stagedDir/batch=$b"), outDir, b)
+        else {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$outDir/tiles/batch=$b"))
+          commitManifest(outDir, b, 0, 0)
+          BatchResult(b, 0, 0, skipped = false)
+        }
       }
       res ++ (0 until nBatches).filterNot(affected.contains)
         .map(BatchResult(_, 0, 0, skipped = true))

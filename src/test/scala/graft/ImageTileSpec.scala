@@ -173,6 +173,29 @@ class TilingSpec extends AnyFunSuite {
     TileManifest.refreshStaged(spark, inserts, deletes, dir)
     assert(tiles(dir) === tiles(rebuiltDir))
   }
+
+  test("refreshStaged survives a delta that drains a whole batch") {
+    import spark.implicits._
+    def withRel(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("relation_id", lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drain").toString
+    val base = withRel(ImageTable.generate(spark, 30, 4).toDF())
+    TileManifest.runStaged(spark, base, dir, nBatches = 4)
+    // delete EVERY image of batch 2: its staging partition and tile dir
+    // must end up empty, the manifest entry must say 0, and the rest of
+    // the table must equal a rebuild over the survivors
+    val victims = base.withColumn("b", pmod(hash(col("image_id")), lit(4)))
+      .filter(col("b") === 2).select("image_id")
+    val victimIds = victims.as[String].collect().toSet
+    assert(victimIds.nonEmpty)
+    val res = TileManifest.refreshStaged(spark,
+      withRel(ImageTable.generate(spark, 0, 1).toDF()), victims, dir)
+    val b2 = res.find(_.batch == 2).get
+    assert(!b2.skipped && b2.images === 0L && b2.tiles === 0L)
+    val left = spark.read.parquet(s"$dir/tiles")
+      .select("image_id").distinct().as[String].collect().toSet
+    assert(left === base.select("image_id").as[String].collect().toSet -- victimIds)
+  }
 }
 
 class SpatialJoinSpec extends AnyFunSuite {
