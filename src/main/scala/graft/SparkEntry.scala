@@ -1460,6 +1460,24 @@ object SparkEntry {
           col("idx"), col("caption"))
     }),
 
+    // incremental (delta) dedup: probe ONLY the new batch against the
+    // standing corpus - corpus banded once (the stored-index shape),
+    // delta equi-joins on (band, bucket), candidates are new-vs-existing
+    // only, work scales with the delta not the table. Planted near-dups
+    // (+200000, ' perturbed') must link; planted novel docs (+300000)
+    // must not
+    "q134_delta_dedup" -> ((s, dir) => {
+      val corpus = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" perturbed")).as("text"))
+        .unionByName(table(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(lit("novel_"), col("doc_id"),
+              lit(" alpha beta gamma delta epsilon zeta")).as("text")))
+      graft.dedup.Dedup.minhashProbe(s, corpus, delta, threshold = 0.5)
+    }),
+
     // corrupt-input quarantine: every 13th image truncated mid-stream,
     // every (remaining) 17th magic-corrupted; decode runs under a
     // per-row guard that routes failures to a quarantine status instead
@@ -2384,7 +2402,12 @@ object SparkEntry {
     * is locale-sensitive, SQL lower() is not). Every violation surfaces
     * as a checker red, never a silent pass.
     */
-  private def minhashOracleSql: String = {
+  /** Shared CTE chain of the MinHash pipeline replica (pows → c3 band
+    * keys + docsh shingle sets) over a caller-supplied `docs2` source —
+    * the self-join oracle (q23) and the asymmetric probe oracle (q134)
+    * hash identically by construction.
+    */
+  private def minhashChainCtes(docs2Sql: String): String = {
     import graft.dedup.Dedup.{PermA, PermB}
     def u(l: Long): String = java.lang.Long.toUnsignedString(l)
     val permValues = (0 until 64)
@@ -2392,12 +2415,10 @@ object SparkEntry {
     val bandTerms = (0 until 4)
       .map(j => hugMul(s"sl[CAST(band*4 + ${j + 1} AS INT)]", s"${u(PermA(j))}::HUGEINT"))
       .mkString(" + ")
-    s"""WITH RECURSIVE pows(e, v) AS (
+    s"""pows(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
        |  SELECT e+1, (v * 31) % 18446744073709551616::HUGEINT FROM pows WHERE e < 511),
-       |docs2 AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0),
+       |docs2 AS ($docs2Sql),
        |toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ws
        |  FROM docs2),
@@ -2430,6 +2451,13 @@ object SparkEntry {
        |  SELECT doc_id, band, (CAST(band AS HUGEINT) + $bandTerms) % 18446744073709551616::HUGEINT AS z
        |  FROM (SELECT doc_id, unnest(range(16)) AS band, sl FROM persig)),
        |${splitmixChain("c", Seq("doc_id", "band"), "bandacc", "z")},
+       |docsh AS (SELECT doc_id, list(z) AS sh FROM shset GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashOracleSql: String = {
+    s"""WITH RECURSIVE ${minhashChainCtes(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
        |buckets AS (
        |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
        |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
@@ -2442,13 +2470,44 @@ object SparkEntry {
        |  ELSE list_transform(range(1, len(ids)), j ->
        |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
        |  END) AS t(pr)),
-       |docsh AS (SELECT doc_id, list(z) AS sh FROM shset GROUP BY doc_id),
        |verified AS (
        |  SELECT p.id_a, p.id_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
        |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b)
        |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** q134's oracle: the identical hash chain over corpus ∪ delta, but
+    * pair generation is ASYMMETRIC — per bucket, delta members cross
+    * only the corpus members (capped to the min-id representative over
+    * 64), never corpus×corpus, then the exact shingle-Jaccard verify.
+    */
+  private def minhashProbeOracleSql: String = {
+    s"""WITH RECURSIVE ${minhashChainCtes(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 300000,
+        |    'novel_' || doc_id || ' alpha beta gamma delta epsilon zeta'
+        |  FROM documents WHERE doc_id % 7 = 3""".stripMargin)},
+       |buckets AS (
+       |  SELECT band, z AS bkey,
+       |    list_sort(list(doc_id) FILTER (doc_id < 200000)) AS cids,
+       |    list(doc_id) FILTER (doc_id >= 200000) AS nids
+       |  FROM c3 GROUP BY band, z),
+       |hot AS (
+       |  SELECT CASE WHEN len(cids) <= 64 THEN cids ELSE [cids[1]] END AS reps, nids
+       |  FROM buckets WHERE len(cids) >= 1 AND len(nids) >= 1),
+       |pairs0 AS (
+       |  SELECT DISTINCT t2.nid AS new_id, t1.cid AS existing_id
+       |  FROM hot, UNNEST(reps) AS t1(cid), UNNEST(nids) AS t2(nid)),
+       |verified AS (
+       |  SELECT p.new_id, p.existing_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.new_id
+       |    JOIN docsh b ON b.doc_id = p.existing_id)
+       |SELECT new_id, existing_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
   }
 
   /** DuckDB replica of the SimHash pipeline (Dedup.simhashPairs,
@@ -4240,6 +4299,7 @@ object SparkEntry {
     // q23 — the whole LSH pipeline recomputed relationally (see
     // minhashOracleSql for the kernel derivations and validity domain)
     "q23_minhash_pairs" -> minhashOracleSql,
+    "q134_delta_dedup" -> minhashProbeOracleSql,
 
     // q24 — the SimHash pipeline recomputed relationally
     "q24_simhash_pairs" -> simhashOracleSql,

@@ -128,20 +128,71 @@ object Dedup {
     * @param docs columns (idCol: bigint, textCol: string)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
-  def minhashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
-      k: Int = 64, bands: Int = 16, idCol: String = "doc_id", textCol: String = "text",
-      maxBucket: Int = 64): DataFrame = {
+  /** Signature + banding in one typed pass (no posexplode/codegen'd
+    * expr): one (id, band, bkey) row per band straight out of the kernel
+    * — shared by the self-join ([[minhashPairs]]) and the asymmetric
+    * probe ([[minhashProbe]]), so the two can never hash differently.
+    */
+  private def bandedRows(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int): DataFrame = {
     import spark.implicits._
     val rows = k / bands
-    // signature + banding in one typed pass (no posexplode/codegen'd expr):
-    // one (id, band, bkey) row per band straight out of the kernel
-    val banded = docs.select(col(idCol).cast("long"), col(textCol))
+    docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = minhashSig(shingles(text), k)
         (0 until bands).iterator.map(b => (id, b, bandKey(sig, b, rows)))
       }
       .toDF("id", "band", "bkey")
+  }
+
+  /** Asymmetric delta dedup: probe NEW docs against a STANDING corpus —
+    * the incremental form of [[minhashPairs]] a daily-refresh pipeline
+    * needs: the corpus side is banded once (in production the stored
+    * index — the bucketed-layout story of `writeIvfBucketed` applies
+    * verbatim), the delta bands itself and equi-joins on (band, bucket),
+    * so candidates are only (new × existing) — corpus×corpus pairs are
+    * never generated and the work scales with the DELTA, not the table.
+    * Cap policy mirrors minhashPairs: a corpus bucket over `maxBucket`
+    * contributes only its min-id member (the cluster representative a
+    * new doc should link to), counted via observe() like the self-join.
+    * Returns (new_id, existing_id, jaccard ≥ threshold), exact-verified.
+    */
+  def minhashProbe(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 64): DataFrame = {
+    val cBuckets = bandedRows(spark, corpus, idCol, textCol, k, bands)
+      .groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col("id"))).as("cids"))
+      .observe("graft_minhash_probe_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("cids")) > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"))
+      .select(col("band"), col("bkey"),
+        when(size(col("cids")) <= maxBucket, col("cids"))
+          .otherwise(slice(col("cids"), 1, 1)).as("cids"))
+    val cand = bandedRows(spark, delta, idCol, textCol, k, bands)
+      .withColumnRenamed("id", "new_id")
+      .join(cBuckets, Seq("band", "bkey"))
+      .select(col("new_id"), explode(col("cids")).as("existing_id"))
+    val cTexts = corpus.select(col(idCol).cast("long").as("existing_id"),
+      col(textCol).as("tc"))
+    val dTexts = delta.select(col(idCol).cast("long").as("new_id"),
+      col(textCol).as("td"))
+    val verify = udf((ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)))
+    cand.join(dTexts, Seq("new_id")).join(cTexts, Seq("existing_id"))
+      .select(col("new_id"), col("existing_id"),
+        verify(col("td"), col("tc")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("new_id"), col("existing_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  def minhashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
+      k: Int = 64, bands: Int = 16, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val banded = bandedRows(spark, docs, idCol, textCol, k, bands)
 
     val buckets = banded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(col("id"))).as("ids"))

@@ -36,6 +36,35 @@ class DedupSpec extends AnyFunSuite {
     assert(j.forall(_ >= 0.7))
   }
 
+  test("minhashProbe links the delta to its corpus sources, never corpus to corpus") {
+    val corpus = (0L until 100L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
+    // delta: near-dups of every 10th corpus doc + one novel doc
+    val delta = corpus.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000, t + " tail") } :+
+      ((2000L, "novel alpha beta gamma delta epsilon zeta eta theta"))
+    val got = Dedup.minhashProbe(spark, docs(corpus: _*), docs(delta: _*),
+        threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val links = got.map(r => (r._1, r._2)).toSet
+    val expected = corpus.filter(_._1 % 10 == 0).map(x => (x._1 + 1000, x._1)).toSet
+    assert(expected.subsetOf(links), s"missing ${expected -- links}")
+    assert(got.forall(_._3 >= 0.7))
+    // output is strictly delta-vs-corpus: no corpus id on the new side
+    assert(got.forall(r => r._1 >= 1000 && r._2 < 1000))
+    assert(!links.exists(_._1 == 2000L), "novel doc must not link")
+    // the corpus-side cap: 50 identical corpus docs + 1 probing twin link
+    // through the bucket representative (min id), not 50 ways... unless
+    // verify keeps them all — the CANDIDATE set is what the cap bounds
+    val boiler = (0L until 50L).map(i => (i, "same text " * 10))
+    val probe = Seq((999L, "same text " * 10))
+    val capped = Dedup.minhashProbe(spark, docs(boiler: _*), docs(probe: _*),
+        threshold = 0.7, maxBucket = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(_._2).toSet === Set(0L),
+      s"over-cap bucket must link via the min-id representative: ${capped.toSeq}")
+  }
+
   test("mass-duplicated boilerplate survives the bucket cap via star pairs") {
     // 200 identical docs → every LSH bucket holds all 200, far over
     // maxBucket=16. r1 dropped such buckets silently (recall 0 on exactly
