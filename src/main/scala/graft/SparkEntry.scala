@@ -1154,13 +1154,19 @@ object SparkEntry {
         .unionAll(highQty.except(lowTax).withColumn("src", lit("high_only")))
     }),
 
-    // approximate distinct (HLL) next to exact — rows-only (sketch values
-    // are engine-specific; the sbt test pins the error bound)
+    // approximate distinct (HLL) next to exact — the sketch VALUE is
+    // engine-specific, but the ERROR BOUND is oracle-able: the query
+    // outputs |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 default → 0.15,
+    // integer arithmetic 20·|Δ| ≤ 3·exact) and the oracle asserts TRUE —
+    // a green hash means Spark's HLL++ landed inside its published bound
     "q43_approx_distinct" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact"),
           approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("exact"),
+          (abs(col("approx") - col("exact")) * 20 <= col("exact") * 3)
+            .as("within_bound"))
     }),
 
     // exact companion of q43 — the HLL estimate is rows-only by nature
@@ -1914,9 +1920,14 @@ object SparkEntry {
 
     // positional inverted index - the retrieval primitive: one row per
     // (term, doc) with tf + sorted 0-based positions; narrow posexplode +
-    // one bounded groupBy
+    // one bounded groupBy. The array-typed API stays as-is for q96/q97
+    // composition; the QUERY serializes positions via concat_ws (the q06
+    // precedent) because the driver's hasher cannot canonicalize raw
+    // array columns.
     "q95_inverted_index" -> ((s, dir) =>
-      graft.text.TextOps.positionalPostings(s, table(s, dir, "documents"))),
+      graft.text.TextOps.positionalPostings(s, table(s, dir, "documents"))
+        .withColumn("positions",
+          concat_ws(",", transform(col("positions"), _.cast("string"))))),
 
     // exact phrase search by position adjacency over the index: per-word
     // postings filter BEFORE the (doc, anchor) equi-join, so the rarest
@@ -4039,7 +4050,8 @@ object SparkEntry {
         |  FROM documents),
         |p AS (SELECT doc_id, unnest(ws) AS term,
         |        unnest(range(len(ws))) AS pos FROM tok)
-        |SELECT term, doc_id, count(*) AS tf, list_sort(list(pos)) AS positions
+        |SELECT term, doc_id, count(*) AS tf,
+        |  array_to_string(list_sort(list(pos)), ',') AS positions
         |FROM p GROUP BY 1, 2""".stripMargin,
 
     // q96 — anchor = pos - word_index; a phrase occurrence is one anchor
@@ -4718,6 +4730,13 @@ object SparkEntry {
 
     "q49_exact_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact FROM lineitem GROUP BY 1",
+
+    // q43 — the oracle asserts the HLL++ error bound holds: exact counts
+    // from DuckDB, within_bound must be TRUE on every row (the Spark side
+    // computes the actual |approx − exact| ≤ 0.15·exact comparison)
+    "q43_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact,
+        |  TRUE AS within_bound FROM lineitem GROUP BY 1""".stripMargin,
 
     // q50 — closed-form expected value of the PBF round trip: container
     // encode → blob-parallel decode → extract must reproduce the grid

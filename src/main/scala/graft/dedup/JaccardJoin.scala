@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * filter is a theorem, and the verify step computes true Jaccard on
   * candidates only.
   *
-  * Plan: presence dedup → token frequencies (one groupBy) → a global
-  * rank window over the VOCABULARY (vocab-sized by definition, the df
-  * precedent of q69 — never corpus-sized) → per-doc prefix via a
-  * doc-partitioned window → prefix equi-join → pair-distinct →
-  * intersection counts on candidates → the integer threshold test
+  * Plan: presence dedup → token frequencies (one groupBy) → per-doc
+  * prefix via a doc-partitioned window ordered by the raw (f, item)
+  * key — the prefix-filter theorem needs only SOME global total order
+  * (Xiao et al. WWW'08 §3) and (frequency asc, item) IS one, so no
+  * dense-rank materialization and no single-partition sort anywhere;
+  * the vocabulary grows with the corpus in real deployments (shingle
+  * items), so a global rank window here would be a scale-killer →
+  * prefix equi-join → pair-distinct → intersection counts on
+  * candidates → the integer threshold test
   * tDen·inter ≥ tNum·(|A|+|B|−inter), no floats anywhere.
   */
 object JaccardJoin {
@@ -33,14 +37,13 @@ object JaccardJoin {
     require(tNum > 0 && tNum <= tDen, s"need 0 < tNum <= tDen, got $tNum/$tDen")
     val tok = items.select(col("doc_id"), col("item")).distinct()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rank = tok.groupBy(col("item")).agg(count(lit(1)).as("f"))
-      .select(col("item"),
-        row_number().over(Window.orderBy(col("f"), col("item"))).as("r"))
+    val freq = tok.groupBy(col("item")).agg(count(lit(1)).as("f"))
     // prefix length p = sz − ceil(t·sz) + 1, all integer
     val ceilT = floor((col("sz") * tNum + tDen - 1) / lit(tDen.toDouble)).cast("long")
-    val prefix = tok.join(rank, Seq("item")).join(sizes, Seq("doc_id"))
+    val prefix = tok.join(freq, Seq("item")).join(sizes, Seq("doc_id"))
       .withColumn("rn",
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("r"))))
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"), col("item"))))
       .filter(col("rn") <= col("sz") - ceilT + 1)
       .select(col("doc_id"), col("item"))
     val cand = prefix.select(col("item"), col("doc_id").as("doc_a"))

@@ -64,6 +64,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 prefix-filter Jaccard join: no single-partition sort over the vocabulary") {
+    // the per-doc prefix window orders by the raw (f, item) key; a global
+    // rank window here would materialize the whole (corpus-growing)
+    // vocabulary through one partition — pinned out of the plan
+    val plan = SparkEntry.queries("q122_jaccard_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q122 must not contain a global (single-partition) sort:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"single-partition / range exchange in q122 plan:\n$plan")
+  }
+
   test("q70/q72 top-k plans end in TakeOrdered, never a global sort") {
     for (q <- Seq("q70_top_terms", "q72_collocations")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
