@@ -118,8 +118,36 @@ object Bench {
     }
     val results = results0 ++ steady
 
-    // headline: spatial-join + tile-assignment throughput at full parallelism
-    val ((_, nTiles), headlineSec) = time(spatialTileJob(spark, nImages, cpus))
+    // headline: spatial-join + tile-assignment throughput at full
+    // parallelism, as MIN-OF-N reps each bracketed by a spin calibration
+    // (the scaling phase's existing discipline). The driver benches
+    // whenever it benches — a tenant-load spike over the old single-shot
+    // run misrepresented the engine by ~6x in the r4 artifact — so the
+    // artifact now carries every rep, the best calibration window, and
+    // /proc/loadavg, and a loaded window is ANNOTATED (headline_window vs
+    // the documented quiet spin) rather than silently recorded.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "3").toInt
+    val loadStart = loadAvg()
+    var nTiles = 0L
+    val headlineRuns = (1 to headlineReps).map { _ =>
+      val spinB = ScaleRunner.spinThroughput(cpus)
+      val ((_, nt), sec) = time(spatialTileJob(spark, nImages, cpus))
+      nTiles = nt
+      (sec, spinB)
+    }
+    val spinEnd = ScaleRunner.spinThroughput(cpus)
+    val loadEnd = loadAvg()
+    val headlineSec = headlineRuns.map(_._1).min
+    val headlineSpin = math.max(headlineRuns.map(_._2).max, spinEnd)
+    // quiet 32-thread spin on this host (best of repeated calibration
+    // windows, 2026-08 measurements at 1-min load < 5): ~1.75e10 ops/s.
+    // headline_window < 1.0 means even the best rep ran under tenant load
+    // — read the throughput as a floor, not the engine's steady state.
+    val spinQuietRef = 1.75e10 * cpus / 32.0
+    val headlineWindow = math.min(1.0, headlineSpin / spinQuietRef)
     val imagesPerSec = nImages / headlineSec
 
     // secondary: boundary-extraction throughput (the reference's whole
@@ -267,8 +295,9 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // the steady-state re-run is diagnostic — not double-counted in total
     val total = results0.map(_._2).sum + headlineSec
+    val headlineRunsJson = headlineRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"pbf_entities_per_sec":${pbfEntities / pbfSec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","bench_images":$nImages,"tiles":$nTiles,"headline_sec":$headlineSec%.3f,"headline_runs":$headlineRunsJson,"headline_spin":$headlineSpin%.3e,"headline_window":$headlineWindow%.3f,"load_1m_start":$loadStart%.2f,"load_1m_end":$loadEnd%.2f,"boundary_relations_per_sec":${nBoundaries / boundarySec}%.1f,"pbf_entities_per_sec":${pbfEntities / pbfSec}%.1f,"queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
     // A second, COMPACT summary line goes out LAST: the full line is now
     // ~2.5 kB and the driver's bounded tail window has twice clipped its
     // head (BENCH parsed:null) — a tail parser always sees one complete
@@ -276,7 +305,7 @@ object Bench {
     val effRe = """"efficiency":([0-9.]+)""".r
     val eff = effRe.findFirstMatchIn(scalingJson).map(_.group(1)).getOrElse("null")
     val compact =
-      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","headline_sec":$headlineSec%.3f,"queries_total_sec":$total%.3f,"n_queries":${results0.length},"scaling_efficiency":$eff,"sf":"$sfDir"}"""
+      f"""{"metric":"spatial_join_tile_images_per_sec","value":$imagesPerSec%.1f,"unit":"images/sec","headline_sec":$headlineSec%.3f,"headline_window":$headlineWindow%.3f,"load_1m":$loadEnd%.2f,"queries_total_sec":$total%.3f,"n_queries":${results0.length},"scaling_efficiency":$eff,"sf":"$sfDir"}"""
     // The contract is ONE machine-parseable JSON line. Under `sbt runMain`
     // the forked child's stdout passes through sbt's logger and gains an
     // "[info] " prefix (r1's BENCH artifact recorded parsed:null), so the
