@@ -96,8 +96,13 @@ object Bench {
       graft.dedup.Dedup.simhashPairs(spark, mini).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    // per-operator query timings (count() forces full execution)
-    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // per-operator query timings (count() forces full execution);
+    // SPARK_GRAFT_BENCH_ONLY=q82,q90 narrows the sweep (name prefixes) —
+    // a local iteration aid, never set by the driver
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
@@ -108,7 +113,8 @@ object Bench {
     // compile (constant-cost, not scale-relevant); record its steady state
     // alongside so the artifact carries both numbers (methodology note in
     // BASELINE.md)
-    val steady = Seq("q23_minhash_pairs").map { name =>
+    val steady = Seq("q23_minhash_pairs")
+      .filter(n => only.forall(_.exists(n.startsWith))).map { name =>
       val fn = SparkEntry.queries(name)
       val (_, sec) = time {
         try fn(spark, sfDir).count()

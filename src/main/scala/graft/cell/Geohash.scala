@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * are grid joins — same machinery as CellIndex, different wire format.
   *
   * Pure column arithmetic end to end: quantize each axis to `5p/2`
-  * bits, spread with the Morton masks ([[ZOrder.spreadCol]] — lon lands
-  * on the odd bit positions because geohash starts with a LONGITUDE
-  * bit at the MSB), then emit `p` base32 digits by 5-bit slices. No
-  * UDF, codegen-friendly, SQL-replayable.
+  * bits, spread with the WIDE Morton masks ([[ZOrder.spreadCol64]] —
+  * p=8 quantizes 20 bits per axis, past spreadCol's 16-bit masks; lon
+  * lands on the odd bit positions because geohash starts with a
+  * LONGITUDE bit at the MSB), then emit `p` base32 digits by 5-bit
+  * slices. No UDF, codegen-friendly, SQL-replayable.
   */
 object Geohash {
 
@@ -46,8 +47,8 @@ object Geohash {
     def q(c: Column, lo: Double, hi: Double): Column =
       least(lit((1L << bitsPerAxis) - 1),
         greatest(lit(0L), floor((c - lo) / (hi - lo) * n).cast("long")))
-    val v = shiftleft(ZOrder.spreadCol(q(lonCol, -180, 180)), 1)
-      .bitwiseOR(ZOrder.spreadCol(q(latCol, -90, 90)))
+    val v = shiftleft(ZOrder.spreadCol64(q(lonCol, -180, 180)), 1)
+      .bitwiseOR(ZOrder.spreadCol64(q(latCol, -90, 90)))
     val chars = array(Base32.map(ch => lit(ch.toString)): _*)
     concat((0 until p).map(k =>
       element_at(chars,

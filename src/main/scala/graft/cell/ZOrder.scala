@@ -51,6 +51,21 @@ object ZOrder {
     e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
   }
 
+  /** Wide column spread: every bit of a 32-bit input to the even bit
+    * positions of a 64-bit key (the standard 64-bit Morton mask ladder).
+    * [[spreadCol]]'s 16-bit masks silently DROP bits 16+ — callers whose
+    * axis quantization exceeds 16 bits (geohash p=8 carries 20 per axis)
+    * must use this form.
+    */
+  def spreadCol64(c: Column): Column = {
+    val a = c.bitwiseAND(lit(0xFFFFFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val d = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val e = d.bitwiseOR(shiftleft(d, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val f = e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x3333333333333333L))
+    f.bitwiseOR(shiftleft(f, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
   /** Column Morton key of two cell-coordinate columns. */
   def mortonCol(x: Column, y: Column): Column =
     spreadCol(x).bitwiseOR(shiftleft(spreadCol(y), 1))

@@ -42,9 +42,14 @@ object KCore {
     var stable = false
     while (!stable && round < maxRounds) {
       val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val peel = deg.filter(col("deg") < k).select(col("src"))
+      // peel is read three times per round (isEmpty + both anti-joins);
+      // persisting it makes the degree aggregation run once per round —
+      // on a slow-unraveling graph (the documented O(n)-rounds path
+      // case) the unpersisted form tripled the per-round cost
+      val peel = deg.filter(col("deg") < k).select(col("src")).persist(lvl)
       if (peel.isEmpty) {
         stable = true
+        peel.unpersist(blocking = false)
       } else {
         val next = und
           .join(peel, Seq("src"), "left_anti")
@@ -53,6 +58,7 @@ object KCore {
           if (round % 4 == 3) next.localCheckpoint(true)
           else next.persist(lvl)
         kept.count() // materialize before releasing the parent round
+        peel.unpersist(blocking = false)
         und.unpersist(blocking = false)
         und = kept
         round += 1

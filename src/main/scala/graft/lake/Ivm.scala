@@ -38,13 +38,23 @@ object Ivm {
         sum(col("__sign") * col("__v")).as("__ds"),
         sum(when(col("__sign").isNull, 1L).otherwise(0L)).as("__bad"))
     val merged = prev.join(delta, Seq(groupCol), "full_outer")
-    // a silent NULL sign would corrupt the view forever; refuse instead
-    val bad = merged.filter(col("__bad") > 0).limit(1).collect()
-    require(bad.isEmpty,
-      s"changes feed contains an unknown _change_type for group ${bad.headOption.map(_.get(0)).orNull}")
-    merged.select(col(groupCol),
+    // a silent NULL sign would corrupt the view forever — refuse IN-PLAN
+    // (raise_error inside the final filter, which no consumer can prune),
+    // so the function composes lazily and the delta is aggregated and
+    // joined exactly once per refresh instead of once for an eager check
+    // and again for the returned plan
+    // guardZero is 0 on clean groups and raises otherwise; ADDING it into
+    // the filter's comparison (rather than And-ing a separate conjunct)
+    // makes every row evaluate the guard — conjuncts can be split and
+    // reordered by the optimizer, arithmetic operands cannot
+    val guardZero = when(coalesce(col("__bad"), lit(0L)) === 0, lit(0L))
+      .otherwise(raise_error(concat(
+        lit("changes feed contains an unknown _change_type for group "),
+        col(groupCol).cast("string"))).cast("long"))
+    merged.select(col(groupCol), col("__bad"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt"),
         (coalesce(col("sm"), lit(0L)) + coalesce(col("__ds"), lit(0L))).as("sm"))
-      .filter(col("cnt") > 0)
+      .filter(col("cnt") + guardZero > 0)
+      .select(col(groupCol), col("cnt"), col("sm"))
   }
 }

@@ -129,7 +129,16 @@ object SnapshotTable {
     require(!m.schemaDdl.contains('"') && !m.schemaDdl.contains('\\'),
       s"schema DDL not JSON-safe: ${m.schemaDdl}")
     val sc = m.statsCol.map(c => s""""stats_col":"$c",""").getOrElse("")
-    val ts = if (m.tsMillis > 0) m.tsMillis else System.currentTimeMillis()
+    // strictly increasing commit timestamps (Iceberg's snapshot-log
+    // ordering assumption): two commits landing in the same millisecond
+    // must not make versionAsOf(ts) ambiguous between them
+    val parentTs =
+      if (m.parent > 0 && Files.exists(manifestPath(dir, m.parent)))
+        manifest(dir, m.parent).tsMillis
+      else 0L
+    val ts =
+      if (m.tsMillis > 0) m.tsMillis
+      else math.max(System.currentTimeMillis(), parentTs + 1)
     val json = s"""{"version":${m.version},"parent":${m.parent},"op":"${m.op}",""" +
       s""""buckets":${m.buckets},"total_rows":${m.totalRows},$sc"ts_ms":$ts,""" +
       s""""schema":"${m.schemaDdl}","files":[$fs]}"""
@@ -151,34 +160,81 @@ object SnapshotTable {
     commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v, statsCol)
 
   /** Write a `__bucket`-carrying frame as commit-`v` files and stat them.
-    * A zero-row frame writes no data files (only _SUCCESS); the stats
-    * read-back would then fail schema inference, so it is guarded — an
-    * empty delta is a clean no-op commit, not a crash.
+    * Stats come straight from the parquet FOOTERS of the files this
+    * commit just wrote — per-file row counts plus the stats column's
+    * min/max over its row groups — which is exactly what Iceberg records
+    * into its commit metadata. Driver-side footer reads over the delta's
+    * file list (delta-sized, never table-sized) replace a whole Spark
+    * job (read → groupBy(input_file_name) → collect) per commit; the
+    * listing goes through the Hadoop FileSystem API so the same code
+    * runs against an object store. A zero-row frame writes no data
+    * files — an empty delta is a clean no-op commit, not a crash.
     */
   private def commitFiles(spark: SparkSession, bucketed: DataFrame, dir: String,
       v: Long, statsCol: Option[String]): Seq[FileEntry] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.statistics.LongStatistics
     val out = s"$dir/data/s$v"
-    bucketed.repartition(col("__bucket"))
+    // AQE is scope-disabled for the commit write: the bucket-hash
+    // repartition is the table's layout contract (deterministic file-per-
+    // bucket placement), so adaptive re-planning has nothing to improve
+    // there — and it charges ~0.8 s of per-write stage re-optimization
+    // overhead to every commit regardless of delta size
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try bucketed.repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(out)
-    val walk = Files.walk(Paths.get(out))
-    val hasFiles =
-      try walk.anyMatch(p => p.toString.endsWith(".parquet"))
-      finally walk.close()
-    if (!hasFiles) return Seq.empty
-    val statAggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
-      Seq(min(col(c)).as("__lo"), max(col(c)).as("__hi")))
-    spark.read.parquet(out)
-      .groupBy(input_file_name().as("path")).agg(statAggs.head, statAggs.tail: _*)
-      .collect().map { r =>
-        val path = r.getString(0)
-        val b = "__bucket=(\\d+)".r.findFirstMatchIn(path)
-          .getOrElse(sys.error(s"unbucketed data file $path")).group(1).toInt
-        val (lo, hi) =
-          if (statsCol.isDefined && !r.isNullAt(2) && !r.isNullAt(3))
-            (Some(r.getLong(2)), Some(r.getLong(3)))
-          else (None, None)
-        FileEntry(path, b, r.getLong(1), lo, hi)
-      }.toSeq
+    finally spark.conf.set(aqeKey, prevAqe)
+    val conf = spark.sessionState.newHadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val hfs = outPath.getFileSystem(conf)
+    val statuses = {
+      val it = hfs.listFiles(outPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    }
+    // footer opens are independent IO — a bounded thread pool keeps the
+    // per-commit stat pass at ~max(file latency), not Σ(file latency)
+    // (64 sequential local opens already cost ~0.3 s; object-store
+    // round trips would make sequential reads the commit bottleneck)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, statuses.size)))
+    try {
+      val futures = statuses.map { st =>
+        pool.submit(new java.util.concurrent.Callable[FileEntry] {
+          def call(): FileEntry = {
+            val pathStr = st.getPath.toString
+            val b = "__bucket=(\\d+)".r.findFirstMatchIn(pathStr)
+              .getOrElse(sys.error(s"unbucketed data file $pathStr")).group(1).toInt
+            val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+            try {
+              val blocks = reader.getFooter.getBlocks.asScala.toSeq
+              val rows = blocks.map(_.getRowCount).sum
+              // min/max only when every row group carries usable long
+              // stats with at least one non-null value — absence means
+              // "can't skip", the same contract as the manifest reader
+              val stats = statsCol.flatMap { c =>
+                val per = blocks.map(_.getColumns.asScala
+                  .find(_.getPath.toDotString == c).map(_.getStatistics).orNull)
+                val longs = per.collect {
+                  case ls: LongStatistics if !ls.isEmpty && ls.hasNonNullValue => ls
+                }
+                if (longs.isEmpty || per.exists(s => s == null || s.isEmpty)) None
+                else Some((longs.map(_.getMin).min, longs.map(_.getMax).max))
+              }
+              FileEntry(pathStr, b, rows, stats.map(_._1), stats.map(_._2))
+            } finally reader.close()
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Create version 1. Fails if the table already exists. `statsCol`
@@ -228,17 +284,24 @@ object SnapshotTable {
     val v = parent.version + 1
     val schema = evolve(parent.schema, updates.schema, "merge")
     val up = align(updates, schema).withColumn("__bucket", bucketOf.cast("int"))
-    // upsert is only well defined for one update row per key: duplicate
-    // keys would all survive the anti-join and land as duplicate table
-    // rows, silently un-keying the table. The check is delta-sized (one
-    // small job), same contract style as AsofJoin's uniqueness require.
-    val dupKey = up.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dupKey.isEmpty,
-      s"merge updates contain duplicate '$keyCol' key ${dupKey.head.get(0)}; " +
-        "upsert requires exactly one update row per key")
-    val affected = up.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // ONE bucket-sized precheck job does both contract checks: the
+    // affected-bucket set (bounded by `buckets`, metadata-sized) and the
+    // duplicate-key guard — upsert is only well defined for one update
+    // row per key, and since the bucket is a function of the key,
+    // duplicates are confined to a bucket, so rows ≠ distinct-keys per
+    // bucket detects them without a key-sized collect. Only the rare
+    // failure path pays a second (delta-sized) job to name the offender.
+    val perBucket = up.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("nk"))
+      .collect()
+    if (perBucket.exists(r => r.getLong(1) != r.getLong(2))) {
+      val dupKey = up.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dupKey.isEmpty,
+        s"merge updates contain duplicate '$keyCol' key ${dupKey.head.get(0)}; " +
+          "upsert requires exactly one update row per key")
+    }
+    val affected = perBucket.map(_.getInt(0)).toSet
     val (touched, carried) = parent.files.partition(f => affected(f.bucket))
     // read ONLY the touched buckets' files (under the EVOLVED schema, so
     // pre-evolution files surface typed NULLs); anti-join out replaced keys
@@ -322,12 +385,18 @@ object SnapshotTable {
     val parent = manifest(dir, currentVersion(dir))
     if (parent.files.isEmpty) return parent
     val hit = coalesce(pred, lit(false))
+    // input_file_name() URIs ("file:///x") and Hadoop Path strings
+    // ("file:/x") name the same file with different slash counts —
+    // normalize both sides before the set test
+    def norm(p: String): String =
+      if (p.startsWith("file:")) "file:/" + p.stripPrefix("file:").dropWhile(_ == '/')
+      else p
     val matched = spark.read.schema(parent.schema)
       .parquet(parent.files.map(_.path): _*)
       .filter(hit).select(input_file_name().as("p"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(r => norm(r.getString(0))).toSet
     if (matched.isEmpty) return parent
-    val (touched, carried) = parent.files.partition(f => matched(f.path))
+    val (touched, carried) = parent.files.partition(f => matched(norm(f.path)))
     val v = parent.version + 1
     val survivors = spark.read.schema(parent.schema)
       .parquet(touched.map(_.path): _*)

@@ -41,19 +41,37 @@ object Lineage {
     spark.sparkContext.addSparkListener(c)
     try {
       val result = body
-      // the listener bus is async (and its drain API is private[spark]) —
-      // poll until the task-end stream is quiescent
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 5000) {
-        val n = c.synchronized(c.rows.length)
-        if (n == last) stable += 1 else { stable = 0; last = n }
-        Thread.sleep(100); waited += 100
+      // the listener bus is async; its drain API (waitUntilEmpty) is
+      // private[spark] but reachable reflectively — the fast path costs
+      // ~0 ms vs the 300 ms-minimum quiescence poll, which previously
+      // charged every tile batch a pure-sleep tax (>3 s over a q124 run)
+      if (!drainBus(spark)) {
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 5000) {
+          val n = c.synchronized(c.rows.length)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(25); waited += 25
+        }
       }
       (result, c.rows.toSeq.toDF())
     } finally {
       spark.sparkContext.removeSparkListener(c)
     }
   }
+
+  /** Reflective LiveListenerBus.waitUntilEmpty — false if unreachable. */
+  private def drainBus(spark: SparkSession): Boolean =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount <= 1)
+        .exists { m =>
+          if (m.getParameterCount == 0) m.invoke(bus)
+          else m.invoke(bus, java.lang.Long.valueOf(5000L))
+          true
+        }
+    } catch { case _: Throwable => false }
 }

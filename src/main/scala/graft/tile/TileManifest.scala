@@ -81,16 +81,23 @@ object TileManifest {
     } finally withBatch.unpersist(blocking = false)
   }
 
-  /** One batch: tile, write, count from the written tiles, commit. */
+  /** One batch: tile + write with observed counts, commit. The counts
+    * ride the WRITE job via `observe` (Iceberg's writer-reported commit
+    * stats) — they count the rows actually streamed to the writer, in
+    * the same job, where the previous shape paid two extra read-back
+    * jobs per batch (full count + origin-tile count).
+    */
   private def tileBatch(spark: SparkSession, slice: DataFrame, outDir: String,
       b: Int): BatchResult = {
     val ((nImages, nTiles), lineage) = Lineage.capture(spark, s"tile-batch-$b") {
-      Tiling.tile(spark, slice).write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
-      val written = spark.read.parquet(s"$outDir/tiles/batch=$b")
-      val t = written.count()
-      val n = written
-        .filter(col("level") === 0 && col("tx") === 0 && col("ty") === 0).count()
-      (n, t)
+      val obs = org.apache.spark.sql.Observation(s"tile-batch-$b-${System.nanoTime()}")
+      Tiling.tile(spark, slice)
+        .observe(obs, count(lit(1)).as("tiles"),
+          count(when(col("level") === 0 && col("tx") === 0 && col("ty") === 0, 1))
+            .as("images"))
+        .write.mode("overwrite").parquet(s"$outDir/tiles/batch=$b")
+      val m = obs.get
+      (m("images").asInstanceOf[Long], m("tiles").asInstanceOf[Long])
     }
     // batch-keyed overwrite (not append): a batch replayed after a
     // crash between this write and commitManifest stays idempotent.

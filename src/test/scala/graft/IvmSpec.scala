@@ -62,8 +62,13 @@ class IvmSpec extends AnyFunSuite {
   test("an unknown _change_type is refused, not silently ignored") {
     val prev = Seq((1L, 1L, 1L)).toDF("grp", "cnt", "sm")
     val cdc = Seq(("upsert", 1L, 1L)).toDF("_change_type", "grp", "v")
-    intercept[IllegalArgumentException] {
+    // the refusal is IN-PLAN (raise_error) so the function composes
+    // lazily — it fires at execution, possibly wrapped by the scheduler
+    val ex = intercept[Exception] {
       Ivm.maintainSumCount(prev, cdc, "grp", "v").collect()
     }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("unknown _change_type")), msgs.mkString(" | "))
   }
 }

@@ -159,6 +159,16 @@ class ZOrderSpec extends AnyFunSuite {
     got.foreach { case (la, lo, g) =>
       assert(g === Geohash.encode(la, lo, 6), s"($la, $lo)")
     }
+    // p=8 parity too: 20 quantization bits per axis exceed spreadCol's
+    // 16-bit masks — the column form must use the wide spread or the
+    // top 4 bits of each axis silently vanish
+    val got8 = pts.toDF("lat", "lon")
+      .select(col("lat"), col("lon"),
+        Geohash.geohashCol(col("lat"), col("lon"), 8).as("g"))
+      .as[(Double, Double, String)].collect()
+    got8.foreach { case (la, lo, g) =>
+      assert(g === Geohash.encode(la, lo, 8), s"p=8 ($la, $lo)")
+    }
     // prefix containment: a longer hash starts with the shorter one
     got.foreach { case (la, lo, g) =>
       assert(Geohash.encode(la, lo, 8).startsWith(g), s"($la, $lo)")
