@@ -149,6 +149,93 @@ object Similarity {
     best
   }
 
+  // ——— native column forms of the quantizer kernels ———
+  // Codebooks ride into the plan as typedLit literals; every fold
+  // replicates the scalar kernels' FP op order term by term (ascending
+  // dimension inside a distance, the scalar argmin's (d, cid) tie rule),
+  // so scalar-vs-column parity — and therefore every DuckDB oracle — is
+  // bit-exact. These replace the per-row ScalaUDFs that used to score
+  // and encode the CORPUS-sized sides of the ANN family; after this, no
+  // ScalaUDF remains in the q52/q54/q65/q66 plans.
+
+  /** Σᵢ (vAt(i) − cv[i])² folded ascending from 0.0 — the scalar
+    * distance loop's exact op order. */
+  private def sqDistCol(vAt: Column => Column, cv: Column, d: Int): Column =
+    aggregate(sequence(lit(0), lit(d - 1)), lit(0.0),
+      (s, i) => { val t = vAt(i) - element_at(cv, i + 1); s + t * t })
+
+  /** Column [[nearestCidOf]]: argmin over `cents` with the identical
+    * (d < best) || (d == best && cid < bestCid) tie rule, so it matches
+    * the scalar for ANY centroid array order (trainIvfDistributed's
+    * collect order is arbitrary). */
+  private def nearestCidCol(vAt: Column => Column,
+      cents: Array[(Int, Array[Double])]): Column = {
+    val cids = typedLit(cents.map(_._1).toSeq)
+    val cvs = typedLit(cents.map(_._2.toSeq).toSeq)
+    val d0 = cents.head._2.length
+    aggregate(sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+      (acc, p) => {
+        val d = sqDistCol(vAt, element_at(cvs, p + 1), d0)
+        val ci = element_at(cids, p + 1)
+        when(d < acc.getField("d") ||
+            (d === acc.getField("d") && ci < acc.getField("c")),
+          struct(d.as("d"), ci.as("c"))).otherwise(acc)
+      }).getField("c")
+  }
+
+  /** Column [[probesOfUdf]]: the nprobe nearest centroid ids by (d, cid)
+    * — array_sort's lexicographic struct order IS that sort key. */
+  private def probesCol(v: Column, cents: Array[(Int, Array[Double])],
+      nprobe: Int): Column = {
+    val cids = typedLit(cents.map(_._1).toSeq)
+    val cvs = typedLit(cents.map(_._2.toSeq).toSeq)
+    val d0 = cents.head._2.length
+    val pairs = transform(sequence(lit(0), lit(cents.length - 1)), p =>
+      struct(sqDistCol(i => element_at(v, i + 1).cast("double"),
+        element_at(cvs, p + 1), d0).as("d"),
+        element_at(cids, p + 1).as("ci")))
+    transform(slice(array_sort(pairs), 1, nprobe), x => x.getField("ci"))
+  }
+
+  /** Column [[pqCodesOf]]: per-subspace argmin code; `vAt(j, i)` reads
+    * dimension j·dsub+i of the (possibly residual) vector. */
+  private def pqCodesCol(vAt: (Column, Column) => Column,
+      cbs: Array[Array[(Int, Array[Double])]], m: Int, dsub: Int): Column = {
+    val cids = typedLit(cbs.map(_.map(_._1).toSeq).toSeq)
+    val cents = typedLit(cbs.map(_.map(_._2.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val subC = element_at(cents, j + 1)
+      val subI = element_at(cids, j + 1)
+      aggregate(sequence(lit(0), size(subC) - 1),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, p) => {
+          val d = sqDistCol(i => vAt(j, i), element_at(subC, p + 1), dsub)
+          val ci = element_at(subI, p + 1)
+          when(d < acc.getField("d") ||
+              (d === acc.getField("d") && ci < acc.getField("c")),
+            struct(d.as("d"), ci.as("c"))).otherwise(acc)
+        }).getField("c")
+    })
+  }
+
+  /** Column [[pqLutOf]]: all m·ksub cells; codes a sub-quantizer never
+    * assigned (empty clusters) stay 0.0 exactly like the scalar's
+    * untouched array slots. Cells are FP-independent, so per-cell
+    * computation preserves bit parity. */
+  private def pqLutCol(vAt: (Column, Column) => Column,
+      cbs: Array[Array[(Int, Array[Double])]], m: Int, ksub: Int,
+      dsub: Int): Column = {
+    val byCid = typedLit(cbs.map(_.map { case (ci, cv) =>
+      ci -> cv.toSeq }.toMap).toSeq)
+    transform(sequence(lit(0), lit(m * ksub - 1)), idx => {
+      val j = floor(idx / lit(ksub)).cast("int")
+      val ci = pmod(idx, lit(ksub))
+      val cv = element_at(element_at(byCid, j + 1), ci)
+      when(cv.isNull, lit(0.0)).otherwise(sqDistCol(i => vAt(j, i), cv, dsub))
+    })
+  }
+
   /** Deterministic bounded training sample: the `n` corpus vectors with the
     * smallest signed splitmix64(id) (tie on id) — seedless and
     * order-independent; one TakeOrdered pass, shared by ivfTopK and
@@ -157,25 +244,10 @@ object Similarity {
   private def sampleCorpus(c: DataFrame, n: Int, idCol: String,
       embCol: String): Array[Array[Float]] = {
     import c.sparkSession.implicits._
-    val hUdf = udf((id: Long) => splitmix64(id))
-    c.withColumn("h", hUdf(col(idCol)))
+    c.withColumn("h", graft.functions.GraftFunctions.splitmixCol(c.sparkSession, col(idCol)))
       .orderBy(col("h"), col(idCol)).limit(n)
       .select(col(embCol)).as[Seq[Float]].collect().map(_.toArray)
   }
-
-  /** nprobe-nearest-centroid probe UDF — ONE definition for both the
-    * compute path (ivfTopK) and the storage path (ivfTopKBucketed), so the
-    * q52 ≡ q54 parity can't silently desynchronize.
-    */
-  private def probesOfUdf(cents: Array[(Int, Array[Double])],
-      nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
-      cents.map { case (ci, cv) =>
-        var d = 0.0; var i = 0
-        while (i < cv.length && i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        (d, ci)
-      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-    }
 
   /** Driver-side Lloyd's k-means over an already-collected sample. A coarse
     * quantizer needs only a sketch of the distribution — nlist×64 vectors —
@@ -221,8 +293,8 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val cents = centroids
-      val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
-      val assigned = c.withColumn("cid", nearest(col("ce")))
+      val assigned = c.withColumn("cid", nearestCidCol(
+          i => element_at(col("ce"), i + 1).cast("double"), cents))
         .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
       centroids = assigned.groupByKey(_._1).agg(mean).collect()
         .map { case (cid, m) => (cid, m.toArray) }
@@ -266,13 +338,10 @@ object Similarity {
           dim, iters)
       else kmeansDriver(sample, nlist, iters)
 
-    val bcCentroids = centroids
-    val nearestCid = udf((v: Seq[Float]) => nearestCidOf(bcCentroids, v))
-    val probesOf = probesOfUdf(centroids, nprobe)
-
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesOf(col("qe"))))
-    val cc = c.withColumn("cid", nearestCid(col("ce")))
+      .withColumn("cid", explode(probesCol(col("qe"), centroids, nprobe)))
+    val cc = c.withColumn("cid", nearestCidCol(
+      i => element_at(col("ce"), i + 1).cast("double"), centroids))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cc.join(broadcast(q), Seq("cid"))
@@ -323,16 +392,15 @@ object Similarity {
     val dsub = dim / m
     // one codebook per subspace — kmeansDriver on the sample's slices
     val cbs = trainSubQuantizers(sample, m, ksub, dsub, iters)
-    val encode = udf { (v: Seq[Float]) => pqCodesOf(cbs, v.toArray, m, dsub) }
-    val lutOf = udf { (v: Seq[Float]) => pqLutOf(cbs, v.toArray, m, ksub, dsub) }
-    val adc = pqAdcUdf(m, ksub)
+    def rawAt(v: Column)(j: Column, i: Column): Column =
+      element_at(v, j * dsub + i + 1).cast("double")
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("lut", lutOf(col("qe"))).drop("qe")
-    val cc = c.withColumn("codes", encode(col("ce"))).drop("ce")
+      .withColumn("lut", pqLutCol(rawAt(col("qe")), cbs, m, ksub, dsub)).drop("qe")
+    val cc = c.withColumn("codes", pqCodesCol(rawAt(col("ce")), cbs, m, dsub)).drop("ce")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     cc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("codes"), col("lut")))
+      .withColumn("adist", adcCol(col("codes"), col("lut"), m, ksub))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -373,14 +441,16 @@ object Similarity {
     lut
   }
 
-  /** ADC score: fold LUT cells in subspace order from 0.0. */
-  private def pqAdcUdf(m: Int, ksub: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (codes: Seq[Int], lut: Seq[Double]) =>
-      var s = 0.0
-      var j = 0
-      while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
-      s
-    }
+  /** ADC score as pure column arithmetic: Σⱼ lut[j·ksub + codes[j]]
+    * folded in subspace order from 0.0 via `aggregate()` — the exact FP
+    * op order of the old Scala kernel, so q65/q66 hashes are unchanged,
+    * but native expressions now score the corpus-sized side (this was
+    * the last per-row ScalaUDF on a potentially corpus-sized input; the
+    * remaining UDFs — encode/LUT — run on driver-trained small sides).
+    */
+  private def adcCol(codes: Column, lut: Column, m: Int, ksub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(lut, j * ksub + element_at(codes, j + 1) + 1))
 
   /** IVF + PQ over residuals (IVFADC — the composition production ANN
     * systems actually deploy at 100 TB): the coarse quantizer prunes the
@@ -421,26 +491,27 @@ object Similarity {
         nearestCidOf(coarse, scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
     }
     val cbs = trainSubQuantizers(sampleRes, m, ksub, dsub, iters)
-    val coarseB = coarse
-    val encode = udf { (v: Seq[Float]) =>
-      val cid = nearestCidOf(coarseB, v)
-      (cid, pqCodesOf(cbs, residual(v, cid), m, dsub))
+    // residual element read in column form: (v[d] − coarse[cid][d]) cast
+    // to float then back — the scalar residual()'s exact rounding
+    val coarseMap = typedLit(coarse.map { case (ci, cv) => ci -> cv.toSeq }.toMap)
+    def resAt(v: Column, cid: Column)(j: Column, i: Column): Column = {
+      val idx = j * dsub + i + 1
+      (element_at(v, idx).cast("double") -
+        element_at(element_at(coarseMap, cid), idx)).cast("float").cast("double")
     }
-    val probesOf = probesOfUdf(coarse, nprobe)
-    val lutOf = udf { (v: Seq[Float], cid: Int) =>
-      pqLutOf(cbs, residual(v, cid), m, ksub, dsub)
-    }
-    val adc = pqAdcUdf(m, ksub)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesOf(col("qe"))))
-      .withColumn("lut", lutOf(col("qe"), col("cid")))
+      .withColumn("cid", explode(probesCol(col("qe"), coarse, nprobe)))
+      .withColumn("lut", pqLutCol(resAt(col("qe"), col("cid")), cbs, m, ksub, dsub))
       .drop("qe")
-    val cc = c.withColumn("enc", encode(col("ce"))).drop("ce")
-      .select(col("neighbor_id"), col("enc._1").as("cid"), col("enc._2").as("codes"))
+    val cc = c
+      .withColumn("cid", nearestCidCol(
+        i => element_at(col("ce"), i + 1).cast("double"), coarse))
+      .withColumn("codes", pqCodesCol(resAt(col("ce"), col("cid")), cbs, m, dsub))
+      .select(col("neighbor_id"), col("cid"), col("codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     cc.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("codes"), col("lut")))
+      .withColumn("adist", adcCol(col("codes"), col("lut"), m, ksub))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -463,8 +534,8 @@ object Similarity {
     val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
     require(sample.nonEmpty, "writeIvfBucketed: empty corpus")
     val centroids = kmeansDriver(sample, nlist, iters)
-    val cents = centroids
-    val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+    def nearest(v: Column): Column =
+      nearestCidCol(i => element_at(v, i + 1).cast("double"), centroids)
     // Partitioned-write fan-out guard: EVERY upstream task opens a writer
     // per list it touches — up to tasks×nlist files, the classic
     // partitionBy small-files failure (metadata pressure + per-file open
@@ -515,9 +586,8 @@ object Similarity {
   def ivfTopKBucketed(spark: SparkSession, queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4, qId: String = "vec_id"): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
-    val probesOf = probesOfUdf(centroids, nprobe)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesOf(col("qe"))))
+      .withColumn("cid", explode(probesCol(col("qe"), centroids, nprobe)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCids = q.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq // metadata-sized: ≤ queries × nprobe
@@ -606,7 +676,8 @@ object Similarity {
     val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
     require(sample.nonEmpty, "semanticDedup: empty corpus")
     val cents = kmeansDriver(sample, nlist, iters)
-    val nearest = udf((v: Seq[Float]) => nearestCidOf(cents, v))
+    def nearest(v: Column): Column =
+      nearestCidCol(i => element_at(v, i + 1).cast("double"), cents)
     // Scan shape, stated honestly: the corpus is read THREE times — the
     // bounded quantizer sample, the cluster/edge pass, and the final label
     // join (Catalyst shares no common subtrees). Each pass is narrow; a

@@ -245,6 +245,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q117 must not sort or gather globally:\n$plan")
   }
 
+  test("q52/q65/q66 ANN plans carry no ScalaUDF anywhere") {
+    // quantizer assignment, PQ encode, LUT build, probe selection, and
+    // ADC scoring are all native column folds over typedLit codebooks —
+    // the corpus-sized sides stay inside codegen'd expressions
+    for (q <- Seq("q52_ann_ivf", "q65_ann_pq", "q66_ann_ivfpq")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$q plan contains a UDF:\n$plan")
+    }
+  }
+
   test("q121 apriori prune is a broadcast; q128 geohash plan has no UDF") {
     val p121 = SparkEntry.queries("q121_frequent_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
