@@ -459,22 +459,33 @@ object SnapshotTable {
         else spark.read.schema(readSchema).parquet(paths: _*)
       align(df, toSchema)
     }
-    def checkUnique(df: DataFrame, label: String): DataFrame = {
-      val dup = df.groupBy(col(keyCol)).count().filter(col("count") > 1)
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"changes: duplicate '$keyCol' key ${dup.headOption.map(_.get(0)).orNull} " +
-          s"in the $label diff scope; CDC requires key-unique tables")
-      df
+    // key-uniqueness guard IN-PLAN (the Ivm.maintainSumCount pattern): a
+    // per-side count window over the key — the window's hash requirement
+    // is the join's, so no extra exchange — raises on the first duplicate
+    // at execution. The old eager groupBy+collect per side cost two extra
+    // delta-sized jobs per changes() call and broke lazy composition.
+    def guarded(df: DataFrame, label: String, side: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      df.withColumn(s"__g$side",
+        when(count(lit(1)).over(w) === 1, lit(0L))
+          .otherwise(raise_error(concat(
+            lit(s"changes: duplicate '$keyCol' key "), col("__k").cast("string"),
+            lit(s" in the $label diff scope; CDC requires key-unique tables")))
+            .cast("long")))
     }
-    val pre = checkUnique(side(oldOnly, from.schema), s"v$fromV")
-      .select(col(keyCol).as("__k"), struct(payload: _*).as("__pre"))
-    val post = checkUnique(side(newOnly, toSchema), s"v$toV")
-      .select(col(keyCol).as("__k"), struct(payload: _*).as("__post"))
+    val pre = guarded(side(oldOnly, from.schema)
+      .select(col(keyCol).as("__k"), struct(payload: _*).as("__pre")),
+      s"v$fromV", "a")
+    val post = guarded(side(newOnly, toSchema)
+      .select(col(keyCol).as("__k"), struct(payload: _*).as("__post")),
+      s"v$toV", "b")
     pre.join(post, Seq("__k"), "full_outer")
-      // rewritten-but-identical rows are layout noise, not changes
-      .filter(col("__pre").isNull || col("__post").isNull ||
-        !(col("__pre") <=> col("__post")))
+      // rewritten-but-identical rows are layout noise, not changes; the
+      // guard columns are ADDED into the comparison (not And-ed) so the
+      // optimizer cannot prune or reorder them away
+      .filter((when(col("__pre").isNull || col("__post").isNull ||
+          !(col("__pre") <=> col("__post")), 1L).otherwise(0L) +
+        coalesce(col("__ga"), lit(0L)) + coalesce(col("__gb"), lit(0L))) > 0)
       .select(col("__k"), explode(
         when(col("__pre").isNull,
           array(struct(lit("insert").as("op"), col("__post").as("v"))))

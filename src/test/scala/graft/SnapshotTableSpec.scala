@@ -315,9 +315,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     // key twice — the table is no longer key-unique and CDC must refuse
     SnapshotTable.append(spark, rows(0, 10, "dup"), dir, bucketOf)
     SnapshotTable.append(spark, rows(0, 10, "dup2"), dir, bucketOf)
-    intercept[IllegalArgumentException] {
+    // the guard is in-plan (raise_error), so it fires at execution and
+    // surfaces wrapped in Spark's job-failure chain — pin the message
+    val e = intercept[Exception] {
       SnapshotTable.changes(spark, dir, 1L, 3L, "k").collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate 'k' key")))
   }
 
   test("stats pruning: range reads open only intersecting files, parity with full scan") {
