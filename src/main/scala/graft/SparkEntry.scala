@@ -974,8 +974,8 @@ object SparkEntry {
         format_string("img_%09d", col("id")).as("image_id"),
         concat(lit("caption_"), col("id"), lit(" of cell "),
           abs(mix(col("id"))) % 97).as("caption"))
-      val bucketOf = pmod(mix(col("idx")), lit(64L))
-      SnapshotTable.create(s, baseRows(0, 600), out.getPath, 64, bucketOf)
+      val bucketOf = pmod(mix(col("idx")), lit(8L))
+      SnapshotTable.create(s, baseRows(0, 600), out.getPath, 8, bucketOf)
       val updates = s.range(0, 600).filter(col("id") % 7 === 0).select(
           col("id").as("idx"),
           format_string("img_%09d", col("id")).as("image_id"),
@@ -1448,10 +1448,10 @@ object SparkEntry {
     "q114_change_data_feed" -> ((s, dir) => {
       import graft.lake.SnapshotTable
       val out = snapshotScratchDir("q114")
-      val bucketOf = pmod(mixCol(s, col("idx")), lit(32L))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(8L))
       def mk(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("idx"),
         concat(lit("caption_"), col("id")).as("caption"))
-      SnapshotTable.create(s, mk(0, 500), out.getPath, 32, bucketOf)
+      SnapshotTable.create(s, mk(0, 500), out.getPath, 8, bucketOf)
       val updates = s.range(0, 500).filter(col("id") % 13 === 0)
         .select(col("id").as("idx"),
           concat(lit("updated_"), col("id")).as("caption"))
@@ -1686,7 +1686,7 @@ object SparkEntry {
       def withRel(df: DataFrame) =
         df.withColumn("relation_id", pmod(col("phash"), lit(64)))
       val base = withRel(ImageTable.generate(s, 120, 8).toDF())
-      TileManifest.runStaged(s, base, out.getPath, nBatches = 6)
+      TileManifest.runStaged(s, base, out.getPath, nBatches = 3)
       val upserts = s.range(120, 122).unionByName(s.range(20, 21))
         .as[Long].map(ImageTable.makeRow).toDF()
       val deletes = s.range(0, 120).filter(col("id") === 3 || col("id") === 43)
@@ -1791,10 +1791,10 @@ object SparkEntry {
     "q118_incremental_view" -> ((s, dir) => {
       import graft.lake.{Ivm, SnapshotTable}
       val out = snapshotScratchDir("q118")
-      val bucketOf = pmod(mixCol(s, col("idx")), lit(32L))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(8L))
       def mk(lo: Long, hi: Long, rev: Long) = s.range(lo, hi).select(
         col("id").as("idx"), (col("id") * 10 + rev).as("val"))
-      SnapshotTable.create(s, mk(0, 600, 0), out.getPath, 32, bucketOf)
+      SnapshotTable.create(s, mk(0, 600, 0), out.getPath, 8, bucketOf)
       val agg1 = SnapshotTable.read(s, out.getPath, Some(1L))
         .groupBy((col("idx") % 10).as("grp"))
         .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sm"))
@@ -1976,10 +1976,10 @@ object SparkEntry {
     "q101_schema_evolution" -> ((s, dir) => {
       import graft.lake.SnapshotTable
       val out = snapshotScratchDir("q101")
-      val bucketOf = pmod(mixCol(s, col("idx")), lit(16L))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(8L))
       val base = s.range(0, 200).select(col("id").as("idx"),
         concat(lit("cap_"), col("id")).as("caption"))
-      SnapshotTable.create(s, base, out.getPath, 16, bucketOf)
+      SnapshotTable.create(s, base, out.getPath, 8, bucketOf)
       val withLang = s.range(200, 260).select(col("id").as("idx"),
         concat(lit("cap_"), col("id")).as("caption"),
         when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
