@@ -150,91 +150,29 @@ object Similarity {
   }
 
   // ——— native column forms of the quantizer kernels ———
-  // Codebooks ride into the plan as typedLit literals; every fold
-  // replicates the scalar kernels' FP op order term by term (ascending
-  // dimension inside a distance, the scalar argmin's (d, cid) tie rule),
-  // so scalar-vs-column parity — and therefore every DuckDB oracle — is
-  // bit-exact. These replace the per-row ScalaUDFs that used to score
-  // and encode the CORPUS-sized sides of the ANN family; after this, no
-  // ScalaUDF remains in the q52/q54/q65/q66 plans.
+  // One fused codegen'd loop per row over raw ArrayData, with codebooks
+  // decoded once per plan from literal children — see [[QuantExpr]] for
+  // the kernels, the FP-parity contract (bit-exact against the scalar
+  // kernels below and therefore against every ANN DuckDB oracle), and
+  // why the earlier aggregate()/transform() HOF forms were replaced
+  // (interpreted lambdas re-evaluating each distance fold per centroid
+  // regressed q52/q65/q66 4-6x).
 
-  /** Σᵢ (vAt(i) − cv[i])² folded ascending from 0.0 — the scalar
-    * distance loop's exact op order. */
-  private def sqDistCol(vAt: Column => Column, cv: Column, d: Int): Column =
-    aggregate(sequence(lit(0), lit(d - 1)), lit(0.0),
-      (s, i) => { val t = vAt(i) - element_at(cv, i + 1); s + t * t })
+  private def nearestCidCol(spark: SparkSession, vec: Column,
+      cents: Array[(Int, Array[Double])]): Column =
+    QuantExpr.nearestCid(spark, vec, cents)
 
-  /** Column [[nearestCidOf]]: argmin over `cents` with the identical
-    * (d < best) || (d == best && cid < bestCid) tie rule, so it matches
-    * the scalar for ANY centroid array order (trainIvfDistributed's
-    * collect order is arbitrary). */
-  private def nearestCidCol(vAt: Column => Column,
-      cents: Array[(Int, Array[Double])]): Column = {
-    val cids = typedLit(cents.map(_._1).toSeq)
-    val cvs = typedLit(cents.map(_._2.toSeq).toSeq)
-    val d0 = cents.head._2.length
-    aggregate(sequence(lit(0), lit(cents.length - 1)),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-      (acc, p) => {
-        val d = sqDistCol(vAt, element_at(cvs, p + 1), d0)
-        val ci = element_at(cids, p + 1)
-        when(d < acc.getField("d") ||
-            (d === acc.getField("d") && ci < acc.getField("c")),
-          struct(d.as("d"), ci.as("c"))).otherwise(acc)
-      }).getField("c")
-  }
+  private def probesCol(spark: SparkSession, vec: Column,
+      cents: Array[(Int, Array[Double])], nprobe: Int): Column =
+    QuantExpr.probes(spark, vec, cents, nprobe)
 
-  /** Column [[probesOfUdf]]: the nprobe nearest centroid ids by (d, cid)
-    * — array_sort's lexicographic struct order IS that sort key. */
-  private def probesCol(v: Column, cents: Array[(Int, Array[Double])],
-      nprobe: Int): Column = {
-    val cids = typedLit(cents.map(_._1).toSeq)
-    val cvs = typedLit(cents.map(_._2.toSeq).toSeq)
-    val d0 = cents.head._2.length
-    val pairs = transform(sequence(lit(0), lit(cents.length - 1)), p =>
-      struct(sqDistCol(i => element_at(v, i + 1).cast("double"),
-        element_at(cvs, p + 1), d0).as("d"),
-        element_at(cids, p + 1).as("ci")))
-    transform(slice(array_sort(pairs), 1, nprobe), x => x.getField("ci"))
-  }
+  private def pqCodesCol(spark: SparkSession, vec: Column,
+      cbs: Array[Array[(Int, Array[Double])]]): Column =
+    QuantExpr.pqCodes(spark, vec, cbs)
 
-  /** Column [[pqCodesOf]]: per-subspace argmin code; `vAt(j, i)` reads
-    * dimension j·dsub+i of the (possibly residual) vector. */
-  private def pqCodesCol(vAt: (Column, Column) => Column,
-      cbs: Array[Array[(Int, Array[Double])]], m: Int, dsub: Int): Column = {
-    val cids = typedLit(cbs.map(_.map(_._1).toSeq).toSeq)
-    val cents = typedLit(cbs.map(_.map(_._2.toSeq).toSeq).toSeq)
-    transform(sequence(lit(0), lit(m - 1)), j => {
-      val subC = element_at(cents, j + 1)
-      val subI = element_at(cids, j + 1)
-      aggregate(sequence(lit(0), size(subC) - 1),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, p) => {
-          val d = sqDistCol(i => vAt(j, i), element_at(subC, p + 1), dsub)
-          val ci = element_at(subI, p + 1)
-          when(d < acc.getField("d") ||
-              (d === acc.getField("d") && ci < acc.getField("c")),
-            struct(d.as("d"), ci.as("c"))).otherwise(acc)
-        }).getField("c")
-    })
-  }
-
-  /** Column [[pqLutOf]]: all m·ksub cells; codes a sub-quantizer never
-    * assigned (empty clusters) stay 0.0 exactly like the scalar's
-    * untouched array slots. Cells are FP-independent, so per-cell
-    * computation preserves bit parity. */
-  private def pqLutCol(vAt: (Column, Column) => Column,
-      cbs: Array[Array[(Int, Array[Double])]], m: Int, ksub: Int,
-      dsub: Int): Column = {
-    val byCid = typedLit(cbs.map(_.map { case (ci, cv) =>
-      ci -> cv.toSeq }.toMap).toSeq)
-    transform(sequence(lit(0), lit(m * ksub - 1)), idx => {
-      val j = floor(idx / lit(ksub)).cast("int")
-      val ci = pmod(idx, lit(ksub))
-      val cv = element_at(element_at(byCid, j + 1), ci)
-      when(cv.isNull, lit(0.0)).otherwise(sqDistCol(i => vAt(j, i), cv, dsub))
-    })
-  }
+  private def pqLutCol(spark: SparkSession, vec: Column,
+      cbs: Array[Array[(Int, Array[Double])]], ksub: Int): Column =
+    QuantExpr.pqLut(spark, vec, cbs, ksub)
 
   /** Deterministic bounded training sample: the `n` corpus vectors with the
     * smallest signed splitmix64(id) (tie on id) — seedless and
@@ -293,8 +231,7 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val cents = centroids
-      val assigned = c.withColumn("cid", nearestCidCol(
-          i => element_at(col("ce"), i + 1).cast("double"), cents))
+      val assigned = c.withColumn("cid", nearestCidCol(spark, col("ce"), cents))
         .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
       centroids = assigned.groupByKey(_._1).agg(mean).collect()
         .map { case (cid, m) => (cid, m.toArray) }
@@ -339,9 +276,8 @@ object Similarity {
       else kmeansDriver(sample, nlist, iters)
 
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesCol(col("qe"), centroids, nprobe)))
-    val cc = c.withColumn("cid", nearestCidCol(
-      i => element_at(col("ce"), i + 1).cast("double"), centroids))
+      .withColumn("cid", explode(probesCol(spark, col("qe"), centroids, nprobe)))
+    val cc = c.withColumn("cid", nearestCidCol(spark, col("ce"), centroids))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cc.join(broadcast(q), Seq("cid"))
@@ -392,15 +328,13 @@ object Similarity {
     val dsub = dim / m
     // one codebook per subspace — kmeansDriver on the sample's slices
     val cbs = trainSubQuantizers(sample, m, ksub, dsub, iters)
-    def rawAt(v: Column)(j: Column, i: Column): Column =
-      element_at(v, j * dsub + i + 1).cast("double")
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("lut", pqLutCol(rawAt(col("qe")), cbs, m, ksub, dsub)).drop("qe")
-    val cc = c.withColumn("codes", pqCodesCol(rawAt(col("ce")), cbs, m, dsub)).drop("ce")
+      .withColumn("lut", pqLutCol(spark, col("qe"), cbs, ksub)).drop("qe")
+    val cc = c.withColumn("codes", pqCodesCol(spark, col("ce"), cbs)).drop("ce")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     cc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adcCol(col("codes"), col("lut"), m, ksub))
+      .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -441,16 +375,14 @@ object Similarity {
     lut
   }
 
-  /** ADC score as pure column arithmetic: Σⱼ lut[j·ksub + codes[j]]
-    * folded in subspace order from 0.0 via `aggregate()` — the exact FP
-    * op order of the old Scala kernel, so q65/q66 hashes are unchanged,
-    * but native expressions now score the corpus-sized side (this was
-    * the last per-row ScalaUDF on a potentially corpus-sized input; the
-    * remaining UDFs — encode/LUT — run on driver-trained small sides).
-    */
-  private def adcCol(codes: Column, lut: Column, m: Int, ksub: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(lut, j * ksub + element_at(codes, j + 1) + 1))
+  /** ADC score Σⱼ lut[j·ksub + codes[j]] folded in subspace order from
+    * 0.0 — the hottest kernel in the PQ family (it runs per CANDIDATE
+    * PAIR, not per row), as one native codegen'd loop ([[PqAdc]]); the
+    * fold order matches the old aggregate() form, so q65/q66 hashes are
+    * unchanged. */
+  private def adcCol(spark: SparkSession, codes: Column, lut: Column,
+      ksub: Int): Column =
+    QuantExpr.pqAdc(spark, codes, lut, ksub)
 
   /** IVF + PQ over residuals (IVFADC — the composition production ANN
     * systems actually deploy at 100 TB): the coarse quantizer prunes the
@@ -491,27 +423,23 @@ object Similarity {
         nearestCidOf(coarse, scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
     }
     val cbs = trainSubQuantizers(sampleRes, m, ksub, dsub, iters)
-    // residual element read in column form: (v[d] − coarse[cid][d]) cast
-    // to float then back — the scalar residual()'s exact rounding
-    val coarseMap = typedLit(coarse.map { case (ci, cv) => ci -> cv.toSeq }.toMap)
-    def resAt(v: Column, cid: Column)(j: Column, i: Column): Column = {
-      val idx = j * dsub + i + 1
-      (element_at(v, idx).cast("double") -
-        element_at(element_at(coarseMap, cid), idx)).cast("float").cast("double")
-    }
+    // residual in column form via [[ResidualF32]]: (v[d] − coarse[cid][d])
+    // rounded through float — the scalar residual()'s exact per-element
+    // rounding — then encoded/LUT'd by the same kernels as the raw path
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesCol(col("qe"), coarse, nprobe)))
-      .withColumn("lut", pqLutCol(resAt(col("qe"), col("cid")), cbs, m, ksub, dsub))
+      .withColumn("cid", explode(probesCol(spark, col("qe"), coarse, nprobe)))
+      .withColumn("lut", pqLutCol(spark,
+        QuantExpr.residualF32(spark, col("qe"), col("cid"), coarse), cbs, ksub))
       .drop("qe")
     val cc = c
-      .withColumn("cid", nearestCidCol(
-        i => element_at(col("ce"), i + 1).cast("double"), coarse))
-      .withColumn("codes", pqCodesCol(resAt(col("ce"), col("cid")), cbs, m, dsub))
+      .withColumn("cid", nearestCidCol(spark, col("ce"), coarse))
+      .withColumn("codes", pqCodesCol(spark,
+        QuantExpr.residualF32(spark, col("ce"), col("cid"), coarse), cbs))
       .select(col("neighbor_id"), col("cid"), col("codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     cc.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adcCol(col("codes"), col("lut"), m, ksub))
+      .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -534,8 +462,7 @@ object Similarity {
     val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
     require(sample.nonEmpty, "writeIvfBucketed: empty corpus")
     val centroids = kmeansDriver(sample, nlist, iters)
-    def nearest(v: Column): Column =
-      nearestCidCol(i => element_at(v, i + 1).cast("double"), centroids)
+    def nearest(v: Column): Column = nearestCidCol(spark, v, centroids)
     // Partitioned-write fan-out guard: EVERY upstream task opens a writer
     // per list it touches — up to tasks×nlist files, the classic
     // partitionBy small-files failure (metadata pressure + per-file open
@@ -587,7 +514,7 @@ object Similarity {
       nprobe: Int = 4, qId: String = "vec_id"): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
     val q = queries.select(col(qId).cast("long").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid", explode(probesCol(col("qe"), centroids, nprobe)))
+      .withColumn("cid", explode(probesCol(spark, col("qe"), centroids, nprobe)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCids = q.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq // metadata-sized: ≤ queries × nprobe
@@ -676,8 +603,7 @@ object Similarity {
     val sample = sampleCorpus(c, math.max(nlist * 64, 1024), "vec_id", "embedding")
     require(sample.nonEmpty, "semanticDedup: empty corpus")
     val cents = kmeansDriver(sample, nlist, iters)
-    def nearest(v: Column): Column =
-      nearestCidCol(i => element_at(v, i + 1).cast("double"), cents)
+    def nearest(v: Column): Column = nearestCidCol(spark, v, cents)
     // Scan shape, stated honestly: the corpus is read THREE times — the
     // bounded quantizer sample, the cluster/edge pass, and the final label
     // join (Catalyst shares no common subtrees). Each pass is narrow; a
