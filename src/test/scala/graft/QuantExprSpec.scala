@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.QuantExpr
+
+/** Direct pins on the fused quantizer kernel expressions ([[graft.sim
+  * .QuantExpr]]): column results must be BIT-IDENTICAL to an
+  * independently-written scalar reference (the same math the ANN DuckDB
+  * oracles replay), under both codegen'd and interpreted evaluation, and
+  * null vectors/elements must yield null. The end-to-end ANN oracles
+  * (q52/q54/q55/q65/q66/q89) cover composition; this spec catches kernel
+  * drift at the unit level, where the failure message says WHICH kernel.
+  */
+class QuantExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic fixture: 40 vectors of dim 16, values in [-1, 1)
+  private val dim = 16
+  private val rnd = new scala.util.Random(0xC0FFEE)
+  private val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+  private val cents: Array[(Int, Array[Double])] = {
+    val r = new scala.util.Random(0xBEEF)
+    // non-contiguous cids exercise the label-not-index contract
+    Array.tabulate(6)(p => (p * 3 + 1, Array.fill(dim)(r.nextDouble() - 0.5)))
+  }
+  private val m = 4
+  private val dsub = dim / m
+  private val ksub = 5
+  private val cbs: Array[Array[(Int, Array[Double])]] = {
+    val r = new scala.util.Random(0xD00D)
+    Array.tabulate(m)(_ => Array.tabulate(ksub - 1)(p => // one dropped cid
+      (p + 1, Array.fill(dsub)(r.nextDouble() - 0.5))))
+  }
+
+  private def df = vecs.toDF("vec_id", "embedding")
+
+  // ——— independent scalar reference (same math as the DuckDB oracles) ———
+  private def refSqDist(v: Seq[Float], off: Int, cv: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < cv.length && off + i < v.length) {
+      val t = v(off + i) - cv(i); d += t * t; i += 1
+    }
+    d
+  }
+  private def refNearest(cs: Array[(Int, Array[Double])], v: Seq[Float]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    cs.foreach { case (ci, cv) =>
+      val d = refSqDist(v, 0, cv)
+      if (d < bestD || (d == bestD && ci < best)) { best = ci; bestD = d }
+    }
+    best
+  }
+  private def refProbes(cs: Array[(Int, Array[Double])], v: Seq[Float],
+      nprobe: Int): Seq[Int] =
+    cs.map { case (ci, cv) => (refSqDist(v, 0, cv), ci) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  private def refResidual(cs: Array[(Int, Array[Double])], v: Seq[Float],
+      cid: Int): Seq[Float] = {
+    val cv = cs.find(_._1 == cid).get._2
+    v.indices.map(i => (v(i).toDouble - cv(i)).toFloat)
+  }
+  private def refCodes(v: Seq[Float]): Seq[Int] =
+    (0 until m).map { j =>
+      // zero-pad past the vector end, Arrays.copyOfRange semantics
+      val slice = Seq.tabulate(dsub)(i =>
+        if (j * dsub + i < v.length) v(j * dsub + i) else 0.0f)
+      refNearest(cbs(j), slice)
+    }
+  private def refLut(v: Seq[Float]): Seq[Double] = {
+    val lut = Array.fill(m * ksub)(0.0)
+    for (j <- 0 until m; (ci, cv) <- cbs(j))
+      lut(j * ksub + ci) = refSqDist(v, j * dsub, cv)
+    lut.toSeq
+  }
+
+  test("nearest_cid is bit-identical to the scalar argmin (label cids)") {
+    val got = df.select(col("vec_id"),
+        QuantExpr.nearestCid(spark, col("embedding"), cents).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === refNearest(cents, v), s"vec $id")
+    }
+  }
+
+  test("quant_probes returns the nprobe nearest by (distance, cid)") {
+    val got = df.select(col("vec_id"),
+        QuantExpr.probes(spark, col("embedding"), cents, 3).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === refProbes(cents, v, 3), s"vec $id")
+    }
+    // nprobe past the centroid count returns all of them, ordered
+    val all = df.limit(1).select(
+        QuantExpr.probes(spark, col("embedding"), cents, 99))
+      .as[Seq[Int]].head()
+    assert(all === refProbes(cents, vecs.head._2, cents.length))
+  }
+
+  test("residual_f32 rounds each element through float exactly") {
+    val got = df.select(col("vec_id"),
+        QuantExpr.residualF32(spark, col("embedding"),
+          QuantExpr.nearestCid(spark, col("embedding"), cents), cents).as("r"))
+      .as[(Long, Seq[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val bits = got(id).map(java.lang.Float.floatToIntBits)
+      val ref = refResidual(cents, v, refNearest(cents, v))
+        .map(java.lang.Float.floatToIntBits)
+      assert(bits === ref, s"vec $id")
+    }
+  }
+
+  test("pq_codes / pq_lut / pq_adc are bit-identical to the scalar chain") {
+    val got = df.select(col("vec_id"),
+        QuantExpr.pqCodes(spark, col("embedding"), cbs).as("codes"),
+        QuantExpr.pqLut(spark, col("embedding"), cbs, ksub).as("lut"))
+      .withColumn("adist",
+        QuantExpr.pqAdc(spark, col("codes"), col("lut"), ksub))
+      .as[(Long, Seq[Int], Seq[Double], Double)].collect()
+    got.foreach { case (id, codes, lut, adist) =>
+      val v = vecs(id.toInt)._2
+      assert(codes === refCodes(v), s"codes of vec $id")
+      assert(lut.map(java.lang.Double.doubleToLongBits) ===
+        refLut(v).map(java.lang.Double.doubleToLongBits), s"lut of vec $id")
+      // self-ADC: Σⱼ lut[j·ksub + codes[j]], fold order left-to-right
+      val ref = refCodes(v).zipWithIndex
+        .foldLeft(0.0) { case (s, (c, j)) => s + refLut(v)(j * ksub + c) }
+      assert(java.lang.Double.doubleToLongBits(adist) ===
+        java.lang.Double.doubleToLongBits(ref), s"adc of vec $id")
+    }
+  }
+
+  test("interpreted eval matches codegen bit-for-bit") {
+    val q = df.select(col("vec_id"),
+      QuantExpr.nearestCid(spark, col("embedding"), cents).as("cid"),
+      QuantExpr.pqCodes(spark, col("embedding"), cbs).as("codes"),
+      QuantExpr.pqLut(spark, col("embedding"), cbs, ksub).as("lut"))
+    val gen = q.collect().map(_.toString).sorted
+    val codegenConf = "spark.sql.codegen.wholeStage"
+    val factoryConf = "spark.sql.codegen.factoryMode"
+    val (c0, f0) = (spark.conf.get(codegenConf), spark.conf.get(factoryConf))
+    try {
+      spark.conf.set(codegenConf, "false")
+      spark.conf.set(factoryConf, "NO_CODEGEN")
+      assert(q.collect().map(_.toString).sorted === gen)
+    } finally {
+      spark.conf.set(codegenConf, c0)
+      spark.conf.set(factoryConf, f0)
+    }
+  }
+
+  test("null vector and null element both yield null, not garbage") {
+    val withNulls = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(cast(0.5 as float), cast(0.25 as float))),
+        |  (1L, cast(null as array<float>)),
+        |  (2L, array(cast(0.5 as float), cast(null as float)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val c2 = Array((0, Array(0.0, 0.0)), (1, Array(1.0, 1.0)))
+    val cb2 = Array.fill(2)(Array((0, Array(0.0)), (1, Array(1.0))))
+    val got = withNulls.select(col("vec_id"),
+        QuantExpr.nearestCid(spark, col("embedding"), c2).as("cid"),
+        QuantExpr.probes(spark, col("embedding"), c2, 1).as("p"),
+        QuantExpr.pqCodes(spark, col("embedding"), cb2).as("codes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got(0L).isNullAt(1) && !got(0L).isNullAt(2) && !got(0L).isNullAt(3))
+    for (id <- Seq(1L, 2L); i <- 1 to 3)
+      assert(got(id).isNullAt(i), s"row $id col $i must be null")
+  }
+
+  test("ANN plans stay free of UDFs AND interpreted HOF lambdas") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q52_ann_ivf", "q65_ann_pq", "q66_ann_ivfpq")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), s"$q has a UDF:\n$plan")
+      assert(!plan.contains("lambdafunction"),
+        s"$q fell back to interpreted higher-order lambdas (the 4-6x " +
+          s"regression this spec exists to prevent):\n$plan")
+    }
+  }
+}
