@@ -1230,6 +1230,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // PQ over STORED CODES (the compression layout): the corpus is written
+    // ONCE as its m-byte code table + IEEE-bit codebook sidecar, then the
+    // query scans codes only - raw vectors never read at query time. Same
+    // deterministic training as q65, so the result is identical and SHARES
+    // q65's full oracle - the driver gate proves the encode->store->score
+    // round trip is bit-exact.
+    "q135_ann_pq_stored" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q135_${ProcessHandle.current().pid()}")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(out)
+      }
+      graft.sim.Similarity.writePqEncoded(s, e, out.getPath)
+      graft.sim.Similarity.pqTopKStored(s, e.filter(col("vec_id") < 20),
+        out.getPath, k = 5)
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -2966,6 +2988,10 @@ object SparkEntry {
 
     // q65 — PQ-ADC ANN incl. all 8 per-subspace k-means replications
     "q65_ann_pq" -> pqOracleSql,
+    // q135 - identical result through the stored-codes round trip (the
+    // codebook sidecar and parquet codes table are exact), so the SAME
+    // oracle pins storage-path/compute-path parity, the q54 precedent
+    "q135_ann_pq_stored" -> pqOracleSql,
 
     // q66 — IVFADC: coarse quantizer (shared replica) + residual PQ
     "q66_ann_ivfpq" -> ivfpqOracleSql,

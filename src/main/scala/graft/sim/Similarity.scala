@@ -534,6 +534,92 @@ object Similarity {
     out
   }
 
+  // ——— PQ stored codes: the compression layout made concrete ———
+
+  /** Materialize the corpus as its PQ CODES table — the layout [[pqTopK]]'s
+    * scaladoc promises at 100 TB: (vec_id, m code ids) parquet written ONCE
+    * next to — or instead of — the raw vectors (m·log₂(ksub) bits ≈ 4 bytes
+    * vs 256 float bytes at the 8×16 default, a 64× smaller scan for every
+    * future query), with the trained sub-quantizer codebooks persisted as
+    * exact IEEE bit patterns (never decimal text) in a sidecar so every
+    * future reader scores against the identical quantizer. Same
+    * deterministic training as [[pqTopK]], so compute-path and storage-path
+    * results are bit-identical (q135 shares q65's full DuckDB oracle — the
+    * driver gate proves the round trip).
+    *
+    * @return the trained per-subspace codebooks (also persisted under `dir`)
+    */
+  def writePqEncoded(spark: SparkSession, corpus: DataFrame, dir: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      cId: String = "vec_id"): Array[Array[(Int, Array[Double])]] = {
+    val c = corpus.select(col(cId).cast("long").as("vec_id"), col("embedding"))
+    val sample = sampleCorpus(c, math.max(ksub * 64, 1024), "vec_id", "embedding")
+    require(sample.nonEmpty, "writePqEncoded: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"writePqEncoded: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val cbs = trainSubQuantizers(sample, m, ksub, dsub, iters)
+    // ONE narrow encode pass — no shuffle, no partitioning: the code table
+    // has no pruning axis of its own (compose with writeIvfBucketed's cid
+    // layout when list pruning is also wanted, as ivfpqTopK does inline)
+    c.withColumn("codes", pqCodesCol(spark, col("embedding"), cbs))
+      .select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(dir)
+    // sidecar via the Hadoop FS API (portable off the local machine);
+    // header carries the LUT geometry, then one line per (subspace, code)
+    val txt = (s"$m $ksub $dsub" +: cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (ci, cv) =>
+        s"$j $ci ${cv.map(java.lang.Double.doubleToRawLongBits).mkString(",")}"
+      }
+    }.toSeq).mkString("\n")
+    val path = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    cbs
+  }
+
+  /** Codebooks persisted by [[writePqEncoded]] — exact bit round trip.
+    * @return (per-subspace codebooks, ksub)
+    */
+  def readPqCodebooks(spark: SparkSession,
+      dir: String): (Array[Array[(Int, Array[Double])]], Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+    val Array(m, ksub, _) = lines.head.split(" ").map(_.toInt)
+    val byJ = lines.tail.map { line =>
+      val Array(j, ci, bits) = line.split(" ", 3)
+      (j.toInt, (ci.toInt,
+        bits.split(",").map(b => java.lang.Double.longBitsToDouble(b.toLong))))
+    }.groupBy(_._1)
+    (Array.tabulate(m)(j => byJ(j).map(_._2).toArray), ksub)
+  }
+
+  /** ADC top-k over a STORED codes directory: the scan side is the m-byte
+    * code table — raw vectors are never read. Queries build their LUTs
+    * against the persisted codebooks and broadcast into the code scan;
+    * ranking math is [[pqTopK]]'s exactly.
+    */
+  def pqTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
+      k: Int, qId: String = "vec_id"): DataFrame = {
+    val (cbs, ksub) = readPqCodebooks(spark, dir)
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+        col("embedding").as("qe"))
+      .withColumn("lut", pqLutCol(spark, col("qe"), cbs, ksub)).drop("qe")
+    val cc = spark.read.parquet(dir)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    cc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
     * candidates (all bands equal ⇒ very similar) verified by exact cosine.
     */

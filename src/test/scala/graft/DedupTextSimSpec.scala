@@ -466,6 +466,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
   }
 
+  test("PQ stored codes: exact codebook round-trip, stored path == compute path") {
+    val v = vecs(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqstore").toString
+    val cbs = Similarity.writePqEncoded(spark, v, dir, m = 4, ksub = 8)
+    // persisted codebooks round-trip bit-exactly (IEEE bits, not decimals)
+    val (back, ksub) = Similarity.readPqCodebooks(spark, dir)
+    assert(ksub === 8 && back.length === cbs.length)
+    back.zip(cbs).foreach { case (bj, cj) =>
+      assert(bj.map(_._1).sameElements(cj.map(_._1)))
+      bj.zip(cj).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    }
+    // the stored-codes query is row-for-row the in-memory pqTopK - the
+    // encode->store->score round trip loses nothing
+    val q = v.filter($"vec_id" < 20)
+    val stored = Similarity.pqTopKStored(spark, q, dir, 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val direct = Similarity.pqTopK(spark, q, v, 5, m = 4, ksub = 8)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(stored.length === direct.length && stored.nonEmpty)
+    stored.zip(direct).foreach { case (a, b) =>
+      assert(a._1 === b._1 && a._2 === b._2 && a._3 === b._3)
+      assert(java.lang.Double.doubleToLongBits(a._4) ===
+        java.lang.Double.doubleToLongBits(b._4))
+    }
+  }
+
   test("PQ-ADC top-k approximates exact L2 ranking within a recall floor") {
     val v = vecs(200)
     val q = v.filter($"vec_id" < 20)
