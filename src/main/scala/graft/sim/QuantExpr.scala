@@ -53,6 +53,8 @@ object QuantExpr {
       e => PqLut(e(0), e(1), e(2), e(3)), "built-in")
     r.createOrReplaceTempFunction("pq_adc",
       e => PqAdc(e(0), e(1), e(2)), "built-in")
+    r.createOrReplaceTempFunction("jl_project",
+      e => JlProject(e(0), e(1)), "built-in")
   }
 
   private def cidsLit(cents: Array[(Int, Array[Double])]): Column =
@@ -108,6 +110,15 @@ object QuantExpr {
       ksub: Int): Column = {
     register(spark)
     call_function("pq_adc", codes, lut, typedLit(ksub))
+  }
+
+  /** All outDim JL projections yⱼ = Σᵢ v[i]·signs[j][i] in ONE fused loop
+    * (the 16-interpreted-folds form this replaces re-dispatched a lambda
+    * per element per output dim). Null on length mismatch, like zip_with. */
+  def jlProject(spark: SparkSession, vec: Column,
+      signs: Array[Array[Double]]): Column = {
+    register(spark)
+    call_function("jl_project", vec, typedLit(signs.map(_.toSeq).toSeq))
   }
 
   // ——— literal-child decode (once per plan, at first eval / codegen) ———
@@ -282,6 +293,26 @@ object QuantKernel {
       j += 1
     }
     new GenericArrayData(lut)
+  }
+
+  /** JL: yⱼ = Σᵢ v[i]·signs[j][i], double accumulation ascending i —
+    * the aggregate(zip_with(...)) fold order exactly. Null (length
+    * mismatch ≡ zip_with's null padding poisoning the sum) → caller. */
+  def jlProject(signs: Array[Array[Double]], v: ArrayData): GenericArrayData = {
+    val out = new Array[Double](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val sj = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < sj.length) {
+        acc += v.getFloat(i).toDouble * sj(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** ADC: Σⱼ lut[j·ksub + codes[j]], left fold from 0.0. */
@@ -464,4 +495,25 @@ case class PqAdc(codes: Expression, lut: Expression, ksubL: Expression)
       rv(1).asInstanceOf[ArrayData], ksub))
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2))
+}
+
+/** fused JL sign-projection — see [[QuantKernel.jlProject]]. */
+case class JlProject(vec: Expression, signsL: Expression)
+    extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(vec, signsL)
+  override protected def rowChildren: Seq[Expression] = Seq(vec)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+  @transient private lazy val signs = QuantExpr.decodeVecs(signsL)
+  @transient private lazy val inDim =
+    if (signs.nonEmpty) signs(0).length else 0
+  override def compute(rv: Array[Any]): Any = {
+    val v = rv(0).asInstanceOf[ArrayData]
+    // zip_with pads the shorter side with nulls and a null poisons the
+    // fold — a length mismatch must be null, never a silent zero-pad
+    if (v.numElements() != inDim) null
+    else QuantKernel.jlProject(signs, v)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1))
 }

@@ -753,15 +753,18 @@ object Similarity {
   def jlProject(spark: SparkSession, vecs: DataFrame, inDim: Int, outDim: Int,
       seed: Long = 99L, embCol: String = "embedding"): DataFrame = {
     require(inDim >= 1 && outDim >= 1 && outDim <= inDim, s"dims $inDim->$outDim")
-    val cols = (0 until outDim).map { j =>
-      val signs = array((0 until inDim).map { i =>
-        lit(if ((splitmix64(j * 131071L + i * 524287L + seed) & 1L) == 0L) 1.0 else -1.0)
-      }: _*)
-      aggregate(
-        zip_with(col(embCol), signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v).as(s"y$j")
+    val signs = Array.tabulate(outDim, inDim) { (j, i) =>
+      if ((splitmix64(j * 131071L + i * 524287L + seed) & 1L) == 0L) 1.0 else -1.0
     }
-    vecs.select(col("vec_id") +: cols: _*)
+    // ONE fused kernel evaluation per row ([[QuantExpr.jlProject]] — the
+    // per-dim aggregate(zip_with) folds this replaces dispatched an
+    // interpreted lambda per element per output dim); the multiply-
+    // referenced non-cheap alias keeps CollapseProject from inlining the
+    // kernel once per output column
+    vecs.select(col("vec_id"),
+        QuantExpr.jlProject(vecs.sparkSession, col(embCol), signs).as("_y"))
+      .select(col("vec_id") +:
+        (0 until outDim).map(j => element_at(col("_y"), j + 1).as(s"y$j")): _*)
   }
 
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
