@@ -133,9 +133,13 @@ object Bench {
     // /proc/loadavg, and a loaded window is ANNOTATED (headline_window vs
     // the documented quiet spin) rather than silently recorded.
     def loadAvg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      }
       catch { case _: Throwable => -1.0 }
-    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "3").toInt
+    val headlineReps = // floor 1: an empty rep list would crash .min after the sweep
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "3").toInt.max(1)
     val loadStart = loadAvg()
     var nTiles = 0L
     val headlineRuns = (1 to headlineReps).map { _ =>

@@ -1238,15 +1238,7 @@ object SparkEntry {
     // round trip is bit-exact.
     "q135_ann_pq_stored" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q135_${ProcessHandle.current().pid()}")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(out)
-      }
+      val out = snapshotScratchDir("q135") // pid-keyed + deduped cleanup hook
       graft.sim.Similarity.writePqEncoded(s, e, out.getPath)
       graft.sim.Similarity.pqTopKStored(s, e.filter(col("vec_id") < 20),
         out.getPath, k = 5)

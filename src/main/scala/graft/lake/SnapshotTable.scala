@@ -115,7 +115,8 @@ object SnapshotTable {
       files, num("total_rows"), ddl, statsCol, ts)
   }
 
-  private def writeManifest(dir: String, m: Manifest): Unit = {
+  private def writeManifest(dir: String, m: Manifest,
+      knownParentTs: Long = -1L): Unit = {
     Files.createDirectories(metaDir(dir))
     val fs = m.files.sortBy(_.path)
       .map { f =>
@@ -132,8 +133,12 @@ object SnapshotTable {
     // strictly increasing commit timestamps (Iceberg's snapshot-log
     // ordering assumption): two commits landing in the same millisecond
     // must not make versionAsOf(ts) ambiguous between them
+    // callers pass the parent Manifest's ts they already hold; the file
+    // re-parse below is only the fallback (it costs an O(file-count)
+    // regex pass per commit on a large table)
     val parentTs =
-      if (m.parent > 0 && Files.exists(manifestPath(dir, m.parent)))
+      if (knownParentTs >= 0L) knownParentTs
+      else if (m.parent > 0 && Files.exists(manifestPath(dir, m.parent)))
         manifest(dir, m.parent).tsMillis
       else 0L
     val ts =
@@ -181,6 +186,11 @@ object SnapshotTable {
     // bucket placement), so adaptive re-planning has nothing to improve
     // there — and it charges ~0.8 s of per-write stage re-optimization
     // overhead to every commit regardless of delta size
+    // session-global toggle: commits are SINGLE-WRITER by contract (the
+    // CURRENT pointer swap is the serialization point), and the engine
+    // does not run unrelated queries concurrently on the committing
+    // session - a concurrent reader on the same session would briefly
+    // plan without AQE, which is correct, just less optimized
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
@@ -250,7 +260,7 @@ object SnapshotTable {
     val files = writeData(spark, df, dir, 1L, bucketOf, statsCol)
     val m = Manifest(1L, 0L, "create", buckets, files, files.map(_.rows).sum,
       df.schema.toDDL, statsCol)
-    writeManifest(dir, m); m
+    writeManifest(dir, m, 0L); m
   }
 
   /** Append-only commit: parent files carried forward + the new files.
@@ -267,7 +277,7 @@ object SnapshotTable {
     val m = Manifest(parent.version + 1, parent.version, "append", parent.buckets,
       parent.files ++ files, parent.totalRows + files.map(_.rows).sum,
       schema.toDDL, parent.statsCol)
-    writeManifest(dir, m); m
+    writeManifest(dir, m, parent.tsMillis); m
   }
 
   /** Copy-on-write MERGE (upsert on `keyCol`): rows of `updates` replace
@@ -318,7 +328,7 @@ object SnapshotTable {
     val m = Manifest(v, parent.version, "merge", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
       schema.toDDL, parent.statsCol)
-    writeManifest(dir, m); m
+    writeManifest(dir, m, parent.tsMillis); m
   }
 
   /** Read a version (default: current). `verify = true` recounts rows and
@@ -368,7 +378,7 @@ object SnapshotTable {
     val files = commitFiles(spark, df, dir, v, parent.statsCol)
     val m = Manifest(v, parent.version, "compact", parent.buckets,
       carried ++ files, parent.totalRows, parent.schemaDdl, parent.statsCol)
-    writeManifest(dir, m); m
+    writeManifest(dir, m, parent.tsMillis); m
   }
 
   /** Copy-on-write DELETE: remove rows where `pred` is TRUE (NULL-pred
@@ -406,7 +416,7 @@ object SnapshotTable {
     val m = Manifest(v, parent.version, "delete", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
       parent.schemaDdl, parent.statsCol)
-    writeManifest(dir, m); m
+    writeManifest(dir, m, parent.tsMillis); m
   }
 
   /** Rows in files referenced by `toV` but not by `fromV` — the exact

@@ -52,7 +52,9 @@ object Lineage {
         while (stable < 2 && waited < 5000) {
           val n = c.synchronized(c.rows.length)
           if (n == last) stable += 1 else { stable = 0; last = n }
-          Thread.sleep(25); waited += 25
+          // 50 ms samples: the fallback only runs when the reflective
+          // drain is unreachable, so bias toward completeness over speed
+          Thread.sleep(50); waited += 50
         }
       }
       (result, c.rows.toSeq.toDF())

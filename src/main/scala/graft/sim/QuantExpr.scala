@@ -24,15 +24,18 @@ import org.apache.spark.sql.types._
   * per plan from literal children — not per row, not per element.
   *
   * FP parity: every loop replicates the driver-side scalar kernels in
-  * [[Similarity]] (`nearestCidOf`/`pqCodesOf`/`pqLutOf`) term by term —
-  * ascending dimension inside a distance, the (d, cid) argmin tie rule,
-  * `Arrays.copyOfRange`'s zero-pad on short vectors, LUT slots of dropped
-  * clusters left 0.0 — so scalar-vs-column parity, and therefore every
-  * DuckDB oracle (q52/q54/q55/q65/q66/q89), stays bit-exact.
+  * [[Similarity]] (`nearestCidOf`/`pqCodesOf`/`pqLutOf`) term by term on
+  * well-formed vectors — ascending dimension inside a distance, the
+  * (d, cid) argmin tie rule, LUT slots of dropped clusters left 0.0 — so
+  * scalar-vs-column parity, and therefore every DuckDB oracle
+  * (q52/q54/q55/q65/q66/q89), stays bit-exact.
   *
-  * Null contract: a null vector (or, when the schema admits them, a null
-  * element) yields a null result, same as [[graft.functions.CosineF32]];
-  * corrupt embeddings never rank.
+  * Null contract: a null vector, a null element (when the schema admits
+  * them), or a PQ/residual/JL vector whose length contradicts the trained
+  * dim yields a NULL result — quarantine semantics, same spirit as
+  * [[graft.functions.CosineF32]] and q133's decode audit; the ranking
+  * paths filter null scores so corrupt embeddings never rank (the old
+  * scalar UDFs either threw mid-job or silently zero-padded).
   */
 object QuantExpr {
 
@@ -212,12 +215,15 @@ object QuantKernel {
       order.take(math.min(nprobe, cids.length)).map(p => cids(p)))
   }
 
-  /** `residual`: (v[i] − cv[i]) rounded through float, full vector. */
+  /** `residual`: (v[i] − cv[i]) rounded through float, full vector.
+    * A vector whose length differs from the trained dim returns null
+    * (quarantine semantics — the row never ranks; the scalar form threw). */
   def residual(byCid: java.util.HashMap[Integer, Array[Double]],
       v: ArrayData, cid: Int): GenericArrayData = {
     val cv = byCid.get(Integer.valueOf(cid))
     require(cv != null, s"residual_f32: unknown coarse cid $cid")
     val n = v.numElements()
+    if (n != cv.length) return null
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
@@ -227,13 +233,16 @@ object QuantKernel {
     new GenericArrayData(out)
   }
 
-  /** `pqCodesOf`: per-subspace argmin over the j·dsub slice; reads past
-    * the vector's end are 0.0f — `Arrays.copyOfRange`'s zero-pad. */
+  /** `pqCodesOf`: per-subspace argmin over the j·dsub slice. A vector
+    * whose length ≠ m·dsub returns null — quarantine semantics: the old
+    * scalar UDF zero-padded short vectors (Arrays.copyOfRange) and so
+    * encoded garbage that then RANKED; a corrupt row must never rank. */
   def pqCodes(cids2: Array[Array[Int]], cvs3: Array[Array[Array[Double]]],
       v: ArrayData): GenericArrayData = {
     val n = v.numElements()
     val m = cids2.length
     val dsub = if (m > 0 && cvs3(0).nonEmpty) cvs3(0)(0).length else 0
+    if (n != m * dsub) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -248,8 +257,7 @@ object QuantKernel {
         var d = 0.0
         var i = 0
         while (i < cv.length) {
-          val x = if (base + i < n) v.getFloat(base + i) else 0.0f
-          val t = x - cv(i)
+          val t = v.getFloat(base + i) - cv(i)
           d += t * t
           i += 1
         }
@@ -264,12 +272,14 @@ object QuantKernel {
   }
 
   /** `pqLutOf`: cell (j, ci) = ‖v_j − c_{j,ci}‖², dimension order inside,
-    * codebook order across; unassigned slots stay 0.0. */
+    * codebook order across; unassigned slots stay 0.0. Wrong-dim
+    * vectors return null (quarantine — the scalar form threw). */
   def pqLut(cids2: Array[Array[Int]], cvs3: Array[Array[Array[Double]]],
       ksub: Int, v: ArrayData): GenericArrayData = {
     val n = v.numElements()
     val m = cids2.length
     val dsub = if (m > 0 && cvs3(0).nonEmpty) cvs3(0)(0).length else 0
+    if (n != m * dsub) return null
     val lut = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -282,8 +292,7 @@ object QuantKernel {
         var d = 0.0
         var i = 0
         while (i < cv.length) {
-          val x = if (base + i < n) v.getFloat(base + i) else 0.0f
-          val t = x.toDouble - cv(i)
+          val t = v.getFloat(base + i).toDouble - cv(i)
           d += t * t
           i += 1
         }

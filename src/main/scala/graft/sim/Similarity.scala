@@ -182,7 +182,11 @@ object Similarity {
   private def sampleCorpus(c: DataFrame, n: Int, idCol: String,
       embCol: String): Array[Array[Float]] = {
     import c.sparkSession.implicits._
-    c.withColumn("h", graft.functions.GraftFunctions.splitmixCol(c.sparkSession, col(idCol)))
+    // corrupt rows (null embedding) never train the quantizer — the same
+    // quarantine contract as the scoring kernels; a no-op on clean data,
+    // so oracle-replayed training is unaffected
+    c.filter(col(embCol).isNotNull)
+      .withColumn("h", graft.functions.GraftFunctions.splitmixCol(c.sparkSession, col(idCol)))
       .orderBy(col("h"), col(idCol)).limit(n)
       .select(col(embCol)).as[Seq[Float]].collect().map(_.toArray)
   }
@@ -335,6 +339,11 @@ object Similarity {
     cc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
+      // null adist = corrupt embedding on either side (null vector/element
+      // or wrong dim — the kernels' null contract); ASC ranking is NULLS
+      // FIRST, so without this filter one corrupt corpus row would surface
+      // as every query's top-1. Corrupt rows never rank.
+      .filter(col("adist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -440,6 +449,11 @@ object Similarity {
     cc.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
+      // null adist = corrupt embedding on either side (null vector/element
+      // or wrong dim — the kernels' null contract); ASC ranking is NULLS
+      // FIRST, so without this filter one corrupt corpus row would surface
+      // as every query's top-1. Corrupt rows never rank.
+      .filter(col("adist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -615,6 +629,11 @@ object Similarity {
     cc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(spark, col("codes"), col("lut"), ksub))
+      // null adist = corrupt embedding on either side (null vector/element
+      // or wrong dim — the kernels' null contract); ASC ranking is NULLS
+      // FIRST, so without this filter one corrupt corpus row would surface
+      // as every query's top-1. Corrupt rows never rank.
+      .filter(col("adist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))

@@ -64,10 +64,7 @@ class QuantExprSpec extends AnyFunSuite {
   }
   private def refCodes(v: Seq[Float]): Seq[Int] =
     (0 until m).map { j =>
-      // zero-pad past the vector end, Arrays.copyOfRange semantics
-      val slice = Seq.tabulate(dsub)(i =>
-        if (j * dsub + i < v.length) v(j * dsub + i) else 0.0f)
-      refNearest(cbs(j), slice)
+      refNearest(cbs(j), Seq.tabulate(dsub)(i => v(j * dsub + i)))
     }
   private def refLut(v: Seq[Float]): Seq[Double] = {
     val lut = Array.fill(m * ksub)(0.0)
@@ -168,6 +165,40 @@ class QuantExprSpec extends AnyFunSuite {
     assert(!got(0L).isNullAt(1) && !got(0L).isNullAt(2) && !got(0L).isNullAt(3))
     for (id <- Seq(1L, 2L); i <- 1 to 3)
       assert(got(id).isNullAt(i), s"row $id col $i must be null")
+  }
+
+  test("wrong-dim vectors quarantine to null in PQ/residual/JL kernels") {
+    // a truncated embedding must never encode or rank (the old scalar
+    // UDFs zero-padded or threw); nearest_cid stays defined for any
+    // length (scalar-parity prefix distance)
+    val short = spark.sql(
+      "SELECT array(cast(0.5 as float), cast(0.25 as float)) AS embedding")
+    val r = short.select(
+      QuantExpr.pqCodes(spark, col("embedding"), cbs).as("codes"),
+      QuantExpr.pqLut(spark, col("embedding"), cbs, ksub).as("lut"),
+      QuantExpr.residualF32(spark, col("embedding"),
+        lit(cents.head._1), cents).as("res"),
+      QuantExpr.jlProject(spark, col("embedding"),
+        Array.fill(2)(Array.fill(dim)(1.0))).as("jl"),
+      QuantExpr.nearestCid(spark, col("embedding"), cents).as("cid"))
+      .head()
+    for (i <- 0 to 3) assert(r.isNullAt(i), s"col $i must be null")
+    assert(!r.isNullAt(4), "nearest_cid is defined for any length")
+  }
+
+  test("ADC ranking drops corrupt rows instead of surfacing them first") {
+    // one corpus row with a null embedding: its adist is null, which ASC
+    // window ordering would rank FIRST - the pipelines must filter it
+    val corpus = spark.sql(
+      """SELECT * FROM VALUES
+        |  (cast(100 as bigint), array(cast(0.1 as float), cast(0.2 as float))),
+        |  (cast(101 as bigint), cast(null as array<float>)),
+        |  (cast(102 as bigint), array(cast(0.9 as float), cast(0.8 as float)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val q = corpus.filter(col("vec_id") === 100L)
+    val got = graft.sim.Similarity.pqTopK(spark, q, corpus, k = 2, m = 1, ksub = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(102L), s"corrupt row must never rank: $got")
   }
 
   test("ANN plans stay free of UDFs AND interpreted HOF lambdas") {
