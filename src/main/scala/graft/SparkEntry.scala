@@ -1244,6 +1244,38 @@ object SparkEntry {
         out.getPath, k = 5)
     }),
 
+    // IVF index REFRESH (delta-only maintenance of the q54 layout): the
+    // quantizer stays FROZEN, upserts assign against the persisted
+    // centroids, victims are located by a skinny (vec_id, cid) scan, and
+    // only affected list partitions rewrite (dynamic partition
+    // overwrite) - the daily-ingest story of q134/q124 applied to the
+    // ANN index. Oracle: frozen-quantizer replay (training on the
+    // ORIGINAL corpus, assignment + scoring over the mutated one) - any
+    // stale, duplicated, or lost row in the refreshed lists changes the
+    // ranking and turns the row red.
+    "q136_ivf_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val out = snapshotScratchDir("q136")
+      graft.sim.Similarity.writeIvfBucketed(s, e, out.getPath, nlist = 16)
+      val perturbed = e.filter(col("vec_id") % 25 === 3)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          (id, v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
+        }.toDF("vec_id", "embedding")
+      val fresh = e.filter(col("vec_id") % 31 === 5)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          (id + 500000L, v.zipWithIndex.map { case (x, i) => if (i == 1) x + 0.02f else x })
+        }.toDF("vec_id", "embedding")
+      val deletes = e.filter(col("vec_id") % 40 === 7).select(col("vec_id"))
+      graft.sim.Similarity.ivfRefresh(s, out.getPath,
+        perturbed.unionByName(fresh), deletes)
+      graft.sim.Similarity.ivfTopKBucketed(s, e.filter(col("vec_id") < 20),
+        out.getPath, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -2739,7 +2771,11 @@ object SparkEntry {
     * q52/q54 ANN oracles and q55's semantic dedup so the quantizer
     * replication exists ONCE. Ends at corpusassign(vec_id, e, cid).
     */
-  private def ivfTrainAssignCte: String =
+  /** Training always reads `vecs` (the quantizer's training corpus);
+    * `assignSrc` parameterizes which corpus the frozen centroids then
+    * assign — q136's index refresh scores a MUTATED corpus against the
+    * quantizer trained on the original (frozen-quantizer semantics). */
+  private def ivfTrainAssignCte(assignSrc: String = "vecs"): String =
     s"""${splitmixChain("h", Seq("vec_id"), "vecs", "CAST(vec_id AS HUGEINT)")},
        |hs AS (SELECT vec_id, ${toSigned("z")} AS h FROM h3),
        |sample AS (
@@ -2755,7 +2791,7 @@ object SparkEntry {
        |cadist AS (
        |  SELECT v.vec_id, v.embedding AS e, c.ci,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${ivfDistSql("v.embedding", "c.cl")}, c.ci) AS rk
-       |  FROM vecs v CROSS JOIN cents3 c),
+       |  FROM $assignSrc v CROSS JOIN cents3 c),
        |corpusassign AS (SELECT vec_id, e, ci AS cid FROM cadist WHERE rk = 1)""".stripMargin
 
   /** q65's PQ-ADC oracle: per-subspace 8-dim k-means (same sample, same
@@ -2865,7 +2901,7 @@ object SparkEntry {
       s"JOIN code$j k$j ON k$j.vec_id = p.neighbor_id JOIN cents${j}_3 cb$j ON cb$j.ci = k$j.cid")
       .mkString("\n  ")
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
-       |$ivfTrainAssignCte,
+       |${ivfTrainAssignCte()},
        |sad AS (
        |  SELECT s.pos, s.embedding, c.ci,
        |    row_number() OVER (PARTITION BY s.pos
@@ -2916,7 +2952,7 @@ object SparkEntry {
 
   private def ivfOracleSql: String =
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
-       |$ivfTrainAssignCte,
+       |${ivfTrainAssignCte()},
        |probes AS (
        |  SELECT * FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.ci AS cid,
@@ -2950,7 +2986,7 @@ object SparkEntry {
        |    list_transform(range(len(embedding)), i -> CASE WHEN i = 0
        |      THEN CAST(embedding[1] + 0.01::FLOAT AS FLOAT) ELSE embedding[CAST(i+1 AS INT)] END)
        |  FROM embeddings WHERE vec_id % 25 = 0),
-       |$ivfTrainAssignCte,
+       |${ivfTrainAssignCte()},
        |clusters AS (
        |  SELECT cid, list_sort(list({'id': vec_id, 'e': e})) AS xs
        |  FROM corpusassign GROUP BY cid HAVING count(*) >= 2),
@@ -2984,6 +3020,42 @@ object SparkEntry {
     // codebook sidecar and parquet codes table are exact), so the SAME
     // oracle pins storage-path/compute-path parity, the q54 precedent
     "q135_ann_pq_stored" -> pqOracleSql,
+    // q136 - frozen-quantizer index refresh: training replays over the
+    // ORIGINAL corpus (the quantizer never retrains on refresh), then the
+    // frozen centroids assign and score the MUTATED corpus (deletes out,
+    // upserts replaced, inserts in) - the assignSrc parameter of the
+    // shared training CTE
+    "q136_ivf_refresh" -> {
+      val perturb0 = "list_transform(range(len(embedding)), i -> CASE WHEN i = 0 " +
+        "THEN CAST(embedding[1] + 0.01::FLOAT AS FLOAT) ELSE embedding[CAST(i+1 AS INT)] END)"
+      val perturb1 = "list_transform(range(len(embedding)), i -> CASE WHEN i = 1 " +
+        "THEN CAST(embedding[2] + 0.02::FLOAT AS FLOAT) ELSE embedding[CAST(i+1 AS INT)] END)"
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |newcorpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 40 <> 7 AND vec_id % 25 <> 3
+         |  UNION ALL
+         |  SELECT vec_id, $perturb0 FROM embeddings WHERE vec_id % 25 = 3
+         |  UNION ALL
+         |  SELECT vec_id + 500000, $perturb1 FROM embeddings WHERE vec_id % 31 = 5),
+         |${ivfTrainAssignCte("newcorpus")},
+         |probes AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.ci AS cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${ivfDistSql("q.embedding", "c.cl")}, c.ci) AS pr
+         |    FROM vecs q CROSS JOIN cents3 c WHERE q.vec_id < 20) WHERE pr <= 4),
+         |cands AS (
+         |  SELECT p.query_id, ca.vec_id AS neighbor_id, p.qe, ca.e AS ce
+         |  FROM probes p JOIN corpusassign ca USING (cid)
+         |  WHERE p.query_id <> ca.vec_id),
+         |cos AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qe", "ce")} AS cosine FROM cands),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM cos)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     // q66 — IVFADC: coarse quantizer (shared replica) + residual PQ
     "q66_ann_ivfpq" -> ivfpqOracleSql,

@@ -518,6 +518,73 @@ object Similarity {
     }.toArray
   }
 
+  /** Delta-only maintenance of the [[writeIvfBucketed]] layout — the
+    * index-refresh a daily ingest needs WITHOUT retraining or rewriting
+    * the corpus: the quantizer stays FROZEN (production ANN practice —
+    * retraining would re-shuffle every list), upserts assign against the
+    * persisted centroids, and only the lists that gained or lost a row
+    * are rewritten (copy-on-write per list, the SnapshotTable bucket
+    * discipline applied to the index layout).
+    *
+    * Scale shape: victims (deleted + replaced keys) are located by a
+    * SKINNY (vec_id, cid) column scan — parquet column pruning keeps the
+    * 64×-heavier vector column unread — against a broadcast of the
+    * metadata-sized key set; the rewrite reads only affected list
+    * partitions and overwrites only them (dynamic partition overwrite).
+    * Work scales with the delta and the affected lists, never the corpus.
+    *
+    * A list drained to zero rows is deleted explicitly (dynamic overwrite
+    * cannot replace a partition with nothing). Single-writer, like every
+    * layout commit in this engine.
+    *
+    * @return the number of list partitions rewritten or dropped
+    */
+  def ivfRefresh(spark: SparkSession, dir: String, upserts: DataFrame,
+      deleteIds: DataFrame, cId: String = "vec_id"): Int = {
+    val cents = readIvfCentroids(spark, dir)
+    val up = upserts.select(col(cId).cast("long").as("vec_id"), col("embedding"))
+      .withColumn("cid", nearestCidCol(spark, col("embedding"), cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val victims = deleteIds.select(col(cId).cast("long").as("vec_id"))
+      .unionByName(up.select(col("vec_id"))).distinct()
+    // metadata-sized by contract (a delta), so the two collects below are
+    // bounded; the victim-cid probe reads two skinny columns only
+    val victimCids = spark.read.parquet(dir).select(col("vec_id"), col("cid"))
+      .join(broadcast(victims), Seq("vec_id")).select(col("cid"))
+      .distinct().collect().map(_.getInt(0))
+    val upCids = up.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val affected = (victimCids ++ upCids).distinct.sorted
+    if (affected.isEmpty) { up.unpersist(blocking = false); return 0 }
+    val keep = spark.read.parquet(dir)
+      .filter(col("cid").isin(affected.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(victims), Seq("vec_id"), "left_anti")
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val rewritten = keep.unionByName(
+      up.select(col("cid"), col("vec_id"), col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val present = rewritten.select(col("cid")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    // dynamic overwrite: replace exactly the partitions present in the
+    // rewrite set (session conf toggle - single-writer, as documented)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    finally spark.conf.set(key, prev)
+    rewritten.unpersist(blocking = false)
+    up.unpersist(blocking = false)
+    // drained lists: no rows to write their partition with - drop the dir
+    val drained = affected.filterNot(present)
+    if (drained.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      drained.foreach { c =>
+        val pth = new org.apache.hadoop.fs.Path(dir, s"cid=$c")
+        pth.getFileSystem(conf).delete(pth, true): Unit
+      }
+    }
+    affected.length
+  }
+
   /** ANN over a bucketed corpus directory: probe assignment happens on the
     * (metadata-sized) query set, and the corpus scan carries an explicit
     * `cid IN (probed lists)` literal filter so the parquet source PRUNES

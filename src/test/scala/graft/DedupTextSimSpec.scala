@@ -466,6 +466,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
   }
 
+  test("IVF refresh: delta-only rewrite, drained list dropped, frozen quantizer") {
+    val v = vecs(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfref").toString
+    val cents = Similarity.writeIvfBucketed(spark, v, dir, nlist = 8)
+    val assign = spark.read.parquet(dir).select("vec_id", "cid")
+      .as[(Long, Int)].collect()
+    // drain the smallest list entirely; upsert two vectors; delete one more
+    val drainCid = assign.groupBy(_._2).toSeq.minBy(_._2.length)._1
+    val drainIds = assign.filter(_._2 == drainCid).map(_._1).toSet
+    val extraDel = assign.map(_._1).filterNot(drainIds).min
+    val upserts = v.filter($"vec_id".isin(7L, 11L))
+    val deletes = (drainIds + extraDel -- Set(7L, 11L))
+      .toSeq.toDF("vec_id")
+    val before = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cid="))
+      .flatMap(d => d.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val affectedUp = spark.read.parquet(dir)
+      .filter($"vec_id".isin(7L, 11L)).select("cid").as[Int].collect().toSet
+    val n = Similarity.ivfRefresh(spark, dir, upserts, deletes)
+    assert(n > 0)
+    // the drained list's partition directory is gone
+    assert(!new java.io.File(dir, s"cid=$drainCid").exists(),
+      s"drained list cid=$drainCid must be dropped")
+    // unaffected partitions' files are byte-level untouched (same paths,
+    // same mtimes) - the rewrite is delta-only, never corpus-wide
+    val affectedCids = affectedUp ++
+      assign.filter(r => drainIds.contains(r._1) || r._1 == extraDel).map(_._2).toSet
+    val untouched = before.keys.filterNot(p0 =>
+      affectedCids.exists(c => p0.contains(s"cid=$c/")))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p0 =>
+      val f = new java.io.File(p0)
+      assert(f.exists() && f.lastModified() === before(p0), s"$p0 was rewritten")
+    }
+    // row set after refresh = original - deletes (incl. drained) + upserts
+    val got = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    val expect = assign.map(_._1).toSet -- drainIds - extraDel ++ Set(7L, 11L)
+    assert(got === expect)
+    // quantizer frozen: sidecar centroids bit-identical
+    val after = Similarity.readIvfCentroids(spark, dir)
+    assert(after.map(_._1).sameElements(cents.map(_._1)))
+    after.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+  }
+
   test("PQ stored codes: exact codebook round-trip, stored path == compute path") {
     val v = vecs(200)
     val dir = java.nio.file.Files.createTempDirectory("graft-pqstore").toString
