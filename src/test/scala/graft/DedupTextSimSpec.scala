@@ -509,6 +509,24 @@ class SimilaritySpec extends AnyFunSuite {
     after.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
   }
 
+  test("IVF refresh victim probe prunes the scan to the skinny columns") {
+    // ivfRefresh locates victims with a (vec_id, cid) read - the vector
+    // column (64x the bytes) must be PRUNED out of that scan, or refresh
+    // cost tracks corpus size instead of delta size
+    val v = vecs(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfskinny").toString
+    Similarity.writeIvfBucketed(spark, v, dir, nlist = 4)
+    val victims = v.filter($"vec_id" % 40 === 7).select($"vec_id")
+    val plan = spark.read.parquet(dir).select(col("vec_id"), col("cid"))
+      .join(broadcast(victims), Seq("vec_id")).select(col("cid")).distinct()
+      .queryExecution.executedPlan.toString
+    val indexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(dir)).mkString
+    assert(indexScan.nonEmpty, s"no index scan found:\n$plan")
+    assert(indexScan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"victim probe must read vec_id only (cid rides on partition dirs):\n$indexScan")
+  }
+
   test("PQ stored codes: exact codebook round-trip, stored path == compute path") {
     val v = vecs(200)
     val dir = java.nio.file.Files.createTempDirectory("graft-pqstore").toString
