@@ -30,16 +30,16 @@ import org.apache.spark.sql.functions._
 object Containment {
 
   /** Distinct word n-shingle rows (idCol, sh) — md5-fingerprinted so
-    * the shuffled key is 32 bytes regardless of n.
+    * the shuffled key is 32 bytes regardless of n. One fused codegen'd
+    * loop per doc ([[graft.text.GramExpr]]) — the explode(transform(...))
+    * HOF form this replaces dispatched an interpreted lambda per window.
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n=$n must be >= 2")
-    val toks = split(col(textCol), " ", -1)
     docs.select(col(idCol),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))).as("sh"))
+      explode(graft.text.GramExpr.wordShinglesMd5(
+        docs.sparkSession, col(textCol), n)).as("sh"))
   }
 
   /** Contained-pair table: (id_a < id_b, inter, n_a, n_b) for pairs

@@ -39,11 +39,13 @@ object SparseCosine {
     import spark.implicits._
     require(num >= 0 && den > 0 && num <= den, s"threshold $num/$den")
     require(maxDf >= 2, s"maxDf=$maxDf")
-    val toks = split(col(textCol), " ", -1)
+    // fused codegen'd bigram loop (graft.text.GramExpr) — the
+    // explode(transform(...)) HOF form this replaces dispatched an
+    // interpreted lambda per window per doc
     val tf = docs
       .select(col(idCol).cast("long").as("id"),
-        explode(transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(2))))).as("term"))
+        explode(graft.text.GramExpr.wordGrams(
+          docs.sparkSession, col(textCol), 2)).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       // referenced three times (norms, index, both pair sides); the
       // ContextCleaner releases it once the result is unreachable

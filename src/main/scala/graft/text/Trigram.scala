@@ -27,19 +27,16 @@ import org.apache.spark.sql.functions._
 object Trigram {
 
   /** Distinct-trigram inverted index: one (doc_id, trigram) row per
-    * distinct character trigram of `textCol`. Pure column arithmetic
-    * (sequence + substr + array_distinct), whole-stage-codegen'd; texts
-    * shorter than 3 chars contribute no rows.
+    * distinct character trigram of `textCol` — one fused codegen'd loop
+    * per doc ([[GramExpr]]; the sequence+substr HOF form this replaces
+    * dispatched an interpreted lambda per window); texts shorter than
+    * 3 chars contribute no rows.
     */
   def index(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+      textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      explode(when(length(t) >= 3,
-        array_distinct(transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3)))))
-        .otherwise(array().cast("array<string>"))).as("trigram"))
-  }
+      explode(GramExpr.charTrigrams(docs.sparkSession, col(textCol)))
+        .as("trigram"))
 
   /** Literal segments of the restricted pattern grammar
     * `literal(.*literal)*`, literals over [A-Za-z0-9 _-] — characters
