@@ -95,6 +95,21 @@ object SnapshotTable {
     if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
   }
 
+  /** Next commit version: one past the highest manifest EVER written in
+    * this table — never `parent + 1`, which after [[rollback]] would
+    * collide with the orphaned branch's head (its `data/s$v` directory
+    * makes the write crash; its manifest would be silently rewritten).
+    * Iceberg never reuses snapshot ids: the orphaned version stays
+    * readable until [[expire]]d. O(versions) name listing, no manifest
+    * is opened.
+    */
+  private def nextVersion(dir: String): Long =
+    Files.list(metaDir(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(0L)(math.max) + 1L
+
   def manifest(dir: String, v: Long): Manifest = {
     val json = Files.readString(manifestPath(dir, v))
     def num(k: String): Long = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(json)
@@ -271,10 +286,11 @@ object SnapshotTable {
   def append(spark: SparkSession, df: DataFrame, dir: String,
       bucketOf: Column): Manifest = {
     val parent = manifest(dir, currentVersion(dir))
+    val v = nextVersion(dir)
     val schema = evolve(parent.schema, df.schema, "append")
-    val files = writeData(spark, align(df, schema), dir, parent.version + 1,
+    val files = writeData(spark, align(df, schema), dir, v,
       bucketOf, parent.statsCol)
-    val m = Manifest(parent.version + 1, parent.version, "append", parent.buckets,
+    val m = Manifest(v, parent.version, "append", parent.buckets,
       parent.files ++ files, parent.totalRows + files.map(_.rows).sum,
       schema.toDDL, parent.statsCol)
     writeManifest(dir, m, parent.tsMillis); m
@@ -291,7 +307,7 @@ object SnapshotTable {
     require(updates.columns.contains(keyCol),
       s"merge updates lack the key column '$keyCol' (have ${updates.columns.mkString(", ")})")
     val parent = manifest(dir, currentVersion(dir))
-    val v = parent.version + 1
+    val v = nextVersion(dir)
     val schema = evolve(parent.schema, updates.schema, "merge")
     val up = align(updates, schema).withColumn("__bucket", bucketOf.cast("int"))
     // ONE bucket-sized precheck job does both contract checks: the
@@ -368,7 +384,7 @@ object SnapshotTable {
     val (frag, single) = byBucket.partition(_._2.size > 1)
     if (frag.isEmpty) return parent
     val carried = single.values.flatten.toSeq
-    val v = parent.version + 1
+    val v = nextVersion(dir)
     // parent-schema read, not inference: fragmented buckets can mix files
     // from before and after a schema evolution
     val df = spark.read.schema(parent.schema)
@@ -407,7 +423,7 @@ object SnapshotTable {
       .distinct().collect().map(r => norm(r.getString(0))).toSet
     if (matched.isEmpty) return parent
     val (touched, carried) = parent.files.partition(f => matched(norm(f.path)))
-    val v = parent.version + 1
+    val v = nextVersion(dir)
     val survivors = spark.read.schema(parent.schema)
       .parquet(touched.map(_.path): _*)
       .filter(!hit)
@@ -542,21 +558,25 @@ object SnapshotTable {
       .filter(c >= lo && c <= hi)
   }
 
-  /** The latest version whose commit timestamp is ≤ `tsMillis` —
-    * Iceberg's `FOR TIMESTAMP AS OF`. Commit timestamps are recorded in
-    * each manifest at write time; reading as of a time before the first
-    * commit fails loudly.
+  /** The latest CURRENT-lineage ancestor whose commit timestamp is ≤
+    * `tsMillis` — Iceberg's `FOR TIMESTAMP AS OF`, which resolves along
+    * the table's snapshot log, NOT over every retained manifest: a
+    * branch orphaned by [[rollback]] stays readable by version but must
+    * never capture timestamp travel. Walks parent pointers from CURRENT
+    * (timestamps are strictly increasing along a lineage, so the first
+    * eligible ancestor is the answer); reading as of a time before the
+    * first commit fails loudly.
     */
   def versionAsOf(dir: String, tsMillis: Long): Long = {
-    val versions = Files.list(metaDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
-    val eligible = versions.filter(v => manifest(dir, v).tsMillis <= tsMillis)
-    require(eligible.nonEmpty,
+    var v = currentVersion(dir)
+    require(v > 0, s"no committed snapshot at $dir")
+    while (v > 0) {
+      val m = manifest(dir, v)
+      if (m.tsMillis <= tsMillis) return v
+      v = m.parent
+    }
+    throw new IllegalArgumentException(
       s"no snapshot at $dir committed at or before ts=$tsMillis")
-    eligible.max
   }
 
   /** [[read]] of [[versionAsOf]]. */

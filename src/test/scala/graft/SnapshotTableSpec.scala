@@ -83,6 +83,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 60)
   }
 
+  test("commit after rollback never reuses the orphaned version id") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 50, "a"), dir, B, bucketOf) // v1
+    SnapshotTable.append(spark, rows(50, 60, "b"), dir, bucketOf)   // v2 (bad)
+    SnapshotTable.rollback(dir, 1L)
+    // the divergent commit gets a FRESH id with parent = the rollback
+    // target — parent+1 would crash on v2's data dir / rewrite its manifest
+    val m = SnapshotTable.append(spark, rows(60, 75, "c"), dir, bucketOf)
+    assert(m.version === 3L && m.parent === 1L)
+    assert(SnapshotTable.currentVersion(dir) === 3L)
+    assert(SnapshotTable.read(spark, dir).count() === 65)
+    // the orphaned branch is untouched: readable by version until expired
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 60)
+    assert(SnapshotTable.manifest(dir, 2L).parent === 1L)
+    // timestamp travel resolves along the CURRENT lineage (v1 -> v3):
+    // the orphan's commit time must never capture it
+    val t2 = SnapshotTable.manifest(dir, 2L).tsMillis
+    assert(SnapshotTable.versionAsOf(dir, t2) === 1L)
+    val t3 = SnapshotTable.manifest(dir, 3L).tsMillis
+    assert(SnapshotTable.versionAsOf(dir, t3) === 3L)
+    // expire reclaims the orphan's unique files; shared v1 files survive
+    val deleted = SnapshotTable.expire(dir, keepFromVersion = 3L)
+    assert(deleted > 0)
+    intercept[Exception](SnapshotTable.read(spark, dir, Some(2L)).count())
+    assert(SnapshotTable.read(spark, dir, verify = true).count() === 65)
+  }
+
   test("expire deletes only files no retained manifest references") {
     val dir = tmp()
     SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
