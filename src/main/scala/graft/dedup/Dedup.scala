@@ -535,9 +535,14 @@ object Dedup {
     require(bands > 0 && 64 % bands == 0, s"bands=$bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    // static struct array (bands is a plan constant, typically 4): the
+    // transform()-lambda form dispatched an interpreted closure per band
+    // per row on the corpus-sized side
     val banded = fps.select(col("id"), col("fp"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"struct(b as band, shiftright(fp, b*$bandBits) & $mask as bkey))")).as("bb"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))
+      }: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
     val buckets = banded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(struct(col("id"), col("fp")))).as("xs"))

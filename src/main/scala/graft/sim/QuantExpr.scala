@@ -58,6 +58,8 @@ object QuantExpr {
       e => PqAdc(e(0), e(1), e(2)), "built-in")
     r.createOrReplaceTempFunction("jl_project",
       e => JlProject(e(0), e(1)), "built-in")
+    r.createOrReplaceTempFunction("sign_sig",
+      e => SignSig(e(0), e(1)), "built-in")
   }
 
   private def cidsLit(cents: Array[(Int, Array[Double])]): Column =
@@ -122,6 +124,15 @@ object QuantExpr {
       signs: Array[Array[Double]]): Column = {
     register(spark)
     call_function("jl_project", vec, typedLit(signs.map(_.toSeq).toSeq))
+  }
+
+  /** nBits-bit random-hyperplane sign signature — [[Similarity]]'s scalar
+    * `signature` as one fused loop (this was the last corpus-sized
+    * ScalaUDF on the ANN surface). Null vector/element → null, so corrupt
+    * embeddings neither bucket nor rank instead of crashing the stage. */
+  def signSig(spark: SparkSession, vec: Column, nBits: Int): Column = {
+    register(spark)
+    call_function("sign_sig", vec, typedLit(nBits))
   }
 
   // ——— literal-child decode (once per plan, at first eval / codegen) ———
@@ -335,6 +346,23 @@ object QuantKernel {
     }
     s
   }
+
+  /** `signature`: nBits hyperplane sign decisions — bit b set iff
+    * Σ_d v(d)·hyper(b,d) > 0, accumulated in ascending dimension order
+    * (the scalar kernel's loop, and the order q30's oracle replays). */
+  def signSig(v: ArrayData, nBits: Int): Int = {
+    val n = v.numElements()
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v.getFloat(d) * Similarity.hyper(b, d); d += 1 }
+      if (acc > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 /** Shared shape: a per-row vector child plus literal codebook children.
@@ -523,6 +551,20 @@ case class JlProject(vec: Expression, signsL: Expression)
     if (v.numElements() != inDim) null
     else QuantKernel.jlProject(signs, v)
   }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1))
+}
+
+/** random-hyperplane sign signature — see [[QuantKernel.signSig]]. */
+case class SignSig(vec: Expression, nBitsL: Expression)
+    extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(vec, nBitsL)
+  override protected def rowChildren: Seq[Expression] = Seq(vec)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sign_sig"
+  @transient private lazy val nBits = QuantExpr.decodeInt(nBitsL)
+  override def compute(rv: Array[Any]): Any =
+    Integer.valueOf(QuantKernel.signSig(rv(0).asInstanceOf[ArrayData], nBits))
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0), c(1))
 }

@@ -51,7 +51,7 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane component for (bit, dim). */
-  @inline private def hyper(bit: Int, dim: Int): Double =
+  @inline private[sim] def hyper(bit: Int, dim: Int): Double =
     (splitmix64(bit.toLong * 131071 + dim * 524287 + 17).toDouble / Long.MaxValue)
 
   /** nBits-bit sign signature of one vector. */
@@ -75,15 +75,21 @@ object Similarity {
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 4, bitsPerBand: Int = 4,
       qId: String = "vec_id", cId: String = "vec_id"): DataFrame = {
-    import spark.implicits._
     val nBits = bands * bitsPerBand
-    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, nBits))
+    val mask = (1 << bitsPerBand) - 1
+    // signature is a fused codegen'd kernel; its null contract quarantines
+    // corrupt embeddings (null vector/element) — they neither bucket nor
+    // rank (the ScalaUDF form crashed the stage on a null vector). Band
+    // rows come from a STATIC struct array (bands is a plan constant), not
+    // a transform() lambda — no interpreted HOF in the corpus-sized path.
     def banded(df: DataFrame, id: String, as: String, embAs: String): DataFrame =
       df.select(col(id).as(as), col("embedding").as(embAs))
-        .withColumn("sig", sigUdf(col(embAs)))
-        .withColumn("band", explode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"struct(b as bi, shiftright(sig, b*$bitsPerBand) & ${(1 << bitsPerBand) - 1} as bk))")))
+        .withColumn("sig", QuantExpr.signSig(spark, col(embAs), nBits))
+        .filter(col("sig").isNotNull)
+        .withColumn("band", explode(array((0 until bands).map { b =>
+          struct(lit(b).as("bi"),
+            shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bk"))
+        }: _*)))
         .select(col(as), col(embAs), col("band.bi"), col("band.bk"))
     val qb = banded(queries, qId, "query_id", "qe")
     val cb = banded(corpus, cId, "neighbor_id", "ce")
@@ -711,10 +717,11 @@ object Similarity {
     */
   def nearDupPairs(spark: SparkSession, vecs: DataFrame, minCosine: Double = 0.95,
       idCol: String = "vec_id", nBits: Int = 16, maxBucket: Int = 64): DataFrame = {
-    import spark.implicits._
-    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, nBits))
+    // fused signature kernel; null sig = corrupt embedding → quarantined
+    // before bucketing (the ScalaUDF form crashed on a null vector)
     val sigs = vecs.select(col(idCol).cast("long").as("id"), col("embedding"))
-      .withColumn("sig", sigUdf(col("embedding")))
+      .withColumn("sig", QuantExpr.signSig(spark, col("embedding"), nBits))
+      .filter(col("sig").isNotNull)
     val buckets = sigs.groupBy("sig")
       .agg(array_sort(collect_list(struct(col("id"), col("embedding")))).as("xs"))
       .filter(size(col("xs")) >= 2)

@@ -129,11 +129,41 @@ class QuantExprSpec extends AnyFunSuite {
     }
   }
 
+  test("sign_sig is bit-identical to the scalar signature kernel") {
+    // the scalar kernel is itself pinned by q30's DuckDB oracle (the
+    // hyperplane CTE replays the same ascending-dim accumulation)
+    for (nBits <- Seq(8, 16)) {
+      val got = df.select(col("vec_id"),
+          QuantExpr.signSig(spark, col("embedding"), nBits).as("sig"))
+        .as[(Long, Int)].collect().toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) === graft.sim.Similarity.signature(v.toArray, nBits),
+          s"vec $id at nBits=$nBits")
+      }
+    }
+  }
+
+  test("sign_sig quarantines null vectors and null elements to null") {
+    val withNulls = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(cast(0.5 as float), cast(0.25 as float))),
+        |  (1L, cast(null as array<float>)),
+        |  (2L, array(cast(0.5 as float), cast(null as float)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val got = withNulls.select(col("vec_id"),
+        QuantExpr.signSig(spark, col("embedding"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got(0L).isNullAt(1), "clean row must sign")
+    assert(got(1L).isNullAt(1), "null vector must quarantine")
+    assert(got(2L).isNullAt(1), "null element must quarantine")
+  }
+
   test("interpreted eval matches codegen bit-for-bit") {
     val q = df.select(col("vec_id"),
       QuantExpr.nearestCid(spark, col("embedding"), cents).as("cid"),
       QuantExpr.pqCodes(spark, col("embedding"), cbs).as("codes"),
-      QuantExpr.pqLut(spark, col("embedding"), cbs, ksub).as("lut"))
+      QuantExpr.pqLut(spark, col("embedding"), cbs, ksub).as("lut"),
+      QuantExpr.signSig(spark, col("embedding"), 16).as("sig"))
     val gen = q.collect().map(_.toString).sorted
     val codegenConf = "spark.sql.codegen.wholeStage"
     val factoryConf = "spark.sql.codegen.factoryMode"
@@ -203,7 +233,11 @@ class QuantExprSpec extends AnyFunSuite {
 
   test("ANN plans stay free of UDFs AND interpreted HOF lambdas") {
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q52_ann_ivf", "q65_ann_pq", "q66_ann_ivfpq")) {
+    // q30 joins the strict list with the fused sign_sig kernel + static
+    // band arrays; q28's bucket-local pair-gen CASE keeps its (bounded,
+    // candidate-sized) lambdas, so it is pinned ScalaUDF-free below
+    for (q <- Seq("q52_ann_ivf", "q65_ann_pq", "q66_ann_ivfpq",
+        "q30_ann_lsh")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("ScalaUDF"), s"$q has a UDF:\n$plan")
@@ -211,5 +245,9 @@ class QuantExprSpec extends AnyFunSuite {
         s"$q fell back to interpreted higher-order lambdas (the 4-6x " +
           s"regression this spec exists to prevent):\n$plan")
     }
+    val p28 = SparkEntry.queries("q28_embed_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p28.contains("ScalaUDF"),
+      s"q28's signature pass must stay codegen'd:\n$p28")
   }
 }
