@@ -157,9 +157,9 @@ object QuantExpr {
     }
   }
 
-  private[sim] def elementsNullable(dt: DataType): Boolean = dt match {
+  private[graft] def elementsNullable(dt: DataType): Boolean = dt match {
     case ArrayType(_, n) => n
-    case _ => true
+    case _ => false // non-array row children have no elements to check
   }
 }
 
@@ -365,11 +365,13 @@ object QuantKernel {
   }
 }
 
-/** Shared shape: a per-row vector child plus literal codebook children.
-  * Only the row-varying children generate code; the literals are decoded
-  * once on the driver and ride into generated code via `addReferenceObj`.
+/** Shared shape: per-row children (vector, string, …) plus literal
+  * parameter children. Only the row-varying children generate code; the
+  * literals are decoded once on the driver and ride into generated code
+  * via `addReferenceObj`. Reused outside sim by the fused text kernels
+  * ([[graft.text.TextExpr]]) — same recipe, different payload type.
   */
-private[sim] trait QuantKernelExpression extends Expression {
+private[graft] trait QuantKernelExpression extends Expression {
   override def nullable: Boolean = true
   /** Row-varying children (generate code); the rest must be foldable. */
   protected def rowChildren: Seq[Expression]

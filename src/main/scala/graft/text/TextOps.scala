@@ -185,13 +185,12 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Distributed language-ID over a documents table. */
+  /** Distributed language-ID over a documents table — a fused codegen'd
+    * kernel ([[TextExpr]]), not a UDF; null text quarantines to null.
+    */
   def withLang(spark: SparkSession, docs: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    import spark.implicits._
-    val f = udf((t: String) => langId(t))
-    docs.withColumn("predicted_lang", f(col(textCol)))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("predicted_lang", TextExpr.langIdCol(spark, col(textCol)))
 
   /** Repetition metrics per document (Gopher quality rules, Rae et al.
     * 2021, arXiv:2112.11446 §A1.1): the fraction of tokens that repeat an
@@ -472,11 +471,10 @@ object TextOps {
     */
   def withRepetition(spark: SparkSession, docs: DataFrame, maxDupWordFrac: Double = 0.6,
       maxTopBigramFrac: Double = 0.08, textCol: String = "text"): DataFrame = {
-    val f = udf((t: String) => repetitionKernel(t))
-    docs.withColumn("m", f(col(textCol)))
-      .withColumn("n_tokens", col("m._1"))
-      .withColumn("dup_word_frac", col("m._2"))
-      .withColumn("top_bigram_frac", col("m._3"))
+    docs.withColumn("m", TextExpr.repetitionCol(spark, col(textCol)))
+      .withColumn("n_tokens", col("m.n_tokens"))
+      .withColumn("dup_word_frac", col("m.dup_word_frac"))
+      .withColumn("top_bigram_frac", col("m.top_bigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= maxDupWordFrac && col("top_bigram_frac") <= maxTopBigramFrac)
       .drop("m")

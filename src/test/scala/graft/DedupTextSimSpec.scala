@@ -344,6 +344,34 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(!out(1L) && out(2L))
   }
+
+  test("fused lang_id / repetition_metrics match the scalar kernels; no UDF") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is warm for a day"),
+      (2L, "der Hund und die Katze, das ist nicht ein Problem mit zu viel"),
+      (3L, "这是一个中文句子没有空格也可以识别"),
+      (4L, "the model said the model said the model said"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.withLang(spark, TextOps.withRepetition(spark, docs))
+      .select("doc_id", "text", "predicted_lang", "n_tokens",
+        "dup_word_frac", "top_bigram_frac")
+      .as[(Long, String, String, Int, Double, Double)].collect()
+    got.foreach { case (id, t, lang, n, dup, top) =>
+      assert(lang === TextOps.langId(t), s"doc $id lang")
+      val (rn, rd, rt) = TextOps.repetitionKernel(t)
+      assert((n, dup, top) === ((rn, rd, rt)), s"doc $id metrics")
+    }
+    // null text quarantines to null (the UDF form returned "und" / threw)
+    val nulls = Seq((9L, null: String)).toDF("doc_id", "text")
+    val r = TextOps.withLang(spark, TextOps.withRepetition(spark, nulls))
+      .select("predicted_lang", "n_tokens", "keep").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // both passes stay inside codegen — no per-row encoder round trip
+    val plan = TextOps.withLang(spark, TextOps.withRepetition(spark, docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"text kernels fell out of codegen:\n$plan")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
