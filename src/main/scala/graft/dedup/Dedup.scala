@@ -128,23 +128,19 @@ object Dedup {
     * @param docs columns (idCol: bigint, textCol: string)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
-  /** Signature + banding in one typed pass (no posexplode/codegen'd
-    * expr): one (id, band, bkey) row per band straight out of the kernel
-    * — shared by the self-join ([[minhashPairs]]) and the asymmetric
-    * probe ([[minhashProbe]]), so the two can never hash differently.
+  /** Signature + banding in one fused codegen'd kernel
+    * ([[DedupExpr.minhashBandsCol]]) — shared by the self-join
+    * ([[minhashPairs]]) and the asymmetric probe ([[minhashProbe]]), so
+    * the two can never hash differently. The typed-flatMap form this
+    * replaces paid a per-document encoder round trip on the corpus side.
+    * Null text → null band array → `explode` drops the document
+    * (quarantine; the flatMap threw mid-stage).
     */
   private def bandedRows(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, k: Int, bands: Int): DataFrame = {
-    import spark.implicits._
-    val rows = k / bands
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sig = minhashSig(shingles(text), k)
-        (0 until bands).iterator.map(b => (id, b, bandKey(sig, b, rows)))
-      }
-      .toDF("id", "band", "bkey")
-  }
+      textCol: String, k: Int, bands: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(DedupExpr.minhashBandsCol(spark, col(textCol), k, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   /** Asymmetric delta dedup: probe NEW docs against a STANDING corpus —
     * the incremental form of [[minhashPairs]] a daily-refresh pipeline
@@ -179,10 +175,9 @@ object Dedup {
       col(textCol).as("tc"))
     val dTexts = delta.select(col(idCol).cast("long").as("new_id"),
       col(textCol).as("td"))
-    val verify = udf((ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)))
     cand.join(dTexts, Seq("new_id")).join(cTexts, Seq("existing_id"))
       .select(col("new_id"), col("existing_id"),
-        verify(col("td"), col("tc")).as("jaccard"))
+        DedupExpr.jaccardShinglesCol(spark, col("td"), col("tc")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("new_id"), col("existing_id"))
       .agg(max(col("jaccard")).as("jaccard"))
@@ -232,17 +227,18 @@ object Dedup {
     // all map-side flops) and deduped by ONE groupBy exchange at the end —
     // a standalone distinct() before the verify would cost a second
     // exchange for the same result (the q23 r2 regression).
-    // the exact-verify kernel rides as a UDF, not a typed map: the
-    // Deserialize→map→Serialize sandwich compiled two extra codegen stages
-    // plus tuple encoders per fresh session (~0.5 s of q23's single-shot
-    // cost); the UDF keeps the join output inside one codegen span and the
-    // kernel itself is plain JVM either way
+    // the exact-verify kernel is a fused codegen'd expression
+    // ([[DedupExpr.jaccardShinglesCol]]): it keeps the join output inside
+    // one codegen span like the UDF form it replaces, minus the per-pair
+    // ScalaUDF encoder round trip (a typed map would be worse still — the
+    // Deserialize→map→Serialize sandwich compiled two extra codegen
+    // stages per fresh session, ~0.5 s of q23's single-shot cost)
     val texts = docs.select(col(idCol).cast("long").as("tid"), col(textCol).as("t"))
-    val verify = udf((ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)))
     pairs
       .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "ta"), Seq("id_a"))
       .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("t", "tb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), verify(col("ta"), col("tb")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        DedupExpr.jaccardShinglesCol(spark, col("ta"), col("tb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard")) // deterministic per pair — max = the value

@@ -139,7 +139,7 @@ object QuantExpr {
 
   private[sim] def decodeInts(e: Expression): Array[Int] =
     e.eval(null).asInstanceOf[ArrayData].toIntArray()
-  private[sim] def decodeInt(e: Expression): Int =
+  private[graft] def decodeInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Int]
   private[sim] def decodeVecs(e: Expression): Array[Array[Double]] = {
     val a = e.eval(null).asInstanceOf[ArrayData]

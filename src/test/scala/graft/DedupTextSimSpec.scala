@@ -20,6 +20,44 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccard(Dedup.shingles("a b c d"), Dedup.shingles("a b c e")) == 1.0 / 3.0)
   }
 
+  test("fused minhash_bands/jaccard_shingles match the scalar kernels; no UDF") {
+    val fixture = (0L until 25L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i * 13 + j * 5) % 200}").mkString(" ")))
+    val (k, bands) = (64, 16)
+    val got = docs(fixture: _*).select(col("doc_id"),
+        explode(graft.dedup.DedupExpr.minhashBandsCol(
+          spark, col("text"), k, bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      .as[(Long, Int, Long)].collect().toSet
+    val ref = fixture.flatMap { case (id, t) =>
+      val sig = Dedup.minhashSig(Dedup.shingles(t), k)
+      (0 until bands).map(b => (id, b, Dedup.bandKey(sig, b, k / bands)))
+    }.toSet
+    assert(got === ref)
+    // fused verify kernel === scalar jaccard-of-shingles
+    val jw = docs(fixture.take(5): _*).as("a")
+      .crossJoin(docs(fixture.take(5): _*).as("b"))
+      .select(col("a.text").as("ta"), col("b.text").as("tb"),
+        graft.dedup.DedupExpr.jaccardShinglesCol(
+          spark, col("a.text"), col("b.text")).as("j"))
+      .as[(String, String, Double)].collect()
+    jw.foreach { case (ta, tb, j) =>
+      assert(j === Dedup.jaccard(Dedup.shingles(ta), Dedup.shingles(tb)))
+    }
+    // null text quarantines: dropped from banding, null through verify
+    val withNull = docs((1L, "alpha beta gamma delta"), (2L, null))
+    val banded = withNull.select(col("doc_id"),
+      explode(graft.dedup.DedupExpr.minhashBandsCol(spark, col("text"), k, bands)))
+    assert(banded.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "null text must not bucket")
+    // the full pipeline carries no ScalaUDF and no per-document
+    // encoder sandwich (the bucket-pair flatMap is candidate-sized and
+    // keeps its typed form — only the CORPUS side must stay fused)
+    val plan = Dedup.minhashPairs(spark, docs(fixture: _*))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"dedup surface must be UDF-free:\n$plan")
+  }
+
   test("minhash LSH finds all planted near-dups and no false positives after verify") {
     val base = (0L until 100L).map(i =>
       (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
