@@ -492,10 +492,9 @@ object SparkEntry {
     // affects the fingerprint set).
     "q29_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val fps = table(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, t) => graft.text.TextOps.winnow(t).map(f => (id, f)) }
-        .toDF("doc_id", "fp")
+      val fps = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        explode(graft.text.TextExpr.winnowCol(s, col("text"))).as("fp"))
       fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") > 1)
         .agg(count(lit(1)).as("shared_fps"), sum(col("n_docs")).as("doc_slots"))
@@ -701,12 +700,9 @@ object SparkEntry {
     "q67_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val n = 13
-      def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val w = graft.text.TextOps.tokenize(t)
-          (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
-        }
-        .toDF("doc_id", "gram")
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(graft.text.TextExpr.tokNgramsCol(s, col("text"), n)).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("fp"))
         .distinct()
       val docs0 = table(s, dir, "documents")
@@ -935,11 +931,9 @@ object SparkEntry {
     "q81_bloom_decontam" -> ((s, dir) => {
       import s.implicits._
       val n = 13
-      def gramKeys(df: DataFrame): DataFrame = df.as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val w = graft.text.TextOps.tokenize(t)
-          (0 to w.length - n).iterator.map(i => (id, w.slice(i, i + n).mkString(" ")))
-        }.toDF("doc_id", "gram")
+      def gramKeys(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(graft.text.TextExpr.tokNgramsCol(s, col("text"), n)).as("gram"))
         .select(col("doc_id"), // 60-bit key: md5 prefix, hex-parsed identically in DuckDB
           conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("key"))
         .distinct()

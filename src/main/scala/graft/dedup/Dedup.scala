@@ -507,10 +507,11 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit band LSH + Hamming-distance verify. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text", maxBucket: Int = 64): DataFrame = {
-    import spark.implicits._
-    val fps = docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)].map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "fp")
+    // fused codegen'd kernel (was a typed map — per-document encoder round
+    // trip); null text → null fp → quarantined before banding
+    val fps = docs.select(col(idCol).cast("long").as("id"),
+        DedupExpr.simhash64Col(spark, col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
     hammingPairs(spark, fps, maxHamming, maxBucket, "graft_simhash_buckets")
   }
 

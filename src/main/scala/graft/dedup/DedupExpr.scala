@@ -43,6 +43,8 @@ object DedupExpr {
       e => MinhashBands(e(0), e(1), e(2)), "built-in")
     r.createOrReplaceTempFunction("jaccard_shingles",
       e => JaccardShingles(e(0), e(1)), "built-in")
+    r.createOrReplaceTempFunction("simhash64",
+      e => Simhash64(e(0)), "built-in")
   }
 
   /** array<struct<band:int, bkey:bigint>> of a document's LSH band keys. */
@@ -56,6 +58,12 @@ object DedupExpr {
   def jaccardShinglesCol(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("jaccard_shingles", a, b)
+  }
+
+  /** 64-bit SimHash of a document — [[Dedup.simhash]] fused. */
+  def simhash64Col(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash64", text)
   }
 }
 
@@ -85,6 +93,19 @@ case class MinhashBands(text: Expression, kL: Expression, bandsL: Expression)
   }
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2))
+}
+
+/** fused 64-bit SimHash — see [[DedupExpr]]. */
+case class Simhash64(text: Expression) extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(text)
+  override protected def rowChildren: Seq[Expression] = Seq(text)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def compute(rv: Array[Any]): Any =
+    java.lang.Long.valueOf(
+      Dedup.simhash(rv(0).asInstanceOf[UTF8String].toString))
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0))
 }
 
 /** fused exact shingle-Jaccard verify — see [[DedupExpr]]. */

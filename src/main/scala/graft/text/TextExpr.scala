@@ -1,13 +1,14 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, typedLit}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sim.QuantKernelExpression
+import graft.sim.{QuantExpr, QuantKernelExpression}
 
 /** Native Catalyst forms of the per-document text kernels (language ID,
   * Gopher repetition metrics) — the [[graft.sim.QuantExpr]] recipe applied
@@ -36,6 +37,12 @@ object TextExpr {
       e => LangIdExpr(e(0)), "built-in")
     r.createOrReplaceTempFunction("repetition_metrics",
       e => RepetitionExpr(e(0)), "built-in")
+    r.createOrReplaceTempFunction("winnow_fps",
+      e => WinnowFps(e(0), e(1), e(2)), "built-in")
+    r.createOrReplaceTempFunction("cdc_chunks",
+      e => CdcChunksExpr(e(0), e(1), e(2)), "built-in")
+    r.createOrReplaceTempFunction("tok_ngrams",
+      e => TokNgrams(e(0), e(1)), "built-in")
   }
 
   /** n-gram-profile language prediction — [[TextOps.langId]] fused. */
@@ -50,6 +57,35 @@ object TextExpr {
     register(spark)
     call_function("repetition_metrics", text)
   }
+
+  /** Winnowing fingerprint array — [[TextOps.winnow]] fused, ready to
+    * explode (one row per fingerprint). */
+  def winnowCol(spark: SparkSession, text: Column, k: Int = 8,
+      w: Int = 4): Column = {
+    register(spark)
+    call_function("winnow_fps", text, typedLit(k), typedLit(w))
+  }
+
+  /** CDC chunk array — [[TextOps.cdcChunks]] fused: one
+    * (chunk_idx, chunk_start, chunk_len, chunk) struct per chunk over the
+    * normalized text, ready to explode. */
+  def cdcChunksCol(spark: SparkSession, text: Column, k: Int,
+      mask: Long): Column = {
+    register(spark)
+    call_function("cdc_chunks", text, typedLit(k), typedLit(mask))
+  }
+
+  /** Exact-n token n-grams over [[TextOps.tokenize]], in position order —
+    * a SHORT document (fewer than n tokens) yields an EMPTY array, unlike
+    * [[GramExpr.wordGrams]]'s SQL-split semantics (raw single-space split
+    * keeping empties, one truncated window for short docs). posexplode's
+    * index is the gram's token position. The decontamination and
+    * duplicate-span queries (q67/q68/q81) need exactly these semantics.
+    */
+  def tokNgramsCol(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("tok_ngrams", text, typedLit(n))
+  }
 }
 
 /** language-ID — see [[TextOps.langId]]. */
@@ -62,6 +98,84 @@ case class LangIdExpr(text: Expression) extends QuantKernelExpression {
     UTF8String.fromString(TextOps.langId(rv(0).asInstanceOf[UTF8String].toString))
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0))
+}
+
+/** winnowing fingerprints — see [[TextOps.winnow]]. */
+case class WinnowFps(text: Expression, kL: Expression, wL: Expression)
+    extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(text, kL, wL)
+  override protected def rowChildren: Seq[Expression] = Seq(text)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  @transient private lazy val k = QuantExpr.decodeInt(kL)
+  @transient private lazy val w = QuantExpr.decodeInt(wL)
+  override def compute(rv: Array[Any]): Any =
+    new GenericArrayData(
+      TextOps.winnow(rv(0).asInstanceOf[UTF8String].toString, k, w))
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2))
+}
+
+/** CDC chunk spans + content — see [[TextOps.cdcChunks]]. */
+case class CdcChunksExpr(text: Expression, kL: Expression, maskL: Expression)
+    extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(text, kL, maskL)
+  override protected def rowChildren: Seq[Expression] = Seq(text)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk_start", IntegerType, nullable = false),
+    StructField("chunk_len", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  @transient private lazy val k = QuantExpr.decodeInt(kL)
+  @transient private lazy val mask = maskL.eval(null).asInstanceOf[Long]
+  override def compute(rv: Array[Any]): Any = {
+    val s = rv(0).asInstanceOf[UTF8String].toString
+      .toLowerCase.replaceAll("\\s+", " ")
+    val bs = TextOps.cdcBoundaries(s, k, mask)
+    val out = new Array[Any](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val (st, len) = bs(i)
+      out(i) = new GenericInternalRow(Array[Any](i, st, len,
+        UTF8String.fromString(s.substring(st, st + len))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2))
+}
+
+/** exact-n token n-grams — see [[TextExpr.tokNgramsCol]]. */
+case class TokNgrams(text: Expression, nL: Expression)
+    extends QuantKernelExpression {
+  override def children: Seq[Expression] = Seq(text, nL)
+  override protected def rowChildren: Seq[Expression] = Seq(text)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tok_ngrams"
+  @transient private lazy val n = QuantExpr.decodeInt(nL)
+  override def compute(rv: Array[Any]): Any = {
+    val toks = TextOps.tokenize(rv(0).asInstanceOf[UTF8String].toString)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1))
 }
 
 /** Gopher repetition metrics — see [[TextOps.repetitionKernel]]. */

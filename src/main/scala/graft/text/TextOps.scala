@@ -146,16 +146,14 @@ object TextOps {
   def cdcChunkTable(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8, mask: Long = 63L): DataFrame = {
-    import spark.implicits._
-    val chunks = docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val s = text.toLowerCase.replaceAll("\\s+", " ")
-        cdcBoundaries(s, k, mask).iterator.zipWithIndex.map {
-          case ((st, len), idx) => (id, idx, st, len, s.substring(st, st + len))
-        }
-      }
-      .toDF(idCol, "chunk_idx", "chunk_start", "chunk_len", "chunk")
+    // fused codegen'd chunker ([[TextExpr.cdcChunksCol]]) — was a typed
+    // flatMap paying a per-document encoder round trip; null text
+    // quarantines (dropped by the explode)
+    val chunks = docs.select(col(idCol).cast("long").as(idCol),
+        explode(TextExpr.cdcChunksCol(spark, col(textCol), k, mask)).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_start").as("chunk_start"),
+        col("c.chunk_len").as("chunk_len"), col("c.chunk").as("chunk"))
     chunks
       .withColumn("chunk_md5", md5(col("chunk")))
       .withColumn("n_copies",
@@ -330,16 +328,13 @@ object TextOps {
     */
   def dupSpans(spark: SparkSession, docs: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import spark.implicits._
     require(n >= 2, s"n=$n must be >= 2")
-    val grams = docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val w = tokenize(t)
-        (0 to w.length - n).iterator.map(i => (id, i, w.slice(i, i + n).mkString(" ")))
-      }
-      .toDF(idCol, "pos", "gram")
-      .select(col(idCol), col("pos"), md5(col("gram")).as("fp"))
+    // fused gram kernel ([[TextExpr.tokNgramsCol]]) + posexplode: the
+    // window index IS the token position, so the typed flatMap (and its
+    // per-document encoder round trip) is unnecessary
+    val grams = docs.select(col(idCol).cast("long").as(idCol),
+        posexplode(TextExpr.tokNgramsCol(spark, col(textCol), n)))
+      .select(col(idCol), col("pos"), md5(col("col")).as("fp"))
     val dupFps = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("fp")
     val dupPos = grams.join(dupFps, Seq("fp")).select(col(idCol), col("pos"))

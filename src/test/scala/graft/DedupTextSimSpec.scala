@@ -50,6 +50,17 @@ class DedupSpec extends AnyFunSuite {
       explode(graft.dedup.DedupExpr.minhashBandsCol(spark, col("text"), k, bands)))
     assert(banded.select("doc_id").as[Long].collect().toSet === Set(1L),
       "null text must not bucket")
+    // fused simhash64 === scalar kernel; null text quarantines
+    val sh = docs(fixture.take(10): _*).select(col("doc_id"),
+        graft.dedup.DedupExpr.simhash64Col(spark, col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    fixture.take(10).foreach { case (id, t) =>
+      assert(sh(id) === Dedup.simhash(t), s"doc $id simhash")
+    }
+    val shNull = Dedup.simhashPairs(spark,
+      docs((1L, "alpha beta gamma"), (2L, null), (3L, "alpha beta gamma")))
+    assert(shNull.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L)), "null text must neither band nor pair")
     // the full pipeline carries no ScalaUDF and no per-document
     // encoder sandwich (the bucket-pair flatMap is candidate-sized and
     // keeps its typed form — only the CORPUS side must stay fused)
@@ -409,6 +420,55 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = TextOps.withLang(spark, TextOps.withRepetition(spark, docs))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), s"text kernels fell out of codegen:\n$plan")
+  }
+
+  test("fused winnow_fps / cdc_chunks / tok_ngrams match the scalar kernels") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      (0 until 120).map(i => s"w${(i * 17) % 300}").mkString(" "),
+      "short", "", "a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // winnow: fused array === scalar array, in order
+    val wGot = df.select(col("doc_id"),
+        graft.text.TextExpr.winnowCol(spark, col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(wGot(i.toLong) === TextOps.winnow(t).toSeq, s"doc $i winnow")
+    }
+    // cdc: fused structs === cdcChunks spans + normalized substrings
+    val cGot = df.select(col("doc_id"),
+        explode(graft.text.TextExpr.cdcChunksCol(spark, col("text"), 8, 63L)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"),
+        col("c.chunk_len"), col("c.chunk"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val s = t.toLowerCase.replaceAll("\\s+", " ")
+      val ref = TextOps.cdcChunks(t).zipWithIndex.map { case ((st, len), idx) =>
+        (i.toLong, idx, st, len, s.substring(st, st + len))
+      }
+      assert(cGot.getOrElse(i.toLong, Seq.empty) === ref, s"doc $i cdc")
+    }
+    // tok_ngrams: exact-n windows over tokenize — short docs yield NOTHING
+    // (the wordGrams SQL-split kernel would emit one truncated window)
+    val gGot = df.select(col("doc_id"),
+        graft.text.TextExpr.tokNgramsCol(spark, col("text"), 3).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val w = TextOps.tokenize(t)
+      val ref = (0 to w.length - 3).map(j => w.slice(j, j + 3).mkString(" "))
+      assert(gGot(i.toLong) === ref, s"doc $i grams")
+    }
+    // null text quarantines across all three (the flatMap forms threw)
+    val nn = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(nn.select(explode(graft.text.TextExpr.winnowCol(spark, col("text"))))
+      .count() === 0)
+    assert(nn.select(explode(graft.text.TextExpr.cdcChunksCol(spark, col("text"), 8, 63L)))
+      .count() === 0)
+    assert(nn.select(explode(graft.text.TextExpr.tokNgramsCol(spark, col("text"), 3)))
+      .count() === 0)
   }
 }
 
