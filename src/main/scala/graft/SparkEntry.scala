@@ -1286,12 +1286,10 @@ object SparkEntry {
       // word-trigram set built with the SAME list algebra as the DuckDB
       // oracle (split on single space, 1-based 3-slices, distinct) so the
       // ≥0.5 edge decision cannot diverge on tokenization
-      def grams(c: org.apache.spark.sql.Column) = {
-        val toks = split(c, " ")
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => array_join(slice(toks, i, lit(3)), " ")))
-      }
+      // fused gram kernel — same SQL-split window algebra, one scalar
+      // loop per doc instead of an interpreted lambda per window
+      def grams(c: org.apache.spark.sql.Column) =
+        array_distinct(graft.text.GramExpr.wordGrams(s, c, 3))
       val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
         .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
           col("dst") === col("src") + 100000L)
@@ -1317,12 +1315,10 @@ object SparkEntry {
         (col("doc_id") + k * 100000L).as("doc_id"),
         concat(col("text"), lit(suffix)).as("text"))
       val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
-      def grams(c: org.apache.spark.sql.Column) = {
-        val toks = split(c, " ")
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => array_join(slice(toks, i, lit(3)), " ")))
-      }
+      // fused gram kernel — same SQL-split window algebra, one scalar
+      // loop per doc instead of an interpreted lambda per window
+      def grams(c: org.apache.spark.sql.Column) =
+        array_distinct(graft.text.GramExpr.wordGrams(s, c, 3))
       val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
         .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
           col("dst") === col("src") + 100000L)
@@ -2107,10 +2103,8 @@ object SparkEntry {
     // exact n-gram (word-trigram) Jaccard between each doc and its planted
     // near-dup — pure set algebra on both engines (DuckDB oracle)
     "q46_ngram_jaccard" -> ((s, dir) => {
-      val toks = split(col("text"), " ", -1)
-      val grams = array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      // fused gram kernel (GramExpr.wordGrams) — identical window algebra
+      val grams = array_distinct(graft.text.GramExpr.wordGrams(s, col("text"), 3))
       val g = docsWithPlantedDups(s, dir).select(col("doc_id"), grams.as("grams"))
       val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))

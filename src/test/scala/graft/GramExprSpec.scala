@@ -95,9 +95,10 @@ class GramExprSpec extends AnyFunSuite {
       .count() == 11) // "one two three" has 13 chars -> 11 windows, all distinct
   }
 
-  test("q103/q104/q112 plans carry no interpreted lambdafunction") {
+  test("q103/q104/q112/q46 plans carry no interpreted lambdafunction") {
     val sfDir = "/root/testdata/sf0.001"
-    for (q <- Seq("q103_trigram_search", "q104_containment", "q112_sparse_cosine")) {
+    for (q <- Seq("q103_trigram_search", "q104_containment", "q112_sparse_cosine",
+        "q46_ngram_jaccard")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("lambdafunction"), s"$q plan:\n$plan")
