@@ -133,8 +133,10 @@ object Dedup {
     * ([[minhashPairs]]) and the asymmetric probe ([[minhashProbe]]), so
     * the two can never hash differently. The typed-flatMap form this
     * replaces paid a per-document encoder round trip on the corpus side.
-    * Null text → null band array → `explode` drops the document
-    * (quarantine; the flatMap threw mid-stage).
+    * Null text → null band array → `explode` drops the document — a
+    * deliberate change from the typed form, which treated null as EMPTY
+    * text and so paired null docs with empty docs at Jaccard 1.0 (see
+    * [[DedupExpr]]).
     */
   private def bandedRows(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int): DataFrame =
@@ -508,7 +510,8 @@ object Dedup {
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text", maxBucket: Int = 64): DataFrame = {
     // fused codegen'd kernel (was a typed map — per-document encoder round
-    // trip); null text → null fp → quarantined before banding
+    // trip); null text → null fp → quarantined before banding (the typed
+    // map hashed null like empty text: fp 0L)
     val fps = docs.select(col(idCol).cast("long").as("id"),
         DedupExpr.simhash64Col(spark, col(textCol)).as("fp"))
       .filter(col("fp").isNotNull)

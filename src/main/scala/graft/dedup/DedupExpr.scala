@@ -32,7 +32,11 @@ import graft.sim.{QuantExpr, QuantKernelExpression}
   * Null contract ([[graft.sim.QuantExpr]] convention): a null document
   * yields null — `explode` then drops it from banding, and a null
   * Jaccard fails every threshold filter — so corrupt rows neither
-  * bucket nor verify (the flatMap/UDF forms threw mid-stage).
+  * bucket nor verify. This is a DELIBERATE contract change: the typed
+  * forms treated a null document as empty text (`shingles(null)` = ∅,
+  * `simhash(null)` = 0L), so a null doc banded with every empty doc and
+  * "verified" against it at Jaccard 1.0 — a nonsense duplicate. A null
+  * document is corrupt input, not an empty one; it never pairs.
   */
 object DedupExpr {
 
@@ -76,6 +80,7 @@ case class MinhashBands(text: Expression, kL: Expression, bandsL: Expression)
     StructField("band", IntegerType, nullable = false),
     StructField("bkey", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "minhash_bands"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
   @transient private lazy val k = QuantExpr.decodeInt(kL)
   @transient private lazy val bands = QuantExpr.decodeInt(bandsL)
   override def compute(rv: Array[Any]): Any = {
@@ -101,6 +106,7 @@ case class Simhash64(text: Expression) extends QuantKernelExpression {
   override protected def rowChildren: Seq[Expression] = Seq(text)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def compute(rv: Array[Any]): Any =
     java.lang.Long.valueOf(
       Dedup.simhash(rv(0).asInstanceOf[UTF8String].toString))
@@ -115,6 +121,7 @@ case class JaccardShingles(a: Expression, b: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(a, b)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_shingles"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def compute(rv: Array[Any]): Any =
     java.lang.Double.valueOf(Dedup.jaccard(
       Dedup.shingles(rv(0).asInstanceOf[UTF8String].toString),

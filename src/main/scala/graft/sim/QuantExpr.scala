@@ -370,8 +370,15 @@ object QuantKernel {
   * literals are decoded once on the driver and ride into generated code
   * via `addReferenceObj`. Reused outside sim by the fused text kernels
   * ([[graft.text.TextExpr]]) — same recipe, different payload type.
+  *
+  * Every kernel declares `inputTypes` and mixes in implicit casting: the
+  * analyzer coerces e.g. an `array<double>` embedding to `array<float>`
+  * exactly as it did for the ScalaUDFs these kernels replaced — without
+  * it, `getFloat` over double-backed ArrayData would read garbage
+  * SILENTLY (wrong buckets, wrong scores, no error).
   */
-private[graft] trait QuantKernelExpression extends Expression {
+private[graft] trait QuantKernelExpression extends Expression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def nullable: Boolean = true
   /** Row-varying children (generate code); the rest must be foldable. */
   protected def rowChildren: Seq[Expression]
@@ -440,6 +447,7 @@ case class NearestCid(vec: Expression, cidsL: Expression, cvsL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_cid"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
   @transient private lazy val cids = QuantExpr.decodeInts(cidsL)
   @transient private lazy val cvs = QuantExpr.decodeVecs(cvsL)
   override def compute(rv: Array[Any]): Any =
@@ -456,6 +464,7 @@ case class QuantProbes(vec: Expression, cidsL: Expression, cvsL: Expression,
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "quant_probes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)), IntegerType)
   @transient private lazy val cids = QuantExpr.decodeInts(cidsL)
   @transient private lazy val cvs = QuantExpr.decodeVecs(cvsL)
   @transient private lazy val nprobe = QuantExpr.decodeInt(nprobeL)
@@ -472,6 +481,7 @@ case class ResidualF32(vec: Expression, cid: Expression, cidsL: Expression,
   override protected def rowChildren: Seq[Expression] = Seq(vec, cid)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "residual_f32"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType, ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
   @transient private lazy val byCid = {
     val cids = QuantExpr.decodeInts(cidsL)
     val cvs = QuantExpr.decodeVecs(cvsL)
@@ -494,6 +504,7 @@ case class PqCodes(vec: Expression, cids2L: Expression, cvs3L: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(ArrayType(IntegerType)), ArrayType(ArrayType(ArrayType(DoubleType))))
   @transient private lazy val cids2 = QuantExpr.decodeInts2(cids2L)
   @transient private lazy val cvs3 = QuantExpr.decodeVecs3(cvs3L)
   override def compute(rv: Array[Any]): Any =
@@ -509,6 +520,7 @@ case class PqLut(vec: Expression, cids2L: Expression, cvs3L: Expression,
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(ArrayType(IntegerType)), ArrayType(ArrayType(ArrayType(DoubleType))), IntegerType)
   @transient private lazy val cids2 = QuantExpr.decodeInts2(cids2L)
   @transient private lazy val cvs3 = QuantExpr.decodeVecs3(cvs3L)
   @transient private lazy val ksub = QuantExpr.decodeInt(ksubL)
@@ -527,6 +539,7 @@ case class PqAdc(codes: Expression, lut: Expression, ksubL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(codes, lut)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType)
   override protected lazy val vecElementsNullable: Boolean = false
   @transient private lazy val ksub = QuantExpr.decodeInt(ksubL)
   override def compute(rv: Array[Any]): Any =
@@ -543,6 +556,7 @@ case class JlProject(vec: Expression, signsL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "jl_project"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)))
   @transient private lazy val signs = QuantExpr.decodeVecs(signsL)
   @transient private lazy val inDim =
     if (signs.nonEmpty) signs(0).length else 0
@@ -564,6 +578,7 @@ case class SignSig(vec: Expression, nBitsL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(vec)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sign_sig"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType)
   @transient private lazy val nBits = QuantExpr.decodeInt(nBitsL)
   override def compute(rv: Array[Any]): Any =
     Integer.valueOf(QuantKernel.signSig(rv(0).asInstanceOf[ArrayData], nBits))

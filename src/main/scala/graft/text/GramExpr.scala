@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst forms of the corpus-shingling kernels — the text
@@ -148,8 +148,11 @@ object GramKernel {
 
 /** Shared shape: one row-varying string child (+ foldable literals),
   * null in -> null out, boxed kernel call from both eval and codegen
-  * (the [[graft.sim.QuantExpr]] / CosineF32 recipe). */
-private[text] trait GramKernelExpression extends Expression {
+  * (the [[graft.sim.QuantExpr]] / CosineF32 recipe). Implicit input
+  * casting mirrors the analyzer behavior the retired UDF/HOF forms had —
+  * a non-string text child coerces instead of ClassCastException. */
+private[text] trait GramKernelExpression extends Expression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def nullable: Boolean = true
   /** The single row-varying string child. */
   protected def textChild: Expression
@@ -195,6 +198,7 @@ case class WordShinglesMd5(text: Expression, nL: Expression)
   override def children: Seq[Expression] = Seq(text, nL)
   override protected def textChild: Expression = text
   override def prettyName: String = "word_shingles_md5"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   @transient private lazy val n = nL.eval(null).asInstanceOf[Int]
   override def compute(t: UTF8String): Any = GramKernel.wordShinglesMd5(t, n)
   override protected def withNewChildrenInternal(
@@ -207,6 +211,7 @@ case class WordGrams(text: Expression, nL: Expression)
   override def children: Seq[Expression] = Seq(text, nL)
   override protected def textChild: Expression = text
   override def prettyName: String = "word_grams"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   @transient private lazy val n = nL.eval(null).asInstanceOf[Int]
   override def compute(t: UTF8String): Any = GramKernel.wordGrams(t, n)
   override protected def withNewChildrenInternal(
@@ -218,6 +223,7 @@ case class CharTrigrams(text: Expression) extends GramKernelExpression {
   override def children: Seq[Expression] = Seq(text)
   override protected def textChild: Expression = text
   override def prettyName: String = "char_trigrams"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def compute(t: UTF8String): Any = GramKernel.charTrigrams(t)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0))

@@ -22,9 +22,11 @@ import graft.sim.{QuantExpr, QuantKernelExpression}
   * the math, so column-vs-scalar drift is impossible by construction.
   *
   * Null contract: a null document yields null (the engine-wide quarantine
-  * convention, [[graft.sim.QuantExpr]]) — note the difference from the
-  * retired UDF forms: `langId(null)` returned "und" through the UDF and
-  * the repetition UDF threw; a null text now never scores or filters.
+  * convention, [[graft.sim.QuantExpr]]) — a deliberate change from the
+  * retired UDF forms, which treated null as empty text: `langId(null)`
+  * returned "und" and `repetitionKernel(null)` returned zero metrics
+  * (keep=true). A null text is corrupt input: it now never scores,
+  * filters, or counts as a kept document.
   */
 object TextExpr {
 
@@ -94,6 +96,7 @@ case class LangIdExpr(text: Expression) extends QuantKernelExpression {
   override protected def rowChildren: Seq[Expression] = Seq(text)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def compute(rv: Array[Any]): Any =
     UTF8String.fromString(TextOps.langId(rv(0).asInstanceOf[UTF8String].toString))
   override protected def withNewChildrenInternal(
@@ -107,6 +110,7 @@ case class WinnowFps(text: Expression, kL: Expression, wL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(text)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
   @transient private lazy val k = QuantExpr.decodeInt(kL)
   @transient private lazy val w = QuantExpr.decodeInt(wL)
   override def compute(rv: Array[Any]): Any =
@@ -127,11 +131,11 @@ case class CdcChunksExpr(text: Expression, kL: Expression, maskL: Expression)
     StructField("chunk_len", IntegerType, nullable = false),
     StructField("chunk", StringType, nullable = false))), containsNull = false)
   override def prettyName: String = "cdc_chunks"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, LongType)
   @transient private lazy val k = QuantExpr.decodeInt(kL)
   @transient private lazy val mask = maskL.eval(null).asInstanceOf[Long]
   override def compute(rv: Array[Any]): Any = {
-    val s = rv(0).asInstanceOf[UTF8String].toString
-      .toLowerCase.replaceAll("\\s+", " ")
+    val s = TextOps.normalizeWs(rv(0).asInstanceOf[UTF8String].toString)
     val bs = TextOps.cdcBoundaries(s, k, mask)
     val out = new Array[Any](bs.length)
     var i = 0
@@ -154,6 +158,7 @@ case class TokNgrams(text: Expression, nL: Expression)
   override protected def rowChildren: Seq[Expression] = Seq(text)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "tok_ngrams"
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   @transient private lazy val n = QuantExpr.decodeInt(nL)
   override def compute(rv: Array[Any]): Any = {
     val toks = TextOps.tokenize(rv(0).asInstanceOf[UTF8String].toString)
@@ -187,6 +192,7 @@ case class RepetitionExpr(text: Expression) extends QuantKernelExpression {
     StructField("dup_word_frac", DoubleType, nullable = false),
     StructField("top_bigram_frac", DoubleType, nullable = false)))
   override def prettyName: String = "repetition_metrics"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def compute(rv: Array[Any]): Any = {
     val (n, dup, top) =
       TextOps.repetitionKernel(rv(0).asInstanceOf[UTF8String].toString)

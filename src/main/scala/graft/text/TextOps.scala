@@ -23,6 +23,14 @@ object TextOps {
   def tokenize(t: String): Array[String] =
     if (t == null) Array.empty else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
+  /** The winnow/CDC text normalization (lowercase, collapse whitespace) —
+    * ONE copy shared by [[winnow]], [[cdcChunks]] and the fused
+    * [[TextExpr.cdcChunksCol]] kernel; the q29/q63 oracles replay it, so
+    * the three call sites must never drift.
+    */
+  private[text] def normalizeWs(t: String): String =
+    t.toLowerCase.replaceAll("\\s+", " ")
+
   /** [[tokenize]] as a codegen'd Column (array of non-empty tokens);
     * null text stays null — matching the SQL oracle's NULL propagation.
     */
@@ -63,7 +71,7 @@ object TextOps {
     * Shared fingerprints across documents ⇒ shared content.
     */
   def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val s = normalizeWs(text)
     if (s.length < k) return if (s.isEmpty) Array.empty else Array(splitmix64(s.hashCode.toLong))
     val n = s.length - k + 1
     val hs = new Array[Long](n)
@@ -105,7 +113,7 @@ object TextOps {
     *         exactly, in order
     */
   def cdcChunks(text: String, k: Int = 8, mask: Long = 63L): Seq[(Int, Int)] =
-    cdcBoundaries(text.toLowerCase.replaceAll("\\s+", " "), k, mask)
+    cdcBoundaries(normalizeWs(text), k, mask)
 
   /** [[cdcChunks]] over ALREADY-normalized text — the form the distributed
     * table uses so normalization happens once per document, not twice.

@@ -411,7 +411,8 @@ class TextOpsSpec extends AnyFunSuite {
       val (rn, rd, rt) = TextOps.repetitionKernel(t)
       assert((n, dup, top) === ((rn, rd, rt)), s"doc $id metrics")
     }
-    // null text quarantines to null (the UDF form returned "und" / threw)
+    // null text quarantines to null — a deliberate change from the UDF
+    // forms, which treated null as empty text ("und" / zero metrics)
     val nulls = Seq((9L, null: String)).toDF("doc_id", "text")
     val r = TextOps.withLang(spark, TextOps.withRepetition(spark, nulls))
       .select("predicted_lang", "n_tokens", "keep").head()
@@ -461,7 +462,8 @@ class TextOpsSpec extends AnyFunSuite {
       val ref = (0 to w.length - 3).map(j => w.slice(j, j + 3).mkString(" "))
       assert(gGot(i.toLong) === ref, s"doc $i grams")
     }
-    // null text quarantines across all three (the flatMap forms threw)
+    // null text quarantines across all three (the winnow/cdc flatMaps
+    // threw on null; tok_ngrams' flatMap emitted nothing — same result)
     val nn = Seq((9L, null: String)).toDF("doc_id", "text")
     assert(nn.select(explode(graft.text.TextExpr.winnowCol(spark, col("text"))))
       .count() === 0)

@@ -231,6 +231,23 @@ class QuantExprSpec extends AnyFunSuite {
     assert(got === Set(102L), s"corrupt row must never rank: $got")
   }
 
+  test("array<double> vectors implicit-cast into the kernels (UDF-era analyzer behavior)") {
+    // the retired ScalaUDFs declared Seq[Float] so the analyzer cast
+    // array<double> embeddings before the kernel; without inputTypes the
+    // expressions would read double-backed ArrayData via getFloat and
+    // produce GARBAGE silently — this pin keeps the coercion in place
+    val dbl = spark.sql(
+      "SELECT array(cast(0.5 as double), cast(0.25 as double)) AS embedding")
+    val c2 = Array((0, Array(0.0, 0.0)), (7, Array(1.0, 1.0)))
+    val r = dbl.select(
+      QuantExpr.nearestCid(spark, col("embedding"), c2).as("cid"),
+      QuantExpr.signSig(spark, col("embedding"), 16).as("sig")).head()
+    assert(r.getInt(0) === 0, "nearest to the origin centroid")
+    assert(r.getInt(1) ===
+      graft.sim.Similarity.signature(Array(0.5f, 0.25f), 16),
+      "signature must equal the float-kernel value after coercion")
+  }
+
   test("ANN plans stay free of UDFs AND interpreted HOF lambdas") {
     val sf = "/root/testdata/sf0.001"
     // q30 joins the strict list with the fused sign_sig kernel + static
