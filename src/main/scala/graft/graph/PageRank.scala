@@ -92,9 +92,14 @@ object Hits {
   def hubsAuthorities(spark: SparkSession, edges: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters")
-    val e = edges.select(col("src"), col("dst"))
+    // unlike PageRank's single lazy plan, every half-step here is an
+    // eager checkpoint job — without the persists each of the 2·iters
+    // jobs re-reads the edge source AND re-runs the node union+distinct
+    // shuffle (measured ~3x on the q102 fixture)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
     val nodes = e.select(col("src").as("doc_id"))
-      .union(e.select(col("dst").as("doc_id"))).distinct()
+      .union(e.select(col("dst").as("doc_id"))).distinct().persist(lvl)
     var auth = nodes.withColumn("a", lit(scale))
     var hub: DataFrame = null // assigned on round 1 (auth alone seeds HITS)
     def normalized(raw0: DataFrame, outCol: String): DataFrame = {
@@ -115,6 +120,11 @@ object Hits {
         e.join(hub.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id")).agg(sum("h").as("v")), "a")
     }
-    hub.join(auth, Seq("doc_id"))
+    // materialize (node-sized, the house policy for iterative results —
+    // see connectedComponents) so the cached inputs can be released
+    val out = hub.join(auth, Seq("doc_id")).localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 }
