@@ -104,11 +104,23 @@ object SnapshotTable {
     * is opened.
     */
   private def nextVersion(dir: String): Long =
-    Files.list(metaDir(dir)).iterator().asScala
+    listVersions(dir).foldLeft(0L)(math.max) + 1L
+
+  /** Version numbers of every retained manifest. One copy of the name
+    * listing (previously triplicated across nextVersion/orphanFiles/
+    * expire), and the directory stream is CLOSED — `Files.list` holds an
+    * open fd until closed, and a long-lived driver committing in a loop
+    * leaked one per commit.
+    */
+  private def listVersions(dir: String): Seq[Long] = {
+    val st = Files.list(metaDir(dir))
+    try st.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .foldLeft(0L)(math.max) + 1L
+      .toSeq
+    finally st.close()
+  }
 
   def manifest(dir: String, v: Long): Manifest = {
     val json = Files.readString(manifestPath(dir, v))
@@ -571,6 +583,13 @@ object SnapshotTable {
     var v = currentVersion(dir)
     require(v > 0, s"no committed snapshot at $dir")
     while (v > 0) {
+      // an expired ancestor ends the walk loudly: nothing retained on the
+      // lineage is at-or-before ts (the raw walk crashed with
+      // NoSuchFileException when expire() had dropped the parent)
+      if (!Files.exists(manifestPath(dir, v)))
+        throw new IllegalArgumentException(
+          s"no RETAINED snapshot at $dir committed at or before " +
+            s"ts=$tsMillis (lineage crosses expired v$v)")
       val m = manifest(dir, v)
       if (m.tsMillis <= tsMillis) return v
       v = m.parent
@@ -607,11 +626,7 @@ object SnapshotTable {
   def orphanFiles(dir: String, graceMs: Long = 3600000L): Seq[Path] = {
     val dataDir = Paths.get(dir, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val versions = Files.list(metaDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq
+    val versions = listVersions(dir)
     val referenced = versions.flatMap(v => manifest(dir, v).files.map(f =>
       Paths.get(f.path.stripPrefix("file:")).toAbsolutePath.normalize)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -642,11 +657,7 @@ object SnapshotTable {
   def expire(dir: String, keepFromVersion: Long): Int = {
     val cur = currentVersion(dir)
     require(keepFromVersion <= cur, s"cannot expire past current v$cur")
-    val all = Files.list(metaDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    val all = listVersions(dir).sorted
     val (drop, keep) = all.partition(_ < keepFromVersion)
     val referenced = keep.flatMap(v => manifest(dir, v).files.map(_.path)).toSet
     var deleted = 0

@@ -276,6 +276,10 @@ object QuantKernel {
         if (d < bestD || (d == bestD && ci < best)) { best = ci; bestD = d }
         p += 1
       }
+      // best = -1 ⇔ every distance in this subspace was NaN (corrupt
+      // vector): quarantine to null — a -1 code would index lut[-1] at
+      // ADC time (crash or garbage ranking)
+      if (best == -1) return null
       codes(j) = best
       j += 1
     }
@@ -450,9 +454,14 @@ case class NearestCid(vec: Expression, cidsL: Expression, cvsL: Expression)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
   @transient private lazy val cids = QuantExpr.decodeInts(cidsL)
   @transient private lazy val cvs = QuantExpr.decodeVecs(cvsL)
-  override def compute(rv: Array[Any]): Any =
-    Integer.valueOf(QuantKernel.nearestCid(cids, cvs,
-      rv(0).asInstanceOf[ArrayData]))
+  override def compute(rv: Array[Any]): Any = {
+    val best = QuantKernel.nearestCid(cids, cvs, rv(0).asInstanceOf[ArrayData])
+    // -1 = no centroid ever compared less — an all-NaN vector (every
+    // distance NaN). Quarantine to null like the other corruption modes;
+    // the raw -1 crashed residual_f32's unknown-cid require and aborted
+    // the whole IVFADC job on one corrupt row.
+    if (best == -1) null else Integer.valueOf(best)
+  }
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2))
 }

@@ -188,13 +188,16 @@ object Similarity {
   private def sampleCorpus(c: DataFrame, n: Int, idCol: String,
       embCol: String): Array[Array[Float]] = {
     import c.sparkSession.implicits._
-    // corrupt rows (null embedding) never train the quantizer — the same
-    // quarantine contract as the scoring kernels; a no-op on clean data,
-    // so oracle-replayed training is unaffected
+    // corrupt rows (null embedding; NaN elements, dropped driver-side on
+    // the bounded sample) never train the quantizer — the same quarantine
+    // contract as the scoring kernels; a no-op on clean data, so
+    // oracle-replayed training is unaffected. A NaN seed would poison a
+    // centroid, and every distance to it is NaN forever after.
     c.filter(col(embCol).isNotNull)
       .withColumn("h", graft.functions.GraftFunctions.splitmixCol(c.sparkSession, col(idCol)))
       .orderBy(col("h"), col(idCol)).limit(n)
       .select(col(embCol)).as[Seq[Float]].collect().map(_.toArray)
+      .filter(v => !v.exists(_.isNaN))
   }
 
   /** Driver-side Lloyd's k-means over an already-collected sample. A coarse
@@ -241,7 +244,11 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val cents = centroids
+      // null cid = corrupt embedding (null vector/element, NaN) — the
+      // quarantine filter sampleCorpus applies on the default training
+      // path; without it the non-nullable Int encoder aborts the job
       val assigned = c.withColumn("cid", nearestCidCol(spark, col("ce"), cents))
+        .filter(col("cid").isNotNull)
         .select(col("cid"), col("ce")).as[(Int, Seq[Float])]
       centroids = assigned.groupByKey(_._1).agg(mean).collect()
         .map { case (cid, m) => (cid, m.toArray) }
@@ -494,7 +501,10 @@ object Similarity {
     // (partition count probed on the pre-UDF projection — same partitioning
     // as the assigned frame, but the trivial plan compiles in ~0 instead of
     // re-compiling the UDF plan once for the probe and once for the write)
+    // null cid = corrupt embedding — quarantined, or it would land in a
+    // __HIVE_DEFAULT_PARTITION__ list no probe ever reads
     val assigned0 = c.withColumn("cid", nearest(col("embedding")))
+      .filter(col("cid").isNotNull)
     val assigned =
       if (c.rdd.getNumPartitions > nlist) assigned0.repartition(col("cid"))
       else assigned0
@@ -550,6 +560,9 @@ object Similarity {
     val cents = readIvfCentroids(spark, dir)
     val up = upserts.select(col(cId).cast("long").as("vec_id"), col("embedding"))
       .withColumn("cid", nearestCidCol(spark, col("embedding"), cents))
+      // null cid = corrupt upsert embedding — quarantined: it neither
+      // lands in the layout nor NPEs the metadata collects below
+      .filter(col("cid").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val victims = deleteIds.select(col(cId).cast("long").as("vec_id"))
       .unionByName(up.select(col("vec_id"))).distinct()

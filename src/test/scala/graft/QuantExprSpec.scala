@@ -231,6 +231,34 @@ class QuantExprSpec extends AnyFunSuite {
     assert(got === Set(102L), s"corrupt row must never rank: $got")
   }
 
+  test("all-NaN vectors quarantine to null instead of crashing the ADC path") {
+    // every distance to an all-NaN vector is NaN, so the argmin never
+    // fires: the raw -1 cid crashed residual_f32's unknown-cid require
+    // (one corrupt row aborted the whole q66-style job) and a -1 PQ code
+    // would index lut[-1]
+    val nan = spark.sql(
+      "SELECT array(cast('NaN' as float), cast('NaN' as float)) AS embedding")
+    val c2 = Array((0, Array(0.0, 0.0)), (1, Array(1.0, 1.0)))
+    val cb2 = Array.fill(2)(Array((0, Array(0.0)), (1, Array(1.0))))
+    val r = nan.select(
+      QuantExpr.nearestCid(spark, col("embedding"), c2).as("cid"),
+      QuantExpr.pqCodes(spark, col("embedding"), cb2).as("codes")).head()
+    assert(r.isNullAt(0), "all-NaN vector must not assign a coarse cid")
+    assert(r.isNullAt(1), "all-NaN vector must not PQ-encode")
+    // end-to-end: a NaN corpus row never ranks and never aborts
+    val corpus = spark.sql(
+      """SELECT * FROM VALUES
+        |  (cast(100 as bigint), array(cast(0.1 as float), cast(0.2 as float))),
+        |  (cast(101 as bigint), array(cast('NaN' as float), cast('NaN' as float))),
+        |  (cast(102 as bigint), array(cast(0.9 as float), cast(0.8 as float)))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val q = corpus.filter(col("vec_id") === 100L)
+    val got = graft.sim.Similarity.ivfpqTopK(spark, q, corpus, k = 2,
+        nlist = 2, m = 1, ksub = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(101L), s"NaN row must never rank: $got")
+  }
+
   test("array<double> vectors implicit-cast into the kernels (UDF-era analyzer behavior)") {
     // the retired ScalaUDFs declared Seq[Float] so the analyzer cast
     // array<double> embeddings before the kernel; without inputTypes the

@@ -115,11 +115,17 @@ class SnapshotTableSpec extends AnyFunSuite {
     SnapshotTable.create(spark, rows(0, 100, "a"), dir, B, bucketOf)
     val upd = Seq((3L, "U3"), (100L, "N100")).toDF("k", "v")
     SnapshotTable.merge(spark, upd, dir, "k", bucketOf)
+    val t1 = SnapshotTable.manifest(dir, 1L).tsMillis
     val deleted = SnapshotTable.expire(dir, keepFromVersion = 2L)
     // v1's rewritten-bucket files are gone, carried-forward files survive
     assert(deleted > 0)
     assert(SnapshotTable.read(spark, dir, verify = true).count() === 101)
     intercept[Exception](SnapshotTable.manifest(dir, 1L))
+    // timestamp travel across the expired ancestor fails LOUDLY with the
+    // designed error, not a raw NoSuchFileException from the parent walk
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.versionAsOf(dir, t1))
+    assert(e.getMessage.contains("expired"), e.getMessage)
   }
 
   test("reads are manifest-driven: unreferenced files are invisible") {
