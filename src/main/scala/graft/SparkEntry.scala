@@ -1270,6 +1270,43 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // multimodal dedup agreement — the LAION-style cross-modal gate: a
+    // pair is a duplicate only when BOTH the image side (pHash Hamming ≤ 3
+    // via the shared banding engine) and the caption side (MinHash LSH +
+    // exact-Jaccard verify) agree. Four planted tiers prove the AND gate:
+    // a both-modality near-dup tier survives; an image-only tier (fp
+    // nudged, novel caption) and a caption-only tier (caption reworded,
+    // fresh fp) are each rejected by the other modality. Both legs reuse
+    // pinned pipelines (q91's hamming banding, q23's minhash chain); the
+    // agreement is ONE equi-join on the canonical (id_a, id_b) pair key.
+    "q137_multimodal_agreement" -> ((s, dir) => {
+      def mix(c: org.apache.spark.sql.Column) = graft.functions.GraftFunctions.splitmixCol(s, c)
+      val docs0 = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val base = docs0.select(col("doc_id").as("id"),
+        mix(col("doc_id")).as("fp"), col("text").as("caption"))
+      val both = docs0.select((col("doc_id") + 100000L).as("id"),
+        mix(col("doc_id")).bitwiseXOR(
+          expr("shiftleft(1L, cast(doc_id % 60 as int))")).as("fp"),
+        concat(col("text"), lit(" perturbed")).as("caption"))
+      val imgOnly = docs0.select((col("doc_id") + 200000L).as("id"),
+        mix(col("doc_id")).bitwiseXOR(
+          expr("shiftleft(1L, cast((doc_id + 1) % 60 as int))")).as("fp"),
+        concat(lit("qq"), col("doc_id"), lit(" ww"), col("doc_id"),
+          lit(" ee"), col("doc_id"), lit(" rr"), col("doc_id"),
+          lit(" tt"), col("doc_id")).as("caption"))
+      val capOnly = docs0.select((col("doc_id") + 300000L).as("id"),
+        mix(col("doc_id") + 999983L).as("fp"),
+        concat(col("text"), lit(" reworded")).as("caption"))
+      val items = base.unionByName(both).unionByName(imgOnly).unionByName(capOnly)
+      val imgPairs = graft.dedup.Dedup.hammingPairs(s,
+        items.select(col("id"), col("fp")), maxHamming = 3)
+      val capPairs = graft.dedup.Dedup.minhashPairs(s, items,
+        threshold = 0.5, idCol = "id", textCol = "caption")
+      imgPairs.join(capPairs, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -2561,6 +2598,65 @@ object SparkEntry {
     * bucketing, capped pair generation (star hub over the cap), Hamming
     * verify. Same validity domain as minhashOracleSql.
     */
+  /** q137's oracle: both legs are the already-pinned replicas composed —
+    * the caption leg is the q23 minhash chain over the four caption
+    * tiers; the image leg is q91's all-pairs `bit_count` form of the
+    * banded Hamming pipeline (result-identical: 4×16-bit banding has
+    * total recall at Hamming ≤ 3 and no bucket cap triggers at this
+    * corpus size) over the same splitmix fp construction the Spark side
+    * builds; agreement is the inner join on the canonical pair key.
+    */
+  private def multimodalOracleSql: String = {
+    s"""WITH RECURSIVE ${minhashChainCtes(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 200000,
+        |    'qq' || doc_id || ' ww' || doc_id || ' ee' || doc_id || ' rr' || doc_id || ' tt' || doc_id
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 300000, text || ' reworded' FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
+       |buckets AS (
+       |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
+       |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
+       |pairs0 AS (
+       |  SELECT DISTINCT pr.id_a, pr.id_b FROM buckets,
+       |  UNNEST(CASE WHEN len(ids) <= 64 THEN
+       |    flatten(list_transform(range(len(ids)), i ->
+       |      list_transform(range(i+1, len(ids)), j ->
+       |        {'id_a': ids[CAST(i+1 AS INT)], 'id_b': ids[CAST(j+1 AS INT)]})))
+       |  ELSE list_transform(range(1, len(ids)), j ->
+       |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
+       |  END) AS t(pr)),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b),
+       |seeds AS (
+       |  SELECT doc_id AS i, CAST(doc_id AS HUGEINT) AS seed
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 300000, CAST(doc_id + 999983 AS HUGEINT)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |${splitmixChain("sp", Seq("i"), "seeds", "seed")},
+       |mixed AS (SELECT i, ${toSigned("z")} AS fp FROM sp3),
+       |fps AS (
+       |  SELECT i AS id, fp FROM mixed WHERE i < 300000
+       |  UNION ALL SELECT i + 100000,
+       |    xor(fp, CAST(1 AS BIGINT) << CAST(i % 60 AS INT))
+       |  FROM mixed WHERE i < 300000
+       |  UNION ALL SELECT i + 200000,
+       |    xor(fp, CAST(1 AS BIGINT) << CAST((i + 1) % 60 AS INT))
+       |  FROM mixed WHERE i < 300000
+       |  UNION ALL SELECT i AS id, fp FROM mixed WHERE i >= 300000),
+       |img_pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |  FROM fps a JOIN fps b ON a.id < b.id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       |SELECT e.id_a, e.id_b, e.hamming, v.jaccard
+       |FROM img_pairs e JOIN verified v ON v.id_a = e.id_a AND v.id_b = e.id_b
+       |WHERE v.jaccard >= 0.5""".stripMargin
+  }
+
   private def simhashOracleSql: String = {
     s"""WITH RECURSIVE pows(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
@@ -3389,6 +3485,9 @@ object SparkEntry {
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket
     // caps trigger at 240 fps, so the two plans are result-identical),
     // then the q53 reachability fixpoint for components
+    // q137 — both pinned replicas composed; see multimodalOracleSql
+    "q137_multimodal_agreement" -> multimodalOracleSql,
+
     "q91_image_dedup_select" ->
       s"""WITH RECURSIVE ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 200) t(i)),
          |${splitmixChain("sp", Seq("i"), "ids", "seed")},
