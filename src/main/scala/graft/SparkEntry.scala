@@ -2536,27 +2536,35 @@ object SparkEntry {
        |docsh AS (SELECT doc_id, list(z) AS sh FROM shset GROUP BY doc_id)""".stripMargin
   }
 
+  /** The LSH-bucket → capped-pair-gen → exact-Jaccard-verify tail over
+    * the minhashChainCtes outputs (cap 64, star hub above it) — ONE copy
+    * shared by the q23 and q137 oracles, factored for the same
+    * no-drift reason as minhashChainCtes itself.
+    */
+  private def minhashVerifyCtes: String =
+    """buckets AS (
+      |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
+      |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
+      |pairs0 AS (
+      |  SELECT DISTINCT pr.id_a, pr.id_b FROM buckets,
+      |  UNNEST(CASE WHEN len(ids) <= 64 THEN
+      |    flatten(list_transform(range(len(ids)), i ->
+      |      list_transform(range(i+1, len(ids)), j ->
+      |        {'id_a': ids[CAST(i+1 AS INT)], 'id_b': ids[CAST(j+1 AS INT)]})))
+      |  ELSE list_transform(range(1, len(ids)), j ->
+      |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
+      |  END) AS t(pr)),
+      |verified AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b)""".stripMargin
+
   private def minhashOracleSql: String = {
     s"""WITH RECURSIVE ${minhashChainCtes(
       """SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
-       |buckets AS (
-       |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
-       |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
-       |pairs0 AS (
-       |  SELECT DISTINCT pr.id_a, pr.id_b FROM buckets,
-       |  UNNEST(CASE WHEN len(ids) <= 64 THEN
-       |    flatten(list_transform(range(len(ids)), i ->
-       |      list_transform(range(i+1, len(ids)), j ->
-       |        {'id_a': ids[CAST(i+1 AS INT)], 'id_b': ids[CAST(j+1 AS INT)]})))
-       |  ELSE list_transform(range(1, len(ids)), j ->
-       |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
-       |  END) AS t(pr)),
-       |verified AS (
-       |  SELECT p.id_a, p.id_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b)
+       |${minhashVerifyCtes}
        |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
   }
 
@@ -2592,12 +2600,6 @@ object SparkEntry {
        |SELECT new_id, existing_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
   }
 
-  /** DuckDB replica of the SimHash pipeline (Dedup.simhashPairs,
-    * maxHamming=3, 4×16-bit bands, maxBucket=64): per-word char-polynomial
-    * hashes splitmix-mixed, ±1 bit votes, fingerprint assembly, band
-    * bucketing, capped pair generation (star hub over the cap), Hamming
-    * verify. Same validity domain as minhashOracleSql.
-    */
   /** q137's oracle: both legs are the already-pinned replicas composed —
     * the caption leg is the q23 minhash chain over the four caption
     * tiers; the image leg is q91's all-pairs `bit_count` form of the
@@ -2614,23 +2616,7 @@ object SparkEntry {
         |    'qq' || doc_id || ' ww' || doc_id || ' ee' || doc_id || ' rr' || doc_id || ' tt' || doc_id
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL SELECT doc_id + 300000, text || ' reworded' FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
-       |buckets AS (
-       |  SELECT band, z AS bkey, list_sort(list(doc_id)) AS ids
-       |  FROM c3 GROUP BY band, z HAVING count(*) >= 2),
-       |pairs0 AS (
-       |  SELECT DISTINCT pr.id_a, pr.id_b FROM buckets,
-       |  UNNEST(CASE WHEN len(ids) <= 64 THEN
-       |    flatten(list_transform(range(len(ids)), i ->
-       |      list_transform(range(i+1, len(ids)), j ->
-       |        {'id_a': ids[CAST(i+1 AS INT)], 'id_b': ids[CAST(j+1 AS INT)]})))
-       |  ELSE list_transform(range(1, len(ids)), j ->
-       |    {'id_a': ids[1], 'id_b': ids[CAST(j+1 AS INT)]})
-       |  END) AS t(pr)),
-       |verified AS (
-       |  SELECT p.id_a, p.id_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |  FROM pairs0 p JOIN docsh a ON a.doc_id = p.id_a JOIN docsh b ON b.doc_id = p.id_b),
+       |${minhashVerifyCtes},
        |seeds AS (
        |  SELECT doc_id AS i, CAST(doc_id AS HUGEINT) AS seed
        |  FROM documents WHERE doc_id % 10 = 0
@@ -2657,6 +2643,12 @@ object SparkEntry {
        |WHERE v.jaccard >= 0.5""".stripMargin
   }
 
+  /** DuckDB replica of the SimHash pipeline (Dedup.simhashPairs,
+    * maxHamming=3, 4×16-bit bands, maxBucket=64): per-word char-polynomial
+    * hashes splitmix-mixed, ±1 bit votes, fingerprint assembly, band
+    * bucketing, capped pair generation (star hub over the cap), Hamming
+    * verify. Same validity domain as minhashOracleSql.
+    */
   private def simhashOracleSql: String = {
     s"""WITH RECURSIVE pows(e, v) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL
@@ -3481,13 +3473,13 @@ object SparkEntry {
          |UNION ALL SELECT 'incr_v1_v2', n + (SELECT CAST(count(*) AS BIGINT) FROM upd)
          |FROM incr""".stripMargin,
 
+    // q137 — both pinned replicas composed; see multimodalOracleSql
+    "q137_multimodal_agreement" -> multimodalOracleSql,
+
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket
     // caps trigger at 240 fps, so the two plans are result-identical),
     // then the q53 reachability fixpoint for components
-    // q137 — both pinned replicas composed; see multimodalOracleSql
-    "q137_multimodal_agreement" -> multimodalOracleSql,
-
     "q91_image_dedup_select" ->
       s"""WITH RECURSIVE ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 200) t(i)),
          |${splitmixChain("sp", Seq("i"), "ids", "seed")},

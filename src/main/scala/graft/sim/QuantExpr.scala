@@ -202,11 +202,15 @@ object QuantKernel {
     best
   }
 
-  /** Probe list: (distance, cid) pairs sorted ascending, first nprobe. */
+  /** Probe list: (distance, cid) pairs sorted ascending, first nprobe.
+    * An all-NaN distance profile (a NaN query vector) quarantines to
+    * null — the sort would otherwise return an arbitrary probe list and
+    * the corrupt query would receive k arbitrary "neighbors". */
   def probes(cids: Array[Int], cvs: Array[Array[Double]], v: ArrayData,
       nprobe: Int): GenericArrayData = {
     val n = v.numElements()
     val ds = new Array[Double](cids.length)
+    var anyFinite = false
     var p = 0
     while (p < cids.length) {
       val cv = cvs(p)
@@ -217,9 +221,11 @@ object QuantKernel {
         d += t * t
         i += 1
       }
+      if (!java.lang.Double.isNaN(d)) anyFinite = true
       ds(p) = d
       p += 1
     }
+    if (cids.length > 0 && !anyFinite) return null
     val order = Array.range(0, cids.length)
       .sortBy(p => (ds(p), cids(p)))
     new GenericArrayData(

@@ -45,6 +45,9 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFast(corpus.sparkSession, col("qe"), col("ce")))
+      // NaN cosine (a NaN embedding on either side) sorts FIRST under
+      // desc — quarantine it like null, or the corrupt row ranks top-1
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -105,6 +108,7 @@ object Similarity {
     qb.join(cb, Seq("bi", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
+      .filter(!isnan(col("cosine"))) // NaN sorts first under desc — quarantine
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -188,16 +192,21 @@ object Similarity {
   private def sampleCorpus(c: DataFrame, n: Int, idCol: String,
       embCol: String): Array[Array[Float]] = {
     import c.sparkSession.implicits._
-    // corrupt rows (null embedding; NaN elements, dropped driver-side on
-    // the bounded sample) never train the quantizer — the same quarantine
+    // corrupt rows never train the quantizer — the same quarantine
     // contract as the scoring kernels; a no-op on clean data, so
-    // oracle-replayed training is unaffected. A NaN seed would poison a
-    // centroid, and every distance to it is NaN forever after.
+    // oracle-replayed training is unaffected. The probe is the vector's
+    // SELF-cosine through the fused codegen'd kernel: null vector/element
+    // → null, any NaN (or an empty vector) → NaN — one pass, no
+    // interpreted HOF, and it runs BEFORE the limit so corrupt rows are
+    // replaced by clean ones instead of shrinking the sample (a
+    // driver-side filter after limit(n) also crashed the collect on a
+    // null ELEMENT, and a NaN seed poisons a centroid forever).
     c.filter(col(embCol).isNotNull)
+      .withColumn("__self", cosineFast(c.sparkSession, col(embCol), col(embCol)))
+      .filter(col("__self").isNotNull && !isnan(col("__self")))
       .withColumn("h", graft.functions.GraftFunctions.splitmixCol(c.sparkSession, col(idCol)))
       .orderBy(col("h"), col(idCol)).limit(n)
       .select(col(embCol)).as[Seq[Float]].collect().map(_.toArray)
-      .filter(v => !v.exists(_.isNaN))
   }
 
   /** Driver-side Lloyd's k-means over an already-collected sample. A coarse
@@ -300,6 +309,7 @@ object Similarity {
     cc.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
+      .filter(!isnan(col("cosine"))) // NaN sorts first under desc — quarantine
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -356,7 +366,7 @@ object Similarity {
       // or wrong dim — the kernels' null contract); ASC ranking is NULLS
       // FIRST, so without this filter one corrupt corpus row would surface
       // as every query's top-1. Corrupt rows never rank.
-      .filter(col("adist").isNotNull)
+      .filter(col("adist").isNotNull && !isnan(col("adist")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -466,7 +476,7 @@ object Similarity {
       // or wrong dim — the kernels' null contract); ASC ranking is NULLS
       // FIRST, so without this filter one corrupt corpus row would surface
       // as every query's top-1. Corrupt rows never rank.
-      .filter(col("adist").isNotNull)
+      .filter(col("adist").isNotNull && !isnan(col("adist")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -626,6 +636,7 @@ object Similarity {
     val out = corpus.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFast(spark, col("qe"), col("ce")))
+      .filter(!isnan(col("cosine"))) // NaN sorts first under desc — quarantine
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -719,7 +730,7 @@ object Similarity {
       // or wrong dim — the kernels' null contract); ASC ranking is NULLS
       // FIRST, so without this filter one corrupt corpus row would surface
       // as every query's top-1. Corrupt rows never rank.
-      .filter(col("adist").isNotNull)
+      .filter(col("adist").isNotNull && !isnan(col("adist")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))

@@ -257,6 +257,16 @@ class QuantExprSpec extends AnyFunSuite {
         nlist = 2, m = 1, ksub = 2)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!got.contains(101L), s"NaN row must never rank: $got")
+    // query-side: an all-NaN query selects no probes (an arbitrary probe
+    // list would hand the corrupt query k arbitrary "neighbors")
+    val p = nan.select(
+      QuantExpr.probes(spark, col("embedding"), c2, 1).as("p")).head()
+    assert(p.isNullAt(0), "NaN query must not select probes")
+    // cosine ranking: NaN sorts FIRST under desc — the corrupt corpus row
+    // must be filtered, not surfaced as every query's top-1
+    val brute = graft.sim.Similarity.bruteForceTopK(q, corpus, k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!brute.contains(101L), s"NaN row must never cosine-rank: $brute")
   }
 
   test("array<double> vectors implicit-cast into the kernels (UDF-era analyzer behavior)") {
