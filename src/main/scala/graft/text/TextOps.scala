@@ -150,6 +150,12 @@ object TextOps {
     * scale: the chunker is a narrow flatMap, the md5 is codegen'd, and
     * the ONLY exchange is the sharing window hashed on chunk_md5
     * (content-uniform keys — no skew by construction).
+    *
+    * Unicode caveat: chunk spans are UTF-16 CODE-UNIT offsets (the gram
+    * hash walks code units), so a boundary can split a surrogate pair;
+    * the resulting lone surrogate is replaced when the chunk string is
+    * stored as UTF-8. The replacement is deterministic, so chunk_md5
+    * identity — the only thing dedup consumes — is unaffected.
     */
   def cdcChunkTable(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
