@@ -61,10 +61,29 @@ object TextOps {
     if (cjk * 5 > text.length) return "zh"
     val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
-    val scores = Profiles.view.mapValues(p => toks.count(p.contains)).toMap
-    val (best, hits) = scores.toSeq.sortBy { case (l, h) => (-h, l) }.head
-    if (hits == 0) "und" else best
+    // plain loop over the code-sorted profiles: strictly-greater keeps
+    // the FIRST language at the max hit count, which is exactly the old
+    // sortBy((-hits, lang)).head rule (max hits, tie → smallest code) —
+    // minus the per-document Map/sort/tuple allocations that mattered
+    // once this kernel moved inside whole-stage codegen
+    var best: String = null
+    var bestHits = -1
+    var li = 0
+    while (li < ProfileArr.length) {
+      val (lang, words) = ProfileArr(li)
+      var hits = 0
+      var ti = 0
+      while (ti < toks.length) { if (words.contains(toks(ti))) hits += 1; ti += 1 }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+      li += 1
+    }
+    if (bestHits == 0) "und" else best
   }
+
+  /** [[Profiles]] in ascending language-code order — the tie order the
+    * q26 oracle replays. */
+  private val ProfileArr: Array[(String, Set[String])] =
+    Profiles.toArray.sortBy(_._1)
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
     * rolling hashes, minimum per sliding window w, rightmost-min rule.
