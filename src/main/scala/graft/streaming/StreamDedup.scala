@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.dedup.Dedup
 
 /** Streaming near-duplicate candidate detection — the streaming face of
   * `Dedup.minhashPairs`' bucket stage (driver prompt: dedup is a first-class
@@ -53,11 +53,15 @@ object StreamDedup {
       k: Int = 64, bands: Int = 16, maxBucket: Int = 64,
       stateTtlMinutes: Int = 0): Dataset[CandPair] = {
     import spark.implicits._
-    val rows = k / bands
-    val banded: Dataset[(Int, Long, Long)] = docs.flatMap { d =>
-      val sig = Dedup.minhashSig(Dedup.shingles(d.text), k)
-      (0 until bands).iterator.map(b => (b, Dedup.bandKey(sig, b, rows), d.doc_id))
-    }
+    // same fused banding kernel as the batch pipelines (DedupExpr) — the
+    // batch and streaming paths can never hash differently, and the
+    // per-batch corpus side pays no encoder round trip. Stateless
+    // projection, so it plans cleanly upstream of the stateful operator.
+    val banded: Dataset[(Int, Long, Long)] = docs.toDF()
+      .select(col("doc_id"), explode(graft.dedup.DedupExpr.minhashBandsCol(
+        spark, col("text"), k, bands)).as("bb"))
+      .select(col("bb.band"), col("bb.bkey"), col("doc_id"))
+      .as[(Int, Long, Long)]
     val timeout =
       if (stateTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -95,11 +99,12 @@ object StreamDedup {
       k: Int = 64, bands: Int = 16, maxBucket: Int = 64,
       ttlMinutes: Int = 60, watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
     import spark.implicits._
-    val rows = k / bands
-    val banded = docs.flatMap { d =>
-      val sig = Dedup.minhashSig(Dedup.shingles(d.text), k)
-      (0 until bands).iterator.map(b => (b, Dedup.bandKey(sig, b, rows), d.doc_id, d.ts))
-    }.toDF("band", "bkey", "doc_id", "ts")
+    // fused banding, as in [[candidates]]; ts rides along for the watermark
+    val banded = docs.toDF()
+      .select(col("doc_id"), col("ts"), explode(graft.dedup.DedupExpr.minhashBandsCol(
+        spark, col("text"), k, bands)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("ts"))
       // the watermark rides on the banded rows (same event time, band
       // fan-out doesn't change it) — EventTimeTimeout requires it upstream
       // of the stateful operator
