@@ -1307,6 +1307,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
     }),
 
+    // bigram LM surprisal quality filter (CCNet-style perplexity gate) in
+    // the exact-integer discipline: per bigram instance
+    // floor(log2((c(a)+V)/(c(a,b)+1))) bits via binary length — no float
+    // log in either engine, so the DuckDB replay is bit-identical. Corpus
+    // pays ONE exchange (the stream-vs-model (a,b) join); the model is
+    // bigram-vocab-sized, its marginal a model-to-model join; V broadcast.
+    // The keep bar sits at the synthetic corpus's median milli-bits so the
+    // threshold comparison is exercised both ways (a real deployment tunes
+    // it on held-out text, CCNet-style).
+    "q138_lm_surprisal" -> ((s, dir) =>
+      graft.text.TextOps.lmSurprisal(s, table(s, dir, "documents"), keepMbits = 4315)),
+
+    // COCO-style column-major RLE mask stats: decode the REAL binary
+    // column through graft's own codecs, BT.601 integer grayscale,
+    // threshold >= 128, runs over the flat column-major walk (ord = x*h+y,
+    // runs continue across column seams — the COCO flattening). Narrow
+    // mapPartitions, no shuffle; oracled bit-exactly from the synthetic
+    // pixel formula with a window-lag run decomposition.
+    "q139_rle_mask" -> ((s, dir) =>
+      graft.img.ImageOps.rleMaskStats(s,
+        graft.img.ImageTable.generate(s, 300, 16).toDF())),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -3475,6 +3497,65 @@ object SparkEntry {
 
     // q137 — both pinned replicas composed; see multimodalOracleSql
     "q137_multimodal_agreement" -> multimodalOracleSql,
+
+    // q138 — the whole LM replayed relationally: shared tokenization, the
+    // q72 bigram construction, counts+marginal, and the floor-log2
+    // surprisal as binary length of the smoothed integer quotient (the
+    // quotient is >= 1 because ca + v >= cab + 1 always) — every value
+    // integer, bit-exact
+    "q138_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[CAST(i+1 AS INT)] AS a, w[CAST(i+2 AS INT)] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM toks WHERE len(w) >= 2)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        |        FROM (SELECT unnest(w) AS t FROM toks)),
+        |inst AS (
+        |  SELECT doc_id, CAST(length(bin((ca + v) // (cab + 1))) - 1 AS BIGINT) AS bits
+        |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS mbits,
+        |  (sum(bits) * 1000 // count(*)) < 4315 AS keep
+        |FROM inst GROUP BY doc_id""".stripMargin,
+
+    // q139 — dims + pixel formula from the shared splitmix CTE (the q108
+    // grayscale), mask at >= 128, runs recovered by a lag-window start
+    // marker over the column-major order key x*h + y (runs continue
+    // across column seams, matching the COCO flattening); images whose
+    // mask is empty keep (0, 0, 0) via the left join
+    "q139_rle_mask" ->
+      s"""WITH ${splitmixDimsCtes(300)},
+         |hv AS (SELECT i, w, h,
+         |    CAST(hz % 256 AS BIGINT) AS hr,
+         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
+         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
+         |  FROM (SELECT i, w, h,
+         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
+         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
+         |px AS (SELECT i, w, h, x, unnest(range(h)) AS y,
+         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
+         |  FROM t1),
+         |m AS (SELECT i, w, h, x*h + y AS ord,
+         |    CASE WHEN g >= 128 THEN 1 ELSE 0 END AS fg FROM px),
+         |st AS (SELECT i, w, h, ord, fg,
+         |    CASE WHEN fg = 1 AND coalesce(lag(fg) OVER (PARTITION BY i ORDER BY ord), 0) = 0
+         |         THEN 1 ELSE 0 END AS start FROM m),
+         |rid AS (SELECT i, fg,
+         |    sum(start) OVER (PARTITION BY i ORDER BY ord) AS run_id FROM st),
+         |per_run AS (SELECT i, run_id, count(*) AS len FROM rid WHERE fg = 1 GROUP BY 1, 2),
+         |per_img AS (SELECT i, sum(fg) AS fg, sum(start) AS n_runs FROM st GROUP BY i),
+         |longest AS (SELECT i, max(len) AS longest FROM per_run GROUP BY i)
+         |SELECT printf('img_%09d', CAST(d.i AS BIGINT)) AS image_id, d.w, d.h,
+         |  CAST(coalesce(p.fg, 0) AS BIGINT) AS fg,
+         |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+         |  CAST(coalesce(l.longest, 0) AS BIGINT) AS longest
+         |FROM dims d LEFT JOIN per_img p ON p.i = d.i LEFT JOIN longest l ON l.i = d.i""".stripMargin,
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

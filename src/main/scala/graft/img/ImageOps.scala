@@ -165,4 +165,58 @@ object ImageOps {
       }
       .toDF("image_id", "w", "h", "energy", "gmax")
   }
+
+  /** Column-major binary-mask RLE stats for one image — the COCO
+    * segmentation-mask convention (column-major run-length encoding over
+    * a 0/1 mask): grayscale by the same BT.601 integer weights as
+    * [[sobelEnergy]], threshold at ≥ 128, walk pixels x-outer/y-inner
+    * (ord = x·h + y) and count foreground pixels, foreground runs, and
+    * the longest run. Pure integer → replays bit-exactly in SQL from the
+    * synthetic pixel formula.
+    */
+  def rleMask(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    var fg = 0L
+    var runs = 0L
+    var longest = 0L
+    var cur = 0L
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val p = px(y * w + x)
+        val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+          (p & 255) * 114) / 1000
+        if (g >= 128) {
+          fg += 1
+          if (cur == 0L) runs += 1
+          cur += 1
+          if (cur > longest) longest = cur
+        } else cur = 0L
+        y += 1
+      }
+      x += 1
+    }
+    (fg, runs, longest)
+  }
+
+  /** (image_id, w, h, fg, n_runs, longest) per image: decode the binary
+    * column with graft's own codecs, then [[rleMask]]. Narrow
+    * mapPartitions over (id, bytes) — no shuffle, the per-image feature
+    * shape of this repo.
+    */
+  def rleMaskStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (fg, runs, longest) = rleMask(px, w, h)
+          (id, w, h, fg, runs, longest)
+        }
+      }
+      .toDF("image_id", "w", "h", "fg", "n_runs", "longest")
+  }
 }

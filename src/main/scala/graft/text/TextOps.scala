@@ -654,4 +654,50 @@ object TextOps {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minPair)
   }
+
+  /** Bigram language-model surprisal per document — the CCNet/Gopher-style
+    * "perplexity under a corpus LM" quality filter (Wenzek 2020 §4.3;
+    * Rae 2021 filters on it), in the engine's exact-integer discipline:
+    * the add-one-smoothed transition probability is the rational
+    * (c(a,b)+1)/(c(a)+V), and each bigram instance contributes its
+    * surprisal floored to whole bits,
+    * floor(log2((c(a)+V)/(c(a,b)+1))) = length(bin((c(a)+V) div (c(a,b)+1))) - 1
+    * — exact because c(a)+V ≥ c(a,b)+1 always (c(a) is the bigram-left
+    * marginal Σ_b c(a,b), the q72 convention, and V ≥ 1), so the quotient
+    * is ≥ 1 and its binary length is its floor-log2 plus one. No float
+    * log enters either engine and the DuckDB oracle replays the score
+    * bit-identically. A doc's score is milli-bits per bigram
+    * (sum_bits·1000 div n_bigrams ≈ 1000·log2 perplexity); `keep`
+    * thresholds it — high-surprisal docs are the gibberish/boilerplate
+    * the filter drops.
+    *
+    * Scale shape: the bigram stream is built narrow (one transform over
+    * the token array, no per-doc shuffle); the model is ONE
+    * map-side-combined groupBy over that stream (bigram-vocab-sized) and
+    * its left marginal is a groupBy over the MODEL, not the corpus; the
+    * marginal joins back model-to-model on `a` before the stream is
+    * scored, so the corpus pays exactly one exchange — the (a,b) hash
+    * join against the model, the standard shape of distributed LM
+    * scoring. V enters as a broadcast scalar. Docs with < 2 tokens have
+    * no bigrams and are not scored.
+    */
+  def lmSurprisal(spark: SparkSession, docs: DataFrame, keepMbits: Long = 9000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as(idCol),
+      tokensCol(col(textCol)).as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val model = cab.join(cab.groupBy(col("a")).agg(sum(col("cab")).as("ca")), Seq("a"))
+    val voc = toks.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(model, Seq("a", "b")).crossJoin(broadcast(voc))
+      .withColumn("bits", (length(bin(expr("(ca + v) div (cab + 1)"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mbits", expr("sum_bits * 1000 div n_bigrams"))
+      .withColumn("keep", col("mbits") < keepMbits)
+  }
 }

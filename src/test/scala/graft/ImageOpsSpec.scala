@@ -38,6 +38,35 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.resizeNearest(up, w * 2, h * 2, w, h).sameElements(px))
   }
 
+  test("rleMask: hand-computed column-major runs, cross-seam continuation") {
+    val W = 0xFFFFFF // gray 255 -> fg
+    val B = 0x000000 // gray 0 -> bg
+    // row-major w=2 h=3: column walk visits px0,px2,px4 then px1,px3,px5
+    // -> fg at ord 0,2 (two 1-runs) and ord 4,5 (one 2-run)
+    assert(ImageOps.rleMask(Array(W, B, B, W, W, W), 2, 3) == ((4L, 3L, 2L)))
+    // all-white: one run spanning every column seam
+    assert(ImageOps.rleMask(Array.fill(6)(W), 2, 3) == ((6L, 1L, 6L)))
+    // all-black: empty mask
+    assert(ImageOps.rleMask(Array.fill(6)(B), 2, 3) == ((0L, 0L, 0L)))
+    // threshold boundary: BT.601 gray of (128,128,128) is exactly 128 -> fg
+    assert(ImageOps.rleMask(Array(0x808080), 1, 1) == ((1L, 1L, 1L)))
+    assert(ImageOps.rleMask(Array(0x7F7F7F), 1, 1) == ((0L, 0L, 0L)))
+  }
+
+  test("rleMaskStats over decoded bytes equals rleMask over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.rleMaskStats(spark,
+      ImageTable.generate(spark, 6, 2).toDF()).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size == 6)
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val (fg, runs, longest) = ImageOps.rleMask(px, w, h)
+      assert(got(f"img_$i%09d") == ((w, h, fg, runs, longest)))
+    }
+  }
+
   test("crop matches manual indexing and composes with flips") {
     val (px, w, h) = img(3L)
     val c = ImageOps.crop(px, w, h, 2, 3, 5, 4)

@@ -175,6 +175,28 @@ class SketchSpec extends AnyFunSuite {
     assert(out((2L, 2)) == (("common", 1L, 3L, 333333L)))
   }
 
+  test("lmSurprisal: hand-computed add-one bigram bits, short docs unscored") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // corpus model: cab = {(a,b):3, (b,a):1, (b,c):1}; left marginal
+    // ca = {a:3, b:2}; V = 3 distinct tokens. Instance bits:
+    //   (a,b): (3+3) div (3+1) = 1 -> 0 bits
+    //   (b,a): (2+3) div (1+1) = 2 -> 1 bit
+    //   (b,c): (2+3) div (1+1) = 2 -> 1 bit
+    val docs = Seq(
+      (0L, "a b a b"), // bigrams (a,b),(b,a),(a,b) -> sum 1, n 3, mbits 333
+      (1L, "a b c"),   // bigrams (a,b),(b,c)       -> sum 1, n 2, mbits 500
+      (2L, "c"),       // < 2 tokens: unscored
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmSurprisal(spark, docs, keepMbits = 400).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == ((3L, 1L, 333L, true)))
+    assert(out(1L) == ((2L, 1L, 500L, false)))
+  }
+
   test("positional postings: tf and sorted positions per (term, doc)") {
     val spark = SparkTestSession.spark
     import spark.implicits._
