@@ -1329,6 +1329,18 @@ object SparkEntry {
       graft.img.ImageOps.rleMaskStats(s,
         graft.img.ImageTable.generate(s, 300, 16).toDF())),
 
+    // rook-contiguity adjacency over assembled boundary polygons (the
+    // GeoDa-style neighbor graph): adjacency = >= 1 identical undirected
+    // decimicro ring segment. The flush grid shares border NODES between
+    // neighbors (the real-OSM shape), each side contributing its
+    // corner-mid and mid-corner edges -> every rook pair shares exactly 2;
+    // diagonal neighbors share only a corner vertex and must NOT pair.
+    // One edge-key exchange + a pair-sized count; never polygon x polygon.
+    "q140_contiguity" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -3556,6 +3568,21 @@ object SparkEntry {
          |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
          |  CAST(coalesce(l.longest, 0) AS BIGINT) AS longest
          |FROM dims d LEFT JOIN per_img p ON p.i = d.i LEFT JOIN longest l ON l.i = d.i""".stripMargin,
+
+    // q140 — closed-form rook adjacency of the 16x8 flush grid: cell
+    // k = iy*16 + ix (relation id 3000000 + k) pairs with its east
+    // neighbor (k+1, unless ix = 15) and its north neighbor (k+16, unless
+    // iy = 7), each pair sharing exactly the 2 half-side edges; diagonal
+    // neighbors share only a corner vertex and are absent
+    "q140_contiguity" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |h AS (SELECT 3000000 + k AS rel_a, 3000000 + k + 1 AS rel_b
+        |      FROM cells WHERE k % 16 <> 15),
+        |v AS (SELECT 3000000 + k AS rel_a, 3000000 + k + 16 AS rel_b
+        |      FROM cells WHERE k < 112)
+        |SELECT rel_a, rel_b, CAST(2 AS BIGINT) AS shared_edges FROM h
+        |UNION ALL
+        |SELECT rel_a, rel_b, CAST(2 AS BIGINT) AS shared_edges FROM v""".stripMargin,
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

@@ -157,4 +157,55 @@ object OsmScenes {
     }
     Scene(nodes.toSeq, ways.toSeq, rels.toSeq)
   }
+
+  /** Flush variant of [[grid]]: cells tile [-60,60]°×[-120,120]° edge to
+    * edge on one shared half-step node lattice, so adjacent cells
+    * reference the SAME border nodes — the real-OSM shared-boundary shape
+    * (neighboring admin areas traverse identical border geometry). Each
+    * cell still owns its own 4 ways (3 lattice nodes each) with the same
+    * k-dependent orientation flips and member permutation as [[grid]].
+    * Node (gx, gy) of the (2nx+1)×(2ny+1) lattice has id
+    * 100000 + gy·(2nx+1) + gx; cell k = iy·nx + ix has relation id
+    * 3000000 + k and ways 700000 + 4k…+3.
+    */
+  def sharedGrid(nx: Int, ny: Int): Scene = {
+    val latSpan = 120.0 / ny; val lonSpan = 240.0 / nx
+    val dm = (d: Double) => math.round(d * 1e7).toInt
+    val gw = 2 * nx + 1
+    def nid(gx: Int, gy: Int): Long = 100000L + gy.toLong * gw + gx
+    val nodes = for (gy <- 0 to 2 * ny; gx <- 0 to 2 * nx) yield
+      NodeRow(nid(gx, gy), dm(-60.0 + gy * latSpan / 2), dm(-120.0 + gx * lonSpan / 2), Map.empty)
+    val ways = scala.collection.mutable.ArrayBuffer.empty[WayRow]
+    val rels = scala.collection.mutable.ArrayBuffer.empty[RelationRow]
+    var k = 0L
+    var iy = 0
+    while (iy < ny) {
+      var ix = 0
+      while (ix < nx) {
+        // ring of 8 lattice nodes, ccw from the SW corner (grid()'s order)
+        val ring = Seq((2 * ix, 2 * iy), (2 * ix + 1, 2 * iy), (2 * ix + 2, 2 * iy),
+          (2 * ix + 2, 2 * iy + 1), (2 * ix + 2, 2 * iy + 2), (2 * ix + 1, 2 * iy + 2),
+          (2 * ix, 2 * iy + 2), (2 * ix, 2 * iy + 1))
+        val ids = ring.map { case (gx, gy) => nid(gx, gy) }
+        val raw = Seq(
+          WayRow(700000L + k * 4, Seq(ids(0), ids(1), ids(2)), Map.empty),
+          WayRow(700001L + k * 4, Seq(ids(2), ids(3), ids(4)), Map.empty),
+          WayRow(700002L + k * 4, Seq(ids(4), ids(5), ids(6)), Map.empty),
+          WayRow(700003L + k * 4, Seq(ids(6), ids(7), ids(0)), Map.empty))
+        val flipped = raw.zipWithIndex.map { case (w, i) =>
+          if (((k >> i) & 1L) == 1L) w.copy(node_ids = w.node_ids.reverse) else w
+        }
+        ways ++= flipped
+        val perm = (k % 4).toInt
+        val ordered = flipped.drop(perm) ++ flipped.take(perm)
+        rels += RelationRow(3000000L + k,
+          ordered.map(w => Member("way", w.id, "outer")),
+          Map("boundary" -> "administrative", "admin_level" -> "8",
+            "name" -> s"flush_${ix}_$iy"))
+        k += 1; ix += 1
+      }
+      iy += 1
+    }
+    Scene(nodes.toSeq, ways.toSeq, rels.toSeq)
+  }
 }

@@ -281,6 +281,71 @@ object BoundaryExtract {
     }
   }
 
+  /** Rook-contiguity adjacency between assembled boundary polygons — the
+    * neighbor graph choropleth/spatial-lag analyses weight with (GeoDa's
+    * rook weights): two polygons are adjacent iff their rings traverse at
+    * least one identical undirected decimicro SEGMENT. Edge identity is
+    * exact coordinates, not shared way ids, so it finds neighbors whether
+    * the border is one shared way (real-OSM style) or two duplicated ways;
+    * corner-touching polygons (a shared VERTEX but no shared edge — the
+    * queen-minus-rook cases) do not pair.
+    *
+    * Scale shape: ring assembly is the existing per-relation kernel; each
+    * polygon then emits its edge set narrow (locally deduped — rings are
+    * relation-sized), and adjacency is ONE groupBy on the canonical edge
+    * key followed by a pair-sized count — never a polygon×polygon join.
+    * Edges interior to a planar subdivision are shared by exactly 2
+    * polygons; groups larger than 2 (overlapping inputs) are refused
+    * loudly rather than silently pair-exploded.
+    */
+  def contiguity(
+      spark: SparkSession,
+      relations: DataFrame,
+      ways: DataFrame,
+      nodes: DataFrame,
+      minAdmin: Int = 8,
+      maxAdmin: Int = 8): DataFrame = {
+    import spark.implicits._
+    val edges = relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin)
+      .flatMap { rs =>
+        val rings = RingAssembler.assemble(splitSegments(rs))
+        val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]
+        rings.foreach { r =>
+          var i = 0
+          while (i + 1 < r.length) {
+            val p = r(i); val q = r(i + 1)
+            // stitch joints and the closing vertex duplicate -> zero-length
+            // edges; skip them (same convention as the shoelace kernel)
+            if (p.latDm != q.latDm || p.lonDm != q.lonDm) {
+              out += (if (p.latDm < q.latDm || (p.latDm == q.latDm && p.lonDm < q.lonDm))
+                (p.latDm, p.lonDm, q.latDm, q.lonDm)
+              else (q.latDm, q.lonDm, p.latDm, p.lonDm))
+            }
+            i += 1
+          }
+        }
+        out.iterator.map { case (alat, alon, blat, blon) =>
+          (alat, alon, blat, blon, rs.relation_id)
+        }
+      }
+      .toDF("a_lat", "a_lon", "b_lat", "b_lon", "relation_id")
+    // guardZero is 0 on clean edges and raises on a >2-polygon edge;
+    // ADDED into the filter's comparison (the Ivm.scala pattern) so the
+    // optimizer can neither split nor prune the guard conjunct
+    val guardZero = when(size(col("rels")) <= 2, lit(0))
+      .otherwise(raise_error(concat(
+        lit("contiguity: edge shared by >2 polygons (overlapping input) at ("),
+        col("a_lat"), lit(","), col("a_lon"), lit(")-("),
+        col("b_lat"), lit(","), col("b_lon"), lit(")"))).cast("int"))
+    edges
+      .groupBy(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon"))
+      .agg(collect_set(col("relation_id")).as("rels"))
+      .filter(size(col("rels")) + guardZero === 2)
+      .select(array_min(col("rels")).as("rel_a"), array_max(col("rels")).as("rel_b"))
+      .groupBy(col("rel_a"), col("rel_b"))
+      .agg(count(lit(1)).as("shared_edges"))
+  }
+
   final case class SimplifyRow(relation_id: Long, name: String,
       n_before: Int, n_after: Int, area2_after: Long)
 

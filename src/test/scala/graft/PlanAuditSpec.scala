@@ -76,6 +76,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition / range exchange in q122 plan:\n$plan")
   }
 
+  test("q138/q139/q140 scale shapes: no window/global sort; q139 exchange-free") {
+    // q138: LM scoring is groupBys + hash joins — never a window or a
+    // global sort (the scalar V aggregate's 1-row exchange is inherent)
+    val p138 = SparkEntry.queries("q138_lm_surprisal")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p138.contains("Window"), s"q138 must not window:\n$p138")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(p138).isDefined &&
+      !p138.contains("rangepartitioning"),
+      s"q138 must not globally sort:\n$p138")
+    // q139: per-image decode+RLE is NARROW — zero exchanges of any kind
+    val p139 = SparkEntry.queries("q139_rle_mask")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p139.contains("Exchange"), s"q139 must be exchange-free:\n$p139")
+    // q140: adjacency is edge-key groupBys — never polygon×polygon
+    val p140 = SparkEntry.queries("q140_contiguity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p140.contains("CartesianProduct") && !p140.contains("Window"),
+      s"q140 must not cross-join or window:\n$p140")
+  }
+
   test("q70/q72 top-k plans end in TakeOrdered, never a global sort") {
     for (q <- Seq("q70_top_terms", "q72_collocations")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString

@@ -118,4 +118,41 @@ class PolygonStatsSpec extends AnyFunSuite {
     val wo = Array(-1800000000, 1800000000, 1800000000, -1800000000)
     intercept[ArithmeticException] { Geom.signedArea2Dm(wl, wo) }
   }
+
+  test("contiguity: exact rook pairs on the flush grid, none on the disjoint grid") {
+    val spark = SparkTestSession.spark
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val got = BoundaryExtract.contiguity(spark, r, w, n).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+    // rook neighbors of a 4x3 flush grid: 3*3 horizontal + 4*2 vertical
+    val expect = (for {
+      k <- 0 until 12
+      (da, ok) <- Seq((1, k % 4 != 3), (4, k < 8)) if ok
+    } yield (3000000L + k, 3000000L + k + da) -> 2L).toMap
+    assert(got == expect)
+    // the 0.96-span grid never touches: zero adjacency
+    val (n2, w2, r2) = OsmScenes.grid(4, 3).toDFs(spark)
+    assert(BoundaryExtract.contiguity(spark, r2, w2, n2).isEmpty)
+  }
+
+  test("contiguity refuses an edge shared by more than two polygons") {
+    val spark = SparkTestSession.spark
+    import OsmScenes._
+    // three relations over the SAME square way: every edge is 3-shared
+    val square = Scene(
+      nodes = Seq(NodeRow(1, 0, 0, Map.empty), NodeRow(2, 0, 100, Map.empty),
+        NodeRow(3, 100, 100, Map.empty), NodeRow(4, 100, 0, Map.empty)),
+      ways = Seq(WayRow(10, Seq(1L, 2L, 3L, 4L, 1L), Map.empty)),
+      relations = (100L to 102L).map(id => RelationRow(id,
+        Seq(Member("way", 10, "outer")),
+        Map("boundary" -> "administrative", "admin_level" -> "8",
+          "name" -> s"dup_$id"))))
+    val (n, w, r) = square.toDFs(spark)
+    val e = intercept[Exception] {
+      BoundaryExtract.contiguity(spark, r, w, n).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("shared by >2 polygons"))
+  }
 }
