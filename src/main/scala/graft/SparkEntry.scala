@@ -1341,6 +1341,26 @@ object SparkEntry {
       graft.osm.BoundaryExtract.contiguity(s, r, w, n)
     }),
 
+    // spatial lag + exact-integer Moran's I over the rook graph (the
+    // canonical consumer of q140's weights — GeoDa/PySAL's univariate
+    // Moran). The attribute is GEOMETRY-derived: x = grid column + row
+    // recovered from each assembled polygon's integer bbox corner (a
+    // smooth gradient, so I is strongly positive); the oracle recovers
+    // the same x from k. Moran's I = n*moran_num / (s0*moran_den) is
+    // carried as its four exact integers — no float mean in either
+    // engine.
+    "q141_moran" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      // SW bbox corner of cell (ix, iy) is exactly
+      // (-60 + 15*iy, -120 + 15*ix) degrees = multiples of 15e7 decimicro
+      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .select(col("relation_id"),
+          (((col("min_lon_dm").cast("long") + 1200000000L) / 150000000L).cast("long") +
+           ((col("min_lat_dm").cast("long") + 600000000L) / 150000000L).cast("long")).as("x"))
+      graft.osm.BoundaryExtract.spatialLag(values, adj)
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -3583,6 +3603,36 @@ object SparkEntry {
         |SELECT rel_a, rel_b, CAST(2 AS BIGINT) AS shared_edges FROM h
         |UNION ALL
         |SELECT rel_a, rel_b, CAST(2 AS BIGINT) AS shared_edges FROM v""".stripMargin,
+
+    // q141 — the same closed-form rook graph as q140 plus the gradient
+    // attribute x = ix + iy (recovered from k = rel_id - 3000000); the
+    // centered value is c = n*x - sum(x), and Moran's four integers are
+    // replayed exactly: num over DIRECTED edges, den = sum c^2,
+    // s0 = 2*|E| = 464, n = 128
+    "q141_moran" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |vals AS (SELECT 3000000 + k AS rid, (k % 16) + (k // 16) AS x FROM cells),
+        |und AS (
+        |  SELECT 3000000 + k AS a, 3000000 + k + 1 AS b FROM cells WHERE k % 16 <> 15
+        |  UNION ALL
+        |  SELECT 3000000 + k, 3000000 + k + 16 FROM cells WHERE k < 112),
+        |dir AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM vals),
+        |c AS (SELECT rid, x, g.n AS n, g.n * x - g.s AS c FROM vals CROSS JOIN g),
+        |lagged AS (SELECT src, COUNT(*) AS degree, SUM(v.x) AS lag
+        |           FROM dir JOIN vals v ON v.rid = dir.dst GROUP BY src),
+        |num AS (SELECT SUM(ca.c * cb.c) AS moran_num FROM dir
+        |        JOIN c ca ON ca.rid = dir.src JOIN c cb ON cb.rid = dir.dst),
+        |s0 AS (SELECT COUNT(*) AS s0 FROM dir),
+        |den AS (SELECT SUM(c * c) AS moran_den FROM c)
+        |SELECT c.rid AS relation_id, CAST(c.x AS BIGINT) AS x,
+        |  CAST(coalesce(l.degree, 0) AS BIGINT) AS degree,
+        |  CAST(coalesce(l.lag, 0) AS BIGINT) AS lag,
+        |  CAST(num.moran_num AS BIGINT) AS moran_num,
+        |  CAST(den.moran_den AS BIGINT) AS moran_den,
+        |  CAST(s0.s0 AS BIGINT) AS s0, CAST(c.n AS BIGINT) AS n
+        |FROM c LEFT JOIN lagged l ON l.src = c.rid
+        |CROSS JOIN num CROSS JOIN s0 CROSS JOIN den""".stripMargin,
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

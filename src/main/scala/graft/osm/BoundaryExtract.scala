@@ -346,6 +346,61 @@ object BoundaryExtract {
       .agg(count(lit(1)).as("shared_edges"))
   }
 
+  /** Spatial lag + global Moran's I over a contiguity graph, in the
+    * exact-integer discipline (no float mean): with n polygons and value
+    * sum S, the centered value is c_i = n·x_i − S (the mean multiplied
+    * through), so
+    *
+    *   I = n · Σ_{directed ij} c_i c_j / (S0 · Σ_i c_i²)
+    *
+    * and the output carries the four integers (moran_num = Σ c_i c_j over
+    * DIRECTED edges, moran_den = Σ c_i², s0 = directed edge count, n)
+    * instead of a float ratio — both engines reproduce them bit-exactly.
+    * Per-polygon rows additionally carry the rook degree and the raw
+    * spatial lag Σ_{j∈N(i)} x_j (isolated polygons keep degree 0, lag 0).
+    *
+    * Scale shape: `values` is polygon-count-sized and `adjacency` is
+    * pair-sized — both persisted here because each feeds 2–3 consumers
+    * (the KCore.scala lesson: an unpersisted frame re-runs its whole
+    * upstream per consumer, and adjacency's upstream is ring assembly).
+    * All joins are hash equi-joins on relation id; the three global
+    * aggregates are 1-row frames broadcast back. No window, no sort.
+    */
+  def spatialLag(values: DataFrame, adjacency: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vals = values.select(col("relation_id"), col("x").cast("long").as("x"))
+      .persist(lvl)
+    val und = adjacency.select(col("rel_a").as("src"), col("rel_b").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    val g = vals.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val c = vals.crossJoin(broadcast(g))
+      .select(col("relation_id"), col("x"), col("n"),
+        (col("n") * col("x") - col("s")).as("c"))
+      .persist(lvl)
+    val lagged = dir
+      .join(vals.select(col("relation_id").as("dst_id"), col("x").as("x_dst")),
+        col("dst") === col("dst_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"), sum(col("x_dst")).as("lag"))
+    val num = dir
+      .join(c.select(col("relation_id").as("src_id"), col("c").as("c_src")),
+        col("src") === col("src_id"))
+      .join(c.select(col("relation_id").as("dst_id"), col("c").as("c_dst")),
+        col("dst") === col("dst_id"))
+      .agg(coalesce(sum(col("c_src") * col("c_dst")), lit(0L)).as("moran_num"))
+    val s0 = dir.agg(count(lit(1)).as("s0"))
+    val den = c.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("moran_den"))
+    c.join(lagged, col("relation_id") === col("src"), "left")
+      .crossJoin(broadcast(num))
+      .crossJoin(broadcast(s0))
+      .crossJoin(broadcast(den))
+      .select(col("relation_id"), col("x"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("lag"), lit(0L)).as("lag"),
+        col("moran_num"), col("moran_den"), col("s0"), col("n"))
+  }
+
   final case class SimplifyRow(relation_id: Long, name: String,
       n_before: Int, n_after: Int, area2_after: Long)
 

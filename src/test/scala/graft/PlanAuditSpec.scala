@@ -94,6 +94,13 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p140.contains("CartesianProduct") && !p140.contains("Window"),
       s"q140 must not cross-join or window:\n$p140")
+    // q141: Moran is hash joins + 1-row broadcast aggregates — the only
+    // nested-loop joins allowed are the broadcast scalar re-attaches
+    val p141 = SparkEntry.queries("q141_moran")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p141.contains("CartesianProduct") && !p141.contains("Window") &&
+      !p141.contains("rangepartitioning"),
+      s"q141 must not cartesian/window/sort:\n$p141")
   }
 
   test("q70/q72 top-k plans end in TakeOrdered, never a global sort") {

@@ -135,6 +135,52 @@ class PolygonStatsSpec extends AnyFunSuite {
     assert(BoundaryExtract.contiguity(spark, r2, w2, n2).isEmpty)
   }
 
+  test("spatialLag: exact Moran integers vs brute force on the 4x3 flush gradient") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    // 4x3 grid: lonSpan 60 deg = 6e8 dm, latSpan 40 deg = 4e8 dm
+    val values = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+      .select(col("relation_id"),
+        (((col("min_lon_dm").cast("long") + 1200000000L) / 600000000L).cast("long") +
+         ((col("min_lat_dm").cast("long") + 600000000L) / 400000000L).cast("long")).as("x"))
+    val got = BoundaryExtract.spatialLag(values, adj).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))).toMap
+    // brute-force reference on the known grid
+    val xs = (0 until 12).map(k => ((k % 4) + (k / 4)).toLong)
+    val nC = 12L; val s = xs.sum
+    val cs = xs.map(x => nC * x - s)
+    val und = for { k <- 0 until 12; (d, ok) <- Seq((1, k % 4 != 3), (4, k < 8)) if ok }
+      yield (k, k + d)
+    val dir = und ++ und.map(_.swap)
+    val num = dir.map { case (i, j) => cs(i) * cs(j) }.sum
+    val den = cs.map(c => c * c).sum
+    val s0 = dir.size.toLong
+    val expect = (0 until 12).map { k =>
+      val nb = dir.filter(_._1 == k).map(_._2)
+      (3000000L + k) -> (xs(k), nb.size.toLong, nb.map(xs).sum, num, den, s0, nC)
+    }.toMap
+    assert(got == expect)
+    // the gradient is spatially smooth: Moran's I = n*num/(s0*den) > 0
+    assert(num > 0 && den > 0)
+  }
+
+  test("spatialLag: isolated polygons keep degree 0 / lag 0, Moran num 0") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // the 0.96-span grid never touches: empty adjacency, per-polygon rows kept
+    val (n2, w2, r2) = OsmScenes.grid(2, 2).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r2, w2, n2)
+    val values = BoundaryExtract.polygonStats(spark, r2, w2, n2).toDF()
+      .select(col("relation_id"), col("n_points").cast("long").as("x"))
+    val rows = BoundaryExtract.spatialLag(values, adj).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getLong(4) == 0L && r.getLong(6) == 0L))
+  }
+
   test("contiguity refuses an edge shared by more than two polygons") {
     val spark = SparkTestSession.spark
     import OsmScenes._
