@@ -1361,6 +1361,37 @@ object SparkEntry {
       graft.osm.BoundaryExtract.spatialLag(values, adj)
     }),
 
+    // local Moran (Anselin's LISA) over the same rook weights — the
+    // hot/cold-spot classifier. The attribute is the residue pattern
+    // x = (ix + iy) mod 5 (recovered from each polygon's integer
+    // bbox corner), which is spatially ROUGH, so all four scatterplot
+    // quadrants appear; per-polygon lisa_num and quadrant are exact
+    // integers/labels in both engines.
+    "q142_lisa" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
+      val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
+      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .select(col("relation_id"), ((ix + iy) % 5L).as("x"))
+      graft.osm.BoundaryExtract.localMoran(values, adj)
+    }),
+
+    // the global autocorrelation battery (Moran's I + Geary's C +
+    // Getis-Ord General G) as ONE row of exact integers from ONE edge
+    // aggregation — no per-polygon centered column is ever materialized
+    // (moran_den = n·(n·Q − S²) etc.). Same rough mod-5 attribute as
+    // q142, so I is near zero / C near 1 and every integer is nontrivial.
+    "q143_autocorr" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
+      val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
+      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .select(col("relation_id"), ((ix + iy) % 5L).as("x"))
+      graft.osm.BoundaryExtract.globalAutocorr(values, adj)
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -3633,6 +3664,63 @@ object SparkEntry {
         |  CAST(s0.s0 AS BIGINT) AS s0, CAST(c.n AS BIGINT) AS n
         |FROM c LEFT JOIN lagged l ON l.src = c.rid
         |CROSS JOIN num CROSS JOIN s0 CROSS JOIN den""".stripMargin,
+
+    // q142 — same closed-form rook graph, rough attribute
+    // x = (ix + iy) mod 5; LISA numerator and GeoDa scatterplot
+    // quadrant replayed exactly (c = n·x − S, lag_c = n·lag − degree·S)
+    "q142_lisa" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |vals AS (SELECT 3000000 + k AS rid,
+        |                ((k % 16) + (k // 16)) % 5 AS x FROM cells),
+        |und AS (
+        |  SELECT 3000000 + k AS a, 3000000 + k + 1 AS b FROM cells WHERE k % 16 <> 15
+        |  UNION ALL
+        |  SELECT 3000000 + k, 3000000 + k + 16 FROM cells WHERE k < 112),
+        |dir AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM vals),
+        |lagged AS (SELECT src, COUNT(*) AS degree, SUM(v.x) AS lag
+        |           FROM dir JOIN vals v ON v.rid = dir.dst GROUP BY src),
+        |t AS (SELECT v.rid, v.x, coalesce(l.degree, 0) AS degree,
+        |             coalesce(l.lag, 0) AS lag,
+        |             g.n * v.x - g.s AS c,
+        |             g.n * coalesce(l.lag, 0) - coalesce(l.degree, 0) * g.s AS lag_c
+        |      FROM vals v CROSS JOIN g LEFT JOIN lagged l ON l.src = v.rid)
+        |SELECT rid AS relation_id, CAST(x AS BIGINT) AS x,
+        |  CAST(degree AS BIGINT) AS degree, CAST(lag AS BIGINT) AS lag,
+        |  CAST(c AS BIGINT) AS c, CAST(lag_c AS BIGINT) AS lag_c,
+        |  CAST(c * lag_c AS BIGINT) AS lisa_num,
+        |  CASE WHEN degree = 0 THEN 'ISO'
+        |       WHEN c > 0 AND lag_c > 0 THEN 'HH'
+        |       WHEN c > 0 AND lag_c < 0 THEN 'HL'
+        |       WHEN c < 0 AND lag_c > 0 THEN 'LH'
+        |       WHEN c < 0 AND lag_c < 0 THEN 'LL'
+        |       ELSE 'NA' END AS quadrant
+        |FROM t""".stripMargin,
+
+    // q143 — the one-row global battery from the same graph/attribute:
+    // every statistic reconstructed from edge sums + (n, S, Q) only
+    // (moran_den = n·(n·Q − S²), moran_num = n²·P − n·S·E + s0·S²)
+    "q143_autocorr" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |vals AS (SELECT 3000000 + k AS rid,
+        |                ((k % 16) + (k // 16)) % 5 AS x FROM cells),
+        |und AS (
+        |  SELECT 3000000 + k AS a, 3000000 + k + 1 AS b FROM cells WHERE k % 16 <> 15
+        |  UNION ALL
+        |  SELECT 3000000 + k, 3000000 + k + 16 FROM cells WHERE k < 112),
+        |dir AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM vals),
+        |e AS (SELECT COUNT(*) AS s0, SUM(a.x * b.x) AS p, SUM(a.x + b.x) AS es,
+        |             SUM((a.x - b.x) * (a.x - b.x)) AS geary_num
+        |      FROM dir JOIN vals a ON a.rid = dir.src JOIN vals b ON b.rid = dir.dst)
+        |SELECT CAST(g.n AS BIGINT) AS n,
+        |  CAST(g.n * g.n * e.p - g.n * g.s * e.es + e.s0 * g.s * g.s AS BIGINT) AS moran_num,
+        |  CAST(g.n * (g.n * g.q - g.s * g.s) AS BIGINT) AS moran_den,
+        |  CAST(e.geary_num AS BIGINT) AS geary_num,
+        |  CAST(e.p AS BIGINT) AS gg_num,
+        |  CAST(g.s * g.s - g.q AS BIGINT) AS gg_den,
+        |  CAST(e.s0 AS BIGINT) AS s0
+        |FROM g CROSS JOIN e""".stripMargin,
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

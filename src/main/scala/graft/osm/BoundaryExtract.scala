@@ -401,6 +401,101 @@ object BoundaryExtract {
         col("moran_num"), col("moran_den"), col("s0"), col("n"))
   }
 
+  /** Local Moran (Anselin 1995's LISA) over a contiguity graph, exact
+    * integers: with c_i = n·x_i − S (the centered value with the mean
+    * multiplied through, as in [[spatialLag]]) the per-polygon numerator is
+    *
+    *   lisa_num_i = c_i · Σ_{j∈N(i)} c_j = c_i · (n·lag_i − degree_i·S)
+    *
+    * — the scale factor n/Σc² that turns it into Anselin's I_i is common
+    * to every row, so the integers alone rank hot/cold spots and fix the
+    * quadrant. Quadrants follow GeoDa's Moran-scatterplot convention:
+    * HH/HL/LH/LL by the signs of (c_i, lag_c_i), ISO for degree-0 polygons
+    * (no neighbors → no lag), NA when either term sits exactly on the mean.
+    *
+    * Scale shape: one hash join values→lag aggregation (edge-sized), one
+    * left join back (polygon-sized), the global (n, S) as a 1-row
+    * broadcast. No window, no sort; [[spatialLag]]'s persist rationale
+    * applies to `vals` (it feeds the lag join and the re-attach).
+    */
+  def localMoran(values: DataFrame, adjacency: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vals = values.select(col("relation_id"), col("x").cast("long").as("x"))
+      .persist(lvl)
+    val und = adjacency.select(col("rel_a").as("src"), col("rel_b").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val g = vals.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val lagged = dir
+      .join(vals.select(col("relation_id").as("dst_id"), col("x").as("x_dst")),
+        col("dst") === col("dst_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"), sum(col("x_dst")).as("lag"))
+    val cCol = col("n") * col("x") - col("s")
+    val lagCCol = col("n") * coalesce(col("lag"), lit(0L)) -
+      coalesce(col("degree"), lit(0L)) * col("s")
+    vals.join(lagged, col("relation_id") === col("src"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("relation_id"), col("x"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("lag"), lit(0L)).as("lag"),
+        cCol.as("c"), lagCCol.as("lag_c"),
+        (cCol * lagCCol).as("lisa_num"),
+        when(coalesce(col("degree"), lit(0L)) === 0L, lit("ISO"))
+          .when(cCol > 0 && lagCCol > 0, lit("HH"))
+          .when(cCol > 0 && lagCCol < 0, lit("HL"))
+          .when(cCol < 0 && lagCCol > 0, lit("LH"))
+          .when(cCol < 0 && lagCCol < 0, lit("LL"))
+          .otherwise(lit("NA")).as("quadrant"))
+  }
+
+  /** Global spatial-autocorrelation battery — Moran's I, Geary's C and
+    * Getis-Ord General G over a contiguity graph, as ONE row of exact
+    * integers from ONE edge aggregation. With S = Σx, Q = Σx² and
+    * c_i = n·x_i − S, every global reduces to edge sums and (n, S, Q):
+    *
+    *   moran_den = Σ c_i²                    = n·(n·Q − S²)
+    *   moran_num = Σ_{ij} c_i c_j            = n²·P − n·S·E + s0·S²
+    *   geary_num = Σ_{ij} (x_i − x_j)²       (directly)
+    *   gg_num    = Σ_{ij} x_i x_j = P,   gg_den = S² − Q
+    *
+    * where P = Σ_edges x_i·x_j, E = Σ_edges (x_i + x_j) over DIRECTED
+    * edges and s0 their count. The float statistics are then
+    * I = n·moran_num/(s0·moran_den), C = n²·(n−1)·geary_num/(2·s0·moran_den),
+    * G = gg_num/gg_den — all reconstructible bit-exactly by any engine.
+    *
+    * Scale shape: two hash joins edge→value (edge-sized), one edge-sized
+    * aggregation, one polygon-sized aggregation; the output is a single
+    * row assembled from two 1-row broadcasts. No per-polygon state is
+    * materialized at all — this form never touches a c_i column.
+    */
+  def globalAutocorr(values: DataFrame, adjacency: DataFrame): DataFrame = {
+    val vals = values.select(col("relation_id"), col("x").cast("long").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = adjacency.select(col("rel_a").as("src"), col("rel_b").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val g = vals.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val e = dir
+      .join(vals.select(col("relation_id").as("src_id"), col("x").as("x_src")),
+        col("src") === col("src_id"))
+      .join(vals.select(col("relation_id").as("dst_id"), col("x").as("x_dst")),
+        col("dst") === col("dst_id"))
+      .agg(count(lit(1)).as("s0"),
+        coalesce(sum(col("x_src") * col("x_dst")), lit(0L)).as("p"),
+        coalesce(sum(col("x_src") + col("x_dst")), lit(0L)).as("e"),
+        coalesce(sum((col("x_src") - col("x_dst")) * (col("x_src") - col("x_dst"))),
+          lit(0L)).as("geary_num"))
+    broadcast(g).crossJoin(broadcast(e))
+      .select(col("n"),
+        (col("n") * col("n") * col("p") - col("n") * col("s") * col("e") +
+          col("s0") * col("s") * col("s")).as("moran_num"),
+        (col("n") * (col("n") * col("q") - col("s") * col("s"))).as("moran_den"),
+        col("geary_num"),
+        col("p").as("gg_num"),
+        (col("s") * col("s") - col("q")).as("gg_den"),
+        col("s0"))
+  }
+
   final case class SimplifyRow(relation_id: Long, name: String,
       n_before: Int, n_after: Int, area2_after: Long)
 

@@ -101,6 +101,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p141.contains("CartesianProduct") && !p141.contains("Window") &&
       !p141.contains("rangepartitioning"),
       s"q141 must not cartesian/window/sort:\n$p141")
+    // q142/q143: LISA and the global battery keep the same discipline —
+    // hash joins + broadcast scalar re-attaches only
+    Seq("q142_lisa", "q143_autocorr").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("Window") &&
+        !p.contains("rangepartitioning"),
+        s"$q must not cartesian/window/sort:\n$p")
+    }
   }
 
   test("q70/q72 top-k plans end in TakeOrdered, never a global sort") {

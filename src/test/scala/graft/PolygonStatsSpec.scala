@@ -181,6 +181,84 @@ class PolygonStatsSpec extends AnyFunSuite {
       r.getLong(4) == 0L && r.getLong(6) == 0L))
   }
 
+  test("localMoran: brute-force parity + all four quadrants on the rough 4x3 grid") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    // rough attribute (ix + iy) % 5 so HH/HL/LH/LL all appear
+    val ixC = (col("min_lon_dm").cast("long") + 1200000000L) / 600000000L
+    val iyC = (col("min_lat_dm").cast("long") + 600000000L) / 400000000L
+    val values = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+      .select(col("relation_id"), ((ixC + iyC) % 5L).as("x"))
+    val got = BoundaryExtract.localMoran(values, adj).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getString(7))).toMap
+    val xs = (0 until 12).map(k => (((k % 4) + (k / 4)) % 5).toLong)
+    val nC = 12L; val s = xs.sum
+    val und = for { k <- 0 until 12; (d, ok) <- Seq((1, k % 4 != 3), (4, k < 8)) if ok }
+      yield (k, k + d)
+    val dir = und ++ und.map(_.swap)
+    val expect = (0 until 12).map { k =>
+      val nb = dir.filter(_._1 == k).map(_._2)
+      val c = nC * xs(k) - s
+      val lagC = nC * nb.map(xs).sum - nb.size * s
+      val quad =
+        if (nb.isEmpty) "ISO"
+        else if (c > 0 && lagC > 0) "HH" else if (c > 0 && lagC < 0) "HL"
+        else if (c < 0 && lagC > 0) "LH" else if (c < 0 && lagC < 0) "LL" else "NA"
+      (3000000L + k) -> (xs(k), nb.size.toLong, nb.map(xs).sum, c, lagC, c * lagC, quad)
+    }.toMap
+    assert(got == expect)
+    assert(Set("HH", "HL", "LH", "LL").subsetOf(got.values.map(_._7).toSet))
+  }
+
+  test("localMoran: isolated polygons classify ISO with zero lag") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n2, w2, r2) = OsmScenes.grid(2, 2).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r2, w2, n2)
+    val values = BoundaryExtract.polygonStats(spark, r2, w2, n2).toDF()
+      .select(col("relation_id"), col("n_points").cast("long").as("x"))
+    val rows = BoundaryExtract.localMoran(values, adj).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getLong(5) == 0L && r.getLong(6) == 0L && r.getString(7) == "ISO"))
+  }
+
+  test("globalAutocorr: one exact-integer row matching brute force; Geary/Moran consistency") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    val ixC = (col("min_lon_dm").cast("long") + 1200000000L) / 600000000L
+    val iyC = (col("min_lat_dm").cast("long") + 600000000L) / 400000000L
+    val values = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+      .select(col("relation_id"), ((ixC + iyC) % 5L).as("x"))
+    val rows = BoundaryExtract.globalAutocorr(values, adj).collect()
+    assert(rows.length == 1)
+    val row = rows.head
+    val xs = (0 until 12).map(k => (((k % 4) + (k / 4)) % 5).toLong)
+    val nC = 12L; val s = xs.sum
+    val cs = xs.map(x => nC * x - s)
+    val und = for { k <- 0 until 12; (d, ok) <- Seq((1, k % 4 != 3), (4, k < 8)) if ok }
+      yield (k, k + d)
+    val dir = und ++ und.map(_.swap)
+    val moranNum = dir.map { case (i, j) => cs(i) * cs(j) }.sum
+    val moranDen = cs.map(c => c * c).sum
+    val gearyNum = dir.map { case (i, j) => (xs(i) - xs(j)) * (xs(i) - xs(j)) }.sum
+    val ggNum = dir.map { case (i, j) => xs(i) * xs(j) }.sum
+    val ggDen = s * s - xs.map(x => x * x).sum
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6)) ==
+      ((nC, moranNum, moranDen, gearyNum, ggNum, ggDen, dir.size.toLong)))
+    // identity: sum over directed edges (c_i - c_j)^2 = n^2 * geary_num,
+    // and it also equals 2*(s0-per-node-weighted sum) — cross-check the
+    // reconstruction path the engine uses (moran_den from n,S,Q only)
+    assert(dir.map { case (i, j) => (cs(i) - cs(j)) * (cs(i) - cs(j)) }.sum ==
+      nC * nC * gearyNum)
+  }
+
   test("contiguity refuses an edge shared by more than two polygons") {
     val spark = SparkTestSession.spark
     import OsmScenes._
