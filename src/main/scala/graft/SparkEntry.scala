@@ -1392,6 +1392,25 @@ object SparkEntry {
       graft.osm.BoundaryExtract.globalAutocorr(values, adj)
     }),
 
+    // dissolve: rook-adjacent polygons sharing an attribute collapse into
+    // one region (contiguity → same-attribute edge filter → connected
+    // components → additive region stats). The attribute tiles the 16×8
+    // grid into 16 4×2 blocks, so every region needs TRANSITIVE closure
+    // (block corners are not directly adjacent) and the oracle is closed
+    // form: 8 polygons and 8 exact cell-areas per region, bbox = block.
+    "q144_dissolve" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val st = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      // flush grid ⇒ the divisions are exact; floor() the block indices
+      // explicitly (Column `/` is DOUBLE division, not integer div)
+      val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
+      val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
+      val values = st.select(col("relation_id"),
+        (floor(ix / 4d) + floor(iy / 2d) * 4d).cast("long").as("g"))
+      graft.osm.BoundaryExtract.dissolve(s, values, adj, st)
+    }),
+
     // duplicate-cluster assembly: verified near-dup pairs → connected
     // components (min-label propagation; the step that turns pairs into one
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
@@ -3721,6 +3740,22 @@ object SparkEntry {
         |  CAST(g.s * g.s - g.q AS BIGINT) AS gg_den,
         |  CAST(e.s0 AS BIGINT) AS s0
         |FROM g CROSS JOIN e""".stripMargin,
+
+    // q144 — closed form: the 4×2 blocks of the flush grid; region id =
+    // the block's SW cell (min relation id), every flush cell is exactly
+    // 15°×15° so area2 = 2·(15e7)² = 4.5e16 each, bbox = the block extent
+    "q144_dissolve" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |t AS (SELECT k, (k % 16) AS ix, (k // 16) AS iy,
+        |             ((k % 16) // 4) + 4 * ((k // 16) // 2) AS g FROM cells)
+        |SELECT MIN(3000000 + k) AS region, CAST(g AS BIGINT) AS g,
+        |  COUNT(*) AS n_polygons,
+        |  CAST(SUM(CAST(45000000000000000 AS BIGINT)) AS BIGINT) AS area2,
+        |  CAST(MIN(-600000000 + iy * 150000000) AS INT) AS min_lat_dm,
+        |  CAST(MIN(-1200000000 + ix * 150000000) AS INT) AS min_lon_dm,
+        |  CAST(MAX(-450000000 + iy * 150000000) AS INT) AS max_lat_dm,
+        |  CAST(MAX(-1050000000 + ix * 150000000) AS INT) AS max_lon_dm
+        |FROM t GROUP BY g""".stripMargin,
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

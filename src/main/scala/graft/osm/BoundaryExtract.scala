@@ -496,6 +496,55 @@ object BoundaryExtract {
         col("s0"))
   }
 
+  /** Dissolve — the classic GIS merge: rook-adjacent polygons sharing an
+    * attribute value collapse into one region (QGIS/PostGIS `ST_Union ...
+    * GROUP BY attr`, but restricted to CONTIGUOUS same-attribute runs, the
+    * cartographic form). Composition of three existing operators:
+    * [[contiguity]] supplies the pair graph, the same-attribute filter
+    * drops cross-attribute edges BEFORE closure (so components can never
+    * bridge attributes), and `Dedup.connectedComponents` labels regions
+    * (auto algorithm: driver union-find under the small-graph cutover,
+    * distributed propagate/star above it). Region id = min relation_id in
+    * the component; polygons with no same-attribute neighbor stay their
+    * own region via the left-join fallback to self.
+    *
+    * Output is the dissolved-region aggregate: polygon count, EXACT
+    * additive area2 (flush same-attribute polygons tile, so the shoelace
+    * sum IS the region's area) and the integer bbox union. Geometric ring
+    * union (stitching the merged outline) is deliberately NOT done here —
+    * region labels feed the emit layer, which already assembles rings
+    * per group; this operator's contract is the labeling + statistics.
+    *
+    * Scale shape: the attribute join is polygon-sized, the edge filter is
+    * pair-sized, CC is the capped auto path, and the final aggregation
+    * keys on region (≤ polygon count). No window, no sort.
+    */
+  def dissolve(spark: SparkSession, values: DataFrame, adjacency: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val vals = values.select(col("relation_id"), col("g").cast("long").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val same = adjacency
+      .join(vals.select(col("relation_id").as("rel_a"), col("g").as("g_a")), "rel_a")
+      .join(vals.select(col("relation_id").as("rel_b"), col("g").as("g_b")), "rel_b")
+      .filter(col("g_a") === col("g_b"))
+      .select(col("rel_a").as("src"), col("rel_b").as("dst"))
+    val cc = graft.dedup.Dedup.connectedComponents(spark, same)
+    vals
+      .join(cc, vals("relation_id") === cc("id"), "left")
+      .select(col("relation_id"), col("g"),
+        coalesce(col("component"), col("relation_id")).as("region"))
+      .join(stats.select(col("relation_id"), col("area2"),
+        col("min_lat_dm"), col("min_lon_dm"), col("max_lat_dm"), col("max_lon_dm")),
+        "relation_id")
+      .groupBy(col("region"), col("g"))
+      .agg(count(lit(1)).as("n_polygons"),
+        sum(col("area2")).as("area2"),
+        min(col("min_lat_dm")).as("min_lat_dm"),
+        min(col("min_lon_dm")).as("min_lon_dm"),
+        max(col("max_lat_dm")).as("max_lat_dm"),
+        max(col("max_lon_dm")).as("max_lon_dm"))
+  }
+
   final case class SimplifyRow(relation_id: Long, name: String,
       n_before: Int, n_after: Int, area2_after: Long)
 

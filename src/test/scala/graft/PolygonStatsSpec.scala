@@ -259,6 +259,38 @@ class PolygonStatsSpec extends AnyFunSuite {
       nC * nC * gearyNum)
   }
 
+  test("dissolve: contiguous same-attribute bands merge transitively; checkerboard stays singleton") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    val st = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+    val ixC = (col("min_lon_dm").cast("long") + 1200000000L) / 600000000L
+    val iyC = (col("min_lat_dm").cast("long") + 600000000L) / 400000000L
+    // bands: g = iy → 3 regions of 4 cells each; the band ends are only
+    // TRANSITIVELY connected, so this pins real closure, not direct pairs
+    val bands = st.select(col("relation_id"), iyC.as("g"))
+    val got = BoundaryExtract.dissolve(spark, bands, adj, st).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getInt(4), row.getInt(5), row.getInt(6), row.getInt(7))).toSet
+    // 4x3 flush grid: cells 60°x40°, area2 = 2*6e8*4e8 = 4.8e17 per cell
+    val cellArea2 = 2L * 600000000L * 400000000L
+    val expect = (0 until 3).map { iy =>
+      (3000000L + iy * 4L, iy.toLong, 4L, 4L * cellArea2,
+        -600000000 + iy * 400000000, -1200000000,
+        -200000000 + iy * 400000000, 1200000000)
+    }.toSet
+    assert(got == expect)
+    // checkerboard: rook neighbors always differ in (ix+iy) parity, so no
+    // same-attribute edge survives and every polygon is its own region
+    val checker = st.select(col("relation_id"), ((ixC + iyC) % 2L).as("g"))
+    val single = BoundaryExtract.dissolve(spark, checker, adj, st).collect()
+    assert(single.length == 12)
+    assert(single.forall(row => row.getLong(2) == 1L && row.getLong(3) == cellArea2))
+    // region id of a singleton is the polygon itself
+    assert(single.map(_.getLong(0)).toSet == (0 until 12).map(3000000L + _).toSet)
+  }
+
   test("contiguity refuses an edge shared by more than two polygons") {
     val spark = SparkTestSession.spark
     import OsmScenes._
