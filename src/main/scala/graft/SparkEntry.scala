@@ -65,12 +65,37 @@ object SparkEntry {
     }).toDF()
   }
 
+  /** The raster fixtures scaled ×4 (lat 0..32, lon 0..36) so their unit-
+    * cell burn overlays the synthetic image pixel grid (images are
+    * 16..63 px per axis) — the zone side of q145's zonal statistics.
+    * Scaling preserves every vertex as a small exact-f32 integer.
+    */
+  private val zonalPolys: Seq[(Long, Seq[Seq[(Int, Int)]])] =
+    rasterPolys.map { case (id, rings) =>
+      (id, rings.map(_.map { case (la, lo) => (la * 4, lo * 4) }))
+    }
+
+  private def zonalPolyDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.createDataset(zonalPolys.map { case (id, rings) =>
+      PolygonRow(s"zonal_$id", rings.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }),
+        id, 8L)
+    }).toDF()
+  }
+
   /** Shared oracle scaffolding for q86/q87: CTEs down to `inside(pid, cx,
     * cy)` — the unit-cell raster of [[rasterPolys]] — followed by `tail`
     * (a full SELECT, or with `extraCte` a further CTE chain + SELECT).
     */
   private def rasterCellsSql(tail: String, extraCte: Boolean = false): String =
-    s"""WITH edges AS (SELECT * FROM $rasterEdgesSqlValues),
+    rasterCellsSqlOver(rasterEdgesSqlValues, tail, extraCte)
+
+  /** [[rasterCellsSql]] over an arbitrary polygon edge list (q145 burns
+    * the ×4-scaled fixtures; the lattice/ray-cast chain is identical).
+    */
+  private def rasterCellsSqlOver(edgesSqlValues: String, tail: String,
+      extraCte: Boolean = false): String =
+    s"""WITH edges AS (SELECT * FROM $edgesSqlValues),
        |bbox AS (
        |  SELECT pid,
        |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
@@ -108,6 +133,8 @@ object SparkEntry {
     }.mkString("(VALUES ", ", ", ") AS e(pid, ring, yi, xi, yj, xj)")
 
   private def rasterEdgesSqlValues: String = polyEdgesSqlValues(rasterPolys)
+
+  private def zonalEdgesSqlValues: String = polyEdgesSqlValues(zonalPolys)
 
   private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
     polys.flatMap { case (id, rings) =>
@@ -1409,6 +1436,54 @@ object SparkEntry {
       val values = st.select(col("relation_id"),
         (floor(ix / 4d) + floor(iy / 2d) * 4d).cast("long").as("g"))
       graft.osm.BoundaryExtract.dissolve(s, values, adj, st)
+    }),
+
+    // zonal statistics — the raster↔vector × image crossover: REAL
+    // decoded pixels (graft's own PNG/BMP codecs → BT.601 integer
+    // grayscale, exploded per pixel) aggregated per polygon zone, the
+    // zones burnt by the same codegen'd ray-cast as q86 from the ×4-
+    // scaled fixtures. Zone raster broadcast → map-side join; ONE hash
+    // exchange (the (image, zone) aggregation). Exact integers end to
+    // end; partial coverage (small images, zone cells past the image
+    // edge) drops out of the inner join by construction.
+    "q145_zonal_stats" -> ((s, _) => {
+      val zones = graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      val pixels = graft.img.ImageOps.grayPixels(s,
+        graft.img.ImageTable.generate(s, 64, 16).toDF())
+      graft.geom.Raster.zonalStats(zones, pixels)
+        .select(col("image_id"), col("relation_id"), col("n_px"),
+          col("sum_g"), col("min_g").cast("long").as("min_g"),
+          col("max_g").cast("long").as("max_g"))
+    }),
+
+    // join-count statistics (Cliff & Ord) — the categorical
+    // autocorrelation verdict over the rook graph: BB/BW/WW undirected
+    // edge counts for a binary attribute plus the nonfree-sampling
+    // expectations as exact integer rationals. The attribute is
+    // geometry-derived (b = 1 iff (3·ix + 5·iy) mod 7 < 3, spatially
+    // rough so all three counts are nonzero) and the oracle replays the
+    // closed-form grid edge list.
+    "q146_join_counts" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
+      val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
+      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .select(col("relation_id"),
+          when((ix * 3L + iy * 5L) % 7L < 3L, 1L).otherwise(0L).as("b"))
+      graft.osm.BoundaryExtract.joinCounts(values, adj)
+    }),
+
+    // focal (3×3 neighborhood) statistics over the q86 burn — map
+    // algebra's focal sum/count at every occupied cell with missing
+    // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
+    // hash exchange on (polygon, cell), left join back so isolated
+    // cells keep cnt 0. Exact integers; the oracle replays the same
+    // neighborhood over the same ray-cast lattice.
+    "q147_focal_stats" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .withColumn("v", col("cx") + lit(2L) * col("cy"))
+      graft.geom.Raster.focalStats(cells)
     }),
 
     // duplicate-cluster assembly: verified near-dup pairs → connected
@@ -3756,6 +3831,98 @@ object SparkEntry {
         |  CAST(MAX(-450000000 + iy * 150000000) AS INT) AS max_lat_dm,
         |  CAST(MAX(-1050000000 + ix * 150000000) AS INT) AS max_lon_dm
         |FROM t GROUP BY g""".stripMargin,
+
+    // q145 — the full crossover replayed relationally: dims + unsigned
+    // splitmix hash (the q108 chain), the banded-gradient pixel formula
+    // and BT.601 floor grayscale per (x, y), the SAME even-odd ray cast
+    // as q86 over the ×4-scaled fixtures, then one equi-join + groupBy.
+    // Every value integer — bit-exact across engines.
+    "q145_zonal_stats" ->
+      s"""WITH ${splitmixDimsCtes(64)},
+         |hv AS (SELECT i, w, h,
+         |    CAST(hz % 256 AS BIGINT) AS hr,
+         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
+         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
+         |  FROM (SELECT i, w, h,
+         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
+         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
+         |px AS (SELECT i, x, unnest(range(h)) AS y,
+         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
+         |  FROM t1),
+         |edges AS (SELECT * FROM $zonalEdgesSqlValues),
+         |bbox AS (
+         |  SELECT pid,
+         |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
+         |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
+         |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
+         |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
+         |  FROM edges GROUP BY pid),
+         |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
+         |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
+         |crossings AS (
+         |  SELECT c.pid, c.cx, c.cy, e.ring,
+         |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
+         |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
+         |      THEN 1 ELSE 0 END) AS n
+         |  FROM lattice c JOIN edges e USING (pid)
+         |  GROUP BY c.pid, c.cx, c.cy, e.ring),
+         |inside AS (
+         |  SELECT pid, cx, cy FROM crossings
+         |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))
+         |SELECT printf('img_%09d', CAST(p.i AS BIGINT)) AS image_id,
+         |  z.pid AS relation_id,
+         |  CAST(count(*) AS BIGINT) AS n_px,
+         |  CAST(sum(p.g) AS BIGINT) AS sum_g,
+         |  CAST(min(p.g) AS BIGINT) AS min_g,
+         |  CAST(max(p.g) AS BIGINT) AS max_g
+         |FROM px p JOIN inside z ON z.cx = p.x AND z.cy = p.y
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q146 — the closed-form rook edge list (q141's und CTE) with the
+    // rough binary attribute; counts and expectation numerators replayed
+    // as exact integers over the shared n·(n−1) denominator
+    "q146_join_counts" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |vals AS (SELECT 3000000 + k AS rid,
+        |  CASE WHEN ((k % 16) * 3 + (k // 16) * 5) % 7 < 3 THEN 1 ELSE 0 END AS b
+        |  FROM cells),
+        |und AS (
+        |  SELECT 3000000 + k AS a, 3000000 + k + 1 AS b2 FROM cells WHERE k % 16 <> 15
+        |  UNION ALL
+        |  SELECT 3000000 + k, 3000000 + k + 16 FROM cells WHERE k < 112),
+        |e AS (SELECT COUNT(*) AS m,
+        |        SUM(va.b * vb.b) AS bb,
+        |        SUM((1 - va.b) * (1 - vb.b)) AS ww
+        |      FROM und JOIN vals va ON va.rid = und.a
+        |               JOIN vals vb ON vb.rid = und.b2),
+        |g AS (SELECT COUNT(*) AS n, SUM(b) AS nb FROM vals)
+        |SELECT CAST(g.n AS BIGINT) AS n, CAST(g.nb AS BIGINT) AS nb,
+        |  CAST(e.m AS BIGINT) AS m, CAST(e.bb AS BIGINT) AS bb,
+        |  CAST(e.m - e.bb - e.ww AS BIGINT) AS bw, CAST(e.ww AS BIGINT) AS ww,
+        |  CAST(e.m * g.nb * (g.nb - 1) AS BIGINT) AS e_bb_num,
+        |  CAST(2 * e.m * g.nb * (g.n - g.nb) AS BIGINT) AS e_bw_num,
+        |  CAST(e.m * (g.n - g.nb) * (g.n - g.nb - 1) AS BIGINT) AS e_ww_num,
+        |  CAST(g.n * (g.n - 1) AS BIGINT) AS e_den
+        |FROM e CROSS JOIN g""".stripMargin,
+
+    // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
+    // replayed as a per-polygon LEFT self-join (quadratic but lattice-
+    // sized — the quadratic form IS the spec the scatter plan must match)
+    "q147_focal_stats" -> rasterCellsSql(
+      """vals AS (SELECT pid, cx, cy, cx + 2 * cy AS v FROM inside),
+        |nbr AS (
+        |  SELECT a.pid, a.cx, a.cy, count(b.cx) AS nbr_cnt,
+        |         coalesce(sum(b.v), 0) AS nbr_sum
+        |  FROM vals a LEFT JOIN vals b
+        |    ON b.pid = a.pid AND abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+        |    AND NOT (b.cx = a.cx AND b.cy = a.cy)
+        |  GROUP BY 1, 2, 3)
+        |SELECT n.pid AS relation_id, n.cx, n.cy, CAST(v.v AS BIGINT) AS v,
+        |  CAST(n.nbr_cnt AS BIGINT) AS nbr_cnt,
+        |  CAST(n.nbr_sum AS BIGINT) AS nbr_sum
+        |FROM nbr n JOIN vals v ON v.pid = n.pid AND v.cx = n.cx AND v.cy = n.cy""".stripMargin,
+      extraCte = true),
 
     // q91 — all-pairs bit_count replication of the banded pipeline (the
     // 4×16-bit banding is total-recall for hamming ≤ 3 and no bucket

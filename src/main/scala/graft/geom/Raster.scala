@@ -105,4 +105,70 @@ object Raster {
         sum(element_at(segLut, (col("case_idx") + 1).cast("int")).cast("long")).as("n_segments"),
         sum(when(col("case_idx").isin(6L, 9L), 1L).otherwise(0L)).as("n_saddles"))
   }
+
+  /** Zonal statistics — the raster-side consumer of [[rasterize]] and the
+    * vector-side consumer of an image pixel grid (ArcGIS/GDAL "zonal
+    * stats"): aggregate a pixel table per polygon zone. `pixels` carries
+    * (image_id, x, y, g) — one row per decoded pixel, its grid position,
+    * and an integer value; `zones` carries (idCol, cx, cy) — the burnt
+    * polygon raster on the SAME grid. Output is one row per
+    * (image_id, zone) that intersects: pixel count, exact integer sum,
+    * min, max. Pixels outside every zone and zone cells outside the
+    * image drop out of the inner join — partial coverage is the normal
+    * case, not an error.
+    *
+    * Scale shape: the pixel side is corpus-sized (10^12 images ×
+    * pixels); the zone raster is polygon-cover-sized and broadcast by
+    * default, so the join is map-side — ONE hash exchange total (the
+    * final (image, zone) aggregation, with map-side partials). Set
+    * `broadcastZones = false` when the zone raster itself is huge
+    * (planet-wide burn at fine pitch); the join then shuffles on the
+    * cell key, which both sides can be pre-bucketed on.
+    */
+  def zonalStats(zones: DataFrame, pixels: DataFrame,
+      idCol: String = "relation_id", broadcastZones: Boolean = true): DataFrame = {
+    val z = zones.select(col(idCol), col("cx"), col("cy"))
+    val zz = if (broadcastZones) broadcast(z) else z
+    pixels.join(zz, pixels("x") === zz("cx") && pixels("y") === zz("cy"))
+      .groupBy(col("image_id"), col(idCol))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("g")).as("sum_g"),
+        min(col("g")).as("min_g"),
+        max(col("g")).as("max_g"))
+  }
+
+  /** Focal (neighborhood) statistics over a sparse value raster — map
+    * algebra's 3×3 focal sum/count at every occupied cell, missing
+    * neighbors simply absent (GDAL `-srcnodata` semantics, not zero-
+    * filled). Input (idCol, cx, cy, v); output adds (nbr_cnt, nbr_sum)
+    * — the count and exact integer sum of the up-to-8 occupied
+    * neighbors. The caller divides when it wants the mean; the integers
+    * are the exact form both engines can agree on bit-for-bit.
+    *
+    * Same scatter shape as [[marchingSquares]]: each cell flatMaps its
+    * value to its 8 incident neighbor positions (narrow, ×8), ONE hash
+    * exchange groups them by position, and a left join back to the
+    * occupied cells keeps output cells = input cells (isolated cells
+    * keep cnt 0 / sum 0). Never a cell×cell join — at a planet-raster
+    * 100 TB burn the scatter stays linear and the exchange is keyed on
+    * (polygon, cell), uniform unless one polygon dominates, which
+    * [[rasterize]]'s spreadRows addresses upstream.
+    */
+  def focalStats(cells: DataFrame, idCol: String = "relation_id"): DataFrame = {
+    val occ = cells.select(col(idCol), col("cx"), col("cy"),
+      col("v").cast("long").as("v"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
+      yield (dx, dy)
+    val scattered = occ.select(col(idCol), col("v"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+        }: _*)).as("t"))
+      .select(col(idCol), col("t.nx").as("cx"), col("t.ny").as("cy"), col("v"))
+    val sums = scattered.groupBy(col(idCol), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("nbr_cnt"), sum(col("v")).as("nbr_sum"))
+    occ.join(sums, Seq(idCol, "cx", "cy"), "left")
+      .select(col(idCol), col("cx"), col("cy"), col("v"),
+        coalesce(col("nbr_cnt"), lit(0L)).as("nbr_cnt"),
+        coalesce(col("nbr_sum"), lit(0L)).as("nbr_sum"))
+  }
 }

@@ -219,4 +219,32 @@ object ImageOps {
       }
       .toDF("image_id", "w", "h", "fg", "n_runs", "longest")
   }
+
+  /** Explode the binary image column into one row per pixel:
+    * (image_id, x, y, g) with g the BT.601 integer grayscale (same
+    * exact floor arithmetic as [[sobelEnergy]]/[[rleMask]]). This is
+    * the raster leg of zonal statistics ([[graft.geom.Raster.zonalStats]])
+    * — decode through graft's own codecs, then a narrow flatMap; the
+    * output is pixel-sized by definition (that's what zonal stats
+    * aggregates), but no shuffle happens here.
+    */
+  def grayPixels(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (px, w, _) = Codecs.decode(bytes)
+          Iterator.tabulate(px.length) { k =>
+            val p = px(k)
+            val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            (id, k % w, k / w, g)
+          }
+        }
+      }
+      .toDF("image_id", "x", "y", "g")
+  }
 }

@@ -496,6 +496,46 @@ object BoundaryExtract {
         col("s0"))
   }
 
+  /** Join-count statistics — the categorical sibling of [[globalAutocorr]]
+    * (Cliff & Ord 1981 ch. 1; GeoDa's "univariate join counts"): for a
+    * BINARY attribute b ∈ {0, 1} over the rook graph, count the
+    * UNDIRECTED edge types BB (both 1), WW (both 0), BW (mixed), and
+    * carry the nonfree-sampling expectations as exact integer rationals
+    * over the shared denominator n·(n−1):
+    *
+    *   E[BB] = m·nB·(nB−1) / (n·(n−1)),  E[BW] = 2·m·nB·nW / (n·(n−1)),
+    *   E[WW] = m·nW·(nW−1) / (n·(n−1))
+    *
+    * — one row of ten bigints, no float anywhere, so both engines
+    * reproduce it bit-exactly. BB ≫ E[BB] reads "clustered", BW ≫ E[BW]
+    * "dispersed" — the categorical autocorrelation verdict.
+    *
+    * Scale shape: two polygon-sized hash joins attach b to each edge
+    * endpoint, ONE edge-sized aggregation, and the polygon-global (n, nB)
+    * as a 1-row broadcast. No window, no sort. `values` is persisted —
+    * it feeds both the edge join and the global count.
+    */
+  def joinCounts(values: DataFrame, adjacency: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vals = values.select(col("relation_id"), col("b").cast("long").as("b"))
+      .persist(lvl)
+    val e = adjacency.select(col("rel_a"), col("rel_b"))
+      .join(vals.select(col("relation_id").as("rel_a"), col("b").as("b_a")), "rel_a")
+      .join(vals.select(col("relation_id").as("rel_b"), col("b").as("b_b")), "rel_b")
+      .agg(count(lit(1)).as("m"),
+        coalesce(sum(col("b_a") * col("b_b")), lit(0L)).as("bb"),
+        coalesce(sum((lit(1L) - col("b_a")) * (lit(1L) - col("b_b"))), lit(0L)).as("ww"))
+    val g = vals.agg(count(lit(1)).as("n"), sum(col("b")).as("nb"))
+    val nw = col("n") - col("nb")
+    e.crossJoin(broadcast(g))
+      .select(col("n"), col("nb"), col("m"),
+        col("bb"), (col("m") - col("bb") - col("ww")).as("bw"), col("ww"),
+        (col("m") * col("nb") * (col("nb") - 1L)).as("e_bb_num"),
+        (lit(2L) * col("m") * col("nb") * nw).as("e_bw_num"),
+        (col("m") * nw * (nw - 1L)).as("e_ww_num"),
+        (col("n") * (col("n") - 1L)).as("e_den"))
+  }
+
   /** Dissolve — the classic GIS merge: rook-adjacent polygons sharing an
     * attribute value collapse into one region (QGIS/PostGIS `ST_Union ...
     * GROUP BY attr`, but restricted to CONTIGUOUS same-attribute runs, the

@@ -291,6 +291,34 @@ class PolygonStatsSpec extends AnyFunSuite {
     assert(single.map(_.getLong(0)).toSet == (0 until 12).map(3000000L + _).toSet)
   }
 
+  test("join counts: hand-derived BB/BW/WW and expectations on the 4×3 grid") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    val iyC = (col("min_lat_dm").cast("long") + 600000000L) / 400000000L
+    // b = 1 for the top two rows (8 cells), 0 for the bottom row (4):
+    // m = 9 horizontal + 8 vertical = 17; BB = 6 horiz (rows 1,2) +
+    // 4 vert (row1–row2) = 10; WW = 3 horiz (row 0); BW = 4 vert (row0–row1)
+    val values = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+      .select(col("relation_id"), when(iyC >= 1d, 1L).otherwise(0L).as("b"))
+    val Array(row) = BoundaryExtract.joinCounts(values, adj).collect()
+    assert(row.toSeq === Seq(12L, 8L, 17L, 10L, 4L, 3L,
+      17L * 8 * 7, 2L * 17 * 8 * 4, 17L * 4 * 3, 12L * 11))
+  }
+
+  test("join counts: all-one attribute puts every edge in BB, zero in BW/WW") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val (n, w, r) = OsmScenes.sharedGrid(4, 3).toDFs(spark)
+    val adj = BoundaryExtract.contiguity(spark, r, w, n)
+    val values = BoundaryExtract.polygonStats(spark, r, w, n).toDF()
+      .select(col("relation_id"), lit(1L).as("b"))
+    val Array(row) = BoundaryExtract.joinCounts(values, adj).collect()
+    assert(row.toSeq === Seq(12L, 12L, 17L, 17L, 0L, 0L,
+      17L * 12 * 11, 0L, 0L, 12L * 11))
+  }
+
   test("contiguity refuses an edge shared by more than two polygons") {
     val spark = SparkTestSession.spark
     import OsmScenes._

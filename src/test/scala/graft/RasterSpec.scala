@@ -94,4 +94,58 @@ class RasterSpec extends AnyFunSuite {
     assert(narrow.count() === 22L)
     assert(df.count() === 22L)
   }
+
+  test("zonalStats: hand-built pixels aggregate per intersecting zone only") {
+    // zone 1 = {(0,0),(1,0)}, zone 2 = {(1,1),(2,1)} — (2,1) has no pixel
+    val zones = Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 1L, 1L), (2L, 2L, 1L))
+      .toDF("relation_id", "cx", "cy")
+    // image a covers a 2×2 grid; image b only pixel (0,0); pixel (9,9)
+    // of a sits outside every zone and must drop out
+    val pixels = Seq(
+      ("a", 0, 0, 10), ("a", 1, 0, 20), ("a", 1, 1, 30), ("a", 0, 1, 99),
+      ("a", 9, 9, 7), ("b", 0, 0, 5))
+      .toDF("image_id", "x", "y", "g")
+    val got = Raster.zonalStats(zones, pixels)
+      .as[(String, Long, Long, Long, Int, Int)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 2L, 30L, 10, 20), // zone 1: pixels (0,0)+(1,0)
+      ("a", 2L, 1L, 30L, 30, 30), // zone 2: only (1,1) exists
+      ("b", 1L, 1L, 5L, 5, 5)))
+  }
+
+  test("zonalStats over real decoded pixels matches the pixel formula; zones broadcast") {
+    import graft.img.{ImageOps, ImageTable}
+    val zones = Seq((1L, 0L, 0L)).toDF("relation_id", "cx", "cy") // just pixel (0,0)
+    val imgs = ImageTable.generate(spark, 3, 2).toDF()
+    val df = Raster.zonalStats(zones, ImageOps.grayPixels(spark, imgs))
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = df.as[(String, Long, Long, Long, Int, Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val want = (0L until 3L).map { i =>
+      val p = ImageTable.pixel(i, 0, 0)
+      val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000
+      f"img_$i%09d" -> g.toLong
+    }.toMap
+    assert(got === want)
+  }
+
+  test("focalStats: L-triple neighbor sums, isolated cell keeps cnt 0") {
+    // (0,0),(1,0),(0,1) mutually adjacent (corner pair diagonal); (5,5) isolated
+    val cells = Seq((1L, 0L, 0L, 1L), (1L, 1L, 0L, 2L), (1L, 0L, 1L, 4L),
+      (1L, 5L, 5L, 8L)).toDF("relation_id", "cx", "cy", "v")
+    val got = Raster.focalStats(cells)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 1L, 2L, 6L),
+      (1L, 1L, 0L, 2L, 2L, 5L),
+      (1L, 0L, 1L, 4L, 2L, 3L),
+      (1L, 5L, 5L, 8L, 0L, 0L)))
+  }
+
+  test("focalStats: same polygon id required — twin rasters do not bleed") {
+    val cells = Seq((1L, 0L, 0L, 1L), (2L, 1L, 0L, 100L)).toDF("relation_id", "cx", "cy", "v")
+    val got = Raster.focalStats(cells)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 0L, 1L, 0L, 0L), (2L, 1L, 0L, 100L, 0L, 0L)))
+  }
 }
