@@ -83,6 +83,24 @@ object SparkEntry {
     }).toDF()
   }
 
+  /** Target zoning for q149's areal interpolation: the raster fixtures
+    * translated (+1, +1) with ids 8000–8004 — every target overlaps its
+    * source heavily plus whatever neighbors the shapes graze, so the
+    * transfer table has both near-total and partial weights.
+    */
+  private val arealDstPolys: Seq[(Long, Seq[Seq[(Int, Int)]])] =
+    rasterPolys.map { case (id, rings) =>
+      (id + 1000L, rings.map(_.map { case (la, lo) => (la + 1, lo + 1) }))
+    }
+
+  private def arealDstPolyDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.createDataset(arealDstPolys.map { case (id, rings) =>
+      PolygonRow(s"areal_$id", rings.map(_.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }),
+        id, 8L)
+    }).toDF()
+  }
+
   /** Shared oracle scaffolding for q86/q87: CTEs down to `inside(pid, cx,
     * cy)` — the unit-cell raster of [[rasterPolys]] — followed by `tail`
     * (a full SELECT, or with `extraCte` a further CTE chain + SELECT).
@@ -95,27 +113,34 @@ object SparkEntry {
     */
   private def rasterCellsSqlOver(edgesSqlValues: String, tail: String,
       extraCte: Boolean = false): String =
-    s"""WITH edges AS (SELECT * FROM $edgesSqlValues),
-       |bbox AS (
+    s"""WITH ${insideCtes("", edgesSqlValues)}${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+
+  /** The ray-cast lattice CTE chain ending in `inside$suffix(pid, cx,
+    * cy)`; suffixing lets one oracle burn two polygon sets (q149's
+    * source and target zonings).
+    */
+  private def insideCtes(suffix: String, edgesSqlValues: String): String =
+    s"""edges$suffix AS (SELECT * FROM $edgesSqlValues),
+       |bbox$suffix AS (
        |  SELECT pid,
        |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
        |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
        |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
        |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
-       |  FROM edges GROUP BY pid),
-       |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
-       |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
-       |crossings AS (
+       |  FROM edges$suffix GROUP BY pid),
+       |lat0$suffix AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox$suffix),
+       |lattice$suffix AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0$suffix),
+       |crossings$suffix AS (
        |  SELECT c.pid, c.cx, c.cy, e.ring,
        |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
        |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
        |      THEN 1 ELSE 0 END) AS n
-       |  FROM lattice c JOIN edges e USING (pid)
+       |  FROM lattice$suffix c JOIN edges$suffix e USING (pid)
        |  GROUP BY c.pid, c.cx, c.cy, e.ring),
-       |inside AS (
-       |  SELECT pid, cx, cy FROM crossings
-       |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))${if (extraCte) "," else ""}
-       |$tail""".stripMargin
+       |inside$suffix AS (
+       |  SELECT pid, cx, cy FROM crossings$suffix
+       |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))""".stripMargin
 
   /** Polygons as a SQL edge list (pid, ring, yi, xi, yj, xj) — consecutive
     * vertex pairs incl. the closing edge; the crossing test is symmetric
@@ -135,6 +160,8 @@ object SparkEntry {
   private def rasterEdgesSqlValues: String = polyEdgesSqlValues(rasterPolys)
 
   private def zonalEdgesSqlValues: String = polyEdgesSqlValues(zonalPolys)
+
+  private def arealDstEdgesSqlValues: String = polyEdgesSqlValues(arealDstPolys)
 
   private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
     polys.flatMap { case (id, rings) =>
@@ -1473,6 +1500,46 @@ object SparkEntry {
           when((ix * 3L + iy * 5L) % 7L < 3L, 1L).otherwise(0L).as("b"))
       graft.osm.BoundaryExtract.joinCounts(values, adj)
     }),
+
+    // Getis-Ord local G hot/cold spots over the rook graph — the
+    // ABSOLUTE-concentration sibling of q142's LISA (a low cell amid
+    // high neighbors is HOT here, HH-excluded there). Same smooth
+    // gradient attribute as q141 so both poles appear; the verdict is
+    // the exact integer sign of (n−1)·lag − degree·(S−x).
+    "q148_local_g" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+        .select(col("relation_id"),
+          (((col("min_lon_dm").cast("long") + 1200000000L) / 150000000L).cast("long") +
+           ((col("min_lat_dm").cast("long") + 600000000L) / 150000000L).cast("long")).as("x"))
+      graft.osm.BoundaryExtract.localG(values, adj)
+    }),
+
+    // areal interpolation (raster method): transfer an attribute from
+    // the q86 fixtures to a (+1,+1)-shifted target zoning, overlap
+    // measured on the shared unit-cell burn — ONE cell-keyed equi-join
+    // (target side broadcast), exact rational transfer table out. The
+    // oracle replays BOTH ray-cast burns and the same join.
+    "q149_areal_interp" -> ((s, _) => {
+      val src = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .withColumnRenamed("relation_id", "src_id")
+      val dst = graft.geom.Raster.rasterize(arealDstPolyDF(s), 1.0)
+        .withColumnRenamed("relation_id", "dst_id")
+      val values = s.range(0, 5).select((col("id") + 7000L).as("src_id"),
+        (col("id") + 1L).as("v"))
+      graft.geom.Raster.arealInterp(src, dst, values, broadcastDst = true)
+    }),
+
+    // per-image Otsu auto-threshold — the binarization front end of the
+    // mask pipeline (q139), EXACT: 256-bin BT.601 histogram, the
+    // between-class-variance argmax compared as cross-multiplied
+    // BigInt rationals (numerators reach ~2^88), smallest-t tie-break.
+    // Narrow mapPartitions decode; the oracle replays the histogram,
+    // the HUGEINT dominance test, and the foreground count.
+    "q150_otsu" -> ((s, _) =>
+      graft.img.ImageOps.otsuStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
@@ -3905,6 +3972,89 @@ object SparkEntry {
         |  CAST(e.m * (g.n - g.nb) * (g.n - g.nb - 1) AS BIGINT) AS e_ww_num,
         |  CAST(g.n * (g.n - 1) AS BIGINT) AS e_den
         |FROM e CROSS JOIN g""".stripMargin,
+
+    // q148 — the closed-form rook graph with the q141 gradient; the
+    // hot/cold verdict replayed as the exact sign of
+    // (n−1)·lag − degree·(S−x)
+    "q148_local_g" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |vals AS (SELECT 3000000 + k AS rid, (k % 16) + (k // 16) AS x FROM cells),
+        |und AS (
+        |  SELECT 3000000 + k AS a, 3000000 + k + 1 AS b FROM cells WHERE k % 16 <> 15
+        |  UNION ALL
+        |  SELECT 3000000 + k, 3000000 + k + 16 FROM cells WHERE k < 112),
+        |dir AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM vals),
+        |lagged AS (SELECT src, COUNT(*) AS degree, SUM(v.x) AS lag
+        |           FROM dir JOIN vals v ON v.rid = dir.dst GROUP BY src),
+        |t AS (SELECT v.rid, v.x, coalesce(l.degree, 0) AS degree,
+        |             coalesce(l.lag, 0) AS lag,
+        |             (g.n - 1) * coalesce(l.lag, 0)
+        |               - coalesce(l.degree, 0) * (g.s - v.x) AS g_num
+        |      FROM vals v CROSS JOIN g LEFT JOIN lagged l ON l.src = v.rid)
+        |SELECT rid AS relation_id, CAST(x AS BIGINT) AS x,
+        |  CAST(degree AS BIGINT) AS degree, CAST(lag AS BIGINT) AS lag,
+        |  CAST(g_num AS BIGINT) AS g_num,
+        |  CASE WHEN degree = 0 THEN 'ISO'
+        |       WHEN g_num > 0 THEN 'HOT'
+        |       WHEN g_num < 0 THEN 'COLD'
+        |       ELSE 'EVEN' END AS spot
+        |FROM t""".stripMargin,
+
+    // q149 — BOTH ray-cast burns (source and (+1,+1)-shifted target
+    // zonings) through the suffixed lattice chain, then the same
+    // cell-keyed overlap join and exact rational transfer table
+    "q149_areal_interp" ->
+      s"""WITH ${insideCtes("_s", rasterEdgesSqlValues)},
+         |${insideCtes("_d", arealDstEdgesSqlValues)},
+         |sz AS (SELECT pid, COUNT(*) AS src_cells FROM inside_s GROUP BY pid),
+         |ov AS (SELECT s.pid AS src_id, d.pid AS dst_id, COUNT(*) AS overlap_cells
+         |       FROM inside_s s JOIN inside_d d ON d.cx = s.cx AND d.cy = s.cy
+         |       GROUP BY 1, 2),
+         |vals AS (SELECT 7000 + range AS src_id, range + 1 AS v FROM range(0, 5))
+         |SELECT ov.dst_id, ov.src_id,
+         |  CAST(ov.overlap_cells AS BIGINT) AS overlap_cells,
+         |  CAST(sz.src_cells AS BIGINT) AS src_cells,
+         |  CAST(vals.v AS BIGINT) AS v,
+         |  CAST(vals.v * ov.overlap_cells AS BIGINT) AS transfer_num
+         |FROM ov JOIN sz ON sz.pid = ov.src_id
+         |        JOIN vals ON vals.src_id = ov.src_id""".stripMargin,
+
+    // q150 — histogram + cumulative sums from the pixel chain, then the
+    // between-class-variance argmax as a HUGEINT dominance test
+    // (y beats x iff y.a²·x.b > x.a²·y.b; equal value + smaller t also
+    // dominates — that encodes the smallest-argmax tie-break), fg from
+    // the winning cumulative count
+    "q150_otsu" ->
+      s"""WITH ${splitmixDimsCtes(48)},
+         |hv AS (SELECT i, w, h,
+         |    CAST(hz % 256 AS BIGINT) AS hr,
+         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
+         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
+         |  FROM (SELECT i, w, h,
+         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
+         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
+         |px AS (SELECT i, w, h, x, unnest(range(h)) AS y,
+         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
+         |  FROM t1),
+         |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT i, sum(c) AS nt, sum(g * c) AS st FROM hist GROUP BY 1),
+         |cum AS (SELECT i, w, h, g AS t,
+         |        sum(c) OVER (PARTITION BY i ORDER BY g) AS c0,
+         |        sum(g * c) OVER (PARTITION BY i ORDER BY g) AS s0 FROM hist),
+         |cand AS (SELECT cum.i, cum.w, cum.h, cum.t, tot.nt, cum.c0,
+         |           CAST(tot.st * cum.c0 - tot.nt * cum.s0 AS HUGEINT) AS a,
+         |           CAST(cum.c0 AS HUGEINT) * (tot.nt - cum.c0) AS b
+         |         FROM cum JOIN tot USING (i)
+         |         WHERE cum.c0 > 0 AND cum.c0 < tot.nt AND cum.t < 255),
+         |best AS (SELECT x.* FROM cand x WHERE NOT EXISTS (
+         |           SELECT 1 FROM cand y WHERE y.i = x.i AND
+         |             (y.a * y.a * x.b > x.a * x.a * y.b OR
+         |              (y.a * y.a * x.b = x.a * x.a * y.b AND y.t < x.t))))
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CAST(t AS INT) AS threshold, CAST(nt - c0 AS BIGINT) AS fg
+         |FROM best""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

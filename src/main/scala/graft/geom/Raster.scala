@@ -137,6 +137,39 @@ object Raster {
         max(col("g")).as("max_g"))
   }
 
+  /** Areal interpolation, raster method (the dasymetric form of GIS
+    * areal weighting — Goodchild & Lam 1980): transfer an attribute from
+    * source polygons to an incompatible target zoning proportionally to
+    * overlap area, with areas measured on a common cell burn (both sides
+    * through [[rasterize]] at the same pitch). Output is the EXACT
+    * transfer table — one row per intersecting (dst, src):
+    * (dstId, srcId, overlap_cells, src_cells, v, transfer_num = v ·
+    * overlap_cells) — the transferred amount being the rational
+    * transfer_num / src_cells; consumers sum numerators over a common
+    * denominator or divide at the edge. No float enters the operator.
+    *
+    * Scale shape: ONE cell-keyed equi-join (the overlap), then
+    * source-keyed joins for sizes and values — at planet scale the cell
+    * join shuffles on (cx, cy), which both burns can be pre-bucketed on;
+    * `broadcastDst = true` makes it map-side when the target zoning is
+    * small (the admin-rollup case).
+    */
+  def arealInterp(srcCells: DataFrame, dstCells: DataFrame, values: DataFrame,
+      srcId: String = "src_id", dstId: String = "dst_id",
+      broadcastDst: Boolean = false): DataFrame = {
+    val src = srcCells.select(col(srcId), col("cx"), col("cy"))
+    val dst0 = dstCells.select(col(dstId), col("cx"), col("cy"))
+    val dst = if (broadcastDst) broadcast(dst0) else dst0
+    val srcSz = src.groupBy(col(srcId)).agg(count(lit(1)).as("src_cells"))
+    src.join(dst, Seq("cx", "cy"))
+      .groupBy(col(srcId), col(dstId))
+      .agg(count(lit(1)).as("overlap_cells"))
+      .join(srcSz, srcId)
+      .join(values.select(col(srcId), col("v").cast("long").as("v")), srcId)
+      .select(col(dstId), col(srcId), col("overlap_cells"), col("src_cells"),
+        col("v"), (col("v") * col("overlap_cells")).as("transfer_num"))
+  }
+
   /** Focal (neighborhood) statistics over a sparse value raster — map
     * algebra's 3×3 focal sum/count at every occupied cell, missing
     * neighbors simply absent (GDAL `-srcnodata` semantics, not zero-

@@ -220,6 +220,77 @@ object ImageOps {
       .toDF("image_id", "w", "h", "fg", "n_runs", "longest")
   }
 
+  /** Otsu's automatic threshold (Otsu 1979) for one image, EXACT: build
+    * the 256-bin BT.601 grayscale histogram, then pick the threshold t
+    * (class 0 = g ≤ t, class 1 = g > t) maximizing the between-class
+    * variance ω0·ω1·(μ0−μ1)², compared as the exact rational
+    *
+    *   f(t) = (S·c0(t) − N·s0(t))² / (c0(t)·(N − c0(t)))
+    *
+    * (N, S the pixel count and gray sum; c0, s0 the cumulative count and
+    * gray sum through t). Candidates are the t with both classes
+    * nonempty; comparisons cross-multiply in BigInt (the numerator
+    * reaches ~2^88 — past Long), the strict `>` keeps the SMALLEST
+    * argmax, and a constant image (no valid split) returns the (−1, 0)
+    * sentinel. Returns (threshold, fg = pixels with g > threshold) — the
+    * automatic-binarization front end of the mask pipeline ([[rleMask]]).
+    */
+  def otsu(px: Array[Int], w: Int, h: Int): (Int, Long) = {
+    val hist = new Array[Long](256)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      hist(g) += 1
+      k += 1
+    }
+    val nTot = px.length.toLong
+    var sTot = 0L
+    var i = 0
+    while (i < 256) { sTot += i.toLong * hist(i); i += 1 }
+    var bestT = -1
+    var bestA = BigInt(0)
+    var bestB = BigInt(1)
+    var c0 = 0L
+    var s0 = 0L
+    var t = 0
+    while (t < 255) {
+      c0 += hist(t); s0 += t.toLong * hist(t)
+      if (c0 > 0 && c0 < nTot) {
+        val a = BigInt(sTot) * c0 - BigInt(nTot) * s0
+        val a2 = a * a
+        val b = BigInt(c0) * (nTot - c0)
+        if (bestT < 0 || a2 * bestB > bestA * b) { bestT = t; bestA = a2; bestB = b }
+      }
+      t += 1
+    }
+    var fg = 0L
+    i = bestT + 1
+    while (i < 256) { fg += hist(i); i += 1 }
+    if (bestT < 0) (-1, 0L) else (bestT, fg)
+  }
+
+  /** (image_id, w, h, threshold, fg) per image: decode the binary column
+    * with graft's own codecs, then [[otsu]]. Narrow mapPartitions over
+    * (id, bytes) — no shuffle, the per-image feature shape of this repo.
+    */
+  def otsuStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (t, fg) = otsu(px, w, h)
+          (id, w, h, t, fg)
+        }
+      }
+      .toDF("image_id", "w", "h", "threshold", "fg")
+  }
+
   /** Explode the binary image column into one row per pixel:
     * (image_id, x, y, g) with g the BT.601 integer grayscale (same
     * exact floor arithmetic as [[sobelEnergy]]/[[rleMask]]). This is

@@ -448,6 +448,50 @@ object BoundaryExtract {
           .otherwise(lit("NA")).as("quadrant"))
   }
 
+  /** Getis-Ord local G over a contiguity graph, exact integers (Getis &
+    * Ord 1992's hot/cold-spot statistic, the non-self-inclusive G_i form
+    * natural to rook weights): G_i compares the neighbor sum lag_i
+    * against its expectation degree_i·(S − x_i)/(n − 1) under the null,
+    * so the sign of the integer
+    *
+    *   g_num_i = (n − 1)·lag_i − degree_i·(S − x_i)
+    *
+    * IS the hot (> 0) / cold (< 0) verdict, and its magnitude ranks the
+    * spots — the (n−1) scale factor is common to every row, as in
+    * [[localMoran]]'s lisa_num. Unlike LISA (which measures similarity
+    * to neighbors, so a low plateau reads HH), local G reads ABSOLUTE
+    * concentration: a polygon surrounded by high values is HOT even if
+    * it is itself low. ISO for degree-0 polygons, EVEN on exact balance.
+    *
+    * Scale shape: identical to [[localMoran]] — one edge-sized lag
+    * aggregation, one polygon-sized left join back, the global (n, S) as
+    * a 1-row broadcast. No window, no sort.
+    */
+  def localG(values: DataFrame, adjacency: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vals = values.select(col("relation_id"), col("x").cast("long").as("x"))
+      .persist(lvl)
+    val und = adjacency.select(col("rel_a").as("src"), col("rel_b").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val g = vals.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val lagged = dir
+      .join(vals.select(col("relation_id").as("dst_id"), col("x").as("x_dst")),
+        col("dst") === col("dst_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"), sum(col("x_dst")).as("lag"))
+    val degree = coalesce(col("degree"), lit(0L))
+    val lag = coalesce(col("lag"), lit(0L))
+    val gNum = (col("n") - 1L) * lag - degree * (col("s") - col("x"))
+    vals.join(lagged, col("relation_id") === col("src"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("relation_id"), col("x"),
+        degree.as("degree"), lag.as("lag"), gNum.as("g_num"),
+        when(degree === 0L, lit("ISO"))
+          .when(gNum > 0L, lit("HOT"))
+          .when(gNum < 0L, lit("COLD"))
+          .otherwise(lit("EVEN")).as("spot"))
+  }
+
   /** Global spatial-autocorrelation battery — Moran's I, Geary's C and
     * Getis-Ord General G over a contiguity graph, as ONE row of exact
     * integers from ONE edge aggregation. With S = Σx, Q = Σx² and

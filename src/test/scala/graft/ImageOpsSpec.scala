@@ -102,4 +102,31 @@ class ImageOpsSpec extends AnyFunSuite {
       assert(got(f"img_$i%09d") == ((w, h, e, m)))
     }
   }
+
+  test("otsu: bimodal splits at the low mode, constant image hits the sentinel") {
+    def gray(v: Int) = v * 0x010101 // r=g=b=v → BT.601 gray exactly v
+    // half 0 / half 255: every candidate t has (c0, s0) = (8, 0) → the
+    // smallest-argmax tie-break must pick t = 0; fg = the 255-half
+    val bimodal = Array.fill(8)(gray(0)) ++ Array.fill(8)(gray(255))
+    assert(ImageOps.otsu(bimodal, 4, 4) === ((0, 8L)))
+    // constant image: no valid split → (−1, 0)
+    assert(ImageOps.otsu(Array.fill(16)(gray(77)), 4, 4) === ((-1, 0L)))
+    // three-level: g ∈ {0, 0, 100, 255}; f at t<100 = 910²/4, at
+    // t∈[100,254] = 965²/3 — the latter wins, smallest such t is 100
+    val tri = Array(gray(0), gray(0), gray(100), gray(255))
+    assert(ImageOps.otsu(tri, 2, 2) === ((100, 1L)))
+  }
+
+  test("otsuStats over decoded bytes equals otsu over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val (t, fg) = ImageOps.otsu(px, w, h)
+      assert(got(f"img_$i%09d") == ((w, h, t, fg)))
+      assert(t >= 0 && t < 255) // synthetic gradients always split
+    }
+  }
 }

@@ -291,6 +291,34 @@ class PolygonStatsSpec extends AnyFunSuite {
     assert(single.map(_.getLong(0)).toSet == (0 until 12).map(3000000L + _).toSet)
   }
 
+  test("local G: brute-force parity on a path graph; isolated node is ISO") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // path 1–2–3–4 with x = 1,4,2,8; node 5 isolated with x = 3
+    val xs = Map(1L -> 1L, 2L -> 4L, 3L -> 2L, 4L -> 8L, 5L -> 3L)
+    val values = xs.toSeq.toDF("relation_id", "x")
+    val adj = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("rel_a", "rel_b", "shared_edges")
+    val got = BoundaryExtract.localG(values, adj).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L), 5L -> Seq.empty[Long])
+    val n = xs.size.toLong
+    val s = xs.values.sum
+    for ((id, x) <- xs) {
+      val deg = nbrs(id).size.toLong
+      val lag = nbrs(id).map(xs).sum
+      val gNum = (n - 1) * lag - deg * (s - x)
+      val spot = if (deg == 0) "ISO"
+        else if (gNum > 0) "HOT" else if (gNum < 0) "COLD" else "EVEN"
+      assert(got(id) == ((x, deg, lag, gNum, spot)), s"node $id")
+    }
+    // sanity on the fixture itself: 4 (x=8) heats its neighbor 3 via lag
+    assert(got(3L)._5 == "HOT")
+    assert(got(5L)._5 == "ISO")
+  }
+
   test("join counts: hand-derived BB/BW/WW and expectations on the 4×3 grid") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._

@@ -142,6 +142,21 @@ class RasterSpec extends AnyFunSuite {
       (1L, 5L, 5L, 8L, 0L, 0L)))
   }
 
+  test("arealInterp: hand-derived transfer table, non-overlapping pairs absent") {
+    // src A = {(0,0),(1,0)} v=10; src B = {(1,1)} v=7
+    // dst X = {(1,0),(1,1)}; dst Y = {(9,9)} (overlaps nothing)
+    val src = Seq((100L, 0L, 0L), (100L, 1L, 0L), (200L, 1L, 1L))
+      .toDF("src_id", "cx", "cy")
+    val dst = Seq((1L, 1L, 0L), (1L, 1L, 1L), (2L, 9L, 9L))
+      .toDF("dst_id", "cx", "cy")
+    val values = Seq((100L, 10L), (200L, 7L)).toDF("src_id", "v")
+    val got = Raster.arealInterp(src, dst, values, broadcastDst = true)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 100L, 1L, 2L, 10L, 10L), // X gets half of A: 10·1/2
+      (1L, 200L, 1L, 1L, 7L, 7L)))  // X gets all of B
+  }
+
   test("focalStats: same polygon id required — twin rasters do not bleed") {
     val cells = Seq((1L, 0L, 0L, 1L), (2L, 1L, 0L, 100L)).toDF("relation_id", "cx", "cy", "v")
     val got = Raster.focalStats(cells)
