@@ -163,6 +163,25 @@ object SparkEntry {
 
   private def arealDstEdgesSqlValues: String = polyEdgesSqlValues(arealDstPolys)
 
+  /** The synthetic-image pixel chain as CTEs ending in `px(i, w, h, x, y,
+    * g)` — dims + unsigned splitmix hash (the q108 derivation), the
+    * banded-gradient pixel formula, BT.601 floor grayscale. Shared by
+    * the per-pixel image oracles (q145/q150/q153/q154).
+    */
+  private def pixelChainCtes(n: Int): String =
+    s"""${splitmixDimsCtes(n)},
+       |hv AS (SELECT i, w, h,
+       |    CAST(hz % 256 AS BIGINT) AS hr,
+       |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
+       |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
+       |  FROM (SELECT i, w, h,
+       |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+       |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
+       |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
+       |px AS (SELECT i, w, h, x, unnest(range(h)) AS y,
+       |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
+       |  FROM t1)""".stripMargin
+
   private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
     polys.flatMap { case (id, rings) =>
       rings.flatMap(_.map { case (vy, vx) => s"($id::BIGINT, $vy::DOUBLE, $vx::DOUBLE)" })
@@ -1539,6 +1558,56 @@ object SparkEntry {
     // the HUGEINT dominance test, and the foreground count.
     "q150_otsu" -> ((s, _) =>
       graft.img.ImageOps.otsuStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // distance-band spatial weights — GeoDa's radius weights as the
+    // queen/metric generalization of rook contiguity: all point pairs
+    // with dx²+dy² ≤ d², built by cell binning + ONE 3×3-scattered
+    // equi-join (never points × points), exact Long arithmetic with an
+    // in-plan 2³¹ coordinate overflow guard. Points are the polygon
+    // bbox centers; d² = 2·(cell pitch)² makes it exactly queen
+    // adjacency (diagonals at equality) — the oracle replays it closed
+    // form with per-pair dist2.
+    "q151_distance_band" -> ((s, dir) => {
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val st = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      val pts = st.select(col("relation_id").as("id"),
+        ((col("min_lon_dm").cast("long") + col("max_lon_dm").cast("long")) / 2)
+          .cast("long").as("x"),
+        ((col("min_lat_dm").cast("long") + col("max_lat_dm").cast("long")) / 2)
+          .cast("long").as("y"))
+      graft.geom.PointPattern.distanceBand(pts, 45000000000000000L)
+    }),
+
+    // Ripley's K pair counts — the point-process clustering curve as
+    // exact integers: unordered pairs within each squared radius, ONE
+    // binned join at the largest radius, all thresholds counted in the
+    // same pass. The oracle is the all-pairs quadratic form of the same
+    // predicate — identical integers, which is the point.
+    "q152_ripley_k" -> ((s, dir) => {
+      val pts = table(s, dir, "orders").filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey").as("id"),
+          (abs(col("o_orderkey") * 9973 + 12345) % 2000001 - 1000000).as("x"),
+          (abs(col("o_orderkey") * 7919 + 54321) % 2000001 - 1000000).as("y"))
+      graft.geom.PointPattern.ripleyK(pts,
+        Seq(10000000000L, 40000000000L, 160000000000L))
+    }),
+
+    // histogram equalization — the classic contrast stretch, EXACT: the
+    // integer remap out(g) = (cdf−cdfmin)·255/(N−cdfmin) summarized per
+    // image as (out_sum, out_min, out_max, out_levels), which pins the
+    // whole mapping without shipping pixels. Narrow mapPartitions
+    // decode through graft's own codecs.
+    "q153_hist_eq" -> ((s, _) =>
+      graft.img.ImageOps.histEqStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // GLCM texture features (Haralick) — offset-(1,0) co-occurrence of
+    // the 8-level quantized grayscale, reduced to exact integer
+    // contrast and ASM numerator; the smooth-vs-noisy texture signal of
+    // an image-quality filter. Narrow mapPartitions decode.
+    "q154_glcm" -> ((s, _) =>
+      graft.img.ImageOps.glcmStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
     // focal (3×3 neighborhood) statistics over the q86 burn — map
@@ -4055,6 +4124,73 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
          |  CAST(t AS INT) AS threshold, CAST(nt - c0 AS BIGINT) AS fg
          |FROM best""".stripMargin,
+
+    // q151 — the closed-form queen pairs of the 16×8 grid with exact
+    // squared distances ((1.5e8 dm)² per index step)
+    "q151_distance_band" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |pts AS (SELECT 3000000 + k AS id, (k % 16) AS ix, (k // 16) AS iy FROM cells),
+        |pr AS (SELECT a.id AS rel_a, b.id AS rel_b,
+        |         (a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy) AS cd2
+        |       FROM pts a JOIN pts b ON a.id < b.id
+        |       WHERE abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1)
+        |SELECT rel_a, rel_b,
+        |  CAST(cd2 * 22500000000000000 AS BIGINT) AS dist2 FROM pr""".stripMargin,
+
+    // q152 — the all-pairs quadratic replica of the binned join: same
+    // point derivation as q107, same exact integer distance predicate
+    "q152_ripley_k" ->
+      """WITH pts AS (SELECT o_orderkey AS id,
+        |    abs(o_orderkey*9973+12345) % 2000001 - 1000000 AS x,
+        |    abs(o_orderkey*7919+54321) % 2000001 - 1000000 AS y
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |n AS (SELECT COUNT(*) AS n_points FROM pts),
+        |pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        |       FROM pts a JOIN pts b ON a.id < b.id),
+        |r(r2) AS (VALUES (10000000000), (40000000000), (160000000000))
+        |SELECT CAST(r.r2 AS BIGINT) AS r2,
+        |  CAST(n.n_points AS BIGINT) AS n_points,
+        |  CAST(count(pr.d2) AS BIGINT) AS pairs
+        |FROM r CROSS JOIN n LEFT JOIN pr ON pr.d2 <= r.r2
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q153 — histogram + cumulative counts from the pixel chain, the
+    // integer remap formula per occupied level, aggregates replayed
+    "q153_hist_eq" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT i, sum(c) AS nt FROM hist GROUP BY 1),
+         |cmin AS (SELECT i, min(g) AS gmin FROM hist GROUP BY 1),
+         |cdfm AS (SELECT h.i, h.c AS cdfmin
+         |         FROM hist h JOIN cmin m ON m.i = h.i AND h.g = m.gmin),
+         |cum AS (SELECT i, w, h, g, c,
+         |        sum(c) OVER (PARTITION BY i ORDER BY g) AS cdf FROM hist),
+         |outm AS (SELECT cum.i, cum.w, cum.h, cum.c,
+         |           (cum.cdf - cdfm.cdfmin) * 255 // (tot.nt - cdfm.cdfmin) AS o
+         |         FROM cum JOIN cdfm USING (i) JOIN tot USING (i))
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CAST(sum(c * o) AS BIGINT) AS out_sum,
+         |  CAST(min(o) AS INT) AS out_min,
+         |  CAST(max(o) AS INT) AS out_max,
+         |  CAST(count(DISTINCT o) AS INT) AS out_levels
+         |FROM outm GROUP BY 1, 2, 3""".stripMargin,
+
+    // q154 — the offset-(1,0) co-occurrence matrix as a pixel self-join
+    // on neighbor coordinates (the q108 pattern), quantized g // 32,
+    // contrast and ASM numerator as exact integers
+    "q154_glcm" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |qx AS (SELECT i, x, y, g // 32 AS q FROM px),
+         |pairs AS (SELECT a.i, a.q AS qa, b.q AS qb
+         |          FROM qx a JOIN qx b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1),
+         |cmat AS (SELECT i, qa, qb, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+         |agg AS (SELECT i, sum((qa - qb) * (qa - qb) * c) AS contrast,
+         |               sum(c * c) AS asm FROM cmat GROUP BY 1)
+         |SELECT printf('img_%09d', CAST(d.i AS BIGINT)) AS image_id,
+         |  CAST((d.w - 1) * d.h AS BIGINT) AS n_pairs,
+         |  CAST(a.contrast AS BIGINT) AS contrast,
+         |  CAST(a.asm AS BIGINT) AS asm_num
+         |FROM agg a JOIN dims d ON d.i = a.i""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

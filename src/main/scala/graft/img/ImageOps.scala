@@ -291,6 +291,145 @@ object ImageOps {
       .toDF("image_id", "w", "h", "threshold", "fg")
   }
 
+  /** Histogram equalization (the classic contrast-stretch), EXACT: with
+    * the 256-bin BT.601 grayscale histogram, cumulative counts cdf(g),
+    * N pixels and cdfmin = the first occupied bin's count, each occupied
+    * level remaps to
+    *
+    *   out(g) = (cdf(g) − cdfmin) · 255 / (N − cdfmin)   (floor)
+    *
+    * — the standard integer formula (out(gmin) = 0, out(gmax) = 255). A
+    * constant image (N = cdfmin) has no contrast to stretch and keeps
+    * its level (identity — pinned, since the formula is 0/0 there).
+    * Returns the exact remap summary (out_sum, out_min, out_max,
+    * out_levels): enough to pin the whole mapping bit-for-bit without
+    * shipping pixels.
+    */
+  def histEq(px: Array[Int], w: Int, h: Int): (Long, Int, Int, Int) = {
+    val hist = new Array[Long](256)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      hist(g) += 1
+      k += 1
+    }
+    val n = px.length.toLong
+    var cdfmin = 0L
+    var i = 0
+    while (i < 256 && hist(i) == 0) i += 1
+    val gmin = i
+    if (i < 256) cdfmin = hist(i)
+    if (n == cdfmin) { // constant image: identity
+      (n * gmin, gmin, gmin, 1)
+    } else {
+      var cdf = 0L
+      var sum = 0L
+      var outMin = 255
+      var outMax = 0
+      var levels = 0
+      var last = -1
+      i = 0
+      while (i < 256) {
+        if (hist(i) > 0) {
+          cdf += hist(i)
+          val out = ((cdf - cdfmin) * 255L / (n - cdfmin)).toInt
+          sum += hist(i) * out
+          if (out < outMin) outMin = out
+          if (out > outMax) outMax = out
+          if (out != last) { levels += 1; last = out }
+        }
+        i += 1
+      }
+      (sum, outMin, outMax, levels)
+    }
+  }
+
+  /** (image_id, w, h, out_sum, out_min, out_max, out_levels) per image:
+    * decode with graft's own codecs, then [[histEq]]. Narrow
+    * mapPartitions, no shuffle.
+    */
+  def histEqStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (sum, mn, mx, lv) = histEq(px, w, h)
+          (id, w, h, sum, mn, mx, lv)
+        }
+      }
+      .toDF("image_id", "w", "h", "out_sum", "out_min", "out_max", "out_levels")
+  }
+
+  /** Gray-level co-occurrence texture features (Haralick 1973), EXACT:
+    * quantize the BT.601 grayscale to 8 levels (g >> 5), count
+    * horizontal co-occurrences (x, y)→(x+1, y) — the offset-(1,0)
+    * GLCM — and reduce to the two integer Haralick features:
+    * contrast = Σ (i−j)²·c_ij and the angular-second-moment numerator
+    * asm_num = Σ c_ij² (the denominator n_pairs² is carried alongside,
+    * n_pairs = (w−1)·h). Smooth images score low contrast / high ASM;
+    * noisy ones the reverse — the texture signal an image-quality
+    * filter ranks with.
+    */
+  def glcm(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val q = new Array[Int](px.length)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      q(k) = ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000) >> 5
+      k += 1
+    }
+    val c = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        c(q(y * w + x) * 8 + q(y * w + x + 1)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var contrast = 0L
+    var asm = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val cij = c(i * 8 + j)
+        contrast += (i - j).toLong * (i - j) * cij
+        asm += cij * cij
+        j += 1
+      }
+      i += 1
+    }
+    ((w - 1).toLong * h, contrast, asm)
+  }
+
+  /** (image_id, n_pairs, contrast, asm_num) per image: decode with
+    * graft's own codecs, then [[glcm]]. Narrow mapPartitions, no shuffle.
+    */
+  def glcmStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (np, contrast, asm) = glcm(px, w, h)
+          (id, np, contrast, asm)
+        }
+      }
+      .toDF("image_id", "n_pairs", "contrast", "asm_num")
+  }
+
   /** Explode the binary image column into one row per pixel:
     * (image_id, x, y, g) with g the BT.601 integer grayscale (same
     * exact floor arithmetic as [[sobelEnergy]]/[[rleMask]]). This is

@@ -117,6 +117,53 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.otsu(tri, 2, 2) === ((100, 1L)))
   }
 
+  test("histEq: hand-derived remap, constant image is identity") {
+    def gray(v: Int) = v * 0x010101
+    // constant: no contrast → identity level, one output level
+    assert(ImageOps.histEq(Array.fill(6)(gray(42)), 3, 2) === ((6L * 42, 42, 42, 1)))
+    // two levels 10 (×3) and 200 (×1): N=4, cdfmin=3;
+    // out(10) = (3-3)*255/1 = 0, out(200) = (4-3)*255/1 = 255
+    val two = Array(gray(10), gray(10), gray(10), gray(200))
+    assert(ImageOps.histEq(two, 2, 2) === ((255L, 0, 255, 2)))
+    // three levels 0(×2), 5(×1), 9(×1): N=4, cdfmin=2;
+    // out(0)=0, out(5)=255/2=127, out(9)=2*255/2=255
+    val tri = Array(gray(0), gray(0), gray(5), gray(9))
+    assert(ImageOps.histEq(tri, 2, 2) === ((127L + 255L, 0, 255, 3)))
+  }
+
+  test("histEqStats over decoded bytes equals histEq over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.histEqStats(spark, ImageTable.generate(spark, 5, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    for (i <- 0L until 5L) {
+      val (px, w, h) = img(i)
+      val (s, mn, mx, lv) = ImageOps.histEq(px, w, h)
+      assert(got(f"img_$i%09d") == ((w, h, s, mn, mx, lv)))
+      assert(mn === 0 && mx === 255) // non-constant stretch hits both ends
+    }
+  }
+
+  test("glcm: hand-derived co-occurrence on a 3×2 quantized pattern") {
+    def gray(v: Int) = v * 0x010101
+    // rows: [0, 32, 32] → q [0,1,1]; [255, 255, 0] → q [7,7,0]
+    val px = Array(gray(0), gray(32), gray(32), gray(255), gray(255), gray(0))
+    // pairs: (0,1), (1,1), (7,7), (7,0) → contrast = 1+0+0+49 = 50
+    // counts all 1 → asm = 4; n_pairs = (3-1)*2 = 4
+    assert(ImageOps.glcm(px, 3, 2) === ((4L, 50L, 4L)))
+  }
+
+  test("glcmStats over decoded bytes equals glcm over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.glcmStats(spark, ImageTable.generate(spark, 5, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (i <- 0L until 5L) {
+      val (px, w, h) = img(i)
+      assert(got(f"img_$i%09d") == (ImageOps.glcm(px, w, h)))
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())
