@@ -1610,6 +1610,39 @@ object SparkEntry {
       graft.img.ImageOps.glcmStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // binary 3×3 morphology counts — erosion/dilation survivors on the
+    // ≥128 mask (the open/close building blocks before RLE/blob mask
+    // cleanup), interior-only with explicit border semantics; narrow
+    // mapPartitions decode, exact integers.
+    "q155_morphology" -> ((s, _) =>
+      graft.img.ImageOps.morphologyStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // per-zone image-quality rollup — the flagship crossover COMPOSED:
+    // the REAL cell-indexed spatial join (SpatialJoin.assign: cover →
+    // broadcast cell equi-join → codegen'd ray-cast refine) assigns
+    // geotagged images to polygons, the Sobel edge-energy extractor
+    // scores them, one groupBy rolls both up per zone. The oracle
+    // replays assignment (q12's bbox form — the rects make ray-cast ≡
+    // open-interval compare) and energy (q108's 8-join Sobel) end to end.
+    "q156_zone_quality" -> ((s, _) => {
+      import s.implicits._
+      val imgs = graft.img.ImageTable.generate(s, 300, 16).toDF()
+      val idx = substring(col("image_id"), 5, 9).cast("long")
+      val probes = imgs.select(col("image_id"),
+        GraftFunctions.latOfKey(idx).as("lat"),
+        GraftFunctions.lonOfKey(idx).as("lon"))
+      val assigned = graft.join.SpatialJoin.assign(
+        s, probes, s.createDataset(rectPolys), res = 6)
+      val energy = graft.img.ImageOps.sobelStats(s, imgs)
+      assigned.select(col("image_id"), col("relation_id"))
+        .join(energy, "image_id")
+        .groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("energy")).as("energy_sum"),
+          max(col("gmax")).as("gmax_max"))
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4191,6 +4224,65 @@ object SparkEntry {
          |  CAST(a.contrast AS BIGINT) AS contrast,
          |  CAST(a.asm AS BIGINT) AS asm_num
          |FROM agg a JOIN dims d ON d.i = a.i""".stripMargin,
+
+    // q155 — mask from the pixel chain, the two 3×3 reductions replayed
+    // by SCATTERING each mask bit to its 9 incident targets (the q87
+    // trick) and summing: sm = 9 is erosion, sm ≥ 1 is dilation;
+    // interior targets only (border semantics explicit on both sides)
+    "q155_morphology" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |pxm AS (SELECT i, w, h, x, y,
+         |          CASE WHEN g >= 128 THEN 1 ELSE 0 END AS m FROM px),
+         |sc AS (SELECT i, x + dx.d AS tx, y + dy.d AS ty, m
+         |       FROM pxm, (VALUES (-1), (0), (1)) dx(d),
+         |                 (VALUES (-1), (0), (1)) dy(d)),
+         |s9 AS (SELECT i, tx, ty, sum(m) AS sm FROM sc GROUP BY 1, 2, 3),
+         |fgc AS (SELECT i, w, h, sum(m) AS fg FROM pxm GROUP BY 1, 2, 3),
+         |mor AS (SELECT s9.i,
+         |          sum(CASE WHEN sm = 9 THEN 1 ELSE 0 END) AS eroded,
+         |          sum(CASE WHEN sm >= 1 THEN 1 ELSE 0 END) AS dilated
+         |        FROM s9 JOIN dims d ON d.i = s9.i
+         |        WHERE tx BETWEEN 1 AND d.w - 2 AND ty BETWEEN 1 AND d.h - 2
+         |        GROUP BY 1)
+         |SELECT printf('img_%09d', CAST(f.i AS BIGINT)) AS image_id, f.w, f.h,
+         |  CAST(f.fg AS BIGINT) AS fg,
+         |  CAST(coalesce(m.eroded, 0) AS BIGINT) AS eroded,
+         |  CAST(coalesce(m.dilated, 0) AS BIGINT) AS dilated
+         |FROM fgc f LEFT JOIN mor m ON m.i = f.i""".stripMargin,
+
+    // q156 — assignment (q12's open-interval bbox form over the rect
+    // fixtures) × Sobel energy (q108's 8-join chain), rolled up per zone
+    "q156_zone_quality" ->
+      s"""WITH ${pixelChainCtes(300)},
+         |sob AS (
+         |  SELECT p.i,
+         |    (ne.g + 2*e.g + se.g - nw.g - 2*w_.g - sw.g) AS gx,
+         |    (sw.g + 2*s_.g + se.g - nw.g - 2*n_.g - ne.g) AS gy
+         |  FROM px p
+         |  JOIN px nw ON nw.i = p.i AND nw.x = p.x-1 AND nw.y = p.y-1
+         |  JOIN px n_ ON n_.i = p.i AND n_.x = p.x   AND n_.y = p.y-1
+         |  JOIN px ne ON ne.i = p.i AND ne.x = p.x+1 AND ne.y = p.y-1
+         |  JOIN px w_ ON w_.i = p.i AND w_.x = p.x-1 AND w_.y = p.y
+         |  JOIN px e  ON e.i  = p.i AND e.x  = p.x+1 AND e.y  = p.y
+         |  JOIN px sw ON sw.i = p.i AND sw.x = p.x-1 AND sw.y = p.y+1
+         |  JOIN px s_ ON s_.i = p.i AND s_.x = p.x   AND s_.y = p.y+1
+         |  JOIN px se ON se.i = p.i AND se.x = p.x+1 AND se.y = p.y+1
+         |  WHERE p.x BETWEEN 1 AND p.w-2 AND p.y BETWEEN 1 AND p.h-2),
+         |en AS (SELECT i, sum(abs(gx)+abs(gy)) AS energy,
+         |              max(abs(gx)+abs(gy)) AS gmax FROM sob GROUP BY 1),
+         |pts AS (SELECT i,
+         |          ((abs(i*9973+12345) % 170000)/1000.0) - 85.0 AS lat,
+         |          ((abs(i*7919+54321) % 360000)/1000.0) - 180.0 AS lon
+         |        FROM dims),
+         |asn AS (SELECT i, CAST(relation_id AS BIGINT) AS relation_id
+         |        FROM pts JOIN $rectsSqlValues
+         |          ON lat > lat_min AND lat < lat_max
+         |         AND lon > lon_min AND lon < lon_max)
+         |SELECT asn.relation_id,
+         |  CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(sum(en.energy) AS BIGINT) AS energy_sum,
+         |  CAST(max(en.gmax) AS BIGINT) AS gmax_max
+         |FROM asn JOIN en ON en.i = asn.i GROUP BY 1""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

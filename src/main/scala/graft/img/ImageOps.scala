@@ -430,6 +430,68 @@ object ImageOps {
       .toDF("image_id", "n_pairs", "contrast", "asm_num")
   }
 
+  /** Binary 3×3 morphology counts, EXACT: threshold the BT.601 grayscale
+    * at ≥ 128 (the [[rleMask]] mask convention), then per INTERIOR pixel
+    * (border handling explicit, as in [[sobelEnergy]]) evaluate the two
+    * structuring-element reductions — erosion (all 9 of the 3×3
+    * neighborhood foreground) and dilation (any of the 9 foreground).
+    * Returns (fg = total foreground, eroded = interior pixels surviving
+    * erosion, dilated = interior pixels lit by dilation) — the
+    * open/close building blocks of mask cleanup before RLE/blob steps.
+    */
+  def morphology(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val m = new Array[Int](px.length)
+    var fg = 0L
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      if (g >= 128) { m(k) = 1; fg += 1 }
+      k += 1
+    }
+    var eroded = 0L
+    var dilated = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var s = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) { s += m((y + dy) * w + (x + dx)); dx += 1 }
+          dy += 1
+        }
+        if (s == 9) eroded += 1
+        if (s >= 1) dilated += 1
+        x += 1
+      }
+      y += 1
+    }
+    (fg, eroded, dilated)
+  }
+
+  /** (image_id, w, h, fg, eroded, dilated) per image: decode with
+    * graft's own codecs, then [[morphology]]. Narrow mapPartitions, no
+    * shuffle.
+    */
+  def morphologyStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (fg, er, di) = morphology(px, w, h)
+          (id, w, h, fg, er, di)
+        }
+      }
+      .toDF("image_id", "w", "h", "fg", "eroded", "dilated")
+  }
+
   /** Explode the binary image column into one row per pixel:
     * (image_id, x, y, g) with g the BT.601 integer grayscale (same
     * exact floor arithmetic as [[sobelEnergy]]/[[rleMask]]). This is

@@ -164,6 +164,35 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("morphology: hand-derived erosion/dilation on a 4×4 mask") {
+    def gray(v: Int) = v * 0x010101
+    // mask rows (1 = ≥128): 1110 / 1110 / 1110 / 0000
+    // interior pixels: (1,1) nbrs all fg → eroded; (2,1) has the (3,*)
+    // column 0s → not eroded but dilated; (1,2)/(2,2) see row-3 0s → dilated
+    val v = Array(
+      200, 200, 200, 0,
+      200, 200, 200, 0,
+      200, 200, 200, 0,
+      0, 0, 0, 0).map(gray)
+    assert(ImageOps.morphology(v, 4, 4) === ((9L, 1L, 4L)))
+    // all-foreground: every interior survives erosion
+    assert(ImageOps.morphology(Array.fill(16)(gray(255)), 4, 4) === ((16L, 4L, 4L)))
+    // all-background: nothing anywhere
+    assert(ImageOps.morphology(Array.fill(16)(gray(0)), 4, 4) === ((0L, 0L, 0L)))
+  }
+
+  test("morphologyStats over decoded bytes equals morphology over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.morphologyStats(spark, ImageTable.generate(spark, 5, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (i <- 0L until 5L) {
+      val (px, w, h) = img(i)
+      val (fg, er, di) = ImageOps.morphology(px, w, h)
+      assert(got(f"img_$i%09d") == ((w, h, fg, er, di)))
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())
