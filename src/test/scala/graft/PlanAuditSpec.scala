@@ -323,4 +323,39 @@ class PlanAuditSpec extends AnyFunSuite {
     // caller's action is the only further scan.
     assert(jobs <= 3, s"semanticDedup setup ran $jobs jobs")
   }
+
+  test("q145/q151/q152 scale shapes: zonal join broadcast; binned pair joins never cartesian") {
+    val zonal = SparkEntry.queries("q145_zonal_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the zone raster rides a broadcast — the pixel side stays map-side
+    assert(zonal.contains("BroadcastHashJoin"), s"zonal join must broadcast zones:\n$zonal")
+    assert(!zonal.contains("CartesianProduct") && !zonal.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in q145 plan:\n$zonal")
+    for (q <- Seq("q151_distance_band", "q152_ripley_k")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      // the distance predicate must ride the cell equi-join, never a
+      // points×points nested loop, and no global sort anywhere. q152
+      // legitimately carries ONE BroadcastNestedLoopJoin: the 1-row
+      // global-count crossJoin (metadata-sized by construction).
+      assert(!plan.contains("CartesianProduct"),
+        s"$q pair generation degenerated to a cross product:\n$plan")
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val nljBudget = if (q == "q152_ripley_k") 1 else 0
+      assert(nlj <= nljBudget,
+        s"$q has $nlj nested-loop joins (budget $nljBudget):\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
+  }
+
+  test("q147 focal and q149 areal plans: no window, no global sort, no cartesian") {
+    for (q <- Seq("q147_focal_stats", "q149_areal_interp")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q must not use a window:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
+  }
 }
