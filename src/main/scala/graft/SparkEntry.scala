@@ -1643,6 +1643,43 @@ object SparkEntry {
           max(col("gmax")).as("gmax_max"))
     }),
 
+    // the SALTED shuffle path of the flagship spatial join, oracled for
+    // result parity with the broadcast path: useBroadcast=false +
+    // saltBuckets=4 replicates build rows ×4 and routes each probe to
+    // one deterministic salt — the skew defense for dense cells at
+    // planet scale must not change a single assignment.
+    "q157_assign_salted" -> ((s, _) => {
+      import s.implicits._
+      val idx = substring(col("image_id"), 5, 9).cast("long")
+      val probes = graft.img.ImageTable.generate(s, 300, 16).toDF()
+        .select(col("image_id"),
+          GraftFunctions.latOfKey(idx).as("lat"),
+          GraftFunctions.lonOfKey(idx).as("lon"))
+      graft.join.SpatialJoin.assign(s, probes, s.createDataset(rectPolys),
+          res = 6, useBroadcast = false, saltBuckets = 4)
+        .groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n_images"))
+    }),
+
+    // incremental zonal-stats refresh: per-batch zone summaries merged
+    // by zonalRollup (sum-of-sums / min-of-mins / max-of-maxes) — the
+    // O(zones) additive refresh, never a pixel rescan. The oracle is
+    // the FULL recompute over base+delta; incremental must equal it
+    // exactly.
+    "q158_zonal_refresh" -> ((s, _) => {
+      val zones = graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      val idx = substring(col("image_id"), 5, 9).cast("long")
+      val all = graft.img.ImageTable.generate(s, 96, 16).toDF()
+      val base = graft.geom.Raster.zonalRollup(graft.geom.Raster.zonalStats(
+        zones, graft.img.ImageOps.grayPixels(s, all.filter(idx < 64))))
+      val delta = graft.geom.Raster.zonalRollup(graft.geom.Raster.zonalStats(
+        zones, graft.img.ImageOps.grayPixels(s, all.filter(idx >= 64))))
+      graft.geom.Raster.zonalRollup(base.unionByName(delta))
+        .select(col("relation_id"), col("n_px"), col("sum_g"),
+          col("min_g").cast("long").as("min_g"),
+          col("max_g").cast("long").as("max_g"))
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4283,6 +4320,54 @@ object SparkEntry {
          |  CAST(sum(en.energy) AS BIGINT) AS energy_sum,
          |  CAST(max(en.gmax) AS BIGINT) AS gmax_max
          |FROM asn JOIN en ON en.i = asn.i GROUP BY 1""".stripMargin,
+
+    // q157 — the geotag derivation + open-interval bbox containment
+    // (the q12/q156 assignment form), counted per zone; the salted
+    // shuffle plan must reproduce these counts exactly
+    "q157_assign_salted" ->
+      s"""WITH pts AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 300)),
+         |geo AS (SELECT i,
+         |          ((abs(i*9973+12345) % 170000)/1000.0) - 85.0 AS lat,
+         |          ((abs(i*7919+54321) % 360000)/1000.0) - 180.0 AS lon
+         |        FROM pts)
+         |SELECT CAST(relation_id AS BIGINT) AS relation_id,
+         |  CAST(count(*) AS BIGINT) AS n_images
+         |FROM geo JOIN $rectsSqlValues
+         |  ON lat > lat_min AND lat < lat_max
+         | AND lon > lon_min AND lon < lon_max
+         |GROUP BY 1""".stripMargin,
+
+    // q158 — the FULL recompute over all 96 images grouped by zone only;
+    // the Spark side assembles it from two batch summaries instead
+    "q158_zonal_refresh" ->
+      s"""WITH ${pixelChainCtes(96)},
+         |edges AS (SELECT * FROM $zonalEdgesSqlValues),
+         |bbox AS (
+         |  SELECT pid,
+         |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
+         |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
+         |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
+         |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
+         |  FROM edges GROUP BY pid),
+         |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
+         |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
+         |crossings AS (
+         |  SELECT c.pid, c.cx, c.cy, e.ring,
+         |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
+         |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
+         |      THEN 1 ELSE 0 END) AS n
+         |  FROM lattice c JOIN edges e USING (pid)
+         |  GROUP BY c.pid, c.cx, c.cy, e.ring),
+         |inside AS (
+         |  SELECT pid, cx, cy FROM crossings
+         |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))
+         |SELECT z.pid AS relation_id,
+         |  CAST(count(*) AS BIGINT) AS n_px,
+         |  CAST(sum(p.g) AS BIGINT) AS sum_g,
+         |  CAST(min(p.g) AS BIGINT) AS min_g,
+         |  CAST(max(p.g) AS BIGINT) AS max_g
+         |FROM px p JOIN inside z ON z.cx = p.x AND z.cy = p.y
+         |GROUP BY 1""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

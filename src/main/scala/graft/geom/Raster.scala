@@ -137,6 +137,21 @@ object Raster {
         max(col("g")).as("max_g"))
   }
 
+  /** Roll [[zonalStats]] output up to zone level — and, because every
+    * aggregate here is associative-idempotent over its own output schema
+    * (sum of sums, min of mins, max of maxes, n_px re-summed), the SAME
+    * function merges partial summaries: `zonalRollup(a.unionByName(b))`
+    * maintains a zone summary incrementally from per-batch summaries
+    * without ever rescanning pixels — the additive-rollup refresh a
+    * 10^12-image ingest runs per batch (cost O(zones), not O(pixels)).
+    */
+  def zonalRollup(zonal: DataFrame, idCol: String = "relation_id"): DataFrame =
+    zonal.groupBy(col(idCol))
+      .agg(sum(col("n_px")).as("n_px"),
+        sum(col("sum_g")).as("sum_g"),
+        min(col("min_g")).as("min_g"),
+        max(col("max_g")).as("max_g"))
+
   /** Areal interpolation, raster method (the dasymetric form of GIS
     * areal weighting — Goodchild & Lam 1980): transfer an attribute from
     * source polygons to an incompatible target zoning proportionally to

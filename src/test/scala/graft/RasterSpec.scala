@@ -157,6 +157,20 @@ class RasterSpec extends AnyFunSuite {
       (1L, 200L, 1L, 1L, 7L, 7L)))  // X gets all of B
   }
 
+  test("zonalRollup: merging batch summaries equals the direct rollup") {
+    val mk = (rows: Seq[(String, Long, Long, Long, Int, Int)]) =>
+      rows.toDF("image_id", "relation_id", "n_px", "sum_g", "min_g", "max_g")
+    val a = mk(Seq(("a", 1L, 2L, 30L, 10, 20), ("a", 2L, 1L, 7L, 7, 7)))
+    val b = mk(Seq(("b", 1L, 3L, 9L, 1, 5), ("c", 3L, 4L, 40L, 10, 10)))
+    val direct = Raster.zonalRollup(a.unionByName(b))
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    val merged = Raster.zonalRollup(
+        Raster.zonalRollup(a).unionByName(Raster.zonalRollup(b)))
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    assert(direct === merged)
+    assert(direct === Set((1L, 5L, 39L, 1, 20), (2L, 1L, 7L, 7, 7), (3L, 4L, 40L, 10, 10)))
+  }
+
   test("focalStats: same polygon id required — twin rasters do not bleed") {
     val cells = Seq((1L, 0L, 0L, 1L), (2L, 1L, 0L, 100L)).toDF("relation_id", "cx", "cy", "v")
     val got = Raster.focalStats(cells)
