@@ -1680,6 +1680,20 @@ object SparkEntry {
           col("max_g").cast("long").as("max_g"))
     }),
 
+    // multi-source BFS hop distance over the rook graph — graph-geodesic
+    // region growing (drive-time-zone rings) seeded at two polygons:
+    // the SW corner and an interior cell. On the flush grid the minimum
+    // hop count IS the min Manhattan distance to a seed, so the oracle
+    // is closed form while the Spark side runs the real level-
+    // synchronous frontier loop (22 rounds here).
+    "q159_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val seeds = Seq(3000000L, 3000071L).toDF("id") // (0,0) and (7,4)
+      graft.graph.Bfs.hops(s, adj, seeds)
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4368,6 +4382,14 @@ object SparkEntry {
          |  CAST(max(p.g) AS BIGINT) AS max_g
          |FROM px p JOIN inside z ON z.cx = p.x AND z.cy = p.y
          |GROUP BY 1""".stripMargin,
+
+    // q159 — min rook hops on a flush grid = min Manhattan distance to
+    // a seed: least(ix+iy, |ix−7|+|iy−4|), every cell reachable
+    "q159_bfs_hops" ->
+      """WITH cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |t AS (SELECT 3000000 + k AS id, (k % 16) AS ix, (k // 16) AS iy FROM cells)
+        |SELECT id, CAST(least(ix + iy, abs(ix - 7) + abs(iy - 4)) AS BIGINT) AS hops
+        |FROM t""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

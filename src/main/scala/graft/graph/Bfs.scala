@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source BFS hop distance over an undirected edge list — the
+  * graph-geodesic form of region growing: seeded at a polygon set over
+  * the rook-contiguity graph it yields "rings of adjacency" (the
+  * drive-time-zone / contamination-spread primitive); seeded at a page
+  * set over a link graph it is the crawl-frontier depth.
+  *
+  * Level-synchronous frontier expansion: round r joins the current
+  * frontier against the directed edge view, anti-joins everything
+  * already labeled, and labels the remainder r. Each node is labeled
+  * exactly once with its MINIMUM hop count (BFS invariant), so total
+  * work is O(edges) across all rounds — per round one hash join + one
+  * distinct + one anti-join, all equi-keyed, no window, no sort.
+  *
+  * State management is STRICTER than the KCore.scala convention: both
+  * the frontier and the accumulated labels are eagerly
+  * localCheckpoint'ed EVERY round, not every 4th. Each round's plan
+  * re-embeds the (potentially enormous) upstream of the edge list —
+  * ring assembly, in the contiguity case — so without per-round
+  * truncation the plan tree grows by one upstream copy per hop and a
+  * 20-hop graph OOMs the driver on PLANS, not data (observed). The
+  * checkpoint rows are frontier-sized; the superseded frame's blocks
+  * are released once the successor is materialized. Unreached nodes
+  * simply don't appear (the caller left-joins if it wants NULL =
+  * unreachable). Non-convergence inside `maxRounds` throws loudly
+  * rather than returning a silently truncated horizon.
+  */
+object Bfs {
+
+  /** (id, hops) for every node reachable from `seeds` (id column) over
+    * the undirected `edges` (rel_a, rel_b) — the contiguity schema, so
+    * [[graft.osm.BoundaryExtract.contiguity]] and
+    * [[graft.geom.PointPattern.distanceBand]] outputs drop straight in.
+    */
+  def hops(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 256): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("rel_a").cast("long").as("src"),
+      col("rel_b").cast("long").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var dist = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"Bfs.hops did not converge within $maxRounds rounds")
+      // eager checkpoint: truncates the per-round plan to a leaf (see
+      // the scaladoc — plan growth, not data, is the hazard here)
+      val next = frontier.join(dir, frontier("id") === dir("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        done = true
+      } else {
+        val acc = dist.unionByName(next).localCheckpoint(true)
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = acc
+        frontier = next
+        round += 1
+      }
+    }
+    dir.unpersist()
+    dist
+  }
+}
