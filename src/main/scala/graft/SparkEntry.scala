@@ -1685,7 +1685,7 @@ object SparkEntry {
     // the SW corner and an interior cell. On the flush grid the minimum
     // hop count IS the min Manhattan distance to a seed, so the oracle
     // is closed form while the Spark side runs the real level-
-    // synchronous frontier loop (22 rounds here).
+    // synchronous frontier loop (max hop 12 → 13 rounds here).
     "q159_bfs_hops" -> ((s, dir) => {
       import s.implicits._
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
@@ -4058,38 +4058,8 @@ object SparkEntry {
     // as q86 over the ×4-scaled fixtures, then one equi-join + groupBy.
     // Every value integer — bit-exact across engines.
     "q145_zonal_stats" ->
-      s"""WITH ${splitmixDimsCtes(64)},
-         |hv AS (SELECT i, w, h,
-         |    CAST(hz % 256 AS BIGINT) AS hr,
-         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
-         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
-         |  FROM (SELECT i, w, h,
-         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
-         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
-         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
-         |px AS (SELECT i, x, unnest(range(h)) AS y,
-         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
-         |  FROM t1),
-         |edges AS (SELECT * FROM $zonalEdgesSqlValues),
-         |bbox AS (
-         |  SELECT pid,
-         |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
-         |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
-         |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
-         |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
-         |  FROM edges GROUP BY pid),
-         |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
-         |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
-         |crossings AS (
-         |  SELECT c.pid, c.cx, c.cy, e.ring,
-         |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
-         |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
-         |      THEN 1 ELSE 0 END) AS n
-         |  FROM lattice c JOIN edges e USING (pid)
-         |  GROUP BY c.pid, c.cx, c.cy, e.ring),
-         |inside AS (
-         |  SELECT pid, cx, cy FROM crossings
-         |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))
+      s"""WITH ${pixelChainCtes(64)},
+         |${insideCtes("", zonalEdgesSqlValues)}
          |SELECT printf('img_%09d', CAST(p.i AS BIGINT)) AS image_id,
          |  z.pid AS relation_id,
          |  CAST(count(*) AS BIGINT) AS n_px,
@@ -4179,18 +4149,7 @@ object SparkEntry {
     // dominates — that encodes the smallest-argmax tie-break), fg from
     // the winning cumulative count
     "q150_otsu" ->
-      s"""WITH ${splitmixDimsCtes(48)},
-         |hv AS (SELECT i, w, h,
-         |    CAST(hz % 256 AS BIGINT) AS hr,
-         |    CAST((hz // 256) % 256 AS BIGINT) AS hg,
-         |    CAST((hz // 65536) % 256 AS BIGINT) AS hb
-         |  FROM (SELECT i, w, h,
-         |    CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
-         |         ELSE CAST(phash AS HUGEINT) END AS hz FROM dims)),
-         |t1 AS (SELECT *, unnest(range(w)) AS x FROM hv),
-         |px AS (SELECT i, w, h, x, unnest(range(h)) AS y,
-         |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
-         |  FROM t1),
+      s"""WITH ${pixelChainCtes(48)},
          |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
          |tot AS (SELECT i, sum(c) AS nt, sum(g * c) AS st FROM hist GROUP BY 1),
          |cum AS (SELECT i, w, h, g AS t,
@@ -4355,26 +4314,7 @@ object SparkEntry {
     // the Spark side assembles it from two batch summaries instead
     "q158_zonal_refresh" ->
       s"""WITH ${pixelChainCtes(96)},
-         |edges AS (SELECT * FROM $zonalEdgesSqlValues),
-         |bbox AS (
-         |  SELECT pid,
-         |    CAST(floor(min(least(yi, yj))) AS BIGINT) AS cy0,
-         |    CAST(floor(max(greatest(yi, yj))) AS BIGINT) AS cy1,
-         |    CAST(floor(min(least(xi, xj))) AS BIGINT) AS cx0,
-         |    CAST(floor(max(greatest(xi, xj))) AS BIGINT) AS cx1
-         |  FROM edges GROUP BY pid),
-         |lat0 AS (SELECT pid, cx0, cx1, unnest(range(cy0, cy1 + 1)) AS cy FROM bbox),
-         |lattice AS (SELECT pid, cy, unnest(range(cx0, cx1 + 1)) AS cx FROM lat0),
-         |crossings AS (
-         |  SELECT c.pid, c.cx, c.cy, e.ring,
-         |    sum(CASE WHEN ((e.yi > c.cy + 0.5) <> (e.yj > c.cy + 0.5)) AND
-         |      (c.cx + 0.5 < (e.xj - e.xi) * ((c.cy + 0.5) - e.yi) / (e.yj - e.yi) + e.xi)
-         |      THEN 1 ELSE 0 END) AS n
-         |  FROM lattice c JOIN edges e USING (pid)
-         |  GROUP BY c.pid, c.cx, c.cy, e.ring),
-         |inside AS (
-         |  SELECT pid, cx, cy FROM crossings
-         |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))
+         |${insideCtes("", zonalEdgesSqlValues)}
          |SELECT z.pid AS relation_id,
          |  CAST(count(*) AS BIGINT) AS n_px,
          |  CAST(sum(p.g) AS BIGINT) AS sum_g,

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Both are EXACT: coordinates are integers, the radius is given as its
   * SQUARE d², and every comparison is `dx² + dy² ≤ d²` in Long
-  * arithmetic. Callers must keep |x|, |y| < 2³¹ so the squared sum
-  * cannot overflow — enforced in-plan with the contiguity-guard pattern
-  * (a raise_error conjunct the optimizer can neither split nor prune).
+  * arithmetic. Two bounds keep that arithmetic overflow-free and BOTH
+  * are enforced: |x|, |y| < 2³¹ in-plan (the contiguity-guard pattern —
+  * a raise_error conjunct the optimizer can neither split nor prune),
+  * and d² ≤ 2⁶⁰ by require. The coordinate bound alone is NOT enough:
+  * candidates live within one cell of each other, so |dx| < 2·cell ≈
+  * 2·√d², and dist2 < 8·d² — at d² past 2⁶⁰ a candidate's dist2 could
+  * wrap negative, pass the ≤ d² filter, and emit a spurious pair.
   *
   * Scale shape (both operators): bin points to square cells of pitch
   * ceil(√d²), scatter the PROBE side to its 3×3 cell neighborhood
@@ -46,8 +50,11 @@ object PointPattern {
     * localMoran/localG, globalAutocorr, joinCounts, dissolve) as a
     * distance-band weight matrix.
     */
+  private val MaxD2 = 1L << 60
+
   def distanceBand(points: DataFrame, d2: Long): DataFrame = {
-    require(d2 > 0, s"d2=$d2 must be positive")
+    require(d2 > 0 && d2 <= MaxD2,
+      s"d2=$d2 out of (0, 2^60] — candidate dist2 is bounded by 8*d2 and must fit a Long")
     val cell = math.max(1L, math.ceil(math.sqrt(d2.toDouble)).toLong)
     pairsWithin(points, cell, d2)
   }
@@ -62,11 +69,12 @@ object PointPattern {
     * aggregation) — the pair generation is never repeated per radius.
     */
   def ripleyK(points: DataFrame, r2s: Seq[Long]): DataFrame = {
-    require(r2s.nonEmpty && r2s.forall(_ > 0), s"need positive radii, got $r2s")
+    require(r2s.nonEmpty && r2s.forall(r => r > 0 && r <= MaxD2),
+      s"radii must lie in (0, 2^60], got $r2s")
     val rmax = r2s.max
     val cell = math.max(1L, math.ceil(math.sqrt(rmax.toDouble)).toLong)
-    val pairs = pairsWithin(points, cell, rmax)
-    val n = points.agg(count(lit(1)).as("n_points"))
+    val (pairs, b) = pairsWithinBinned(points, cell, rmax)
+    val n = b.agg(count(lit(1)).as("n_points"))
     val hits = pairs.select(explode(array(r2s.map { r2 =>
         struct(lit(r2).as("r2"),
           when(col("dist2") <= r2, 1L).otherwise(0L).as("hit"))
@@ -86,12 +94,23 @@ object PointPattern {
         coalesce(col("pairs"), lit(0L)).as("pairs"))
   }
 
-  private def pairsWithin(points: DataFrame, cell: Long, d2: Long): DataFrame = {
-    val build = binned(points, cell)
+  private def pairsWithin(points: DataFrame, cell: Long, d2: Long): DataFrame =
+    pairsWithinBinned(points, cell, d2)._1
+
+  /** The pair pipeline plus the shared binned frame it was built on —
+    * binned ONCE and persisted (it feeds the build side, the probe side,
+    * and, in [[ripleyK]], the global count; unpersisted, the whole
+    * upstream scan would run three times — the KCore.scala lesson).
+    */
+  private def pairsWithinBinned(points: DataFrame, cell: Long,
+      d2: Long): (DataFrame, DataFrame) = {
+    val b = binned(points, cell)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val build = b
       .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
         col("cx"), col("cy"))
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
-    val probe = binned(points, cell)
+    val probe = b
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(array(offsets.map { case (dx, dy) =>
           struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
@@ -99,10 +118,11 @@ object PointPattern {
       .select(col("id_a"), col("xa"), col("ya"), col("t.cx"), col("t.cy"))
     val dist2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    probe.join(build, Seq("cx", "cy"))
+    val pairs = probe.join(build, Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("rel_a"), col("id_b").as("rel_b"),
         dist2.as("dist2"))
       .filter(col("dist2") <= d2)
+    (pairs, b)
   }
 }

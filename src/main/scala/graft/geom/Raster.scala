@@ -172,7 +172,11 @@ object Raster {
   def arealInterp(srcCells: DataFrame, dstCells: DataFrame, values: DataFrame,
       srcId: String = "src_id", dstId: String = "dst_id",
       broadcastDst: Boolean = false): DataFrame = {
+    // src feeds both the size aggregation and the overlap join —
+    // persisted so the upstream burn (a bbox-lattice explode + ray-cast
+    // filter when it comes from rasterize) runs once, not twice
     val src = srcCells.select(col(srcId), col("cx"), col("cy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dst0 = dstCells.select(col(dstId), col("cx"), col("cy"))
     val dst = if (broadcastDst) broadcast(dst0) else dst0
     val srcSz = src.groupBy(col(srcId)).agg(count(lit(1)).as("src_cells"))
@@ -203,8 +207,11 @@ object Raster {
     * [[rasterize]]'s spreadRows addresses upstream.
     */
   def focalStats(cells: DataFrame, idCol: String = "relation_id"): DataFrame = {
+    // occ feeds the scatter AND the join-back — persisted so the burn
+    // upstream runs once (the KCore.scala lesson)
     val occ = cells.select(col(idCol), col("cx"), col("cy"),
-      col("v").cast("long").as("v"))
+        col("v").cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
       yield (dx, dy)
     val scattered = occ.select(col(idCol), col("v"),

@@ -52,9 +52,6 @@ object Bfs {
     var round = 1
     var done = false
     while (!done) {
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"Bfs.hops did not converge within $maxRounds rounds")
       // eager checkpoint: truncates the per-round plan to a leaf (see
       // the scaladoc — plan growth, not data, is the hazard here)
       val next = frontier.join(dir, frontier("id") === dir("src"))
@@ -66,6 +63,18 @@ object Bfs {
         next.unpersist()
         if (frontier ne dist) frontier.unpersist()
         done = true
+      } else if (round > maxRounds) {
+        // a NON-empty frontier PAST the bound is the failure — a graph
+        // converging in exactly maxRounds label rounds is fine (round
+        // maxRounds labels it; round maxRounds+1 probes empty, above).
+        // Release round state before throwing: a caller that catches
+        // and retries must not accumulate orphaned blocks.
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        dir.unpersist()
+        throw new IllegalStateException(
+          s"Bfs.hops did not converge within $maxRounds rounds")
       } else {
         val acc = dist.unionByName(next).localCheckpoint(true)
         dist.unpersist()

@@ -40,4 +40,13 @@ class BfsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("a graph converging in EXACTLY maxRounds label rounds succeeds") {
+    // eccentricity 1 with maxRounds = 1: round 1 labels node 2, round 2
+    // probes an empty frontier — no spurious non-convergence
+    val edges = Seq((1L, 2L)).toDF("rel_a", "rel_b")
+    val got = Bfs.hops(spark, edges, Seq(1L).toDF("id"), maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
 }
