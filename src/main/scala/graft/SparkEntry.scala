@@ -1694,6 +1694,26 @@ object SparkEntry {
       graft.graph.Bfs.hops(s, adj, seeds)
     }),
 
+    // categorical zonal mode — majority quantized gray class per zone
+    // (the classified-raster form of zonal stats): pixel classes pooled
+    // across the corpus per zone, argmax via max(struct(cnt, −class))
+    // with smallest-class tie-break — one extra hash exchange over
+    // q145, no window.
+    "q160_zonal_mode" -> ((s, _) => {
+      val zones = graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      val pixels = graft.img.ImageOps.grayPixels(s,
+          graft.img.ImageTable.generate(s, 64, 16).toDF())
+        .select(col("x"), col("y"), shiftright(col("g"), 5).cast("long").as("class"))
+      graft.geom.Raster.zonalMode(zones, pixels)
+    }),
+
+    // dominant color per image — most frequent 4×4×4 RGB cube bin with
+    // smallest-bin tie-break (the thumbnail-palette / near-dup
+    // prefilter signal); narrow mapPartitions decode, exact integers.
+    "q161_dominant_color" -> ((s, _) =>
+      graft.img.ImageOps.dominantColorStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4330,6 +4350,41 @@ object SparkEntry {
         |t AS (SELECT 3000000 + k AS id, (k % 16) AS ix, (k // 16) AS iy FROM cells)
         |SELECT id, CAST(least(ix + iy, abs(ix - 7) + abs(iy - 4)) AS BIGINT) AS hops
         |FROM t""".stripMargin,
+
+    // q160 — the q145 pixel×lattice join with g//32 classes, the mode
+    // replayed as a count-dominance NOT EXISTS (ties break to the
+    // smaller class, matching the struct-max)
+    "q160_zonal_mode" ->
+      s"""WITH ${pixelChainCtes(64)},
+         |${insideCtes("", zonalEdgesSqlValues)},
+         |cls AS (SELECT z.pid, CAST(p.g // 32 AS BIGINT) AS class
+         |        FROM px p JOIN inside z ON z.cx = p.x AND z.cy = p.y),
+         |cnts AS (SELECT pid, class, count(*) AS cnt FROM cls GROUP BY 1, 2),
+         |best AS (SELECT c.pid, c.class, c.cnt FROM cnts c WHERE NOT EXISTS (
+         |  SELECT 1 FROM cnts d WHERE d.pid = c.pid AND
+         |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.class < c.class)))),
+         |tot AS (SELECT pid, sum(cnt) AS n_px FROM cnts GROUP BY 1)
+         |SELECT t.pid AS relation_id, CAST(t.n_px AS BIGINT) AS n_px,
+         |  b.class AS mode_class, CAST(b.cnt AS BIGINT) AS mode_cnt
+         |FROM tot t JOIN best b ON b.pid = t.pid""".stripMargin,
+
+    // q161 — the three channel formulas re-derived from the shared t1
+    // CTE (pixelChainCtes keeps hv/t1 referenceable), the 64-bin cube,
+    // and the same smallest-bin dominance argmax
+    "q161_dominant_color" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |px3 AS (SELECT i, w, h, x, unnest(range(h)) AS y, hr, hg, hb FROM t1),
+         |bins AS (SELECT i, w, h,
+         |    ((x*7 + hr) % 256 // 64) * 16 + ((y*11 + hg) % 256 // 64) * 4
+         |      + (((x+y)*3 + hb) % 256 // 64) AS bin
+         |  FROM px3),
+         |cnts AS (SELECT i, w, h, bin, count(*) AS cnt FROM bins GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT c.* FROM cnts c WHERE NOT EXISTS (
+         |  SELECT 1 FROM cnts d WHERE d.i = c.i AND
+         |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.bin < c.bin))))
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
+         |  CAST(bin AS INT) AS bin, CAST(cnt AS BIGINT) AS cnt
+         |FROM best""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

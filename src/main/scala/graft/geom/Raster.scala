@@ -137,6 +137,30 @@ object Raster {
         max(col("g")).as("max_g"))
   }
 
+  /** Categorical zonal statistics — the MODE (majority class) per zone,
+    * the form zonal stats takes over a classified raster (land-cover
+    * class per cell, quantized gray level per pixel): count pixels per
+    * (zone, class), then pick each zone's most frequent class with the
+    * SMALLEST-class tie-break. The argmax is `max(struct(cnt, −class))`
+    * — one aggregation, no window: a window over (zone) would be
+    * bounded anyway, but the struct-max form keeps the plan to exactly
+    * two hash exchanges and stays fully codegen'd. `pixels` carries
+    * (x, y, class); zones broadcast as in [[zonalStats]].
+    */
+  def zonalMode(zones: DataFrame, pixels: DataFrame,
+      idCol: String = "relation_id", broadcastZones: Boolean = true): DataFrame = {
+    val z = zones.select(col(idCol), col("cx"), col("cy"))
+    val zz = if (broadcastZones) broadcast(z) else z
+    pixels.join(zz, pixels("x") === zz("cx") && pixels("y") === zz("cy"))
+      .groupBy(col(idCol), col("class"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_px"),
+        max(struct(col("cnt"), (-col("class")).as("negc"))).as("m"))
+      .select(col(idCol), col("n_px"),
+        (-col("m.negc")).as("mode_class"), col("m.cnt").as("mode_cnt"))
+  }
+
   /** Roll [[zonalStats]] output up to zone level — and, because every
     * aggregate here is associative-idempotent over its own output schema
     * (sum of sums, min of mins, max of maxes, n_px re-summed), the SAME

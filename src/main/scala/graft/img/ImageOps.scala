@@ -492,6 +492,46 @@ object ImageOps {
       .toDF("image_id", "w", "h", "fg", "eroded", "dilated")
   }
 
+  /** Dominant color per image, EXACT: quantize RGB to the 4×4×4 cube
+    * (2 bits per channel → 64 bins), count, and take the most frequent
+    * bin with the smallest-bin tie-break — the thumbnail-palette /
+    * near-dup-prefilter signal. Returns (bin, count).
+    */
+  def dominantColor(px: Array[Int], w: Int, h: Int): (Int, Long) = {
+    val c = new Array[Long](64)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      val bin = (((p >> 16) & 255) >> 6 << 4) | (((p >> 8) & 255) >> 6 << 2) |
+        ((p & 255) >> 6)
+      c(bin) += 1
+      k += 1
+    }
+    var best = 0
+    var i = 1
+    while (i < 64) { if (c(i) > c(best)) best = i; i += 1 }
+    (best, c(best))
+  }
+
+  /** (image_id, w, h, bin, cnt) per image: decode with graft's own
+    * codecs, then [[dominantColor]]. Narrow mapPartitions, no shuffle.
+    */
+  def dominantColorStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (bin, cnt) = dominantColor(px, w, h)
+          (id, w, h, bin, cnt)
+        }
+      }
+      .toDF("image_id", "w", "h", "bin", "cnt")
+  }
+
   /** Explode the binary image column into one row per pixel:
     * (image_id, x, y, g) with g the BT.601 integer grayscale (same
     * exact floor arithmetic as [[sobelEnergy]]/[[rleMask]]). This is

@@ -193,6 +193,27 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dominantColor: hand-binned cube, smallest-bin tie-break") {
+    // rgb (200,10,10) → bin (3,0,0)=48 twice; (10,200,10) → (0,3,0)=12 once
+    val px = Array(0xC80A0A, 0xC80A0A, 0x0AC80A, 0x0A0AC8)
+    assert(ImageOps.dominantColor(px, 2, 2) === ((48, 2L)))
+    // four distinct bins tie at 1 → smallest bin wins
+    val tie = Array(0x000000, 0x0000C8, 0x00C800, 0xC80000)
+    assert(ImageOps.dominantColor(tie, 2, 2) === ((0, 1L)))
+  }
+
+  test("dominantColorStats over decoded bytes equals dominantColor over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.dominantColorStats(spark, ImageTable.generate(spark, 5, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    for (i <- 0L until 5L) {
+      val (px, w, h) = img(i)
+      val (bin, cnt) = ImageOps.dominantColor(px, w, h)
+      assert(got(f"img_$i%09d") == ((w, h, bin, cnt)))
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())

@@ -157,6 +157,16 @@ class RasterSpec extends AnyFunSuite {
       (1L, 200L, 1L, 1L, 7L, 7L)))  // X gets all of B
   }
 
+  test("zonalMode: majority class per zone, smallest-class tie-break") {
+    val zones = Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 5L, 5L)).toDF("relation_id", "cx", "cy")
+    // zone 1 sees classes [3, 3, 7] → mode 3; zone 2 sees [2, 9] tied → 2
+    val pixels = Seq((0, 0, 3L), (0, 0, 3L), (1, 0, 7L), (5, 5, 9L), (5, 5, 2L))
+      .toDF("x", "y", "class")
+    val got = Raster.zonalMode(zones, pixels)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 3L, 2L), (2L, 2L, 2L, 1L)))
+  }
+
   test("zonalRollup: merging batch summaries equals the direct rollup") {
     val mk = (rows: Seq[(String, Long, Long, Long, Int, Int)]) =>
       rows.toDF("image_id", "relation_id", "n_px", "sum_g", "min_g", "max_g")
