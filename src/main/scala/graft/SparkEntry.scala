@@ -1714,6 +1714,15 @@ object SparkEntry {
       graft.img.ImageOps.dominantColorStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // Hilbert bbox range decomposition — the planner-side pruning
+    // primitive over the q113 layout: a 16×8 query bbox at res 6
+    // becomes its maximal contiguous d-runs (gaps-and-islands over the
+    // bbox cells — a query-sized constant, the one place a global
+    // window is the honest shape). The oracle replays the same curve
+    // CTEs and island grouping.
+    "q162_hilbert_ranges" -> ((s, _) =>
+      graft.cell.Hilbert.bboxRanges(s, res = 6, x0 = 10, x1 = 25, y0 = 33, y1 = 40)),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4385,6 +4394,18 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, w, h,
          |  CAST(bin AS INT) AS bin, CAST(cnt AS BIGINT) AS cnt
          |FROM best""".stripMargin,
+
+    // q162 — the same Hilbert CTE unrolling as q113 over the bbox
+    // lattice, islands by d − row_number
+    "q162_hilbert_ranges" ->
+      s"""WITH xs AS (SELECT CAST(unnest(range(10, 26)) AS BIGINT) AS x),
+         |cells AS (SELECT x, CAST(unnest(range(33, 41)) AS BIGINT) AS y FROM xs),
+         |${hilbertCtes(6, "cells")},
+         |isl AS (SELECT d6 AS d, d6 - row_number() OVER (ORDER BY d6) AS grp FROM h6)
+         |SELECT CAST(min(d) AS BIGINT) AS d_start,
+         |  CAST(max(d) AS BIGINT) AS d_end,
+         |  CAST(count(*) AS BIGINT) AS n_cells
+         |FROM isl GROUP BY grp""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

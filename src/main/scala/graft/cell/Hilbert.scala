@@ -1,6 +1,6 @@
 package graft.cell
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hilbert-curve clustering for lake layout — the locality upgrade over
@@ -80,6 +80,37 @@ object Hilbert {
     * variables — same single narrow stage, linearly-sized code.
     * Expects columns `x`, `y`; adds `d`.
     */
+  /** Decompose a query bbox into maximal CONTIGUOUS Hilbert index
+    * ranges at `res` — the planner-side pruning primitive over a
+    * Hilbert-laid-out table (q113's layout, q125's stats skipping): a
+    * scan needs only the files whose [min_d, max_d] intersects one of
+    * these ranges, and the Hilbert curve's locality makes the range
+    * count far smaller than the cell count (a Z-order bbox shatters
+    * into many more runs — that difference IS the case for Hilbert).
+    *
+    * Output (d_start, d_end, n_cells), one row per contiguous run.
+    * Scale note: the window + sort here are over the QUERY BBOX's cells
+    * — a planner-side constant bounded by the query, never corpus data
+    * — so the single-partition window the repo bans from corpus plans
+    * is the honest shape for this one.
+    */
+  def bboxRanges(spark: SparkSession, res: Int,
+      x0: Long, x1: Long, y0: Long, y1: Long): DataFrame = {
+    val n = 1L << res
+    require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
+    require(0 <= x0 && x0 <= x1 && x1 < n && 0 <= y0 && y0 <= y1 && y1 < n,
+      s"bbox ($x0..$x1, $y0..$y1) outside the $n-grid")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    spark.range(y0, y1 + 1).select(col("id").as("y"),
+        explode(sequence(lit(x0), lit(x1))).as("x"))
+      .select(dCol(col("x"), col("y"), res).as("d"))
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("d")).as("d_start"), max(col("d")).as("d_end"),
+        count(lit(1)).as("n_cells"))
+      .drop("grp")
+  }
+
   def withD(df: DataFrame, res: Int): DataFrame = {
     require(res >= 1 && res <= 16, s"res=$res outside [1, 16]")
     val n = 1L << res

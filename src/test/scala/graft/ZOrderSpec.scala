@@ -189,4 +189,20 @@ class ZOrderSpec extends AnyFunSuite {
       assert(minX <= maxX && minY <= maxY)
     }
   }
+
+  test("hilbert bboxRanges: maximal contiguous runs partitioning the bbox exactly") {
+    import graft.cell.Hilbert
+    val got = Hilbert.bboxRanges(spark, 6, 10, 25, 33, 40)
+      .as[(Long, Long, Long)].collect()
+    val ds = (for { x <- 10L to 25L; y <- 33L to 40L } yield Hilbert.d(6, x, y)).toSet
+    assert(got.map(_._3).sum === 128L)
+    for ((s, e, n) <- got) {
+      assert(e - s + 1 === n, s"range [$s,$e] not dense")
+      assert((s to e).forall(ds.contains), s"range [$s,$e] leaves the bbox")
+      // maximality: the run cannot extend either way
+      assert(!ds.contains(s - 1) && !ds.contains(e + 1), s"range [$s,$e] not maximal")
+    }
+    // disjoint cover
+    assert(got.flatMap(r => r._1 to r._2).toSet === ds)
+  }
 }
