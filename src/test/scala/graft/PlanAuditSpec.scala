@@ -348,6 +348,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 salted assign really shuffles: salt key present, candidate join not broadcast") {
+    val plan = SparkEntry.queries("q157_assign_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the candidate join must be the salted shuffle (that is the point);
+    // the rings re-attach stays broadcast (unique per polygon, small)
+    assert(plan.contains("salt"), s"salt column missing from q157 plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"q157 candidate join must shuffle on (cell, salt):\n$plan")
+  }
+
   test("q147 focal and q149 areal plans: no window, no global sort, no cartesian") {
     for (q <- Seq("q147_focal_stats", "q149_areal_interp")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
