@@ -57,6 +57,25 @@ object SparkEntry {
     7003L -> Seq(Seq((0, 4), (4, 8), (8, 4), (4, 0))),
     7004L -> Seq(Seq((0, 0), (3, 7), (6, 0))))
 
+  /** q163's planted DBSCAN scene over the orders keys: 5 jittered
+    * knots (±20000 around centers (c·10⁶, c²·3·10⁵)) plus a wide
+    * uniform scatter for every 7th key — all exact integer hash
+    * arithmetic the oracle replays verbatim.
+    */
+  private def dbscanPtsDF(s: SparkSession, dir: String): DataFrame = {
+    val c = col("o_orderkey") % 5
+    table(s, dir, "orders").filter(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 7 === 0,
+            abs(col("o_orderkey") * 104729L + 7) % 5000001L)
+          .otherwise(c * 1000000L +
+            (abs(col("o_orderkey") * 9973L + 11) % 40001L - 20000L)).as("x"),
+        when(col("o_orderkey") % 7 === 0,
+            abs(col("o_orderkey") * 1299709L + 3) % 5000001L)
+          .otherwise(c * c * 300000L +
+            (abs(col("o_orderkey") * 7919L + 13) % 40001L - 20000L)).as("y"))
+  }
+
   private def rasterPolyDF(s: SparkSession): DataFrame = {
     import s.implicits._
     s.createDataset(rasterPolys.map { case (id, rings) =>
@@ -1722,6 +1741,16 @@ object SparkEntry {
     // CTEs and island grouping.
     "q162_hilbert_ranges" -> ((s, _) =>
       graft.cell.Hilbert.bboxRanges(s, res = 6, x0 = 10, x1 = 25, y0 = 33, y1 = 40)),
+
+    // DBSCAN over planted integer clusters — 5 jittered knots (±20000)
+    // spaced 10^6 apart plus a wide uniform scatter; eps=5000, minPts=5.
+    // Candidate pairs ride the q151 cell-binned join; the oracle replays
+    // the quadratic pair predicate + the q51 reachability fixpoint +
+    // the min-core-neighbor border rule.
+    "q163_dbscan" -> ((s, dir) => {
+      graft.geom.Dbscan.cluster(s, dbscanPtsDF(s, dir),
+        eps2 = 25000000L, minPts = 5)
+    }),
 
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
@@ -4406,6 +4435,48 @@ object SparkEntry {
          |  CAST(max(d) AS BIGINT) AS d_end,
          |  CAST(count(*) AS BIGINT) AS n_cells
          |FROM isl GROUP BY grp""".stripMargin,
+
+    // q163 — the same point derivation, the quadratic all-pairs replica
+    // of the binned eps-join, degree+core, the q51 reachability fixpoint
+    // over core-core edges, and the min-core-neighbor border rule
+    "q163_dbscan" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 5 AS c
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |pts AS (SELECT id,
+        |    CASE WHEN id % 7 = 0 THEN abs(id*104729 + 7) % 5000001
+        |         ELSE c*1000000 + (abs(id*9973 + 11) % 40001 - 20000) END AS x,
+        |    CASE WHEN id % 7 = 0 THEN abs(id*1299709 + 3) % 5000001
+        |         ELSE c*c*300000 + (abs(id*7919 + 13) % 40001 - 20000) END AS y
+        |  FROM base),
+        |pr AS (SELECT a.id AS ia, b.id AS ib
+        |       FROM pts a JOIN pts b ON a.id < b.id
+        |       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000),
+        |deg AS (SELECT id, count(*) AS nbrs FROM
+        |        (SELECT ia AS id FROM pr UNION ALL SELECT ib FROM pr) GROUP BY 1),
+        |core AS (SELECT p.id FROM pts p LEFT JOIN deg d ON d.id = p.id
+        |         WHERE coalesce(d.nbrs, 0) + 1 >= 5),
+        |ce AS (SELECT ia AS src, ib AS dst FROM pr
+        |       WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+        |und AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+        |clab AS (SELECT id, min(r) AS cluster FROM walk GROUP BY 1),
+        |touch AS (SELECT ia AS id, ib AS nb FROM pr
+        |          UNION ALL SELECT ib, ia FROM pr),
+        |blab AS (SELECT t.id, min(c.cluster) AS cluster
+        |         FROM touch t JOIN clab c ON c.id = t.nb
+        |         WHERE t.id NOT IN (SELECT id FROM core)
+        |         GROUP BY t.id)
+        |SELECT p.id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN bl.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  CAST(coalesce(cl.cluster, bl.cluster, -1) AS BIGINT) AS cluster
+        |FROM pts p
+        |LEFT JOIN clab cl ON cl.id = p.id
+        |LEFT JOIN blab bl ON bl.id = p.id""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-
