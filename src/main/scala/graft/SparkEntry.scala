@@ -1752,6 +1752,21 @@ object SparkEntry {
         eps2 = 25000000L, minPts = 5)
     }),
 
+    // weighted shortest path (frontier Bellman-Ford) over the q159
+    // contiguity graph with deterministic symmetric integer weights
+    // w = 1 + (a+b) mod 7 — the travel-cost generalization of BFS hops.
+    // The oracle is a bounded recursive-CTE relaxation over the same
+    // rook lattice (min over all walk sums below a bound that dominates
+    // the true diameter).
+    "q164_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
+      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      val weighted = adj.select(col("rel_a"), col("rel_b"),
+        (lit(1L) + (col("rel_a") + col("rel_b")) % 7L).as("w"))
+      graft.graph.Sssp.distances(s, weighted, Seq(3000000L).toDF("id"))
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4477,6 +4492,24 @@ object SparkEntry {
         |FROM pts p
         |LEFT JOIN clab cl ON cl.id = p.id
         |LEFT JOIN blab bl ON bl.id = p.id""".stripMargin,
+
+    // q164 — the same rook lattice and weight formula, relaxed as a
+    // bounded recursive walk: min over all path sums below 400 (the
+    // true weighted diameter is <= 22 hops x 7 = 154, so the bound
+    // never clips a shortest path)
+    "q164_sssp" ->
+      """WITH RECURSIVE cells AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 128)),
+        |t AS (SELECT 3000000 + k AS id, (k % 16) AS ix, (k // 16) AS iy FROM cells),
+        |e0 AS (
+        |  SELECT a.id AS src, b.id AS dst, 1 + (a.id + b.id) % 7 AS w
+        |  FROM t a JOIN t b
+        |    ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1),
+        |walk(id, d) AS (
+        |  SELECT CAST(3000000 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, w.d + e.w FROM walk w JOIN e0 e ON e.src = w.id
+        |  WHERE w.d + e.w < 400)
+        |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-
