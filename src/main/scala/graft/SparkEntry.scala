@@ -1767,6 +1767,27 @@ object SparkEntry {
       graft.graph.Sssp.distances(s, weighted, Seq(3000000L).toDF("id"))
     }),
 
+    // Manhattan distance transform over the zonal burn — map algebra's
+    // buffer-depth / erosion-ring field: per occupied cell, the hop
+    // distance to the nearest cell outside the raster (boundary = 1).
+    // Level-synchronous inward BFS on the IMPLICIT lattice — no edge
+    // list; each ring is one ×4 scatter + semi/anti join, every cell
+    // labeled exactly once. The oracle replays it as a recursive-CTE
+    // walk seeded at the boundary ring, min(d) per cell.
+    "q165_distance_transform" -> ((s, _) =>
+      graft.geom.Raster.distanceTransform(
+        graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
+
+    // integral image (summed-area table) per image — exact integer
+    // invariants: total = Σg, far corner (≡ total by the SAT identity,
+    // pinned independently), Σsat over all pixels (order-sensitive),
+    // and the O(1) 4-corner block query over x∈[4,11], y∈[2,9] (always
+    // in-bounds — images are ≥16×16). Two windowed prefix passes, each
+    // ONE image-bounded hash exchange; no image-global sort.
+    "q166_integral_image" -> ((s, _) =>
+      graft.img.ImageOps.integralStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4510,6 +4531,46 @@ object SparkEntry {
         |  SELECT e.dst, w.d + e.w FROM walk w JOIN e0 e ON e.src = w.id
         |  WHERE w.d + e.w < 400)
         |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // q165 — the same ray-cast lattice as q145/q160, the boundary ring
+    // as cells with < 4 rook neighbors inside, then a recursive-CTE
+    // walk inward; min(d) per cell is the BFS distance (the walk bound
+    // 64 dominates the fixtures' raster radius)
+    "q165_distance_transform" ->
+      s"""WITH RECURSIVE ${insideCtes("", zonalEdgesSqlValues)},
+         |ring1 AS (
+         |  SELECT i.pid, i.cx, i.cy FROM inside i
+         |  WHERE (SELECT count(*) FROM inside n WHERE n.pid = i.pid
+         |           AND abs(n.cx - i.cx) + abs(n.cy - i.cy) = 1) < 4),
+         |walk(pid, cx, cy, d) AS (
+         |  SELECT pid, cx, cy, CAST(1 AS BIGINT) FROM ring1
+         |  UNION
+         |  SELECT i.pid, i.cx, i.cy, w.d + 1
+         |  FROM walk w JOIN inside i ON i.pid = w.pid
+         |    AND abs(i.cx - w.cx) + abs(i.cy - w.cy) = 1
+         |  WHERE w.d < 64)
+         |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q166 — the q145 pixel chain, then the SAT replayed as the same
+    // two cumulative windows (rows by x within (i, y), then that column
+    // by y within (i, x)); the block query replayed 4-corner
+    "q166_integral_image" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |rs AS (SELECT i, x, y, g,
+         |    sum(g) OVER (PARTITION BY i, y ORDER BY x) AS rs FROM px),
+         |sat AS (SELECT i, x, y, g,
+         |    sum(rs) OVER (PARTITION BY i, x ORDER BY y) AS sat FROM rs)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(sum(g) AS BIGINT) AS total,
+         |  CAST(max(sat) AS BIGINT) AS corner,
+         |  CAST(sum(sat) AS BIGINT) AS sat_sum,
+         |  CAST(coalesce(max(CASE WHEN x = 11 AND y = 9 THEN sat END), 0)
+         |     - coalesce(max(CASE WHEN x = 3 AND y = 9 THEN sat END), 0)
+         |     - coalesce(max(CASE WHEN x = 11 AND y = 1 THEN sat END), 0)
+         |     + coalesce(max(CASE WHEN x = 3 AND y = 1 THEN sat END), 0) AS BIGINT)
+         |    AS block_sum
+         |FROM sat GROUP BY 1""".stripMargin,
 
     // q147 — the same ray-cast lattice as q86, then the 3×3 neighborhood
     // replayed as a per-polygon LEFT self-join (quadratic but lattice-

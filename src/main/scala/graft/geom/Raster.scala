@@ -250,4 +250,79 @@ object Raster {
         coalesce(col("nbr_cnt"), lit(0L)).as("nbr_cnt"),
         coalesce(col("nbr_sum"), lit(0L)).as("nbr_sum"))
   }
+
+  /** Manhattan (4-connected) distance transform of a binary cell raster:
+    * per occupied cell, the hop distance to the nearest cell OUTSIDE the
+    * raster — boundary cells score 1, each erosion ring inward adds 1
+    * (the buffer-depth / setback primitive of map algebra, and the
+    * skeleton precursor). Emits (idCol, cx, cy, dist).
+    *
+    * Level-synchronous inward BFS on the IMPLICIT lattice graph — no
+    * edge list is ever materialized: the seed ring is the one scatter
+    * ×4 + join-back [[focalStats]] uses (cells with < 4 rook neighbors
+    * present), and each subsequent ring is the previous ring's ×4
+    * scatter semi-joined against the still-unlabeled cells. Per round:
+    * one narrow explode, one equi-join, one distinct, one anti-join —
+    * no window, no sort; every cell is labeled exactly once so total
+    * work is O(cells · rounds_touched) = O(cells · max_depth) with the
+    * same eager per-round localCheckpoint discipline as
+    * [[graft.graph.Bfs]] (plan growth, not data, is the hazard: each
+    * round's plan would otherwise re-embed the whole burn upstream).
+    * Depth is bounded by raster radius; non-convergence within
+    * `maxRounds` throws rather than returning a truncated field.
+    */
+  def distanceTransform(cells: DataFrame, idCol: String = "relation_id",
+      maxRounds: Int = 512): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"))
+      .persist(lvl)
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    def scatter4(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(array(offsets.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+          }: _*)).as("t"))
+        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"))
+    val key = Seq(idCol, "cx", "cy")
+    // ring 1: occupied cells missing at least one rook neighbor
+    val full = scatter4(occ).groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("nn"))
+      .filter(col("nn") === 4)
+      .join(occ, key, "left_semi")
+    var labeled = occ.join(full, key, "left_anti")
+      .withColumn("dist", lit(1L))
+      .localCheckpoint(true)
+    var frontier = labeled
+    var round = 2
+    var done = false
+    while (!done) {
+      val next = scatter4(frontier.drop("dist")).distinct()
+        .join(occ, key, "left_semi")
+        .join(labeled.select(key.map(col): _*), key, "left_anti")
+        .withColumn("dist", lit(round.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        next.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        next.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        labeled.unpersist()
+        occ.unpersist()
+        throw new IllegalStateException(
+          s"Raster.distanceTransform did not converge within $maxRounds rounds")
+      } else {
+        val acc = labeled.unionByName(next).localCheckpoint(true)
+        labeled.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        labeled = acc
+        frontier = next
+        round += 1
+      }
+    }
+    occ.unpersist()
+    labeled
+  }
 }

@@ -559,4 +559,43 @@ object ImageOps {
       }
       .toDF("image_id", "x", "y", "g")
   }
+
+  /** Integral image (summed-area table) per image, reduced to exact
+    * integer invariants: `total` = Σg, `corner` = sat(w−1, h−1) — must
+    * equal `total` by the SAT's defining identity, and the oracle pins
+    * both independently; `sat_sum` = Σ over all pixels of sat(x, y)
+    * (order-sensitive — any misplaced prefix breaks it; equivalently
+    * Σ g(x,y)·(w−x)·(h−y)); and `block_sum` = the O(1) 4-corner
+    * rectangle query the SAT exists for, over the fixed interior
+    * window x∈[4,11], y∈[2,9] (always in-bounds: [[ImageTable]] images
+    * are ≥ 16×16).
+    *
+    * The SAT is built the way a 100-TB raster farm would: two windowed
+    * prefix passes over the pixel table — rows cum-summed within
+    * (image_id, y) ordered by x, then that column cum-summed within
+    * (image_id, x) ordered by y. Each pass is ONE hash exchange on an
+    * image-bounded key and a sort within image-row-sized partitions;
+    * no per-image global sort ever happens (an image-global window
+    * would serialize each image onto one task — rows/columns are the
+    * scalable grain). Since g ≥ 0, sat is maximized at the far corner,
+    * so `corner` is a plain max — no (w−1, h−1) lookup join needed.
+    */
+  def integralStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rowW = Window.partitionBy(col("image_id"), col("y")).orderBy(col("x"))
+    val colW = Window.partitionBy(col("image_id"), col("x")).orderBy(col("y"))
+    val sat = grayPixels(spark, images)
+      .withColumn("rs", sum(col("g").cast("long")).over(rowW))
+      .withColumn("sat", sum(col("rs")).over(colW))
+    // sat at a fixed (x, y) — exactly one row matches per image
+    def satAt(x: Int, y: Int) =
+      coalesce(max(when(col("x") === x && col("y") === y, col("sat"))), lit(0L))
+    sat.groupBy(col("image_id"))
+      .agg(sum(col("g").cast("long")).as("total"),
+        max(col("sat")).as("corner"),
+        sum(col("sat")).as("sat_sum"),
+        (satAt(11, 9) - satAt(3, 9) - satAt(11, 1) + satAt(3, 1)).as("block_sum"))
+  }
 }

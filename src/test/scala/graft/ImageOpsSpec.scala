@@ -214,6 +214,35 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("integralStats: brute-force SAT oracle, corner identity, block query") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.integralStats(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 6)
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val g = px.map { p =>
+        ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000).toLong
+      }
+      // brute-force SAT: sat(x,y) = Σ g over [0..x]×[0..y]
+      val sat = Array.ofDim[Long](h, w)
+      for (y <- 0 until h; x <- 0 until w)
+        sat(y)(x) = g(y * w + x) +
+          (if (x > 0) sat(y)(x - 1) else 0L) +
+          (if (y > 0) sat(y - 1)(x) else 0L) -
+          (if (x > 0 && y > 0) sat(y - 1)(x - 1) else 0L)
+      val total = g.sum
+      val satSum = sat.flatten.sum
+      val block = sat(9)(11) - sat(9)(3) - sat(1)(11) + sat(1)(3)
+      // the block query equals the direct window sum — the SAT's purpose
+      val direct = (for (y <- 2 to 9; x <- 4 to 11) yield g(y * w + x)).sum
+      assert(block == direct)
+      assert(got(f"img_$i%09d") == ((total, sat(h - 1)(w - 1), satSum, block)))
+      assert(sat(h - 1)(w - 1) == total) // defining identity
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())

@@ -368,4 +368,31 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must not contain a global sort:\n$plan")
     }
   }
+
+  test("q166 SAT windows are image-row/column grained — never image-global") {
+    val plan = SparkEntry.queries("q166_integral_image")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both cumulative windows must partition by (image_id, axis); a
+    // window keyed on image_id alone would serialize each image onto one
+    // task — the 100 TB hazard this operator is designed around
+    // Spark prints windowspecdefinition(...) inside the Window node; audit
+    // the partition columns through the spec strings
+    val specs = "windowspecdefinition\\(([^)]*), [a-z]+#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"expected window specs in plan:\n$plan")
+    assert(specs.forall(s => s.split(", ").length >= 2),
+      s"every SAT window must carry a 2-column partition key, got $specs")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q166 must not contain a global sort:\n$plan")
+  }
+
+  test("q165 distance transform rings are scatter+join — no window, no cartesian") {
+    val plan = SparkEntry.queries("q165_distance_transform")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q165 must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in q165 plan:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q165 must not contain a global sort:\n$plan")
+  }
 }

@@ -187,4 +187,55 @@ class RasterSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 0L, 0L, 1L, 0L, 0L), (2L, 1L, 0L, 100L, 0L, 0L)))
   }
+
+  test("distanceTransform: closed form on a solid rectangle") {
+    // 7×5 rectangle: dist = min distance to each of the four edges, + 1
+    val rect = polyDF(9L -> Seq(Seq((0, 0), (5, 0), (5, 7), (0, 7))))
+    val got = Raster.distanceTransform(Raster.rasterize(rect, 1.0))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, cx, cy, d) => (cx, cy) -> d }.toMap
+    assert(got.size == 35)
+    for (cy <- 0L to 4L; cx <- 0L to 6L)
+      assert(got((cx, cy)) ==
+        1L + Seq(cx, 6L - cx, cy, 4L - cy).min, s"cell ($cx,$cy)")
+  }
+
+  test("distanceTransform: brute-force BFS oracle on the concave fixtures") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+    val got = Raster.distanceTransform(cells)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, cx, cy, d) => (id, cx, cy) -> d }.toMap
+    val occ = cells.as[(Long, Long, Long)].collect().toSet
+    // per-id multi-source BFS seeded OUTSIDE: dist 1 = any cell with a
+    // missing rook neighbor, then +1 per ring inward
+    val want = occ.groupBy(_._1).flatMap { case (id, cs) =>
+      val inside = cs.map { case (_, cx, cy) => (cx, cy) }
+      def nbrs(c: (Long, Long)) =
+        Seq((c._1 - 1, c._2), (c._1 + 1, c._2), (c._1, c._2 - 1), (c._1, c._2 + 1))
+      var frontier = inside.filter(c => nbrs(c).exists(!inside.contains(_)))
+      var dist = Map.empty[(Long, Long), Long]
+      var d = 1L
+      while (frontier.nonEmpty) {
+        dist ++= frontier.map(_ -> d)
+        frontier = frontier.flatMap(nbrs).filter(inside.contains)
+          .filterNot(dist.contains).filterNot(frontier.contains)
+        d += 1
+      }
+      dist.map { case ((cx, cy), dd) => (id, cx, cy) -> dd }
+    }
+    assert(got === want)
+    // every occupied cell is labeled exactly once
+    assert(got.keySet === occ.map { case (id, cx, cy) => (id, cx, cy) })
+  }
+
+  test("distanceTransform: separate polygon ids do not bleed") {
+    // two ids sharing the lattice: a lone cell of id 2 adjacent to id 1's
+    // interior must still score 1 (its own raster has no neighbors)
+    val cells = Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 2L, 0L)).toDF("relation_id", "cx", "cy")
+    val got = Raster.distanceTransform(cells)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 0L, 1L), (1L, 1L, 0L, 1L), (1L, 0L, 1L, 1L),
+      (1L, 1L, 1L, 1L), (2L, 2L, 0L, 1L)))
+  }
 }
