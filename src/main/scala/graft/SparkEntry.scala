@@ -1788,6 +1788,21 @@ object SparkEntry {
       graft.img.ImageOps.integralStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // discrete Voronoi allocation over the zonal burn — every raster
+    // cell labeled with its nearest seed through the raster (graph
+    // geodesic, barriers respected), min-seed tie-break. Seeds are the
+    // deterministic lattice lines (5cx+3cy) ≡ 0 (mod 29), seed id
+    // cx·1000+cy. Multi-source BFS with claiming; the oracle replays
+    // it as a seed-labeled recursive walk + argmin by (dist, seed).
+    "q167_voronoi_assign" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      val seeds = cells
+        .filter((col("cx") * 5 + col("cy") * 3) % 29 === 0)
+        .select(col("relation_id"), col("cx"), col("cy"),
+          (col("cx") * 1000 + col("cy")).as("seed"))
+      graft.geom.Raster.voronoiAssign(cells, seeds)
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4551,6 +4566,29 @@ object SparkEntry {
          |  WHERE w.d < 64)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q167 — the same ray-cast lattice, seeds from the same modulus
+    // lines, then a seed-labeled recursive walk; per cell the argmin by
+    // (dist, seed) — min(d) first, then min(seed) among walks at that d
+    // (the claiming BFS provably reproduces exactly this tie-break)
+    "q167_voronoi_assign" ->
+      s"""WITH RECURSIVE ${insideCtes("", zonalEdgesSqlValues)},
+         |seeds AS (
+         |  SELECT pid, cx, cy, cx*1000 + cy AS seed FROM inside
+         |  WHERE (cx*5 + cy*3) % 29 = 0),
+         |walk(pid, cx, cy, seed, d) AS (
+         |  SELECT pid, cx, cy, seed, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT i.pid, i.cx, i.cy, w.seed, w.d + 1
+         |  FROM walk w JOIN inside i ON i.pid = w.pid
+         |    AND abs(i.cx - w.cx) + abs(i.cy - w.cy) = 1
+         |  WHERE w.d < 96),
+         |m AS (SELECT pid, cx, cy, min(d) AS dist FROM walk GROUP BY 1, 2, 3)
+         |SELECT w.pid AS relation_id, w.cx, w.cy, m.dist,
+         |  CAST(min(w.seed) AS BIGINT) AS seed
+         |FROM walk w JOIN m ON m.pid = w.pid AND m.cx = w.cx AND m.cy = w.cy
+         |  AND w.d = m.dist
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // q166 — the q145 pixel chain, then the SAT replayed as the same
     // two cumulative windows (rows by x within (i, y), then that column

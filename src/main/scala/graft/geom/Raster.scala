@@ -271,6 +271,85 @@ object Raster {
     * Depth is bounded by raster radius; non-convergence within
     * `maxRounds` throws rather than returning a truncated field.
     */
+  /** Discrete Voronoi allocation (nearest-facility assignment) over a
+    * binary cell raster: label every occupied cell with the seed
+    * reachable in the fewest 4-connected hops THROUGH the raster (the
+    * graph geodesic, not Euclidean — allocation respects barriers),
+    * ties broken toward the smallest seed id. `seeds` carries (idCol,
+    * cx, cy, seed) rows that must be occupied cells (others are
+    * ignored); cells whose component contains no seed stay unlabeled
+    * (absent from the output). Emits (idCol, cx, cy, dist, seed).
+    *
+    * Multi-source level-synchronous BFS with claiming on the IMPLICIT
+    * lattice — [[distanceTransform]]'s machinery with a label payload:
+    * each round the frontier scatters ×4 (narrow), keeps still-
+    * unlabeled occupied targets (semi + anti join), and claims each
+    * with min(seed) among this round's arrivals (one hash
+    * aggregation). Claiming is exact, not heuristic: every arrival at
+    * round d carries a seed at geodesic distance exactly d, and the
+    * min-id nearest seed always arrives (induction along its shortest
+    * path — the predecessor's label is itself a min-id nearest seed at
+    * d−1), so per-round min(seed) reproduces the global
+    * argmin-by-(dist, seed) the oracle computes. Every cell is claimed
+    * exactly once → total work O(cells·4) scattered rows across all
+    * rounds, per-round eager localCheckpoint kills plan growth.
+    */
+  def voronoiAssign(cells: DataFrame, seeds: DataFrame,
+      idCol: String = "relation_id", maxRounds: Int = 512): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"))
+      .persist(lvl)
+    val key = Seq(idCol, "cx", "cy")
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    def scatter4(df: DataFrame): DataFrame =
+      df.select(col(idCol), col("seed"),
+          explode(array(offsets.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+          }: _*)).as("t"))
+        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+          col("seed"))
+    var labeled = seeds
+      .select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"), col("seed").cast("long").as("seed"))
+      .join(occ, key, "left_semi")
+      .groupBy(key.map(col): _*).agg(min(col("seed")).as("seed"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = labeled
+    var round = 1
+    var done = false
+    while (!done) {
+      val next = scatter4(frontier)
+        .join(occ, key, "left_semi")
+        .join(labeled.select(key.map(col): _*), key, "left_anti")
+        .groupBy(key.map(col): _*).agg(min(col("seed")).as("seed"))
+        .withColumn("dist", lit(round.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        next.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        next.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        labeled.unpersist()
+        occ.unpersist()
+        throw new IllegalStateException(
+          s"Raster.voronoiAssign did not converge within $maxRounds rounds")
+      } else {
+        val acc = labeled.unionByName(next).localCheckpoint(true)
+        labeled.unpersist()
+        if (frontier ne labeled) frontier.unpersist()
+        labeled = acc
+        frontier = next
+        round += 1
+      }
+    }
+    occ.unpersist()
+    labeled.select(col(idCol), col("cx"), col("cy"), col("dist"), col("seed"))
+  }
+
   def distanceTransform(cells: DataFrame, idCol: String = "relation_id",
       maxRounds: Int = 512): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

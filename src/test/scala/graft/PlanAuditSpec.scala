@@ -386,13 +386,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q166 must not contain a global sort:\n$plan")
   }
 
-  test("q165 distance transform rings are scatter+join — no window, no cartesian") {
-    val plan = SparkEntry.queries("q165_distance_transform")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"q165 must not use a window:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"cartesian in q165 plan:\n$plan")
-    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
-      s"q165 must not contain a global sort:\n$plan")
+  test("lattice-BFS queries are scatter+join — no window, no cartesian") {
+    for (q <- Seq("q165_distance_transform", "q167_voronoi_assign")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q must not use a window:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
   }
 }

@@ -228,6 +228,67 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet === occ.map { case (id, cx, cy) => (id, cx, cy) })
   }
 
+  test("voronoiAssign: equidistant tie goes to the smallest seed id") {
+    // 1×5 strip, seeds 9 (left end) and 4 (right end): the center cell is
+    // 2 hops from both — the tie must resolve to seed 4, NOT first-writer
+    val cells = Seq.tabulate(5)(i => (1L, i.toLong, 0L))
+      .toDF("relation_id", "cx", "cy")
+    val seeds = Seq((1L, 0L, 0L, 9L), (1L, 4L, 0L, 4L))
+      .toDF("relation_id", "cx", "cy", "seed")
+    val got = Raster.voronoiAssign(cells, seeds)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (_, cx, _, d, sd) => cx -> ((d, sd)) }.toMap
+    assert(got === Map(0L -> ((0L, 9L)), 1L -> ((1L, 9L)),
+      2L -> ((2L, 4L)), 3L -> ((1L, 4L)), 4L -> ((0L, 4L))))
+  }
+
+  test("voronoiAssign: brute-force argmin oracle on the concave fixtures") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+    val seeds = cells.filter((col("cx") * 5 + col("cy") * 3) % 7 === 0)
+      .select(col("relation_id"), col("cx"), col("cy"),
+        (col("cx") * 1000 + col("cy")).as("seed"))
+    val got = Raster.voronoiAssign(cells, seeds)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, cx, cy, d, sd) => (id, cx, cy) -> ((d, sd)) }.toMap
+    val occ = cells.as[(Long, Long, Long)].collect().toSet
+    // per-seed BFS through the raster, then per cell argmin by (dist, seed)
+    val want = occ.groupBy(_._1).flatMap { case (id, cs) =>
+      val inside = cs.map { case (_, cx, cy) => (cx, cy) }
+      def nbrs(c: (Long, Long)) =
+        Seq((c._1 - 1, c._2), (c._1 + 1, c._2), (c._1, c._2 - 1), (c._1, c._2 + 1))
+      val seedCells = inside.filter(c => (c._1 * 5 + c._2 * 3) % 7 == 0)
+      val best = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      for (sc <- seedCells) {
+        val sid = sc._1 * 1000 + sc._2
+        var frontier = Set(sc)
+        var seen = Set(sc)
+        var d = 0L
+        while (frontier.nonEmpty) {
+          for (c <- frontier) {
+            val cur = best.get(c)
+            if (cur.forall(v => d < v._1 || (d == v._1 && sid < v._2)))
+              best(c) = (d, sid)
+          }
+          frontier = frontier.flatMap(nbrs).filter(inside.contains) -- seen
+          seen ++= frontier
+          d += 1
+        }
+      }
+      best.map { case ((cx, cy), v) => (id, cx, cy) -> v }
+    }
+    assert(got === want)
+  }
+
+  test("voronoiAssign: a component with no seed stays unlabeled") {
+    // two disjoint 2-cell components under one id; seed only in the first
+    val cells = Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 5L, 5L), (1L, 6L, 5L))
+      .toDF("relation_id", "cx", "cy")
+    val seeds = Seq((1L, 0L, 0L, 77L)).toDF("relation_id", "cx", "cy", "seed")
+    val got = Raster.voronoiAssign(cells, seeds)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 0L, 0L, 77L), (1L, 1L, 0L, 1L, 77L)))
+  }
+
   test("distanceTransform: separate polygon ids do not bleed") {
     // two ids sharing the lattice: a lone cell of id 2 adjacent to id 1's
     // interior must still score 1 (its own raster has no neighbors)
