@@ -1803,6 +1803,22 @@ object SparkEntry {
       graft.geom.Raster.voronoiAssign(cells, seeds)
     }),
 
+    // cost-distance transform over the q86 burn — map algebra's
+    // accumulated-cost surface: entering cell (cx,cy) costs
+    // 1 + (cx + 2·cy) mod 5, seeded at each polygon's lexicographic-min
+    // (cy,cx) cell. Frontier Bellman-Ford on the implicit lattice (no
+    // edge list); the oracle replays it as a bounded recursive-CTE
+    // relaxation (min path sum < 240 dominates the fixtures' true
+    // weighted diameter ≤ ~150).
+    "q168_cost_distance" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .withColumn("v", lit(1L) + (col("cx") + lit(2L) * col("cy")) % 5L)
+      val seeds = cells.groupBy(col("relation_id"))
+        .agg(min(struct(col("cy"), col("cx"))).as("m"))
+        .select(col("relation_id"), col("m.cx"), col("m.cy"))
+      graft.geom.Raster.costDistance(cells, seeds)
+    }),
+
     // focal (3×3 neighborhood) statistics over the q86 burn — map
     // algebra's focal sum/count at every occupied cell with missing
     // neighbors absent, value v = cx + 2·cy: scatter ×8 (narrow), ONE
@@ -4589,6 +4605,28 @@ object SparkEntry {
          |FROM walk w JOIN m ON m.pid = w.pid AND m.cx = w.cx AND m.cy = w.cy
          |  AND w.d = m.dist
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q168 — the q86 ray-cast lattice with the same cost formula; the
+    // seed is the row_number-1 cell by (cy, cx) per pid (lattice-sized
+    // window — oracle-side only), then a bounded recursive relaxation:
+    // min over all path sums below 240 (true weighted diameter ≤ ~150)
+    "q168_cost_distance" ->
+      s"""WITH RECURSIVE ${insideCtes("", rasterEdgesSqlValues)},
+         |cost AS (SELECT pid, cx, cy, 1 + (cx + 2*cy) % 5 AS v FROM inside),
+         |seed AS (
+         |  SELECT pid, cx, cy FROM (
+         |    SELECT pid, cx, cy,
+         |      row_number() OVER (PARTITION BY pid ORDER BY cy, cx) AS rn
+         |    FROM inside) WHERE rn = 1),
+         |walk(pid, cx, cy, d) AS (
+         |  SELECT pid, cx, cy, CAST(0 AS BIGINT) FROM seed
+         |  UNION
+         |  SELECT c.pid, c.cx, c.cy, w.d + c.v
+         |  FROM walk w JOIN cost c ON c.pid = w.pid
+         |    AND abs(c.cx - w.cx) + abs(c.cy - w.cy) = 1
+         |  WHERE w.d + c.v < 240)
+         |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY 1, 2, 3""".stripMargin,
 
     // q166 — the q145 pixel chain, then the SAT replayed as the same
     // two cumulative windows (rows by x within (i, y), then that column

@@ -350,6 +350,92 @@ object Raster {
     labeled.select(col(idCol), col("cx"), col("cy"), col("dist"), col("seed"))
   }
 
+  /** Cost-distance transform over a cost raster — map algebra's
+    * accumulated-cost surface (GRASS r.cost, ArcGIS Cost Distance,
+    * least-cost-path's first half): `cells` carries (idCol, cx, cy, v)
+    * with v the positive integer cost of ENTERING the cell; per
+    * occupied cell the minimum over 4-connected paths from any seed of
+    * the sum of entered-cell costs (seeds themselves cost 0). Emits
+    * (idCol, cx, cy, dist); cells unreachable from every seed are
+    * absent. Non-positive costs are rejected IN-PLAN via a raise_error
+    * conjunct on the cost load (the [[graft.graph.Sssp]] guard) — a bad
+    * cost fails the job even under filter pushdown rather than
+    * unbounding the relaxation loop.
+    *
+    * The weighted sibling of [[distanceTransform]] and the implicit-
+    * lattice sibling of [[graft.graph.Sssp]]: frontier Bellman-Ford
+    * where no edge list ever exists — each round the improved set
+    * scatters ×4 (narrow), one equi-join against the raster fetches the
+    * entered cost, one min-combine per touched cell, one left join
+    * keeps strict improvements. Positive integer costs make every
+    * improvement lower a Long, so the loop empties in ≤ cells rounds;
+    * per-round eager localCheckpoint kills plan growth.
+    */
+  def costDistance(cells: DataFrame, seeds: DataFrame,
+      idCol: String = "relation_id", maxRounds: Int = 512): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val guardedV = when(col("v") > 0, col("v"))
+      .otherwise(raise_error(concat(
+        lit("Raster.costDistance: non-positive cost at cell ("),
+        col("cx"), lit(","), col("cy"), lit(")"))).cast("long"))
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"), guardedV.cast("long").as("v"))
+      .persist(lvl)
+    val key = Seq(idCol, "cx", "cy")
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    def scatter4(df: DataFrame): DataFrame =
+      df.select(col(idCol), col("dist"),
+          explode(array(offsets.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+          }: _*)).as("t"))
+        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+          col("dist"))
+    var dist = seeds
+      .select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"))
+      .join(occ.select(key.map(col): _*), key, "left_semi")
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      val relaxed = scatter4(frontier)
+        .join(occ, key)
+        .select(col(idCol), col("cx"), col("cy"),
+          (col("dist") + col("v")).as("nd"))
+        .groupBy(key.map(col): _*).agg(min(col("nd")).as("nd"))
+      val improved = relaxed.join(dist, key, "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col(idCol), col("cx"), col("cy"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) {
+        improved.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        improved.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        occ.unpersist()
+        throw new IllegalStateException(
+          s"Raster.costDistance did not converge within $maxRounds rounds")
+      } else {
+        val acc = dist.join(improved.select(key.map(col): _*), key, "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = acc
+        frontier = improved
+        round += 1
+      }
+    }
+    occ.unpersist()
+    dist
+  }
+
   def distanceTransform(cells: DataFrame, idCol: String = "relation_id",
       maxRounds: Int = 512): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -387,7 +387,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("lattice-BFS queries are scatter+join — no window, no cartesian") {
-    for (q <- Seq("q165_distance_transform", "q167_voronoi_assign")) {
+    for (q <- Seq("q165_distance_transform", "q167_voronoi_assign",
+        "q168_cost_distance")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$q must not use a window:\n$plan")

@@ -289,6 +289,62 @@ class RasterSpec extends AnyFunSuite {
     assert(got === Set((1L, 0L, 0L, 0L, 77L), (1L, 1L, 0L, 1L, 77L)))
   }
 
+  test("costDistance: cheap detour beats the direct path") {
+    // 3×3 grid, seed at (0,0); center cell costs 100, everything else 1:
+    // (2,2) is reached around the rim for 4, never through the center
+    val cells = (for (cx <- 0L to 2L; cy <- 0L to 2L)
+      yield (1L, cx, cy, if (cx == 1 && cy == 1) 100L else 1L))
+      .toDF("relation_id", "cx", "cy", "v")
+    val seeds = Seq((1L, 0L, 0L)).toDF("relation_id", "cx", "cy")
+    val got = Raster.costDistance(cells, seeds)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, cx, cy, d) => (cx, cy) -> d }.toMap
+    assert(got === Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L,
+      (0L, 1L) -> 1L, (2L, 1L) -> 3L, (0L, 2L) -> 2L, (1L, 2L) -> 3L,
+      (2L, 2L) -> 4L, (1L, 1L) -> 101L))
+  }
+
+  test("costDistance: Dijkstra oracle on the concave fixtures") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+      .withColumn("v", lit(1L) + (col("cx") + lit(2L) * col("cy")) % 5L)
+    val seeds = cells.groupBy(col("relation_id"))
+      .agg(min(struct(col("cy"), col("cx"))).as("m"))
+      .select(col("relation_id"), col("m.cx"), col("m.cy"))
+    val got = Raster.costDistance(cells, seeds)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, cx, cy, d) => (id, cx, cy) -> d }.toMap
+    val occ = cells.as[(Long, Long, Long, Long)].collect()
+    val want = occ.groupBy(_._1).flatMap { case (id, cs) =>
+      val cost = cs.map { case (_, cx, cy, v) => (cx, cy) -> v }.toMap
+      val seed = cost.keySet.minBy { case (cx, cy) => (cy, cx) }
+      def nbrs(c: (Long, Long)) =
+        Seq((c._1 - 1, c._2), (c._1 + 1, c._2), (c._1, c._2 - 1), (c._1, c._2 + 1))
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+        Ordering.by[(Long, (Long, Long)), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, c) = pq.dequeue()
+        if (dist(c) == d)
+          for (n <- nbrs(c); v <- cost.get(n)
+               if dist.get(n).forall(_ > d + v)) {
+            dist(n) = d + v; pq.enqueue((d + v, n))
+          }
+      }
+      dist.map { case ((cx, cy), d) => (id, cx, cy) -> d }
+    }
+    assert(got === want)
+  }
+
+  test("costDistance: a non-positive cost fails the job in-plan") {
+    val cells = Seq((1L, 0L, 0L, 1L), (1L, 1L, 0L, 0L))
+      .toDF("relation_id", "cx", "cy", "v")
+    val seeds = Seq((1L, 0L, 0L)).toDF("relation_id", "cx", "cy")
+    val e = intercept[Exception] {
+      Raster.costDistance(cells, seeds).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("distanceTransform: separate polygon ids do not bleed") {
     // two ids sharing the lattice: a lone cell of id 2 adjacent to id 1's
     // interior must still score 1 (its own raster has no neighbors)
