@@ -1788,6 +1788,15 @@ object SparkEntry {
       graft.img.ImageOps.integralStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // LBP texture histogram — 8-neighbor local binary patterns over
+    // the exact BT.601 gray, interior pixels only, per-image 256-bin
+    // histogram (non-zero bins). Narrow mapPartitions decode, zero
+    // shuffle before the final (image, code) count; the oracle replays
+    // the neighborhood over the shared pixel chain.
+    "q169_lbp_texture" -> ((s, _) =>
+      graft.img.ImageOps.lbpHistogram(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     // discrete Voronoi allocation over the zonal burn — every raster
     // cell labeled with its nearest seed through the raster (graph
     // geodesic, barriers respected), min-seed tie-break. Seeds are the
@@ -4582,6 +4591,26 @@ object SparkEntry {
          |  WHERE w.d < 64)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q169 — the q145 pixel chain, the 8-neighbor LBP replayed as a
+    // cross join against the offset table + one equi-join back to px
+    // (quadratic-free: the join key is exact neighbor position)
+    "q169_lbp_texture" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |off AS (SELECT * FROM (VALUES
+         |  (0, -1, -1), (1, 0, -1), (2, 1, -1), (3, 1, 0),
+         |  (4, 1, 1), (5, 0, 1), (6, -1, 1), (7, -1, 0)) t(k, dx, dy)),
+         |codes AS (
+         |  SELECT p.i, p.x, p.y,
+         |    sum(CASE WHEN n.g >= p.g THEN 1 << o.k ELSE 0 END) AS code
+         |  FROM px p
+         |  CROSS JOIN off o
+         |  JOIN px n ON n.i = p.i AND n.x = p.x + o.dx AND n.y = p.y + o.dy
+         |  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+         |  GROUP BY 1, 2, 3)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(code AS BIGINT) AS code, count(*) AS cnt
+         |FROM codes GROUP BY 1, 2""".stripMargin,
 
     // q167 — the same ray-cast lattice, seeds from the same modulus
     // lines, then a seed-labeled recursive walk; per cell the argmin by

@@ -560,6 +560,69 @@ object ImageOps {
       .toDF("image_id", "x", "y", "g")
   }
 
+  /** Local binary pattern (Ojala et al., PAMI 2002 — the 8-neighbor
+    * grayscale texture descriptor): at every INTERIOR pixel, bit k is
+    * set when neighbor k's gray ≥ the center's gray, neighbors
+    * enumerated clockwise from the top-left — k: (dx, dy) = 0:(−1,−1),
+    * 1:(0,−1), 2:(1,−1), 3:(1,0), 4:(1,1), 5:(0,1), 6:(−1,1), 7:(−1,0).
+    * Gray is the exact BT.601 floor integer ([[grayPixels]]). Returns
+    * the 256-bin code histogram.
+    */
+  def lbp(px: Array[Int], w: Int, h: Int): Array[Long] = {
+    val g = new Array[Int](px.length)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    val dx = Array(-1, 0, 1, 1, 1, 0, -1, -1)
+    val dy = Array(-1, -1, -1, 0, 1, 1, 1, 0)
+    val hist = new Array[Long](256)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = g(y * w + x)
+        var code = 0
+        var b = 0
+        while (b < 8) {
+          if (g((y + dy(b)) * w + (x + dx(b))) >= c) code |= 1 << b
+          b += 1
+        }
+        hist(code) += 1
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** (image_id, code, cnt) rows — the per-image LBP texture histogram,
+    * non-zero bins only: the texture leg of near-dup prefiltering and
+    * quality scoring (flat regions pile onto codes 0/255, edges spread).
+    * Narrow mapPartitions decode + in-task histogram — the shuffle-free
+    * [[dominantColorStats]] shape; output is ≤ 256 rows per image
+    * regardless of resolution.
+    */
+  def lbpHistogram(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val hist = lbp(px, w, h)
+          Iterator.range(0, 256).filter(hist(_) > 0L)
+            .map(c => (id, c.toLong, hist(c)))
+        }
+      }
+      .toDF("image_id", "code", "cnt")
+  }
+
   /** Integral image (summed-area table) per image, reduced to exact
     * integer invariants: `total` = Σg, `corner` = sat(w−1, h−1) — must
     * equal `total` by the SAT's defining identity, and the oracle pins

@@ -243,6 +243,32 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lbpHistogram: independent neighborhood replay, mass = interior area") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.lbpHistogram(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dx = Array(-1, 0, 1, 1, 1, 0, -1, -1)
+    val dy = Array(-1, -1, -1, 0, 1, 1, 1, 0)
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val g = px.map { p =>
+        (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000
+      }
+      val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val c = g(y * w + x)
+        val code = (0 until 8).map(b =>
+          if (g((y + dy(b)) * w + (x + dx(b))) >= c) 1L << b else 0L).sum
+        want(code) += 1L
+      }
+      val id = f"img_$i%09d"
+      val gotI = got.collect { case ((`id`, code), cnt) => code -> cnt }.toMap
+      assert(gotI === want.toMap)
+      // histogram mass is exactly the interior pixel count
+      assert(gotI.values.sum == (w - 2).toLong * (h - 2))
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())
