@@ -1788,6 +1788,20 @@ object SparkEntry {
       graft.img.ImageOps.integralStats(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // adaptive quadtree partitioning over the q163 skewed point scene
+    // (5 dense planted clusters + wide scatter, shifted +2^21 to keep
+    // the domain non-negative): split any cell holding > 40 points
+    // until depth 8 — dense knots split deep, the scatter stays in
+    // shallow leaves. Closed form: one point-sized aggregation at
+    // depth 8, then cell-sized rollups + broadcast parent joins; no
+    // driver loop. The oracle replays counts at every level and the
+    // parent-over-cap leaf rule.
+    "q170_quadtree" -> ((s, dir) =>
+      graft.cell.QuadTree.leaves(
+        dbscanPtsDF(s, dir).select((col("x") + 2097152L).as("x"),
+          (col("y") + 2097152L).as("y")),
+        res = 23, cap = 40L, maxDepth = 8)),
+
     // LBP texture histogram — 8-neighbor local binary patterns over
     // the exact BT.601 gray, interior pixels only, per-image 256-bin
     // histogram (non-zero bins). Narrow mapPartitions decode, zero
@@ -4591,6 +4605,33 @@ object SparkEntry {
          |  WHERE w.d < 64)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q170 — the q163 point scene shifted into [0, 2^23), counts per
+    // cell at every level 0..8, then the leaf rule: root ≤ cap, or
+    // parent > cap and (own ≤ cap or depth-capped at 8). Count
+    // monotonicity makes "immediate parent over cap" equal "every
+    // ancestor over cap" — the same closed form the engine runs.
+    "q170_quadtree" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 5 AS c
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |pts AS (SELECT
+        |    2097152 + CASE WHEN id % 7 = 0 THEN abs(id*104729 + 7) % 5000001
+        |         ELSE c*1000000 + (abs(id*9973 + 11) % 40001 - 20000) END AS x,
+        |    2097152 + CASE WHEN id % 7 = 0 THEN abs(id*1299709 + 3) % 5000001
+        |         ELSE c*c*300000 + (abs(id*7919 + 13) % 40001 - 20000) END AS y
+        |  FROM base),
+        |lv AS (SELECT CAST(range AS INT) AS l FROM range(0, 9)),
+        |cnt AS (
+        |  SELECT l.l AS level, p.x >> (23 - l.l) AS qx, p.y >> (23 - l.l) AS qy,
+        |    count(*) AS n
+        |  FROM pts p CROSS JOIN lv l GROUP BY 1, 2, 3)
+        |SELECT c.level, c.qx, c.qy, c.n FROM cnt c
+        |LEFT JOIN cnt par ON par.level = c.level - 1
+        |  AND par.qx = c.qx >> 1 AND par.qy = c.qy >> 1
+        |WHERE (c.level = 0 AND c.n <= 40)
+        |   OR (c.level > 0 AND par.n > 40 AND (c.n <= 40 OR c.level = 8))"""
+        .stripMargin,
 
     // q169 — the q145 pixel chain, the 8-neighbor LBP replayed as a
     // cross join against the offset table + one equi-join back to px
