@@ -1778,6 +1778,15 @@ object SparkEntry {
       graft.geom.Raster.distanceTransform(
         graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
 
+    // medial axis over the zonal burn — ridge cells of the q165
+    // distance field (4-connected local maxima, plateaus included):
+    // raster→vector skeleton extraction. One scatter+max over the
+    // already-checkpointed distance transform; the oracle extends the
+    // q165 walk with the neighbor-max HAVING rule.
+    "q171_medial_axis" -> ((s, _) =>
+      graft.geom.Raster.medialAxis(
+        graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
+
     // integral image (summed-area table) per image — exact integer
     // invariants: total = Σg, far corner (≡ total by the SAT identity,
     // pinned independently), Σsat over all pixels (order-sensitive),
@@ -4697,6 +4706,29 @@ object SparkEntry {
          |  WHERE w.d + c.v < 240)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q171 — the q165 walk to the distance field, then the ridge rule:
+    // keep cells whose dist ≥ every present rook neighbor's dist
+    "q171_medial_axis" ->
+      s"""WITH RECURSIVE ${insideCtes("", zonalEdgesSqlValues)},
+         |ring1 AS (
+         |  SELECT i.pid, i.cx, i.cy FROM inside i
+         |  WHERE (SELECT count(*) FROM inside n WHERE n.pid = i.pid
+         |           AND abs(n.cx - i.cx) + abs(n.cy - i.cy) = 1) < 4),
+         |walk(pid, cx, cy, d) AS (
+         |  SELECT pid, cx, cy, CAST(1 AS BIGINT) FROM ring1
+         |  UNION
+         |  SELECT i.pid, i.cx, i.cy, w.d + 1
+         |  FROM walk w JOIN inside i ON i.pid = w.pid
+         |    AND abs(i.cx - w.cx) + abs(i.cy - w.cy) = 1
+         |  WHERE w.d < 64),
+         |dt AS (SELECT pid, cx, cy, CAST(min(d) AS BIGINT) AS dist
+         |       FROM walk GROUP BY 1, 2, 3)
+         |SELECT a.pid AS relation_id, a.cx, a.cy, a.dist
+         |FROM dt a LEFT JOIN dt b ON b.pid = a.pid
+         |  AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+         |GROUP BY 1, 2, 3, 4
+         |HAVING a.dist >= coalesce(max(b.dist), 0)""".stripMargin,
 
     // q166 — the q145 pixel chain, then the SAT replayed as the same
     // two cumulative windows (rows by x within (i, y), then that column

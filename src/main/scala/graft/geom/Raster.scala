@@ -350,6 +350,37 @@ object Raster {
     labeled.select(col(idCol), col("cx"), col("cy"), col("dist"), col("seed"))
   }
 
+  /** Discrete medial axis (skeleton) of a binary cell raster: the cells
+    * where the Manhattan [[distanceTransform]] is a 4-connected local
+    * maximum (dist ≥ every present rook neighbor's dist — plateaus
+    * included, so a 1-wide strip is its own skeleton). The raster→vector
+    * ridge extraction that follows the buffer-depth field: centerlines
+    * of corridors, spine cells of blobs. Emits (idCol, cx, cy, dist).
+    *
+    * One scatter ×4 of the distance field (narrow), one hash
+    * aggregation for the neighbor max, one left join back — the
+    * [[focalStats]] shape over [[distanceTransform]]'s output, which is
+    * already eagerly checkpointed so the BFS never re-runs for the
+    * second consumer.
+    */
+  def medialAxis(cells: DataFrame, idCol: String = "relation_id",
+      maxRounds: Int = 512): DataFrame = {
+    val dt = distanceTransform(cells, idCol, maxRounds)
+    val key = Seq(idCol, "cx", "cy")
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    val scattered = dt.select(col(idCol), col("dist"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+        }: _*)).as("t"))
+      .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+        col("dist"))
+    val nbrMax = scattered.groupBy(key.map(col): _*)
+      .agg(max(col("dist")).as("nbr_max"))
+    dt.join(nbrMax, key, "left")
+      .filter(col("dist") >= coalesce(col("nbr_max"), lit(0L)))
+      .select(col(idCol), col("cx"), col("cy"), col("dist"))
+  }
+
   /** Cost-distance transform over a cost raster — map algebra's
     * accumulated-cost surface (GRASS r.cost, ArcGIS Cost Distance,
     * least-cost-path's first half): `cells` carries (idCol, cx, cy, v)

@@ -345,6 +345,34 @@ class RasterSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("medialAxis: ridge of the closed-form rectangle field") {
+    // 7×5 rectangle: dist = 1 + min(cx, 6−cx, cy, 4−cy); ridge = local
+    // maxima of that field — the center row strip at dist 3
+    val rect = polyDF(9L -> Seq(Seq((0, 0), (5, 0), (5, 7), (0, 7))))
+    val got = Raster.medialAxis(Raster.rasterize(rect, 1.0))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, cx, cy, d) => (cx, cy, d) }.toSet
+    def dist(cx: Long, cy: Long) = 1L + Seq(cx, 6L - cx, cy, 4L - cy).min
+    val want = (for {
+      cy <- 0L to 4L; cx <- 0L to 6L
+      nbrs = Seq((cx - 1, cy), (cx + 1, cy), (cx, cy - 1), (cx, cy + 1))
+        .filter { case (nx, ny) => nx >= 0 && nx <= 6 && ny >= 0 && ny <= 4 }
+      if nbrs.forall { case (nx, ny) => dist(nx, ny) <= dist(cx, cy) }
+    } yield (cx, cy, dist(cx, cy))).toSet
+    assert(got === want)
+    // the dist-3 center spine is present (corners ride along as the
+    // rectangle medial axis' diagonal-branch endpoints)
+    assert(Set((2L, 2L, 3L), (3L, 2L, 3L), (4L, 2L, 3L)).subsetOf(got))
+  }
+
+  test("medialAxis: a 1-wide strip is its own skeleton") {
+    val cells = Seq.tabulate(5)(i => (1L, i.toLong, 0L))
+      .toDF("relation_id", "cx", "cy")
+    val got = Raster.medialAxis(cells)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set.tabulate(5)(i => (1L, i.toLong, 0L, 1L)))
+  }
+
   test("distanceTransform: separate polygon ids do not bleed") {
     // two ids sharing the lattice: a lone cell of id 2 adjacent to id 1's
     // interior must still score 1 (its own raster has no neighbors)
