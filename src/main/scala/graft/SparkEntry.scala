@@ -1820,6 +1820,22 @@ object SparkEntry {
       graft.img.ImageOps.lbpHistogram(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // Haar 2-rect features via SAT corner lookups over the fixed
+    // interior window — the engine runs the detector's O(1) 4-corner
+    // path, the oracle computes DIRECT conditional pixel sums: the
+    // comparison cross-validates the summed-area algebra itself.
+    "q172_haar_features" -> ((s, _) =>
+      graft.img.ImageOps.haarStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // raw + central image moments (integer numerators, Hu's first
+    // stage): centroid numerators and the orientation/eccentricity
+    // second-moment numerators with the m00 denominator cleared —
+    // exact in both engines. Narrow mapPartitions decode.
+    "q173_image_moments" -> ((s, _) =>
+      graft.img.ImageOps.momentStats(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     // discrete Voronoi allocation over the zonal burn — every raster
     // cell labeled with its nearest seed through the raster (graph
     // geodesic, barriers respected), min-seed tie-break. Seeds are the
@@ -4641,6 +4657,36 @@ object SparkEntry {
         |WHERE (c.level = 0 AND c.n <= 40)
         |   OR (c.level > 0 AND par.n > 40 AND (c.n <= 40 OR c.level = 8))"""
         .stripMargin,
+
+    // q172 — direct conditional sums over the pixel chain (the engine
+    // used SAT corner lookups; agreement proves the 4-corner identity)
+    "q172_haar_features" ->
+      s"""WITH ${pixelChainCtes(48)}
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(sum(CASE WHEN x BETWEEN 4 AND 7 AND y BETWEEN 2 AND 9
+         |             THEN g ELSE 0 END)
+         |     - sum(CASE WHEN x BETWEEN 8 AND 11 AND y BETWEEN 2 AND 9
+         |             THEN g ELSE 0 END) AS BIGINT) AS haar_h,
+         |  CAST(sum(CASE WHEN x BETWEEN 4 AND 11 AND y BETWEEN 2 AND 5
+         |             THEN g ELSE 0 END)
+         |     - sum(CASE WHEN x BETWEEN 4 AND 11 AND y BETWEEN 6 AND 9
+         |             THEN g ELSE 0 END) AS BIGINT) AS haar_v
+         |FROM px GROUP BY 1""".stripMargin,
+
+    // q173 — the same moment sums over the pixel chain; the central
+    // numerators are replayed with HUGEINT intermediates then cast
+    "q173_image_moments" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |m AS (SELECT i, sum(g) AS m00, sum(x*g) AS m10, sum(y*g) AS m01,
+         |    sum(x*x*g) AS m20, sum(x*y*g) AS m11, sum(y*y*g) AS m02
+         |  FROM px GROUP BY i)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(m00 AS BIGINT) AS m00, CAST(m10 AS BIGINT) AS m10,
+         |  CAST(m01 AS BIGINT) AS m01,
+         |  CAST(m00*m20 - m10*m10 AS BIGINT) AS mu20n,
+         |  CAST(m00*m11 - m10*m01 AS BIGINT) AS mu11n,
+         |  CAST(m00*m02 - m01*m01 AS BIGINT) AS mu02n
+         |FROM m""".stripMargin,
 
     // q169 — the q145 pixel chain, the 8-neighbor LBP replayed as a
     // cross join against the offset table + one equi-join back to px

@@ -623,6 +623,72 @@ object ImageOps {
       .toDF("image_id", "code", "cnt")
   }
 
+  /** Haar-like 2-rectangle features (the Viola–Jones primitive) over
+    * the fixed interior window x∈[4,11], y∈[2,9]: `haar_h` = (left
+    * half − right half) gray sums with the split at x=7|8, `haar_v` =
+    * (top − bottom) with the split at y=5|6. Computed the way a
+    * detector computes them — O(1) SAT corner lookups over the same
+    * two windowed prefix passes as [[integralStats]] (image-row/column
+    * grained exchanges, never an image-global window) — while the
+    * oracle derives the same integers from DIRECT conditional pixel
+    * sums, so the two engines cross-validate the 4-corner algebra
+    * itself, not just each other's arithmetic.
+    */
+  def haarStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rowW = Window.partitionBy(col("image_id"), col("y")).orderBy(col("x"))
+    val colW = Window.partitionBy(col("image_id"), col("x")).orderBy(col("y"))
+    val sat = grayPixels(spark, images)
+      .withColumn("rs", sum(col("g").cast("long")).over(rowW))
+      .withColumn("sat", sum(col("rs")).over(colW))
+    def satAt(x: Int, y: Int) =
+      coalesce(max(when(col("x") === x && col("y") === y, col("sat"))), lit(0L))
+    // rect sum over [x0..x1]×[y0..y1] via the 4-corner identity
+    def block(x0: Int, x1: Int, y0: Int, y1: Int) =
+      satAt(x1, y1) - satAt(x0 - 1, y1) - satAt(x1, y0 - 1) + satAt(x0 - 1, y0 - 1)
+    sat.groupBy(col("image_id"))
+      .agg((block(4, 7, 2, 9) - block(8, 11, 2, 9)).as("haar_h"),
+        (block(4, 11, 2, 5) - block(4, 11, 6, 9)).as("haar_v"))
+  }
+
+  /** Raw and central image moments over the exact BT.601 gray — the
+    * translation-normalized shape signature (Hu 1962's first stage):
+    * `m00` = Σg, `m10` = Σx·g, `m01` = Σy·g, and the central
+    * second-moment NUMERATORS kept integer by clearing the m00
+    * denominator — `mu20n` = m00·Σx²g − m10², `mu02n` = m00·Σy²g −
+    * m01², `mu11n` = m00·Σxyg − m10·m01 (the orientation/eccentricity
+    * numerators; consumers divide by m00² at the edge or compare
+    * ratios exactly). Narrow mapPartitions decode, one row per image.
+    */
+  def momentStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, _) = Codecs.decode(bytes)
+          var m00, m10, m01, m20, m11, m02 = 0L
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            val g = ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000).toLong
+            val x = (k % w).toLong; val y = (k / w).toLong
+            m00 += g; m10 += x * g; m01 += y * g
+            m20 += x * x * g; m11 += x * y * g; m02 += y * y * g
+            k += 1
+          }
+          (id, m00, m10, m01,
+            m00 * m20 - m10 * m10, m00 * m11 - m10 * m01, m00 * m02 - m01 * m01)
+        }
+      }
+      .toDF("image_id", "m00", "m10", "m01", "mu20n", "mu11n", "mu02n")
+  }
+
   /** Integral image (summed-area table) per image, reduced to exact
     * integer invariants: `total` = Σg, `corner` = sat(w−1, h−1) — must
     * equal `total` by the SAT's defining identity, and the oracle pins

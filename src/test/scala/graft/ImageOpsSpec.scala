@@ -269,6 +269,46 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("haarStats: SAT-corner features equal direct window sums") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.haarStats(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 6)
+    for (i <- 0L until 6L) {
+      val (px, w, _) = img(i)
+      val g = px.map { p =>
+        ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000).toLong
+      }
+      def rect(x0: Int, x1: Int, y0: Int, y1: Int) =
+        (for (y <- y0 to y1; x <- x0 to x1) yield g(y * w + x)).sum
+      val want = (rect(4, 7, 2, 9) - rect(8, 11, 2, 9),
+        rect(4, 11, 2, 5) - rect(4, 11, 6, 9))
+      assert(got(f"img_$i%09d") == want)
+    }
+  }
+
+  test("momentStats: raw sums and central numerators replayed per pixel") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.momentStats(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, w, _) = img(i)
+      var m00, m10, m01, m20, m11, m02 = 0L
+      for (k <- px.indices) {
+        val p = px(k)
+        val g = ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+          (p & 255) * 114) / 1000).toLong
+        val x = (k % w).toLong; val y = (k / w).toLong
+        m00 += g; m10 += x * g; m01 += y * g
+        m20 += x * x * g; m11 += x * y * g; m02 += y * y * g
+      }
+      assert(got(f"img_$i%09d") == ((m00, m10, m01,
+        m00 * m20 - m10 * m10, m00 * m11 - m10 * m01, m00 * m02 - m01 * m01)))
+    }
+  }
+
   test("otsuStats over decoded bytes equals otsu over raw pixels") {
     val spark = SparkTestSession.spark
     val got = ImageOps.otsuStats(spark, ImageTable.generate(spark, 6, 2).toDF())

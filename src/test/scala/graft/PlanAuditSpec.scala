@@ -369,8 +369,9 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q166 SAT windows are image-row/column grained — never image-global") {
-    val plan = SparkEntry.queries("q166_integral_image")(spark, sf)
+  test("SAT windows are image-row/column grained — never image-global") {
+   for (q <- Seq("q166_integral_image", "q172_haar_features")) {
+    val plan = SparkEntry.queries(q)(spark, sf)
       .queryExecution.executedPlan.toString
     // both cumulative windows must partition by (image_id, axis); a
     // window keyed on image_id alone would serialize each image onto one
@@ -383,7 +384,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(specs.forall(s => s.split(", ").length >= 2),
       s"every SAT window must carry a 2-column partition key, got $specs")
     assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
-      s"q166 must not contain a global sort:\n$plan")
+      s"$q must not contain a global sort:\n$plan")
+   }
   }
 
   test("lattice-BFS queries are scatter+join — no window, no cartesian") {
