@@ -1820,6 +1820,20 @@ object SparkEntry {
       graft.img.ImageOps.lbpHistogram(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // zonal texture — majority LBP code per map zone: the image
+    // texture raster (per-pixel q169 codes, interior pixels) joined
+    // against the zonal burn through the q160 mode machinery — the
+    // cross-modal composition (image layer × geospatial layer) the
+    // engine's layers exist for. Two hash exchanges past the pixel
+    // join, no window.
+    "q174_zonal_texture" -> ((s, _) => {
+      val zones = graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      val codes = graft.img.ImageOps.lbpPixels(s,
+          graft.img.ImageTable.generate(s, 64, 16).toDF())
+        .select(col("x"), col("y"), col("code").as("class"))
+      graft.geom.Raster.zonalMode(zones, codes)
+    }),
+
     // Haar 2-rect features via SAT corner lookups over the fixed
     // interior window — the engine runs the detector's O(1) 4-corner
     // path, the oracle computes DIRECT conditional pixel sums: the
@@ -4657,6 +4671,34 @@ object SparkEntry {
         |WHERE (c.level = 0 AND c.n <= 40)
         |   OR (c.level > 0 AND par.n > 40 AND (c.n <= 40 OR c.level = 8))"""
         .stripMargin,
+
+    // q174 — the q169 LBP codes (pixel chain + offset join, interior
+    // only) classified per zone through the q160 dominance replica
+    "q174_zonal_texture" ->
+      s"""WITH ${pixelChainCtes(64)},
+         |${insideCtes("", zonalEdgesSqlValues)},
+         |off AS (SELECT * FROM (VALUES
+         |  (0, -1, -1), (1, 0, -1), (2, 1, -1), (3, 1, 0),
+         |  (4, 1, 1), (5, 0, 1), (6, -1, 1), (7, -1, 0)) t(k, dx, dy)),
+         |codes AS (
+         |  SELECT p.i, p.x, p.y,
+         |    CAST(sum(CASE WHEN n.g >= p.g THEN 1 << o.k ELSE 0 END) AS BIGINT)
+         |      AS class
+         |  FROM px p
+         |  CROSS JOIN off o
+         |  JOIN px n ON n.i = p.i AND n.x = p.x + o.dx AND n.y = p.y + o.dy
+         |  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+         |  GROUP BY 1, 2, 3),
+         |cls AS (SELECT z.pid, c.class
+         |        FROM codes c JOIN inside z ON z.cx = c.x AND z.cy = c.y),
+         |cnts AS (SELECT pid, class, count(*) AS cnt FROM cls GROUP BY 1, 2),
+         |best AS (SELECT c.pid, c.class, c.cnt FROM cnts c WHERE NOT EXISTS (
+         |  SELECT 1 FROM cnts d WHERE d.pid = c.pid AND
+         |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.class < c.class)))),
+         |tot AS (SELECT pid, sum(cnt) AS n_px FROM cnts GROUP BY 1)
+         |SELECT t.pid AS relation_id, CAST(t.n_px AS BIGINT) AS n_px,
+         |  b.class AS mode_class, CAST(b.cnt AS BIGINT) AS mode_cnt
+         |FROM tot t JOIN best b ON b.pid = t.pid""".stripMargin,
 
     // q172 — direct conditional sums over the pixel chain (the engine
     // used SAT corner lookups; agreement proves the 4-corner identity)

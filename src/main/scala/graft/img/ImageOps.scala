@@ -623,6 +623,49 @@ object ImageOps {
       .toDF("image_id", "code", "cnt")
   }
 
+  /** Per-pixel form of [[lbp]]: (image_id, x, y, code) for every
+    * INTERIOR pixel — the texture raster other layers join against
+    * (e.g. [[graft.geom.Raster.zonalMode]] for majority-texture per map
+    * zone). Narrow mapPartitions decode; pixel-sized output by
+    * definition, no shuffle here.
+    */
+  def lbpPixels(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dxs = Array(-1, 0, 1, 1, 1, 0, -1, -1)
+    val dys = Array(-1, -1, -1, 0, 1, 1, 1, 0)
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val g = new Array[Int](px.length)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            k += 1
+          }
+          for {
+            y <- Iterator.range(1, h - 1)
+            x <- Iterator.range(1, w - 1)
+          } yield {
+            val c = g(y * w + x)
+            var code = 0L
+            var b = 0
+            while (b < 8) {
+              if (g((y + dys(b)) * w + (x + dxs(b))) >= c) code |= 1L << b
+              b += 1
+            }
+            (id, x, y, code)
+          }
+        }
+      }
+      .toDF("image_id", "x", "y", "code")
+  }
+
   /** Haar-like 2-rectangle features (the Viola–Jones primitive) over
     * the fixed interior window x∈[4,11], y∈[2,9]: `haar_h` = (left
     * half − right half) gray sums with the split at x=7|8, `haar_v` =

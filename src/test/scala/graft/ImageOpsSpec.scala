@@ -269,6 +269,17 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lbpPixels aggregates exactly to lbpHistogram") {
+    val spark = SparkTestSession.spark
+    val images = ImageTable.generate(spark, 6, 2).toDF()
+    val fromPixels = ImageOps.lbpPixels(spark, images)
+      .groupBy("image_id", "code").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hist = ImageOps.lbpHistogram(spark, images)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromPixels === hist)
+  }
+
   test("haarStats: SAT-corner features equal direct window sums") {
     val spark = SparkTestSession.spark
     val got = ImageOps.haarStats(spark, ImageTable.generate(spark, 6, 2).toDF())
