@@ -1778,6 +1778,29 @@ object SparkEntry {
       graft.geom.Raster.distanceTransform(
         graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
 
+    // IDW interpolation over the q163 point scene onto a coarse 8×8
+    // target grid — exact linear-decay kernel w = d² − dist², rational
+    // (num, den) output, radius 300000 (d² = 9·10¹⁰). Cell-binned 3×3
+    // neighbor join, never targets×samples; empty targets keep zeros.
+    "q176_idw" -> ((s, dir) => {
+      import s.implicits._
+      val targets = (for (gx <- 0L to 7L; gy <- 0L to 7L)
+        yield (gx * 8 + gy, gx * 625000L + 312500L, gy * 625000L + 312500L))
+        .toDF("id", "x", "y")
+      val samples = dbscanPtsDF(s, dir)
+        .withColumn("v", col("id") % 1000L)
+      graft.geom.Idw.interpolate(targets, samples, d2 = 90000000000L)
+    }),
+
+    // outward buffer (k=3) of the q86 burn — grid buffering as a
+    // closed-form diamond scatter + one min aggregation (no loop, no
+    // join); dist = exact Manhattan distance to the nearest occupied
+    // cell. The oracle replays the same diamond from the ray-cast
+    // lattice.
+    "q175_buffer_out" -> ((s, _) =>
+      graft.geom.Raster.bufferOut(
+        graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0), k = 3)),
+
     // medial axis over the zonal burn — ridge cells of the q165
     // distance field (4-connected local maxima, plateaus included):
     // raster→vector skeleton extraction. One scatter+max over the
@@ -4794,6 +4817,48 @@ object SparkEntry {
          |  WHERE w.d + c.v < 240)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q176 — the q163 point scene with v = id mod 1000, the same 8×8
+    // target grid, and the quadratic within-radius join (fixture-sized
+    // — the quadratic form IS the spec the binned join must match)
+    "q176_idw" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 5 AS c
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |pts AS (SELECT id, id % 1000 AS v,
+        |    CASE WHEN id % 7 = 0 THEN abs(id*104729 + 7) % 5000001
+        |         ELSE c*1000000 + (abs(id*9973 + 11) % 40001 - 20000) END AS x,
+        |    CASE WHEN id % 7 = 0 THEN abs(id*1299709 + 3) % 5000001
+        |         ELSE c*c*300000 + (abs(id*7919 + 13) % 40001 - 20000) END AS y
+        |  FROM base),
+        |g AS (SELECT unnest(range(0, 8)) AS v),
+        |tg AS (SELECT gx.v*8 + gy.v AS id, gx.v*625000 + 312500 AS x,
+        |         gy.v*625000 + 312500 AS y
+        |       FROM g gx CROSS JOIN g gy),
+        |nb AS (SELECT t.id, p.v,
+        |    90000000000 - ((t.x-p.x)*(t.x-p.x) + (t.y-p.y)*(t.y-p.y)) AS w
+        |  FROM tg t JOIN pts p
+        |    ON (t.x-p.x)*(t.x-p.x) + (t.y-p.y)*(t.y-p.y) <= 90000000000),
+        |agg AS (SELECT id, count(*) AS n_nbrs, sum(v*w) AS num, sum(w) AS den
+        |        FROM nb GROUP BY 1)
+        |SELECT t.id, CAST(coalesce(a.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+        |  CAST(coalesce(a.num, 0) AS BIGINT) AS num,
+        |  CAST(coalesce(a.den, 0) AS BIGINT) AS den
+        |FROM tg t LEFT JOIN agg a ON a.id = t.id""".stripMargin,
+
+    // q175 — the q86 lattice scattered over the same |dx|+|dy| ≤ 3
+    // diamond, min distance per target cell
+    "q175_buffer_out" ->
+      s"""WITH ${insideCtes("", rasterEdgesSqlValues)},
+         |off AS (
+         |  SELECT dx.v AS dx, dy.v AS dy
+         |  FROM (SELECT unnest(range(-3, 4)) AS v) dx
+         |  CROSS JOIN (SELECT unnest(range(-3, 4)) AS v) dy
+         |  WHERE abs(dx.v) + abs(dy.v) <= 3)
+         |SELECT i.pid AS relation_id, i.cx + o.dx AS cx, i.cy + o.dy AS cy,
+         |  CAST(min(abs(o.dx) + abs(o.dy)) AS BIGINT) AS dist
+         |FROM inside i CROSS JOIN off o
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // q171 — the q165 walk to the distance field, then the ridge rule:
     // keep cells whose dist ≥ every present rook neighbor's dist

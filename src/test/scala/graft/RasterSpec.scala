@@ -345,6 +345,33 @@ class RasterSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("bufferOut: a single cell becomes the exact Manhattan diamond") {
+    val cells = Seq((1L, 5L, 5L)).toDF("relation_id", "cx", "cy")
+    val got = Raster.bufferOut(cells, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, cx, cy, d) => (cx, cy) -> d }.toMap
+    val want = (for {
+      dx <- -2 to 2; dy <- -2 to 2 if math.abs(dx) + math.abs(dy) <= 2
+    } yield (5L + dx, 5L + dy) -> (math.abs(dx) + math.abs(dy)).toLong).toMap
+    assert(got === want)
+  }
+
+  test("bufferOut: brute-force min-distance oracle on the concave fixtures") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+    val got = Raster.bufferOut(cells, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, cx, cy, d) => (id, cx, cy) -> d }.toMap
+    val occ = cells.as[(Long, Long, Long)].collect()
+    val want = (for {
+      (id, ox, oy) <- occ
+      dx <- -3 to 3; dy <- -3 to 3 if math.abs(dx) + math.abs(dy) <= 3
+    } yield ((id, ox + dx, oy + dy), (math.abs(dx) + math.abs(dy)).toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(got === want)
+    // occupied cells score 0
+    for ((id, cx, cy) <- occ) assert(got((id, cx, cy)) == 0L)
+  }
+
   test("medialAxis: ridge of the closed-form rectangle field") {
     // 7×5 rectangle: dist = 1 + min(cx, 6−cx, cy, 4−cy); ridge = local
     // maxima of that field — the center row strip at dist 3
