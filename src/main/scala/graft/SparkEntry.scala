@@ -1778,6 +1778,36 @@ object SparkEntry {
       graft.geom.Raster.distanceTransform(
         graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
 
+    // border-length contiguity weights over the zonal burn — the
+    // length-weighted refinement of rook contiguity: ordered adjacent
+    // cell pairs per polygon pair. One scatter + one cell-keyed join;
+    // the oracle is the quadratic adjacency self-join (lattice-sized).
+    "q177_border_weights" -> ((s, _) =>
+      graft.geom.Raster.borderWeights(
+        graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0))),
+
+    // HOG octant histogram — 3×3 Sobel gradients binned into 8 octants
+    // by pure sign/|gx| vs |gy| comparisons (no atan2, no float), L1
+    // magnitude votes; zero-gradient pixels dropped. Narrow decode,
+    // ≤ 8 rows per image; the oracle replays Sobel + the octant CASE
+    // over the shared pixel chain.
+    "q178_hog_octants" -> ((s, _) =>
+      graft.img.ImageOps.hogOctants(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // supersampled (anti-aliased) rasterization — the q86 burn at HALF
+    // pitch folded 2×2 into parent cells: per cell the exact subcell
+    // coverage count 1..4 (the area-weighted burn exact areal
+    // statistics want at polygon edges). Pure composition of rasterize
+    // + one groupBy; pitch 0.5 keeps every ray-cast decision
+    // bit-identical to the oracle's ×2-scaled integer lattice (scaling
+    // by a power of two is IEEE-exact).
+    "q179_subcell_coverage" -> ((s, _) =>
+      graft.geom.Raster.rasterize(rasterPolyDF(s), 0.5)
+        .groupBy(col("relation_id"),
+          shiftright(col("cx"), 1).as("cx"), shiftright(col("cy"), 1).as("cy"))
+        .agg(count(lit(1)).as("cover"))),
+
     // IDW interpolation over the q163 point scene onto a coarse 8×8
     // target grid — exact linear-decay kernel w = d² − dist², rational
     // (num, den) output, radius 300000 (d² = 9·10¹⁰). Cell-binned 3×3
@@ -4817,6 +4847,53 @@ object SparkEntry {
          |  WHERE w.d + c.v < 240)
          |SELECT pid AS relation_id, cx, cy, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY 1, 2, 3""".stripMargin,
+
+    // q177 — the zonal lattice's quadratic adjacency self-join across
+    // pids (the quadratic form IS the spec the scatter join must match)
+    "q177_border_weights" ->
+      s"""WITH ${insideCtes("", zonalEdgesSqlValues)}
+         |SELECT a.pid AS rel_a, b.pid AS rel_b, count(*) AS faces
+         |FROM inside a JOIN inside b ON a.pid < b.pid
+         |  AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q178 — Sobel via the weighted offset table over the pixel chain,
+    // then the same octant CASE and L1 votes
+    "q178_hog_octants" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |sob AS (SELECT * FROM (VALUES
+         |  (-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1),
+         |  (-1, 0, -2, 0), (1, 0, 2, 0),
+         |  (-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1)) t(dx, dy, wx, wy)),
+         |grad AS (
+         |  SELECT p.i, p.x, p.y,
+         |    sum(o.wx * n.g) AS gx, sum(o.wy * n.g) AS gy
+         |  FROM px p
+         |  CROSS JOIN sob o
+         |  JOIN px n ON n.i = p.i AND n.x = p.x + o.dx AND n.y = p.y + o.dy
+         |  WHERE p.x >= 1 AND p.x <= p.w - 2 AND p.y >= 1 AND p.y <= p.h - 2
+         |  GROUP BY 1, 2, 3),
+         |oct AS (
+         |  SELECT i, CAST(CASE
+         |      WHEN gx >= 0 AND gy >= 0 THEN CASE WHEN abs(gx) >= abs(gy) THEN 0 ELSE 1 END
+         |      WHEN gx < 0 AND gy >= 0 THEN CASE WHEN abs(gx) < abs(gy) THEN 2 ELSE 3 END
+         |      WHEN gx < 0 AND gy < 0 THEN CASE WHEN abs(gx) >= abs(gy) THEN 4 ELSE 5 END
+         |      ELSE CASE WHEN abs(gx) < abs(gy) THEN 6 ELSE 7 END
+         |    END AS BIGINT) AS octant,
+         |    abs(gx) + abs(gy) AS mag
+         |  FROM grad WHERE gx <> 0 OR gy <> 0)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, octant,
+         |  count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS w_sum
+         |FROM oct GROUP BY 1, 2""".stripMargin,
+
+    // q179 — the same ray-cast chain over the ×2-scaled fixtures (the
+    // half-pitch lattice in integer coordinates), folded to parents
+    "q179_subcell_coverage" ->
+      s"""WITH ${insideCtes("", polyEdgesSqlValues(rasterPolys.map { case (id, rings) =>
+             (id, rings.map(_.map { case (la, lo) => (la * 2, lo * 2) })) }))}
+         |SELECT pid AS relation_id, cx // 2 AS cx, cy // 2 AS cy,
+         |  count(*) AS cover
+         |FROM inside GROUP BY 1, 2, 3""".stripMargin,
 
     // q176 — the q163 point scene with v = id mod 1000, the same 8×8
     // target grid, and the quadratic within-radius join (fixture-sized

@@ -383,6 +383,38 @@ object Raster {
       .agg(min(col("d")).as("dist"))
   }
 
+  /** Border-length contiguity weights over a multi-polygon cell burn —
+    * the length-weighted refinement of boolean rook contiguity (GeoDa's
+    * "shared boundary length" weights): for every polygon pair A < B,
+    * the number of ORDERED rook-adjacent cell pairs (u, v) with
+    * u ∈ A's burn and v ∈ B's burn. On disjoint burns that is exactly
+    * twice the shared-face count (once per direction); the ordered form
+    * keeps the definition exact when burns overlap. Emits
+    * (rel_a, rel_b, faces) with rel_a < rel_b.
+    *
+    * One ×4 scatter of the burn (narrow), ONE cell-keyed hash equi-join
+    * against the burn itself, one count per pair — the [[focalStats]]
+    * shape ACROSS polygon ids instead of within one; never polygon ×
+    * polygon, never cell × cell.
+    */
+  def borderWeights(cells: DataFrame, idCol: String = "relation_id"): DataFrame = {
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    val scattered = occ.select(col(idCol).as("rel_a"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+        }: _*)).as("t"))
+      .select(col("rel_a"), col("t.cx").as("cx"), col("t.cy").as("cy"))
+    scattered
+      .join(occ.select(col(idCol).as("rel_b"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(col("rel_a") < col("rel_b"))
+      .groupBy(col("rel_a"), col("rel_b"))
+      .agg(count(lit(1)).as("faces"))
+  }
+
   /** Discrete medial axis (skeleton) of a binary cell raster: the cells
     * where the Manhattan [[distanceTransform]] is a 4-connected local
     * maximum (dist ≥ every present rook neighbor's dist — plateaus

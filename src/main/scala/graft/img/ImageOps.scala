@@ -623,6 +623,64 @@ object ImageOps {
       .toDF("image_id", "code", "cnt")
   }
 
+  /** HOG-style gradient orientation histogram, exact-integer form: at
+    * every interior pixel compute the 3×3 Sobel gradients (gx, gy) over
+    * the BT.601 gray, drop zero-gradient pixels, and bin the rest into
+    * 8 octants by PURE SIGN/MAGNITUDE COMPARISONS — no atan2, no float:
+    * octant = (gx≥0, gy≥0, |gx|≥|gy|) → 0..7 counterclockwise from +x.
+    * Per (image, octant): pixel count and the Σ(|gx|+|gy|) L1-magnitude
+    * weight (the integer surrogate for HOG's √(gx²+gy²) vote). Narrow
+    * mapPartitions decode, ≤ 8 rows per image.
+    */
+  def hogOctants(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val g = new Array[Int](px.length)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            k += 1
+          }
+          val cnt = new Array[Long](8)
+          val wsum = new Array[Long](8)
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              def at(dx: Int, dy: Int) = g((y + dy) * w + (x + dx))
+              val gx = -at(-1, -1) + at(1, -1) - 2 * at(-1, 0) + 2 * at(1, 0) -
+                at(-1, 1) + at(1, 1)
+              val gy = -at(-1, -1) - 2 * at(0, -1) - at(1, -1) +
+                at(-1, 1) + 2 * at(0, 1) + at(1, 1)
+              if (gx != 0 || gy != 0) {
+                val ax = math.abs(gx); val ay = math.abs(gy)
+                val oct =
+                  if (gx >= 0 && gy >= 0) { if (ax >= ay) 0 else 1 }
+                  else if (gx < 0 && gy >= 0) { if (ax < ay) 2 else 3 }
+                  else if (gx < 0 && gy < 0) { if (ax >= ay) 4 else 5 }
+                  else { if (ax < ay) 6 else 7 }
+                cnt(oct) += 1L
+                wsum(oct) += (ax + ay).toLong
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Iterator.range(0, 8).filter(cnt(_) > 0L)
+            .map(o => (id, o.toLong, cnt(o), wsum(o)))
+        }
+      }
+      .toDF("image_id", "octant", "n_px", "w_sum")
+  }
+
   /** Per-pixel form of [[lbp]]: (image_id, x, y, code) for every
     * INTERIOR pixel — the texture raster other layers join against
     * (e.g. [[graft.geom.Raster.zonalMode]] for majority-texture per map

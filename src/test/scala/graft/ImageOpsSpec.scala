@@ -280,6 +280,42 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(fromPixels === hist)
   }
 
+  test("hogOctants: per-pixel Sobel + octant replay, mass bounded by interior") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.hogOctants(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val g = px.map { p =>
+        (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000
+      }
+      val cnt = Array.fill(8)(0L); val wsum = Array.fill(8)(0L)
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        def at(dx: Int, dy: Int) = g((y + dy) * w + (x + dx))
+        val gx = -at(-1, -1) + at(1, -1) - 2 * at(-1, 0) + 2 * at(1, 0) -
+          at(-1, 1) + at(1, 1)
+        val gy = -at(-1, -1) - 2 * at(0, -1) - at(1, -1) +
+          at(-1, 1) + 2 * at(0, 1) + at(1, 1)
+        if (gx != 0 || gy != 0) {
+          val ax = math.abs(gx); val ay = math.abs(gy)
+          val oct =
+            if (gx >= 0 && gy >= 0) { if (ax >= ay) 0 else 1 }
+            else if (gx < 0 && gy >= 0) { if (ax < ay) 2 else 3 }
+            else if (gx < 0 && gy < 0) { if (ax >= ay) 4 else 5 }
+            else { if (ax < ay) 6 else 7 }
+          cnt(oct) += 1L; wsum(oct) += (ax + ay).toLong
+        }
+      }
+      val id = f"img_$i%09d"
+      val gotI = got.collect { case ((`id`, o), v) => o -> v }.toMap
+      val want = (0 until 8).filter(cnt(_) > 0)
+        .map(o => o.toLong -> ((cnt(o), wsum(o)))).toMap
+      assert(gotI === want)
+      assert(gotI.values.map(_._1).sum <= (w - 2).toLong * (h - 2))
+    }
+  }
+
   test("haarStats: SAT-corner features equal direct window sums") {
     val spark = SparkTestSession.spark
     val got = ImageOps.haarStats(spark, ImageTable.generate(spark, 6, 2).toDF())

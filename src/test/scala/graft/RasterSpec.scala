@@ -372,6 +372,29 @@ class RasterSpec extends AnyFunSuite {
     for ((id, cx, cy) <- occ) assert(got((id, cx, cy)) == 0L)
   }
 
+  test("borderWeights: hand counts incl. overlap, and the a<b order") {
+    // A = {(0,0),(0,1)}, B = {(1,0),(1,1)}: 2 shared faces → 2 ordered
+    // pairs (A scatters into B's cells); C overlaps B at (1,1) and also
+    // touches it at (2,0)-(1,0) plus within-overlap adjacencies
+    val cells = Seq(
+      (1L, 0L, 0L), (1L, 0L, 1L),
+      (2L, 1L, 0L), (2L, 1L, 1L),
+      (3L, 1L, 1L), (3L, 2L, 0L), (3L, 2L, 1L))
+      .toDF("relation_id", "cx", "cy")
+    val got = Raster.borderWeights(cells)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, f) => (a, b) -> f }.toMap
+    // brute ordered adjacency count
+    val occ = cells.as[(Long, Long, Long)].collect()
+    val want = (for {
+      (pa, ax, ay) <- occ; (pb, bx, by) <- occ
+      if pa < pb && math.abs(ax - bx) + math.abs(ay - by) == 1
+    } yield (pa, pb)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === want)
+    assert(got((1L, 2L)) == 2L) // the clean disjoint case: 2 faces
+    assert(got.keySet.forall { case (a, b) => a < b })
+  }
+
   test("medialAxis: ridge of the closed-form rectangle field") {
     // 7×5 rectangle: dist = 1 + min(cx, 6−cx, cy, 4−cy); ridge = local
     // maxima of that field — the center row strip at dist 3
