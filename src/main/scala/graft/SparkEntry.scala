@@ -1795,6 +1795,48 @@ object SparkEntry {
       graft.img.ImageOps.hogOctants(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // least-cost corridor over the q86 cost surface — the set of cells
+    // on ANY optimal seed→target path, well-defined without path
+    // tie-breaks: with f = cost-distance from the seed and b =
+    // cost-distance from the target, path reversal gives
+    // min-forward(u→target) = b(u) − v(u) + v(target), so u is on an
+    // optimal path iff f(u) + b(u) − v(u) = f(target) − v(target).
+    // Pure composition of two q168 fields + joins; GIS "corridor
+    // analysis". Seed = lexicographic-min (cy,cx) cell, target = max.
+    "q180_cost_corridor" -> ((s, _) => {
+      val key = Seq("relation_id", "cx", "cy")
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .withColumn("v", lit(1L) + (col("cx") + lit(2L) * col("cy")) % 5L)
+      val seeds = cells.groupBy(col("relation_id"))
+        .agg(min(struct(col("cy"), col("cx"))).as("m"))
+        .select(col("relation_id"), col("m.cx"), col("m.cy"))
+      val targets = cells.groupBy(col("relation_id"))
+        .agg(max(struct(col("cy"), col("cx"))).as("m"))
+        .select(col("relation_id"), col("m.cx"), col("m.cy"))
+      val f = graft.geom.Raster.costDistance(cells, seeds)
+      val b = graft.geom.Raster.costDistance(cells, targets)
+        .withColumnRenamed("dist", "bdist")
+      // per-polygon threshold f(target) − v(target)
+      val thr = f.join(targets, key, "left_semi")
+        .join(cells, key)
+        .select(col("relation_id"), (col("dist") - col("v")).as("thr"))
+      f.join(b, key)
+        .join(cells.select(col("relation_id"), col("cx"), col("cy"), col("v")), key)
+        .join(broadcast(thr), Seq("relation_id"))
+        .filter(col("dist") + col("bdist") - col("v") === col("thr"))
+        .select(col("relation_id"), col("cx"), col("cy"),
+          col("dist"), col("bdist"))
+    }),
+
+    // focal majority (mode) filter over the q86 burn classified by
+    // class = (cx + 2·cy) mod 5 — categorical raster smoothing: most
+    // frequent class in the 3×3 neighborhood incl. self, smallest-
+    // class tie-break; scatter ×9 + two hash exchanges, no window.
+    "q181_focal_mode" -> ((s, _) =>
+      graft.geom.Raster.focalMode(
+        graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+          .withColumn("class", (col("cx") + lit(2L) * col("cy")) % 5L))),
+
     // supersampled (anti-aliased) rasterization — the q86 burn at HALF
     // pitch folded 2×2 into parent cells: per cell the exact subcell
     // coverage count 1..4 (the area-weighted burn exact areal
@@ -4885,6 +4927,72 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, octant,
          |  count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS w_sum
          |FROM oct GROUP BY 1, 2""".stripMargin,
+
+    // q180 — the q168 lattice/cost chain with BOTH bounded relaxation
+    // walks (forward from the min cell, backward from the max cell)
+    // and the reversal identity f + b − v = f(target) − v(target)
+    "q180_cost_corridor" ->
+      s"""WITH RECURSIVE ${insideCtes("", rasterEdgesSqlValues)},
+         |cost AS (SELECT pid, cx, cy, 1 + (cx + 2*cy) % 5 AS v FROM inside),
+         |seed AS (
+         |  SELECT pid, cx, cy FROM (
+         |    SELECT pid, cx, cy,
+         |      row_number() OVER (PARTITION BY pid ORDER BY cy, cx) AS rn
+         |    FROM inside) WHERE rn = 1),
+         |tgt AS (
+         |  SELECT pid, cx, cy FROM (
+         |    SELECT pid, cx, cy,
+         |      row_number() OVER (PARTITION BY pid ORDER BY cy DESC, cx DESC) AS rn
+         |    FROM inside) WHERE rn = 1),
+         |wf(pid, cx, cy, d) AS (
+         |  SELECT pid, cx, cy, CAST(0 AS BIGINT) FROM seed
+         |  UNION
+         |  SELECT c.pid, c.cx, c.cy, w.d + c.v
+         |  FROM wf w JOIN cost c ON c.pid = w.pid
+         |    AND abs(c.cx - w.cx) + abs(c.cy - w.cy) = 1
+         |  WHERE w.d + c.v < 240),
+         |wb(pid, cx, cy, d) AS (
+         |  SELECT pid, cx, cy, CAST(0 AS BIGINT) FROM tgt
+         |  UNION
+         |  SELECT c.pid, c.cx, c.cy, w.d + c.v
+         |  FROM wb w JOIN cost c ON c.pid = w.pid
+         |    AND abs(c.cx - w.cx) + abs(c.cy - w.cy) = 1
+         |  WHERE w.d + c.v < 240),
+         |f AS (SELECT pid, cx, cy, min(d) AS dist FROM wf GROUP BY 1, 2, 3),
+         |bk AS (SELECT pid, cx, cy, min(d) AS bdist FROM wb GROUP BY 1, 2, 3),
+         |thr AS (
+         |  SELECT f.pid, f.dist - c.v AS thr
+         |  FROM f JOIN tgt t ON t.pid = f.pid AND t.cx = f.cx AND t.cy = f.cy
+         |  JOIN cost c ON c.pid = f.pid AND c.cx = f.cx AND c.cy = f.cy)
+         |SELECT f.pid AS relation_id, f.cx, f.cy,
+         |  CAST(f.dist AS BIGINT) AS dist, CAST(bk.bdist AS BIGINT) AS bdist
+         |FROM f
+         |JOIN bk ON bk.pid = f.pid AND bk.cx = f.cx AND bk.cy = f.cy
+         |JOIN cost c ON c.pid = f.pid AND c.cx = f.cx AND c.cy = f.cy
+         |JOIN thr ON thr.pid = f.pid
+         |WHERE f.dist + bk.bdist - c.v = thr.thr""".stripMargin,
+
+    // q181 — the ×9 neighborhood replayed as a lattice-sized LEFT
+    // self-join with |dx|≤1 ∧ |dy|≤1 (self included), then the q160
+    // dominance rule per cell
+    "q181_focal_mode" ->
+      s"""WITH ${insideCtes("", rasterEdgesSqlValues)},
+         |cls AS (SELECT pid, cx, cy, (cx + 2*cy) % 5 AS class FROM inside),
+         |nb AS (
+         |  SELECT a.pid, a.cx, a.cy, b.class
+         |  FROM cls a JOIN cls b ON b.pid = a.pid
+         |    AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         |cnts AS (SELECT pid, cx, cy, class, count(*) AS cnt
+         |         FROM nb GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT c.pid, c.cx, c.cy, c.class, c.cnt FROM cnts c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cnts d WHERE d.pid = c.pid AND d.cx = c.cx
+         |      AND d.cy = c.cy AND
+         |      (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.class < c.class))))
+         |SELECT o.pid AS relation_id, o.cx, o.cy, o.class,
+         |  b.class AS mode_class, CAST(b.cnt AS BIGINT) AS mode_cnt
+         |FROM cls o JOIN best b ON b.pid = o.pid AND b.cx = o.cx AND b.cy = o.cy"""
+        .stripMargin,
 
     // q179 — the same ray-cast chain over the ×2-scaled fixtures (the
     // half-pitch lattice in integer coordinates), folded to parents

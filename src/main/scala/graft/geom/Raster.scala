@@ -251,6 +251,41 @@ object Raster {
         coalesce(col("nbr_sum"), lit(0L)).as("nbr_sum"))
   }
 
+  /** Focal majority (mode) filter over a classified cell raster — map
+    * algebra's categorical smoothing (GDAL sieve's soft cousin): per
+    * occupied cell, the most frequent class among its up-to-8 occupied
+    * neighbors AND itself, smallest-class tie-break. Input (idCol, cx,
+    * cy, class); output (idCol, cx, cy, class, mode_class, mode_cnt).
+    *
+    * The [[focalStats]] scatter (×9 incl. self, narrow), one hash
+    * aggregation per (cell, class), then the [[zonalMode]]
+    * max(struct(cnt, −class)) argmax — no window, fully codegen'd.
+    */
+  def focalMode(cells: DataFrame, idCol: String = "relation_id"): DataFrame = {
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"), col("class").cast("long").as("class"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val scattered = occ.select(col(idCol), col("class"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+        }: _*)).as("t"))
+      .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+        col("class"))
+    val modes = scattered
+      .groupBy(col(idCol), col("cx"), col("cy"), col("class"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("cx"), col("cy"))
+      .agg(max(struct(col("cnt"), (-col("class")).as("negc"))).as("m"))
+      .select(col(idCol), col("cx"), col("cy"),
+        (-col("m.negc")).as("mode_class"), col("m.cnt").as("mode_cnt"))
+    // join back so only occupied cells emit (the scatter also lands on
+    // empty lattice positions) and the original class rides along
+    occ.join(modes, Seq(idCol, "cx", "cy"))
+      .select(col(idCol), col("cx"), col("cy"), col("class"),
+        col("mode_class"), col("mode_cnt"))
+  }
+
   /** Manhattan (4-connected) distance transform of a binary cell raster:
     * per occupied cell, the hop distance to the nearest cell OUTSIDE the
     * raster — boundary cells score 1, each erosion ring inward adds 1

@@ -395,6 +395,54 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet.forall { case (a, b) => a < b })
   }
 
+  test("focalMode: hand majority with smallest-class tie-break") {
+    // strip of classes [7, 3]: both windows see {7, 3} — a 1–1 tie that
+    // must resolve to the smaller class 3; strip [7, 7, 3] pins the
+    // no-tie majority on each side
+    val cells = Seq((1L, 0L, 0L, 7L), (1L, 1L, 0L, 3L),
+      (2L, 0L, 0L, 7L), (2L, 1L, 0L, 7L), (2L, 2L, 0L, 3L))
+      .toDF("relation_id", "cx", "cy", "class")
+    val got = Raster.focalMode(cells)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, cx, _, cls, mc, mn) => (id, cx) -> ((cls, mc, mn)) }.toMap
+    assert(got === Map(
+      (1L, 0L) -> ((7L, 3L, 1L)), (1L, 1L) -> ((3L, 3L, 1L)),
+      (2L, 0L) -> ((7L, 7L, 2L)), (2L, 1L) -> ((7L, 7L, 2L)),
+      (2L, 2L) -> ((3L, 3L, 1L))))
+  }
+
+  test("focalMode: brute-force ×9 dominance parity on the concave fixtures") {
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+      .withColumn("class", (col("cx") + lit(2L) * col("cy")) % 5L)
+    val got = Raster.focalMode(cells)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, cx, cy, cls, mc, mn) => (id, cx, cy) -> ((cls, mc, mn)) }
+      .toMap
+    val occ = cells.as[(Long, Long, Long, Long)].collect()
+    val byId = occ.groupBy(_._1)
+    val want = occ.map { case (id, cx, cy, cls) =>
+      val nb = byId(id).filter { case (_, nx, ny, _) =>
+        math.abs(nx - cx) <= 1 && math.abs(ny - cy) <= 1 }
+      val cnts = nb.groupBy(_._4).map { case (c, vs) => c -> vs.size.toLong }
+      val (mc, mn) = cnts.toSeq.minBy { case (c, n) => (-n, c) }
+      (id, cx, cy) -> ((cls, mc, mn))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("costDistance corridor: a uniform 1-wide strip is its own corridor") {
+    // all cells cost 1, seed left end, target right end — f + b − v is
+    // constant across the strip, so every cell passes the identity
+    val cells = Seq.tabulate(5)(i => (1L, i.toLong, 0L, 1L))
+      .toDF("relation_id", "cx", "cy", "v")
+    val f = Raster.costDistance(cells, Seq((1L, 0L, 0L)).toDF("relation_id", "cx", "cy"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    val b = Raster.costDistance(cells, Seq((1L, 4L, 0L)).toDF("relation_id", "cx", "cy"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    val thr = f(4L) - 1L
+    for (cx <- 0L to 4L) assert(f(cx) + b(cx) - 1L == thr)
+  }
+
   test("medialAxis: ridge of the closed-form rectangle field") {
     // 7×5 rectangle: dist = 1 + min(cx, 6−cx, cy, 4−cy); ridge = local
     // maxima of that field — the center row strip at dist 3
