@@ -1795,6 +1795,15 @@ object SparkEntry {
       graft.img.ImageOps.hogOctants(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // exact per-image gray quantiles — discrete lower-quantile rule
+    // p_q = min gray with cum ≥ ⌈q·n⌉ from the in-task 256-bin
+    // histogram (the exact counterpart to q47's sketch percentiles);
+    // narrow decode, one row per image. The oracle replays histogram +
+    // running sum + the same ceil thresholds.
+    "q182_gray_quantiles" -> ((s, _) =>
+      graft.img.ImageOps.grayQuantiles(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     // least-cost corridor over the q86 cost surface — the set of cells
     // on ANY optimal seed→target path, well-defined without path
     // tie-breaks: with f = cost-distance from the seed and b =
@@ -4927,6 +4936,19 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, octant,
          |  count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS w_sum
          |FROM oct GROUP BY 1, 2""".stripMargin,
+
+    // q182 — histogram, running sum per image, min gray at the same
+    // ceil(q·n) thresholds
+    "q182_gray_quantiles" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+         |cum AS (SELECT i, w, h, g,
+         |    sum(c) OVER (PARTITION BY i ORDER BY g) AS cum FROM hist)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(min(CASE WHEN cum >= (w*h + 3) // 4 THEN g END) AS BIGINT) AS p25,
+         |  CAST(min(CASE WHEN cum >= (w*h + 1) // 2 THEN g END) AS BIGINT) AS p50,
+         |  CAST(min(CASE WHEN cum >= (3*w*h + 3) // 4 THEN g END) AS BIGINT) AS p75
+         |FROM cum GROUP BY 1""".stripMargin,
 
     // q180 — the q168 lattice/cost chain with BOTH bounded relaxation
     // walks (forward from the min cell, backward from the max cell)

@@ -623,6 +623,50 @@ object ImageOps {
       .toDF("image_id", "code", "cnt")
   }
 
+  /** Exact per-image gray quantiles (discrete / lower-quantile
+    * semantics): p_q = the smallest gray level whose cumulative pixel
+    * count reaches ⌈q·n⌉ — no interpolation, no float, so both engines
+    * agree bit-for-bit (the exact counterpart to the sketch-based
+    * approx-percentile path). Computed from the in-task 256-bin
+    * histogram — narrow decode, one row per image; the gray domain
+    * being bounded is what makes exact distributed quantiles free here
+    * (the general-domain exact form would need a sort or a
+    * merge-able histogram, which IS this, bucketized).
+    */
+  def grayQuantiles(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val hist = new Array[Long](256)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            hist((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000) += 1
+            k += 1
+          }
+          val n = w.toLong * h
+          def pick(kth: Long): Long = {
+            var cum = 0L
+            var g = 0
+            while (g < 256) {
+              cum += hist(g)
+              if (cum >= kth) return g.toLong
+              g += 1
+            }
+            255L
+          }
+          (id, pick((n + 3) / 4), pick((n + 1) / 2), pick((3 * n + 3) / 4))
+        }
+      }
+      .toDF("image_id", "p25", "p50", "p75")
+  }
+
   /** HOG-style gradient orientation histogram, exact-integer form: at
     * every interior pixel compute the 3×3 Sobel gradients (gx, gy) over
     * the BT.601 gray, drop zero-gradient pixels, and bin the rest into

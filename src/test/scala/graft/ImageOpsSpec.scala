@@ -280,6 +280,24 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(fromPixels === hist)
   }
 
+  test("grayQuantiles: sorted-array oracle at the exact ceil thresholds") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.grayQuantiles(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, _, _) = img(i)
+      val g = px.map { p =>
+        ((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000).toLong
+      }.sorted
+      val n = g.length.toLong
+      // k-th smallest (1-based) at k = ceil(q·n)
+      def at(k: Long) = g((k - 1).toInt)
+      assert(got(f"img_$i%09d") ===
+        ((at((n + 3) / 4), at((n + 1) / 2), at((3 * n + 3) / 4))))
+    }
+  }
+
   test("hogOctants: per-pixel Sobel + octant replay, mass bounded by interior") {
     val spark = SparkTestSession.spark
     val got = ImageOps.hogOctants(spark, ImageTable.generate(spark, 6, 2).toDF())
