@@ -1822,8 +1822,20 @@ object SparkEntry {
       val targets = cells.groupBy(col("relation_id"))
         .agg(max(struct(col("cy"), col("cx"))).as("m"))
         .select(col("relation_id"), col("m.cx"), col("m.cy"))
-      val f = graft.geom.Raster.costDistance(cells, seeds)
-      val b = graft.geom.Raster.costDistance(cells, targets)
+      // BOTH fields ride ONE batched relaxation: a side-tagged composite
+      // key (2·id for seed-side, 2·id+1 for target-side) makes the two
+      // independent fixpoints share every round's jobs — same rounds,
+      // half the wall clock; the accumulated frame is checkpointed, so
+      // the two filters below read it without recompute
+      def side(df: DataFrame, s: Int) = df.withColumn("relation_id",
+        col("relation_id") * 2 + lit(s.toLong))
+      val both = graft.geom.Raster.costDistance(
+        side(cells, 0).unionByName(side(cells, 1)),
+        side(seeds, 0).unionByName(side(targets, 1)))
+      val f = both.filter(col("relation_id") % 2 === 0)
+        .withColumn("relation_id", (col("relation_id") / 2).cast("long"))
+      val b = both.filter(col("relation_id") % 2 === 1)
+        .withColumn("relation_id", ((col("relation_id") - 1) / 2).cast("long"))
         .withColumnRenamed("dist", "bdist")
       // per-polygon threshold f(target) − v(target)
       val thr = f.join(targets, key, "left_semi")
