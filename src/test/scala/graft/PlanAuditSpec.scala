@@ -388,6 +388,29 @@ class PlanAuditSpec extends AnyFunSuite {
    }
   }
 
+  test("q170 quadtree: broadcast parent joins, no window, no global sort") {
+    val plan = SparkEntry.queries("q170_quadtree")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"parent joins must broadcast the cell-sized parent side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in q170 plan:\n$plan")
+    assert(!plan.contains("Window"), s"q170 must not use a window:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q170 must not contain a global sort:\n$plan")
+  }
+
+  test("q176/q177 neighbor joins ride cell equi-joins — no cartesian") {
+    for (q <- Seq("q176_idw", "q177_border_weights")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
+  }
+
   test("lattice-BFS queries are scatter+join — no window, no cartesian") {
     for (q <- Seq("q165_distance_transform", "q167_voronoi_assign",
         "q168_cost_distance")) {
