@@ -1795,6 +1795,35 @@ object SparkEntry {
       graft.img.ImageOps.hogOctants(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
+    // (floor, clamped borders) sampled at even (x,y): the anti-aliased
+    // 2× downsample; exact integer sum + position checksum per image.
+    // The oracle replays the clamped convolution over the pixel chain.
+    "q184_binomial_pyramid" -> ((s, _) =>
+      graft.img.ImageOps.binomialDown2(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // raster change detection — the q86 fixtures as epoch t0 and their
+    // (+1,+1)-translated q149 siblings as epoch t1 (ids paired by the
+    // +1000 offset): per polygon the exact gain/loss/stable cell
+    // counts of the two burns — the temporal-raster diff (NDVI-change
+    // / land-cover-transition shape). One full outer join on the cell
+    // key, one aggregation; both burns broadcastable at this zoning
+    // size, shuffle-keyed on (polygon, cell) at planet scale.
+    "q183_change_detect" -> ((s, _) => {
+      val t0 = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .select(col("relation_id"), col("cx"), col("cy"), lit(1).as("a"))
+      val t1 = graft.geom.Raster.rasterize(arealDstPolyDF(s), 1.0)
+        .select((col("relation_id") - 1000L).as("relation_id"),
+          col("cx"), col("cy"), lit(1).as("b"))
+      t0.join(t1, Seq("relation_id", "cx", "cy"), "full_outer")
+        .groupBy(col("relation_id"))
+        .agg(
+          sum(when(col("a").isNotNull && col("b").isNull, 1L).otherwise(0L)).as("n_loss"),
+          sum(when(col("a").isNull && col("b").isNotNull, 1L).otherwise(0L)).as("n_gain"),
+          sum(when(col("a").isNotNull && col("b").isNotNull, 1L).otherwise(0L)).as("n_stable"))
+    }),
+
     // exact per-image gray quantiles — discrete lower-quantile rule
     // p_q = min gray with cum ≥ ⌈q·n⌉ from the in-task 256-bin
     // histogram (the exact counterpart to q47's sketch percentiles);
@@ -4948,6 +4977,45 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, octant,
          |  count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS w_sum
          |FROM oct GROUP BY 1, 2""".stripMargin,
+
+    // q184 — the same clamped 3×3 binomial over the pixel chain via
+    // the weighted offset join, floor //16, even samples only
+    "q184_binomial_pyramid" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |off AS (SELECT * FROM (VALUES
+         |  (-1, -1, 1), (0, -1, 2), (1, -1, 1),
+         |  (-1, 0, 2), (0, 0, 4), (1, 0, 2),
+         |  (-1, 1, 1), (0, 1, 2), (1, 1, 1)) t(dx, dy, w)),
+         |sm AS (
+         |  SELECT p.i, p.x, p.y, sum(o.w * n.g) // 16 AS s
+         |  FROM px p
+         |  CROSS JOIN off o
+         |  JOIN px n ON n.i = p.i
+         |    AND n.x = greatest(0, least(p.w - 1, p.x + o.dx))
+         |    AND n.y = greatest(0, least(p.h - 1, p.y + o.dy))
+         |  WHERE p.x % 2 = 0 AND p.y % 2 = 0
+         |  GROUP BY 1, 2, 3)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  count(*) AS n_px, CAST(sum(s) AS BIGINT) AS s_sum,
+         |  CAST(sum(s * (x // 2 + 1) * (y // 2 + 3)) AS BIGINT) AS checksum
+         |FROM sm GROUP BY 1""".stripMargin,
+
+    // q183 — both ray-cast burns via the suffixed CTE chain, the same
+    // full outer join on the cell key (t1 ids mapped back by −1000)
+    "q183_change_detect" ->
+      s"""WITH ${insideCtes("0", rasterEdgesSqlValues)},
+         |${insideCtes("1", arealDstEdgesSqlValues)},
+         |t1m AS (SELECT pid - 1000 AS pid, cx, cy FROM inside1)
+         |SELECT coalesce(a.pid, b.pid) AS relation_id,
+         |  CAST(sum(CASE WHEN a.pid IS NOT NULL AND b.pid IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_loss,
+         |  CAST(sum(CASE WHEN a.pid IS NULL AND b.pid IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gain,
+         |  CAST(sum(CASE WHEN a.pid IS NOT NULL AND b.pid IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stable
+         |FROM inside0 a FULL OUTER JOIN t1m b
+         |  ON b.pid = a.pid AND b.cx = a.cx AND b.cy = a.cy
+         |GROUP BY 1""".stripMargin,
 
     // q182 — histogram, running sum per image, min gray at the same
     // ceil(q·n) thresholds

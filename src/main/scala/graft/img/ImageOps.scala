@@ -623,6 +623,56 @@ object ImageOps {
       .toDF("image_id", "code", "cnt")
   }
 
+  /** Binomial half-resolution pyramid level, exact-integer invariants:
+    * smooth the BT.601 gray with the 3×3 binomial kernel
+    * [1,2,1]⊗[1,2,1]/16 (floor division, borders CLAMPED — GDAL edge
+    * semantics), sample at even (x, y) — the anti-aliased 2× downsample
+    * a thumbnail/pHash chain wants where nearest-neighbor would alias.
+    * Emits per image: output pixel count, Σ of the smoothed samples,
+    * and the position-weighted checksum Σ s·(ox+1)·(oy+3) (order-
+    * sensitive — any misplaced sample breaks it). Narrow mapPartitions
+    * decode, one row per image.
+    */
+  def binomialDown2(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val g = new Array[Int](px.length)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            k += 1
+          }
+          def at(x: Int, y: Int) =
+            g(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x)))
+          var nPx, sSum, chk = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val s = (at(x - 1, y - 1) + 2 * at(x, y - 1) + at(x + 1, y - 1) +
+                2 * at(x - 1, y) + 4 * at(x, y) + 2 * at(x + 1, y) +
+                at(x - 1, y + 1) + 2 * at(x, y + 1) + at(x + 1, y + 1)) / 16
+              nPx += 1
+              sSum += s
+              chk += s.toLong * (x / 2 + 1) * (y / 2 + 3)
+              x += 2
+            }
+            y += 2
+          }
+          (id, nPx, sSum, chk)
+        }
+      }
+      .toDF("image_id", "n_px", "s_sum", "checksum")
+  }
+
   /** Exact per-image gray quantiles (discrete / lower-quantile
     * semantics): p_q = the smallest gray level whose cumulative pixel
     * count reaches ⌈q·n⌉ — no interpolation, no float, so both engines

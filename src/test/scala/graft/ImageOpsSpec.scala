@@ -280,6 +280,36 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(fromPixels === hist)
   }
 
+  test("binomialDown2: clamped-convolution replay; flat image is fixed point") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.binomialDown2(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      val g = px.map { p =>
+        (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000
+      }
+      def at(x: Int, y: Int) =
+        g(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x)))
+      var nPx, sSum, chk = 0L
+      for (y <- 0 until h by 2; x <- 0 until w by 2) {
+        val s = (at(x - 1, y - 1) + 2 * at(x, y - 1) + at(x + 1, y - 1) +
+          2 * at(x - 1, y) + 4 * at(x, y) + 2 * at(x + 1, y) +
+          at(x - 1, y + 1) + 2 * at(x, y + 1) + at(x + 1, y + 1)) / 16
+        nPx += 1; sSum += s; chk += s.toLong * (x / 2 + 1) * (y / 2 + 3)
+      }
+      assert(got(f"img_$i%09d") === ((nPx, sSum, chk)))
+    }
+    // a constant image smooths to itself: kernel weights sum to 16
+    import spark.implicits._
+    val flat = Array.fill(16 * 16)(0xFF646464)
+    val bytes = graft.img.Codecs.encodeBmp(flat, 16, 16)
+    val one = Seq(("flat", bytes)).toDF("image_id", "bytes")
+    val r = ImageOps.binomialDown2(spark, one).collect().head
+    assert(r.getLong(1) == 64L && r.getLong(2) == 64L * 100L)
+  }
+
   test("grayQuantiles: sorted-array oracle at the exact ceil thresholds") {
     val spark = SparkTestSession.spark
     val got = ImageOps.grayQuantiles(spark, ImageTable.generate(spark, 6, 2).toDF())
