@@ -1795,6 +1795,35 @@ object SparkEntry {
       graft.img.ImageOps.hogOctants(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // regional caption vocabulary — the flagship spatial join composed
+    // with the TEXT side of the image+caption table: per assigned
+    // polygon, the dominant caption cell-token (parsed from the
+    // caption STRING with regexp_extract — the engine works the string
+    // path; the oracle re-derives the token from the phash arithmetic
+    // the generator used). The LAION-regional-metadata shape: assign →
+    // parse → two hash exchanges → argmax, no window.
+    "q185_region_captions" -> ((s, _) => {
+      import s.implicits._
+      val imgs = graft.img.ImageTable.generate(s, 300, 16).toDF()
+      val idx = substring(col("image_id"), 5, 9).cast("long")
+      val probes = imgs.select(col("image_id"),
+        GraftFunctions.latOfKey(idx).as("lat"),
+        GraftFunctions.lonOfKey(idx).as("lon"))
+      val assigned = graft.join.SpatialJoin.assign(
+        s, probes, s.createDataset(rectPolys), res = 6)
+      val tok = imgs.select(col("image_id"),
+        regexp_extract(col("caption"), "cell (\\d+)$", 1).cast("long").as("ctok"))
+      assigned.select(col("image_id"), col("relation_id"))
+        .join(tok, "image_id")
+        .groupBy(col("relation_id"), col("ctok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("relation_id"))
+        .agg(sum(col("cnt")).as("n_images"),
+          max(struct(col("cnt"), (-col("ctok")).as("negt"))).as("m"))
+        .select(col("relation_id"), col("n_images"),
+          (-col("m.negt")).as("top_token"), col("m.cnt").as("top_cnt"))
+    }),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -4977,6 +5006,31 @@ object SparkEntry {
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id, octant,
          |  count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS w_sum
          |FROM oct GROUP BY 1, 2""".stripMargin,
+
+    // q185 — the q156 assignment replica + the token re-derived from
+    // the splitmix phash (abs(ph) % 97 — exactly what the generator
+    // wrote into the caption), then the q160 dominance rule per zone
+    "q185_region_captions" ->
+      s"""WITH ${splitmixDimsCtes(300)},
+         |pts AS (SELECT i,
+         |    ((abs(i*9973+12345) % 170000)/1000.0) - 85.0 AS lat,
+         |    ((abs(i*7919+54321) % 360000)/1000.0) - 180.0 AS lon
+         |  FROM dims),
+         |asn AS (SELECT i, CAST(relation_id AS BIGINT) AS relation_id
+         |        FROM pts JOIN $rectsSqlValues
+         |          ON lat > lat_min AND lat < lat_max
+         |         AND lon > lon_min AND lon < lon_max),
+         |tok AS (SELECT i, abs(phash) % 97 AS ctok FROM dims),
+         |cnts AS (SELECT a.relation_id, t.ctok, count(*) AS cnt
+         |         FROM asn a JOIN tok t ON t.i = a.i GROUP BY 1, 2),
+         |best AS (SELECT c.relation_id, c.ctok, c.cnt FROM cnts c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cnts d WHERE d.relation_id = c.relation_id AND
+         |      (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.ctok < c.ctok)))),
+         |tot AS (SELECT relation_id, sum(cnt) AS n_images FROM cnts GROUP BY 1)
+         |SELECT t.relation_id, CAST(t.n_images AS BIGINT) AS n_images,
+         |  CAST(b.ctok AS BIGINT) AS top_token, CAST(b.cnt AS BIGINT) AS top_cnt
+         |FROM tot t JOIN best b ON b.relation_id = t.relation_id""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only
