@@ -102,6 +102,44 @@ object SparkEntry {
     }).toDF()
   }
 
+  /** The terrain fixture for q186–q189: the zonal burn carrying an
+    * integer DEM z = 2·(cx+cy) + ((cx·7 + cy·11) mod 5) — a southwest-
+    * tilted plane plus a mod-5 ripple, so D8 paths run long toward the
+    * SW boundary while the ripple plants local pits and aspect variety.
+    * Exact integer arithmetic the oracle replays verbatim on the same
+    * ray-cast lattice.
+    */
+  private def demCellsDF(s: SparkSession): DataFrame =
+    graft.geom.Raster.rasterize(zonalPolyDF(s), 1.0)
+      .withColumn("z", lit(2L) * (col("cx") + col("cy")) +
+        (col("cx") * 7L + col("cy") * 11L) % 5L)
+
+  private val demSqlCte: String =
+    "dem AS (SELECT pid, cx, cy, 2*(cx+cy) + ((cx*7 + cy*11) % 5) AS z FROM inside)"
+
+  /** The D8 direction pick replayed in SQL: positive drops to the 8
+    * neighbors ranked by (drop DESC, dir ASC) — CTEs `drops` + `best`
+    * over [[demSqlCte]]'s `dem`. Shared by the q187/q188 oracles.
+    */
+  private val d8BestSqlCtes: String =
+    """drops AS (
+      |  SELECT a.pid, a.cx, a.cy, b.cx AS nx, b.cy AS ny, a.z - b.z AS drp,
+      |    CASE WHEN b.cx - a.cx = 1 AND b.cy - a.cy = 0 THEN 0
+      |         WHEN b.cx - a.cx = 1 AND b.cy - a.cy = 1 THEN 1
+      |         WHEN b.cx - a.cx = 0 AND b.cy - a.cy = 1 THEN 2
+      |         WHEN b.cx - a.cx = -1 AND b.cy - a.cy = 1 THEN 3
+      |         WHEN b.cx - a.cx = -1 AND b.cy - a.cy = 0 THEN 4
+      |         WHEN b.cx - a.cx = -1 AND b.cy - a.cy = -1 THEN 5
+      |         WHEN b.cx - a.cx = 0 AND b.cy - a.cy = -1 THEN 6
+      |         ELSE 7 END AS dir
+      |  FROM dem a JOIN dem b ON b.pid = a.pid
+      |    AND abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+      |    AND NOT (b.cx = a.cx AND b.cy = a.cy)
+      |  WHERE a.z > b.z),
+      |best AS (SELECT pid, cx, cy, nx, ny, dir FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY pid, cx, cy
+      |    ORDER BY drp DESC, dir) AS rn FROM drops) WHERE rn = 1)""".stripMargin
+
   /** Target zoning for q149's areal interpolation: the raster fixtures
     * translated (+1, +1) with ids 8000–8004 — every target overlaps its
     * source heavily plus whatever neighbors the shapes graze, so the
@@ -1822,6 +1860,47 @@ object SparkEntry {
           max(struct(col("cnt"), (-col("ctok")).as("negt"))).as("m"))
         .select(col("relation_id"), col("n_images"),
           (-col("m.negt")).as("top_token"), col("m.cnt").as("top_cnt"))
+    }),
+
+    // Horn slope/aspect over the DEM burn — terrain analysis' first
+    // derivative: exact gradient numerators gx/gy, slope² magnitude,
+    // the q178 octant convention for aspect, hillshade numerator
+    // gy − gx. One ×8 scatter + ONE hash exchange (Horn weights fold
+    // into the aggregation — no per-neighbor pivot); interior cells
+    // only. The oracle replays the 8-neighborhood as a lattice-sized
+    // self-join over the same ray-cast burn.
+    "q186_slope_aspect" -> ((s, _) =>
+      graft.geom.Terrain.slopeAspect(demCellsDF(s))),
+
+    // D8 flow accumulation — steepest-descent routing (max positive
+    // drop, smallest-dir tie-break) then per cell 1 + upstream drainage
+    // count. The closure runs POINTER DOUBLING over the flow forest:
+    // O(log L) rounds, each one equi-join, no distinct (functional
+    // acyclic graph ⇒ every reach pair is produced once). The oracle
+    // recomputes D8 by window rank and walks a recursive CTE.
+    "q187_flow_acc" -> ((s, _) =>
+      graft.geom.Terrain.flowAccumulation(
+        graft.geom.Terrain.d8Flow(demCellsDF(s)))),
+
+    // watershed basins — every cell labeled with the terminal sink its
+    // D8 path drains to (pits label themselves): pointer doubling on
+    // f = next(·), state one row per cell, ⌈log₂ L⌉ rounds. Oracle:
+    // the same D8 pick + a recursive walk to the first cell with no
+    // positive drop.
+    "q188_watershed" -> ((s, _) =>
+      graft.geom.Terrain.sinkLabel(
+        graft.geom.Terrain.d8Flow(demCellsDF(s)))),
+
+    // line-of-sight viewshed from the per-polygon summit along the 8
+    // principal rays — blocked ⇔ some nearer ray cell subtends an
+    // equal-or-greater elevation angle, tested as the cross-multiplied
+    // rational (zᵢ−z₀)·d ≥ (z−z₀)·dᵢ (no floats). Candidates are
+    // rays-only; the blocker join is quadratic in RAY LENGTH (lattice
+    // radius), never cell count.
+    "q189_viewshed" -> ((s, _) => {
+      val dem = demCellsDF(s)
+      graft.geom.Terrain.lineOfSight(dem,
+        graft.geom.Terrain.summitObservers(dem))
     }),
 
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
@@ -5031,6 +5110,108 @@ object SparkEntry {
          |SELECT t.relation_id, CAST(t.n_images AS BIGINT) AS n_images,
          |  CAST(b.ctok AS BIGINT) AS top_token, CAST(b.cnt AS BIGINT) AS top_cnt
          |FROM tot t JOIN best b ON b.relation_id = t.relation_id""".stripMargin,
+
+    // q186 — the DEM over the same ray-cast lattice, the 8-neighborhood
+    // as a per-polygon self-join with the Horn weights in the SELECT,
+    // interior (nn = 8) cells only, the q178 octant CASE verbatim
+    "q186_slope_aspect" ->
+      s"""WITH ${insideCtes("", zonalEdgesSqlValues)},
+         |$demSqlCte,
+         |g AS (SELECT a.pid, a.cx, a.cy, count(*) AS nn,
+         |    sum(b.z * (b.cx - a.cx) * (2 - abs(b.cy - a.cy))) AS gx,
+         |    sum(b.z * (b.cy - a.cy) * (2 - abs(b.cx - a.cx))) AS gy
+         |  FROM dem a JOIN dem b ON b.pid = a.pid
+         |    AND abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+         |    AND NOT (b.cx = a.cx AND b.cy = a.cy)
+         |  GROUP BY 1, 2, 3)
+         |SELECT g.pid AS relation_id, g.cx, g.cy, CAST(d.z AS BIGINT) AS z,
+         |  CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+         |  CAST(gx*gx + gy*gy AS BIGINT) AS slope2,
+         |  CAST(CASE WHEN gx = 0 AND gy = 0 THEN -1
+         |    WHEN gx >= 0 AND gy >= 0 THEN
+         |      CASE WHEN abs(gx) >= abs(gy) THEN 0 ELSE 1 END
+         |    WHEN gx < 0 AND gy >= 0 THEN
+         |      CASE WHEN abs(gx) < abs(gy) THEN 2 ELSE 3 END
+         |    WHEN gx < 0 AND gy < 0 THEN
+         |      CASE WHEN abs(gx) >= abs(gy) THEN 4 ELSE 5 END
+         |    ELSE CASE WHEN abs(gx) < abs(gy) THEN 6 ELSE 7 END
+         |  END AS BIGINT) AS octant,
+         |  CAST(gy - gx AS BIGINT) AS shade
+         |FROM g JOIN dem d ON d.pid = g.pid AND d.cx = g.cx AND d.cy = g.cy
+         |WHERE nn = 8""".stripMargin,
+
+    // q187 — D8 by window rank over the positive drops, then the flow
+    // path as a recursive CTE; acc = 1 + count of walk rows landing on
+    // the cell (the forest is acyclic: z strictly decreases per hop)
+    "q187_flow_acc" ->
+      s"""WITH RECURSIVE ${insideCtes("", zonalEdgesSqlValues)},
+         |$demSqlCte,
+         |$d8BestSqlCtes,
+         |walk(pid, ucx, ucy, vcx, vcy) AS (
+         |  SELECT pid, cx, cy, nx, ny FROM best
+         |  UNION ALL
+         |  SELECT w.pid, w.ucx, w.ucy, b.nx, b.ny FROM walk w
+         |  JOIN best b ON b.pid = w.pid AND b.cx = w.vcx AND b.cy = w.vcy),
+         |up AS (SELECT pid, vcx AS cx, vcy AS cy, count(*) AS upstream
+         |       FROM walk GROUP BY 1, 2, 3)
+         |SELECT d.pid AS relation_id, d.cx, d.cy,
+         |  CAST(coalesce(b.dir, -1) AS BIGINT) AS dir,
+         |  CAST(1 + coalesce(u.upstream, 0) AS BIGINT) AS acc
+         |FROM dem d
+         |LEFT JOIN best b ON b.pid = d.pid AND b.cx = d.cx AND b.cy = d.cy
+         |LEFT JOIN up u ON u.pid = d.pid AND u.cx = d.cx AND u.cy = d.cy""".stripMargin,
+
+    // q188 — the same D8 pick, then each cell walks to the first cell
+    // with no positive drop (its basin sink); pits emit themselves
+    "q188_watershed" ->
+      s"""WITH RECURSIVE ${insideCtes("", zonalEdgesSqlValues)},
+         |$demSqlCte,
+         |$d8BestSqlCtes,
+         |walk(pid, scx, scy, cx, cy) AS (
+         |  SELECT pid, cx, cy, cx, cy FROM dem
+         |  UNION ALL
+         |  SELECT w.pid, w.scx, w.scy, b.nx, b.ny FROM walk w
+         |  JOIN best b ON b.pid = w.pid AND b.cx = w.cx AND b.cy = w.cy)
+         |SELECT w.pid AS relation_id, w.scx AS cx, w.scy AS cy,
+         |  w.cx AS sink_cx, w.cy AS sink_cy
+         |FROM walk w
+         |LEFT JOIN best b ON b.pid = w.pid AND b.cx = w.cx AND b.cy = w.cy
+         |WHERE b.pid IS NULL""".stripMargin,
+
+    // q189 — summit observer by window rank (z DESC, cy, cx), rays-only
+    // candidates, and the blocker test replayed as the identical
+    // cross-multiplied integer comparison over a per-ray self-join
+    "q189_viewshed" ->
+      s"""WITH ${insideCtes("", zonalEdgesSqlValues)},
+         |$demSqlCte,
+         |obs AS (SELECT pid, cx AS ox, cy AS oy, z AS oz FROM (
+         |  SELECT pid, cx, cy, z, row_number() OVER (
+         |    PARTITION BY pid ORDER BY z DESC, cy, cx) AS rn FROM dem)
+         |  WHERE rn = 1),
+         |ray AS (SELECT d.pid, d.cx, d.cy, d.z - o.oz AS rz,
+         |    d.cx - o.ox AS dx, d.cy - o.oy AS dy,
+         |    greatest(abs(d.cx - o.ox), abs(d.cy - o.oy)) AS dd
+         |  FROM dem d JOIN obs o ON o.pid = d.pid
+         |  WHERE NOT (d.cx = o.ox AND d.cy = o.oy)
+         |    AND (d.cx = o.ox OR d.cy = o.oy
+         |         OR abs(d.cx - o.ox) = abs(d.cy - o.oy))),
+         |rayi AS (SELECT pid, cx, cy, rz, dd,
+         |    CAST(CASE WHEN sign(dx) = 1 AND sign(dy) = 0 THEN 0
+         |         WHEN sign(dx) = 1 AND sign(dy) = 1 THEN 1
+         |         WHEN sign(dx) = 0 AND sign(dy) = 1 THEN 2
+         |         WHEN sign(dx) = -1 AND sign(dy) = 1 THEN 3
+         |         WHEN sign(dx) = -1 AND sign(dy) = 0 THEN 4
+         |         WHEN sign(dx) = -1 AND sign(dy) = -1 THEN 5
+         |         WHEN sign(dx) = 0 AND sign(dy) = -1 THEN 6
+         |         ELSE 7 END AS BIGINT) AS ray
+         |  FROM ray)
+         |SELECT a.pid AS relation_id, a.ray, a.cx, a.cy, a.dd AS d,
+         |  CAST(1 - max(CASE WHEN b.pid IS NOT NULL
+         |    AND b.rz * a.dd >= a.rz * b.dd THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS visible
+         |FROM rayi a LEFT JOIN rayi b
+         |  ON b.pid = a.pid AND b.ray = a.ray AND b.dd < a.dd
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only
