@@ -1903,6 +1903,69 @@ object SparkEntry {
         graft.geom.Terrain.summitObservers(dem))
     }),
 
+    // raster mosaic compositing — 24 decoded images placed on a world
+    // canvas at overlapping origins ((i mod 5)·8, (⌊i/5⌋ mod 5)·6);
+    // per world pixel the contributor count, gray sum, and the
+    // highest-index winner (last-write-wins compositing). Narrow
+    // decode + ONE hash exchange on the world cell; max(struct) argmax,
+    // no window. The oracle replays it over the shared pixel chain.
+    "q190_mosaic" -> ((s, _) => {
+      val px = graft.img.ImageOps.grayPixels(s,
+        graft.img.ImageTable.generate(s, 24, 8).toDF())
+      val withIdx = px
+        .withColumn("i", substring(col("image_id"), 5, 9).cast("long"))
+        .withColumn("wx", (col("i") % 5L) * 8L + col("x"))
+        .withColumn("wy", (expr("i div 5") % 5L) * 6L + col("y"))
+      withIdx.groupBy(col("wx"), col("wy"))
+        .agg(count(lit(1)).as("n_src"),
+          sum(col("g")).as("g_sum"),
+          max(struct(col("i"), col("g").cast("long").as("g"))).as("m"))
+        .select(col("wx"), col("wy"), col("n_src"), col("g_sum"),
+          col("m.i").as("top_i"), col("m.g").as("top_g"))
+    }),
+
+    // point-set diameter per group — rotating-calipers' answer computed
+    // Spark-first: the exact hull (q107's two-level reduction) then the
+    // pair max over EXTREME points only (hull² per group, never
+    // |group|²; squared distance is strictly convex on a segment, so
+    // no maximizing pair contains a non-extreme point). The oracle
+    // brute-forces ALL vertex pairs — agreement cross-validates the
+    // hull reduction itself.
+    "q191_diameter" -> ((s, dir) =>
+      graft.geom.Hull.diameter2(s,
+        table(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") % 4).as("grp"),
+            (abs(col("o_orderkey") * 9973 + 12345) % 2000001 - 1000000).as("x"),
+            (abs(col("o_orderkey") * 7919 + 54321) % 2000001 - 1000000).as("y")))),
+
+    // Bresenham polyline rasterization — pure column arithmetic (no
+    // UDF, no loop): midpoint rounding as exact integer div after a
+    // nonnegativity shift, one cell per major-axis step. Planted
+    // integer segments from the orders keys; the oracle unnests
+    // range(0, L+1) and replays the identical formula.
+    "q192_line_raster" -> ((s, dir) =>
+      graft.geom.Raster.lineRaster(
+        table(s, dir, "orders").filter(col("o_orderkey") % 131 === 0)
+          .select(col("o_orderkey").as("seg_id"),
+            (abs(col("o_orderkey") * 7919L + 1) % 241).as("ax"),
+            (abs(col("o_orderkey") * 104729L + 5) % 241).as("ay"),
+            (abs(col("o_orderkey") * 9973L + 3) % 241).as("bx"),
+            (abs(col("o_orderkey") * 1299709L + 7) % 241).as("by")))),
+
+    // skyline (Pareto-dominance) selection over the image table's
+    // (w, h, quality) criteria — two-phase: per-partition sort-filter
+    // local skylines (narrow), then ONE broadcast dominance anti-join
+    // against the union of local Pareto sets; no all-pairs shuffle.
+    // Oracle: the ANSI NOT EXISTS dominance definition.
+    "q193_skyline" -> ((s, _) => {
+      val items = graft.img.ImageTable.generate(s, 400, 16).toDF()
+        .select(substring(col("image_id"), 5, 9).cast("long").as("i"),
+          col("w").cast("long").as("w"), col("h").cast("long").as("h"),
+          (abs(col("phash")) % 1000L).as("q"))
+      graft.sim.Skyline.skyline3(s, items, idCol = "i",
+        c1 = "w", c2 = "h", c3 = "q")
+    }),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -5212,6 +5275,86 @@ object SparkEntry {
          |FROM rayi a LEFT JOIN rayi b
          |  ON b.pid = a.pid AND b.ray = a.ray AND b.dd < a.dd
          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // q190 — the world placement + compositing replayed over the shared
+    // pixel chain: contributor count/sum per world cell, winner by
+    // (i DESC) window rank (each image contributes at most one pixel
+    // per world cell, so the index order is total)
+    "q190_mosaic" ->
+      s"""WITH ${pixelChainCtes(24)},
+         |wpx AS (SELECT i, CAST((i % 5) * 8 + x AS BIGINT) AS wx,
+         |    CAST(((i // 5) % 5) * 6 + y AS BIGINT) AS wy, g FROM px),
+         |agg AS (SELECT wx, wy, CAST(count(*) AS BIGINT) AS n_src,
+         |    CAST(sum(g) AS BIGINT) AS g_sum FROM wpx GROUP BY 1, 2),
+         |top AS (SELECT wx, wy, CAST(i AS BIGINT) AS top_i,
+         |    CAST(g AS BIGINT) AS top_g FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY wx, wy
+         |    ORDER BY i DESC) AS rn FROM wpx) WHERE rn = 1)
+         |SELECT a.wx, a.wy, a.n_src, a.g_sum, t.top_i, t.top_g
+         |FROM agg a JOIN top t ON t.wx = a.wx AND t.wy = a.wy""".stripMargin,
+
+    // q191 — brute force: max squared distance over ALL distinct vertex
+    // pairs (the diameter is attained at extreme points, so agreement
+    // with the engine's hull-pairs-only plan validates the reduction);
+    // lexicographically smallest witnessing pair on ties
+    "q191_diameter" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT o_orderkey % 4 AS grp,
+        |    abs(o_orderkey*9973+12345) % 2000001 - 1000000 AS x,
+        |    abs(o_orderkey*7919+54321) % 2000001 - 1000000 AS y
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |pairs AS (SELECT a.grp, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+        |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        |  FROM pts a JOIN pts b ON b.grp = a.grp
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+        |mx AS (SELECT grp, max(d2) AS diam2 FROM pairs GROUP BY 1),
+        |best AS (SELECT p.grp, p.d2 AS diam2, p.x1, p.y1, p.x2, p.y2,
+        |    row_number() OVER (PARTITION BY p.grp
+        |      ORDER BY p.x1, p.y1, p.x2, p.y2) AS rn
+        |  FROM pairs p JOIN mx ON mx.grp = p.grp AND p.d2 = mx.diam2)
+        |SELECT grp, diam2, x1, y1, x2, y2 FROM best WHERE rn = 1""".stripMargin,
+
+    // q192 — the identical normalized-direction + shifted-integer-div
+    // midpoint formula, unnested over range(0, L+1); `//` floors and
+    // the engine's `div` truncates, which agree on the nonnegative
+    // numerators the shift guarantees
+    "q192_line_raster" ->
+      """WITH segs AS (
+        |  SELECT o_orderkey AS seg_id,
+        |    abs(o_orderkey*7919+1) % 241 AS ax,
+        |    abs(o_orderkey*104729+5) % 241 AS ay,
+        |    abs(o_orderkey*9973+3) % 241 AS bx,
+        |    abs(o_orderkey*1299709+7) % 241 AS by
+        |  FROM orders WHERE o_orderkey % 131 = 0),
+        |norm AS (SELECT seg_id,
+        |    CASE WHEN bx < ax OR (bx = ax AND by < ay) THEN bx ELSE ax END AS x0,
+        |    CASE WHEN bx < ax OR (bx = ax AND by < ay) THEN by ELSE ay END AS y0,
+        |    CASE WHEN bx < ax OR (bx = ax AND by < ay) THEN ax ELSE bx END AS x1,
+        |    CASE WHEN bx < ax OR (bx = ax AND by < ay) THEN ay ELSE by END AS y1
+        |  FROM segs),
+        |d AS (SELECT seg_id, x0, y0, x1 - x0 AS dx, y1 - y0 AS dy,
+        |    greatest(abs(x1 - x0), abs(y1 - y0)) AS len FROM norm),
+        |steps AS (SELECT *, unnest(range(0, len + 1)) AS t FROM d)
+        |SELECT seg_id,
+        |  CAST(CASE WHEN len = 0 THEN x0
+        |    ELSE x0 + (2*t*dx + len) // (2*len) END AS BIGINT) AS cx,
+        |  CAST(CASE WHEN len = 0 THEN y0
+        |    ELSE y0 + (2*t*dy + len + 2*len*abs(dy)) // (2*len) - abs(dy)
+        |    END AS BIGINT) AS cy
+        |FROM steps""".stripMargin,
+
+    // q193 — the ANSI skyline definition: rows no other row weakly
+    // dominates with one strict criterion, over the dims-derived
+    // (w, h, quality) triple
+    "q193_skyline" ->
+      s"""WITH ${splitmixDimsCtes(400)},
+         |items AS (SELECT CAST(i AS BIGINT) AS i, CAST(w AS BIGINT) AS w,
+         |    CAST(h AS BIGINT) AS h, abs(phash) % 1000 AS q FROM dims)
+         |SELECT i, w, h, q FROM items a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM items b
+         |  WHERE b.w >= a.w AND b.h >= a.h AND b.q >= a.q
+         |    AND (b.w > a.w OR b.h > a.h OR b.q > a.q))""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only

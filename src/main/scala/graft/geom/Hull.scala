@@ -76,4 +76,43 @@ object Hull extends Serializable {
     partial.groupByKey(_._1).flatMapGroups((_, it) => hullOf(it))
       .toDF("grp", "x", "y")
   }
+
+  /** Per-group point-set diameter: the maximum squared pairwise
+    * distance, with the witnessing pair (lexicographically smallest on
+    * ties, x1 < x2 or (x1 = x2, y1 < y2)). Emits (grp, diam2, x1, y1,
+    * x2, y2); groups with fewer than two distinct points emit nothing.
+    *
+    * The diameter of a set equals the diameter of its EXTREME points
+    * (a pair containing a non-extreme point is strictly beaten along
+    * the hull edge containing it — squared distance is strictly convex
+    * on a segment), so the pair join runs on [[extremePoints]] output
+    * only: hull-sized × hull-sized per group, never |group|², after
+    * the same one exchange the hull itself needs. A brute-force
+    * all-vertex-pairs oracle therefore cross-validates the hull
+    * reduction itself.
+    */
+  def diameter2(spark: SparkSession, points: DataFrame,
+      nSalt: Int = 16): DataFrame = {
+    val hull = extremePoints(spark, points, nSalt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = hull.select(col("grp"), col("x").as("x1"), col("y").as("y1"))
+    val b = hull.select(col("grp"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("grp"))
+      .filter(col("x1") < col("x2") ||
+        (col("x1") === col("x2") && col("y1") < col("y2")))
+      .withColumn("d2",
+        (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2")))
+    val mx = pairs.groupBy(col("grp"))
+      .agg(max(col("d2")).as("diam2"))
+      .withColumnRenamed("grp", "mgrp")
+    val out = pairs.join(mx,
+        col("grp") === col("mgrp") && col("d2") === col("diam2"))
+      .drop("mgrp")
+      .groupBy(col("grp"), col("diam2"))
+      .agg(min(struct(col("x1"), col("y1"), col("x2"), col("y2"))).as("m"))
+      .select(col("grp"), col("diam2"), col("m.x1").as("x1"),
+        col("m.y1").as("y1"), col("m.x2").as("x2"), col("m.y2").as("y2"))
+    out
+  }
 }

@@ -567,6 +567,42 @@ object Raster {
     dist
   }
 
+  /** Bresenham-equivalent polyline rasterization: one cell per
+    * major-axis step (the midpoint/DDA line — round-half-up of the
+    * minor axis), PURE column arithmetic: segments are normalized to
+    * lexicographic direction, the minor coordinate is
+    * y0 + ⌊(2·t·dy + L + 2·L·|dy|) / (2·L)⌋ − |dy| with L =
+    * max(|dx|, |dy|) — the +2·L·|dy| shift keeps the numerator
+    * nonnegative so truncating and flooring division agree (Spark `div`
+    * truncates toward zero, ANSI `//` floors; on nonnegative operands
+    * they coincide), letting a SQL oracle replay it verbatim. Input
+    * (seg_id, ax, ay, bx, by) integer endpoints; output (seg_id, cx,
+    * cy), one row per step t ∈ [0, L] — the major axis strictly
+    * advances, so rows are distinct by construction. Narrow: one
+    * explode, no shuffle.
+    */
+  def lineRaster(segs: DataFrame, idCol: String = "seg_id"): DataFrame = {
+    val sw = col("bx") < col("ax") ||
+      (col("bx") === col("ax") && col("by") < col("ay"))
+    segs.select(col(idCol),
+        when(sw, col("bx")).otherwise(col("ax")).cast("long").as("x0"),
+        when(sw, col("by")).otherwise(col("ay")).cast("long").as("y0"),
+        when(sw, col("ax")).otherwise(col("bx")).cast("long").as("x1"),
+        when(sw, col("ay")).otherwise(col("by")).cast("long").as("y1"))
+      .withColumn("dx", col("x1") - col("x0"))
+      .withColumn("dy", col("y1") - col("y0"))
+      .withColumn("len", greatest(abs(col("dx")), abs(col("dy"))))
+      .select(col(idCol), col("x0"), col("y0"), col("dx"), col("dy"),
+        col("len"), explode(sequence(lit(0L), col("len"))).as("t"))
+      .select(col(idCol),
+        when(col("len") === 0, col("x0"))
+          .otherwise(expr("x0 + (2 * t * dx + len) div (2 * len)")).as("cx"),
+        when(col("len") === 0, col("y0"))
+          .otherwise(expr(
+            "y0 + (2 * t * dy + len + 2 * len * abs(dy)) div (2 * len) - abs(dy)"))
+          .as("cy"))
+  }
+
   def distanceTransform(cells: DataFrame, idCol: String = "relation_id",
       maxRounds: Int = 512): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
