@@ -102,6 +102,23 @@ object SparkEntry {
     }).toDF()
   }
 
+  /** q195's even-odd fixtures: a square donut, a tri-nested
+    * ring/hole/island, and two OVERLAPPING rings (whose even-odd burn
+    * is the symmetric difference) — the hole-aware semantics
+    * [[graft.geom.Raster.rasterize]]'s union rule deliberately skips
+    * (reference parity there; the even-odd composition recovers them).
+    */
+  private val donutPolys: Seq[(Long, Seq[Seq[(Int, Int)]])] = Seq(
+    9101L -> Seq(Seq((0, 0), (12, 0), (12, 12), (0, 12)),
+      Seq((3, 3), (9, 3), (9, 9), (3, 9))),
+    9102L -> Seq(Seq((0, 0), (16, 0), (16, 16), (0, 16)),
+      Seq((2, 2), (14, 2), (14, 14), (2, 14)),
+      Seq((5, 5), (11, 5), (11, 11), (5, 11))),
+    9103L -> Seq(Seq((0, 0), (10, 0), (10, 6), (0, 6)),
+      Seq((4, 2), (14, 2), (14, 8), (4, 8))))
+
+  private def donutEdgesSqlValues: String = polyEdgesSqlValues(donutPolys)
+
   /** The terrain fixture for q186–q189: the zonal burn carrying an
     * integer DEM z = 2·(cx+cy) + ((cx·7 + cy·11) mod 5) — a southwest-
     * tilted plane plus a mod-5 ripple, so D8 paths run long toward the
@@ -178,6 +195,15 @@ object SparkEntry {
     * source and target zonings).
     */
   private def insideCtes(suffix: String, edgesSqlValues: String): String =
+    insideCtesHaving(suffix, edgesSqlValues, "bool_or(n % 2 = 1)")
+
+  /** [[insideCtes]] with a caller-chosen HAVING over the per-ring
+    * crossing counts `n` — bool_or(n % 2 = 1) is the reference's
+    * union-of-rings rule; sum(n % 2) % 2 = 1 is the even-odd (donut)
+    * rule q195 burns with.
+    */
+  private def insideCtesHaving(suffix: String, edgesSqlValues: String,
+      having: String): String =
     s"""edges$suffix AS (SELECT * FROM $edgesSqlValues),
        |bbox$suffix AS (
        |  SELECT pid,
@@ -197,7 +223,7 @@ object SparkEntry {
        |  GROUP BY c.pid, c.cx, c.cy, e.ring),
        |inside$suffix AS (
        |  SELECT pid, cx, cy FROM crossings$suffix
-       |  GROUP BY pid, cx, cy HAVING bool_or(n % 2 = 1))""".stripMargin
+       |  GROUP BY pid, cx, cy HAVING $having)""".stripMargin
 
   /** Polygons as a SQL edge list (pid, ring, yi, xi, yj, xj) — consecutive
     * vertex pairs incl. the closing edge; the crossing test is symmetric
@@ -1965,6 +1991,67 @@ object SparkEntry {
       graft.sim.Skyline.skyline3(s, items, idCol = "i",
         c1 = "w", c2 = "h", c3 = "q")
     }),
+
+    // interval-overlap join — events matched to derived maintenance
+    // windows by time containment, computed the scale-correct way:
+    // windows EXPLODE to coarse time buckets (windows ≤ 7 min, bucket
+    // 10 min ⇒ ≤ 2 buckets each), events hash to their ONE bucket, one
+    // equi-join on the bucket + the exact range filter — each matching
+    // pair meets in exactly one bucket (the event's), so no dedup is
+    // ever needed. Left-grouped so empty windows survive with n 0.
+    "q194_interval_join" -> ((s, dir) => {
+      val bkt = 600000000L // 10 min in micros
+      val ev = table(s, dir, "events")
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t")) // NTZ → UTC (session TZ pinned)
+        .withColumn("bk", expr(s"t div ${bkt}L"))
+      val win = table(s, dir, "events").filter(col("event_id") % 503 === 0)
+        .select(col("event_id").as("win_id"),
+          unix_micros(col("ts").cast("timestamp")).as("w0"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (col("event_id") % 7 + 1) * 60000000L).as("w1"))
+        .withColumn("bk",
+          explode(sequence(expr(s"w0 div ${bkt}L"), expr(s"w1 div ${bkt}L"))))
+      win.join(ev, win("bk") === ev("bk") &&
+          col("t") >= col("w0") && col("t") <= col("w1"), "left")
+        .groupBy(col("win_id"), col("w0"), col("w1"))
+        .agg(count(col("event_id")).as("n_events"),
+          min(col("event_id")).as("min_ev"),
+          max(col("event_id")).as("max_ev"))
+    }),
+
+    // even-odd (donut) rasterization — holes and overlapping rings via
+    // PURE COMPOSITION: each ring burns independently through the
+    // existing union rasterizer, then one groupBy keeps cells covered
+    // by an ODD number of rings. Recovers the hole-aware semantics the
+    // reference's union-of-rings rule skips, at the cost of one hash
+    // exchange. The oracle swaps the lattice chain's HAVING to
+    // sum(n % 2) % 2 = 1.
+    "q195_rasterize_evenodd" -> ((s, _) => {
+      import s.implicits._
+      val perRing = s.createDataset(donutPolys.flatMap { case (id, rings) =>
+        rings.zipWithIndex.map { case (ring, r) =>
+          PolygonRow(s"donut_${id}_$r",
+            Seq(ring.map { case (la, lo) => Pt(la.toFloat, lo.toFloat) }),
+            id * 10 + r, 8L)
+        }
+      }).toDF()
+      graft.geom.Raster.rasterize(perRing, 1.0)
+        .withColumn("pid", expr("relation_id div 10"))
+        .groupBy(col("pid"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("nrings"))
+        .filter(col("nrings") % 2 === 1)
+        .select(col("pid").as("relation_id"), col("cx"), col("cy"))
+    }),
+
+    // exact bilinear 2× upsample — the co-sited (2w−1)×(2h−1) doubling
+    // grid with every sample as its exact ×4 numerator (no division,
+    // no clamp), aggregated to sum + position checksum per image;
+    // narrow decode, no shuffle. The oracle replays the four parity
+    // cases as joins over the pixel chain.
+    "q196_bilinear_up" -> ((s, _) =>
+      graft.img.ImageOps.bilinearUp2(s,
+        graft.img.ImageTable.generate(s, 32, 16).toDF())),
 
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
@@ -5355,6 +5442,50 @@ object SparkEntry {
          |  SELECT 1 FROM items b
          |  WHERE b.w >= a.w AND b.h >= a.h AND b.q >= a.q
          |    AND (b.w > a.w OR b.h > a.h OR b.q > a.q))""".stripMargin,
+
+    // q194 — the interval join as the plain ANSI theta join the
+    // bucketized plan must reproduce exactly
+    "q194_interval_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |win AS (SELECT event_id AS win_id, epoch_us(ts) AS w0,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS w1
+        |  FROM events WHERE event_id % 503 = 0)
+        |SELECT w.win_id, w.w0, w.w1,
+        |  CAST(count(e.event_id) AS BIGINT) AS n_events,
+        |  min(e.event_id) AS min_ev, max(e.event_id) AS max_ev
+        |FROM win w LEFT JOIN ev e ON e.t >= w.w0 AND e.t <= w.w1
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q195 — the same lattice chain with the even-odd HAVING: a cell is
+    // in when an ODD number of rings has odd crossing parity
+    "q195_rasterize_evenodd" ->
+      s"""WITH ${insideCtesHaving("", donutEdgesSqlValues,
+             "sum(n % 2) % 2 = 1")}
+         |SELECT pid AS relation_id, cx, cy FROM inside""".stripMargin,
+
+    // q196 — the four parity cases of the co-sited doubling grid as
+    // joins over the pixel chain (b/c/d guaranteed non-null exactly
+    // when their parity case selects them)
+    "q196_bilinear_up" ->
+      s"""WITH ${pixelChainCtes(32)},
+         |imgs AS (SELECT DISTINCT i, w, h FROM px),
+         |gx AS (SELECT i, w, h, unnest(range(2*w - 1)) AS ux FROM imgs),
+         |up AS (SELECT i, w, h, ux, unnest(range(2*h - 1)) AS uy FROM gx),
+         |num AS (SELECT u.i, u.w, u.h, u.ux, u.uy,
+         |    CASE WHEN u.ux % 2 = 0 AND u.uy % 2 = 0 THEN 4 * a.g
+         |         WHEN u.uy % 2 = 0 THEN 2 * (a.g + b.g)
+         |         WHEN u.ux % 2 = 0 THEN 2 * (a.g + c.g)
+         |         ELSE a.g + b.g + c.g + d.g END AS num4
+         |  FROM up u
+         |  JOIN px a ON a.i = u.i AND a.x = u.ux // 2 AND a.y = u.uy // 2
+         |  LEFT JOIN px b ON b.i = u.i AND b.x = u.ux // 2 + 1 AND b.y = u.uy // 2
+         |  LEFT JOIN px c ON c.i = u.i AND c.x = u.ux // 2 AND c.y = u.uy // 2 + 1
+         |  LEFT JOIN px d ON d.i = u.i AND d.x = u.ux // 2 + 1 AND d.y = u.uy // 2 + 1)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(2*w - 1 AS BIGINT) AS up_w, CAST(2*h - 1 AS BIGINT) AS up_h,
+         |  CAST(sum(num4) AS BIGINT) AS num4_sum,
+         |  CAST(sum(num4 * (ux + 1) * (uy + 2)) AS BIGINT) AS checksum
+         |FROM num GROUP BY 1, 2, 3""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only

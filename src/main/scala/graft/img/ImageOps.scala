@@ -673,6 +673,57 @@ object ImageOps {
       .toDF("image_id", "n_px", "s_sum", "checksum")
   }
 
+  /** Exact bilinear 2× upsample, aggregated per image: the
+    * (2w−1)×(2h−1) co-sited doubling grid, every output sample as its
+    * EXACT ×4 numerator — 4·g at original samples, 2·(a+b) at edge
+    * midpoints, a+b+c+d at cell centers; no division, no rounding, and
+    * no clamping (X odd ⇒ x0+1 ≤ w−1 on this grid). Emits (image_id,
+    * up_w, up_h, num4_sum, checksum) with the position-weighted
+    * checksum Σ num4·(X+1)·(Y+2) pinning every sample's placement.
+    * Narrow mapPartitions decode, aggregated in-task — no shuffle.
+    */
+  def bilinearUp2(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val g = new Array[Int](px.length)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            k += 1
+          }
+          def at(x: Int, y: Int) = g(y * w + x)
+          var sm, chk = 0L
+          var yy = 0
+          while (yy < 2 * h - 1) {
+            val y0 = yy / 2
+            var xx = 0
+            while (xx < 2 * w - 1) {
+              val x0 = xx / 2
+              val num4 =
+                if (xx % 2 == 0 && yy % 2 == 0) 4 * at(x0, y0)
+                else if (yy % 2 == 0) 2 * (at(x0, y0) + at(x0 + 1, y0))
+                else if (xx % 2 == 0) 2 * (at(x0, y0) + at(x0, y0 + 1))
+                else at(x0, y0) + at(x0 + 1, y0) + at(x0, y0 + 1) + at(x0 + 1, y0 + 1)
+              sm += num4
+              chk += num4.toLong * (xx + 1) * (yy + 2)
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, 2L * w - 1, 2L * h - 1, sm, chk)
+        }
+      }
+      .toDF("image_id", "up_w", "up_h", "num4_sum", "checksum")
+  }
+
   /** Exact per-image gray quantiles (discrete / lower-quantile
     * semantics): p_q = the smallest gray level whose cumulative pixel
     * count reaches ⌈q·n⌉ — no interpolation, no float, so both engines
