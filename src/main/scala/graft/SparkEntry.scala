@@ -2053,6 +2053,86 @@ object SparkEntry {
       graft.img.ImageOps.bilinearUp2(s,
         graft.img.ImageTable.generate(s, 32, 16).toDF())),
 
+    // discrete Hausdorff distance between planted device trajectories —
+    // h(A,B) = max over a of min over b of d², both directions plus the
+    // symmetric max, ALL exact squared integers (no sqrt). The pair
+    // join is quadratic in TRAJECTORY LENGTH (sampled to ~50 points per
+    // device — the bounded-trajectory contract, like the viewshed's
+    // ray-length bound), never corpus-sized; two grouped aggregations,
+    // no window.
+    "q197_hausdorff" -> ((s, dir) => {
+      val pts = table(s, dir, "events")
+        .filter(col("event_id") % 101 === 0)
+        .select((col("user_id") % 12).as("dev"), col("event_id").as("pid"),
+          ((col("user_id") * 7919 + col("event_id") * 31) % 501).as("x"),
+          ((col("user_id") * 104729 + col("event_id") * 37) % 501).as("y"))
+      val a = pts.select(col("dev").as("da"), col("pid").as("pa"),
+        col("x").as("xa"), col("y").as("ya"))
+      val b = pts.select(col("dev").as("db"), col("pid").as("pb"),
+        col("x").as("xb"), col("y").as("yb"))
+      val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb"))
+      val pair = a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"), col("pa"), col("pb"), d2.as("d2"))
+      val hab = pair.groupBy(col("da"), col("db"), col("pa"))
+        .agg(min(col("d2")).as("dmin"))
+        .groupBy(col("da"), col("db")).agg(max(col("dmin")).as("h_ab"))
+      val hba = pair.groupBy(col("da"), col("db"), col("pb"))
+        .agg(min(col("d2")).as("dmin"))
+        .groupBy(col("da"), col("db")).agg(max(col("dmin")).as("h_ba"))
+      hab.join(hba, Seq("da", "db"))
+        .select(col("da"), col("db"), col("h_ab"), col("h_ba"),
+          greatest(col("h_ab"), col("h_ba")).as("hausdorff2"))
+    }),
+
+    // geofence enter/exit detection — each device point assigned to a
+    // disjoint planted zone set (broadcast rect join, 0 = outside),
+    // then one per-device window pass emits every zone TRANSITION
+    // (first fix counts as an enter from zone −1): the geospatial ×
+    // temporal composition a fleet/geofencing pipeline runs. One
+    // broadcast join + one window shuffle on the device key.
+    "q198_geofence" -> ((s, dir) => {
+      val pts = table(s, dir, "events")
+        .filter(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          ((col("user_id") * 7919 + col("event_id") * 31) % 100).as("x"),
+          ((col("user_id") * 104729 + col("event_id") * 37) % 100).as("y"))
+      import s.implicits._
+      val rects = Seq((1L, 0L, 49L, 0L, 49L), (2L, 50L, 99L, 0L, 49L),
+        (3L, 0L, 49L, 50L, 99L), (4L, 60L, 90L, 60L, 90L))
+        .toDF("zone_id", "x0", "x1", "y0", "y1")
+      val zoned = pts.join(broadcast(rects),
+          col("x") >= col("x0") && col("x") <= col("x1") &&
+            col("y") >= col("y0") && col("y") <= col("y1"), "left")
+        .groupBy(col("user_id"), col("event_id"), col("ts"))
+        .agg(coalesce(min(col("zone_id")), lit(0L)).as("zone"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      zoned.select(col("user_id"), col("event_id"), col("zone"),
+          coalesce(lag(col("zone"), 1).over(w), lit(-1L)).as("prev_zone"))
+        .filter(col("zone") =!= col("prev_zone"))
+    }),
+
+    // feathered mosaic — q190's compositing with edge-distance weights
+    // wt = min(x+1, w−x, y+1, h−y) (the seamless-mosaic blend, exact
+    // integers): per world pixel the weight sum and the Σ g·wt
+    // numerator; the consumer divides. Same one-exchange shape as q190.
+    "q199_feather_mosaic" -> ((s, _) => {
+      val imgs = graft.img.ImageTable.generate(s, 24, 8).toDF()
+      val px = graft.img.ImageOps.grayPixels(s, imgs)
+        .join(imgs.select(col("image_id"),
+          col("w").cast("long").as("w"), col("h").cast("long").as("h")),
+          "image_id")
+      px.withColumn("i", substring(col("image_id"), 5, 9).cast("long"))
+        .withColumn("wx", (col("i") % 5L) * 8L + col("x"))
+        .withColumn("wy", (expr("i div 5") % 5L) * 6L + col("y"))
+        .withColumn("wt", least(col("x") + 1L, col("w") - col("x"),
+          col("y") + 1L, col("h") - col("y")))
+        .groupBy(col("wx"), col("wy"))
+        .agg(count(lit(1)).as("n_src"), sum(col("wt")).as("wt_sum"),
+          sum(col("wt") * col("g")).as("num_sum"))
+    }),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -5486,6 +5566,62 @@ object SparkEntry {
          |  CAST(sum(num4) AS BIGINT) AS num4_sum,
          |  CAST(sum(num4 * (ux + 1) * (uy + 2)) AS BIGINT) AS checksum
          |FROM num GROUP BY 1, 2, 3""".stripMargin,
+
+    // q197 — the identical planted trajectories and the min-max
+    // definition replayed as grouped aggregations over the pair join
+    "q197_hausdorff" ->
+      """WITH pts AS (
+        |  SELECT user_id % 12 AS dev, event_id AS pid,
+        |    (user_id * 7919 + event_id * 31) % 501 AS x,
+        |    (user_id * 104729 + event_id * 37) % 501 AS y
+        |  FROM events WHERE event_id % 101 = 0),
+        |pair AS (SELECT a.dev AS da, b.dev AS db, a.pid AS pa, b.pid AS pb,
+        |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        |  FROM pts a JOIN pts b ON a.dev < b.dev),
+        |hab AS (SELECT da, db, max(dmin) AS h_ab FROM (
+        |  SELECT da, db, pa, min(d2) AS dmin FROM pair GROUP BY 1,2,3)
+        |  GROUP BY 1, 2),
+        |hba AS (SELECT da, db, max(dmin) AS h_ba FROM (
+        |  SELECT da, db, pb, min(d2) AS dmin FROM pair GROUP BY 1,2,3)
+        |  GROUP BY 1, 2)
+        |SELECT hab.da, hab.db, h_ab, h_ba, greatest(h_ab, h_ba) AS hausdorff2
+        |FROM hab JOIN hba ON hba.da = hab.da AND hba.db = hab.db""".stripMargin,
+
+    // q198 — the same disjoint rects as VALUES, zone 0 outside, and the
+    // transition filter replayed with a lag window (first fix vs −1)
+    "q198_geofence" ->
+      """WITH pts AS (
+        |  SELECT event_id, user_id, ts,
+        |    (user_id * 7919 + event_id * 31) % 100 AS x,
+        |    (user_id * 104729 + event_id * 37) % 100 AS y
+        |  FROM events WHERE event_id % 13 = 0),
+        |rects AS (SELECT * FROM (VALUES
+        |  (1, 0, 49, 0, 49), (2, 50, 99, 0, 49),
+        |  (3, 0, 49, 50, 99), (4, 60, 90, 60, 90))
+        |  t(zone_id, x0, x1, y0, y1)),
+        |zoned AS (SELECT p.user_id, p.event_id, p.ts,
+        |    CAST(coalesce(min(r.zone_id), 0) AS BIGINT) AS zone
+        |  FROM pts p LEFT JOIN rects r
+        |    ON p.x >= r.x0 AND p.x <= r.x1 AND p.y >= r.y0 AND p.y <= r.y1
+        |  GROUP BY 1, 2, 3),
+        |trans AS (SELECT user_id, event_id, zone,
+        |    coalesce(lag(zone) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), -1) AS prev_zone
+        |  FROM zoned)
+        |SELECT user_id, event_id, zone, prev_zone FROM trans
+        |WHERE zone <> prev_zone""".stripMargin,
+
+    // q199 — q190's placement with the edge-distance blend weights over
+    // the shared pixel chain
+    "q199_feather_mosaic" ->
+      s"""WITH ${pixelChainCtes(24)},
+         |wpx AS (SELECT i, CAST((i % 5) * 8 + x AS BIGINT) AS wx,
+         |    CAST(((i // 5) % 5) * 6 + y AS BIGINT) AS wy, g,
+         |    least(x + 1, w - x, y + 1, h - y) AS wt FROM px)
+         |SELECT wx, wy, CAST(count(*) AS BIGINT) AS n_src,
+         |  CAST(sum(wt) AS BIGINT) AS wt_sum,
+         |  CAST(sum(wt * g) AS BIGINT) AS num_sum
+         |FROM wpx GROUP BY 1, 2""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only
