@@ -119,6 +119,16 @@ object SparkEntry {
 
   private def donutEdgesSqlValues: String = polyEdgesSqlValues(donutPolys)
 
+  /** q200's planted road network as SQL VALUES — the same arithmetic the
+    * engine-side fixture evaluates in Scala.
+    */
+  private def roadSegsSqlValues: String = (0L until 20L).map { k =>
+    val ax = (k * 7919) % 900 + 50; val ay = (k * 104729) % 900 + 50
+    val bx = (k * 7919 + k * k * 131 + 200) % 900 + 50
+    val by = (k * 104729 + k * 31 + 350) % 900 + 50
+    s"($k, $ax, $ay, $bx, $by)"
+  }.mkString("(VALUES ", ", ", ") AS s(sid, ax, ay, bx, by)")
+
   /** The terrain fixture for q186–q189: the zonal burn carrying an
     * integer DEM z = 2·(cx+cy) + ((cx·7 + cy·11) mod 5) — a southwest-
     * tilted plane plus a mod-5 ripple, so D8 paths run long toward the
@@ -2131,6 +2141,103 @@ object SparkEntry {
         .groupBy(col("wx"), col("wy"))
         .agg(count(lit(1)).as("n_src"), sum(col("wt")).as("wt_sum"),
           sum(col("wt") * col("g")).as("num_sum"))
+    }),
+
+    // map matching — every GPS fix snapped to its nearest planted road
+    // segment, EXACT: the point-to-segment squared distance is the
+    // rational (|pa|²·L2 − dot²)/L2 with endpoint clamping, and the
+    // argmin across segments is the cross-multiplied comparison
+    // b.num·a.den < a.num·b.den (never a float), smallest segment id on
+    // ties. Segments broadcast (road networks are the small side of
+    // this join at any scale); the per-point candidate set is the
+    // broadcast, so the anti-join argmin is segments² per point,
+    // bounded by the network fan-in a cell-binned deployment would cap.
+    "q200_map_match" -> ((s, dir) => {
+      import s.implicits._
+      val segs = (0L until 20L).map { k =>
+        (k, (k * 7919) % 900 + 50, (k * 104729) % 900 + 50,
+          (k * 7919 + k * k * 131 + 200) % 900 + 50,
+          (k * 104729 + k * 31 + 350) % 900 + 50)
+      }.toDF("sid", "ax", "ay", "bx", "by")
+      val pts = table(s, dir, "events")
+        .filter(col("event_id") % 53 === 0)
+        .select(col("event_id"),
+          ((col("user_id") * 7919 + col("event_id") * 31) % 1000).as("px"),
+          ((col("user_id") * 104729 + col("event_id") * 37) % 1000).as("py"))
+      val vx = col("bx") - col("ax"); val vy = col("by") - col("ay")
+      val wxp = col("px") - col("ax"); val wyp = col("py") - col("ay")
+      val l2 = vx * vx + vy * vy
+      val dt = wxp * vx + wyp * vy
+      val da2 = wxp * wxp + wyp * wyp
+      val db2 = (col("px") - col("bx")) * (col("px") - col("bx")) +
+        (col("py") - col("by")) * (col("py") - col("by"))
+      val cand = pts.join(broadcast(segs))
+        .select(col("event_id"), col("sid"),
+          when(dt <= 0, da2).when(dt >= l2, db2)
+            .otherwise(da2 * l2 - dt * dt).as("num"),
+          when(dt <= 0 || dt >= l2, lit(1L)).otherwise(l2).as("den"))
+      val beaten = cand.as("a").join(cand.as("b"),
+        col("a.event_id") === col("b.event_id") &&
+          (col("b.num") * col("a.den") < col("a.num") * col("b.den") ||
+            (col("b.num") * col("a.den") === col("a.num") * col("b.den") &&
+              col("b.sid") < col("a.sid"))), "left_semi")
+      cand.join(beaten, Seq("event_id", "sid"), "left_anti")
+        .select(col("event_id"), col("sid"), col("num"), col("den"))
+    }),
+
+    // exact 1-D earth mover's distance between consecutive images' gray
+    // histograms — EMD as Σ over gray levels of |CA(k)·NB − CB(k)·NA|
+    // over the common denominator NA·NB (mass-normalized, still exact
+    // integers), computed SPARSELY: only bins where either histogram
+    // changes, each weighted by the run length to the next change
+    // point. Two per-pair windows (cumsum + lead), never a dense
+    // 256-way explode.
+    "q201_emd_hist" -> ((s, _) => {
+      val imgs = graft.img.ImageTable.generate(s, 32, 8).toDF()
+      val hist = graft.img.ImageOps.grayPixels(s, imgs)
+        .withColumn("i", substring(col("image_id"), 5, 9).cast("long"))
+        .groupBy(col("i"), col("g").cast("long").as("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = hist.groupBy(col("i")).agg(sum(col("cnt")).as("n"))
+      // consecutive pairs (i, i+1): tag each histogram row onto the
+      // pair(s) it participates in — side 0 = left image, 1 = right
+      val tagged = hist
+        .select(col("i"), col("g"), col("cnt"),
+          explode(array(lit(0L), lit(1L))).as("side"))
+        .withColumn("p", col("i") - col("side"))
+        .filter(col("p") >= 0 && col("p") <= 30)
+      val withN = tagged
+        .join(n.select(col("i"), col("n")), Seq("i"))
+      val wcum = Window.partitionBy(col("p"), col("side")).orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = withN
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .groupBy(col("p"), col("g"))
+        .agg(max(when(col("side") === 0, col("cum"))).as("ca_raw"),
+          max(when(col("side") === 1, col("cum"))).as("cb_raw"),
+          max(when(col("side") === 0, col("n"))).as("na_raw"),
+          max(when(col("side") === 1, col("n"))).as("nb_raw"))
+      // per pair: forward-fill the cumsums over the merged bin set and
+      // close each run at the next change point (256 past the last bin
+      // contributes nothing: both cums equal full mass there)
+      val wp = Window.partitionBy(col("p")).orderBy(col("g"))
+      val wAll = Window.partitionBy(col("p"))
+      val filled = cums
+        .withColumn("ca", last(col("ca_raw"), ignoreNulls = true)
+          .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cb", last(col("cb_raw"), ignoreNulls = true)
+          .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("na", max(col("na_raw")).over(wAll))
+        .withColumn("nb", max(col("nb_raw")).over(wAll))
+        .withColumn("glen", coalesce(lead(col("g"), 1).over(wp), lit(256L)) - col("g"))
+      filled
+        .withColumn("term",
+          abs(coalesce(col("ca"), lit(0L)) * col("nb") -
+            coalesce(col("cb"), lit(0L)) * col("na")) * col("glen"))
+        .groupBy(col("p"))
+        .agg(sum(col("term")).as("emd_num"),
+          max(col("na") * col("nb")).as("den"))
+        .select(col("p").as("pair_i"), col("emd_num"), col("den"))
     }),
 
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
@@ -5622,6 +5729,69 @@ object SparkEntry {
          |  CAST(sum(wt) AS BIGINT) AS wt_sum,
          |  CAST(sum(wt * g) AS BIGINT) AS num_sum
          |FROM wpx GROUP BY 1, 2""".stripMargin,
+
+    // q200 — the same clamped point-to-segment rational per candidate
+    // and the NOT EXISTS cross-multiplied argmin (smallest sid on ties)
+    "q200_map_match" ->
+      s"""WITH pts AS (
+         |  SELECT event_id,
+         |    (user_id * 7919 + event_id * 31) % 1000 AS px,
+         |    (user_id * 104729 + event_id * 37) % 1000 AS py
+         |  FROM events WHERE event_id % 53 = 0),
+         |segs AS (SELECT * FROM $roadSegsSqlValues),
+         |cand AS (
+         |  SELECT event_id, sid,
+         |    CASE WHEN dt <= 0 THEN da2 WHEN dt >= l2 THEN db2
+         |         ELSE da2*l2 - dt*dt END AS num,
+         |    CASE WHEN dt <= 0 OR dt >= l2 THEN 1 ELSE l2 END AS den
+         |  FROM (
+         |    SELECT p.event_id, s.sid,
+         |      (s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay) AS l2,
+         |      (p.px-s.ax)*(s.bx-s.ax) + (p.py-s.ay)*(s.by-s.ay) AS dt,
+         |      (p.px-s.ax)*(p.px-s.ax) + (p.py-s.ay)*(p.py-s.ay) AS da2,
+         |      (p.px-s.bx)*(p.px-s.bx) + (p.py-s.by)*(p.py-s.by) AS db2
+         |    FROM pts p CROSS JOIN segs s))
+         |SELECT c.event_id, CAST(c.sid AS BIGINT) AS sid,
+         |  CAST(c.num AS BIGINT) AS num, CAST(c.den AS BIGINT) AS den
+         |FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM cand b WHERE b.event_id = c.event_id
+         |    AND (b.num * c.den < c.num * b.den OR
+         |         (b.num * c.den = c.num * b.den AND b.sid < c.sid)))""".stripMargin,
+
+    // q201 — the sparse run-length EMD replayed with the identical
+    // window chain over pixel-chain histograms
+    "q201_emd_hist" ->
+      s"""WITH ${pixelChainCtes(32)},
+         |hist AS (SELECT i, g, count(*) AS cnt FROM px GROUP BY 1, 2),
+         |nmass AS (SELECT i, sum(cnt) AS n FROM hist GROUP BY 1),
+         |tagged AS (SELECT h.i, h.g, h.cnt, s.side, h.i - s.side AS p
+         |  FROM hist h CROSS JOIN (VALUES (0), (1)) s(side)
+         |  WHERE h.i - s.side BETWEEN 0 AND 30),
+         |withn AS (SELECT t.p, t.side, t.g, t.cnt, m.n
+         |  FROM tagged t JOIN nmass m ON m.i = t.i),
+         |cums AS (SELECT p, side, g, n,
+         |    sum(cnt) OVER (PARTITION BY p, side ORDER BY g) AS cum
+         |  FROM withn),
+         |merged AS (SELECT p, g,
+         |    max(CASE WHEN side = 0 THEN cum END) AS ca_raw,
+         |    max(CASE WHEN side = 1 THEN cum END) AS cb_raw,
+         |    max(CASE WHEN side = 0 THEN n END) AS na_raw,
+         |    max(CASE WHEN side = 1 THEN n END) AS nb_raw
+         |  FROM cums GROUP BY 1, 2),
+         |filled AS (SELECT p, g,
+         |    last_value(ca_raw IGNORE NULLS) OVER (PARTITION BY p ORDER BY g
+         |      ROWS UNBOUNDED PRECEDING) AS ca,
+         |    last_value(cb_raw IGNORE NULLS) OVER (PARTITION BY p ORDER BY g
+         |      ROWS UNBOUNDED PRECEDING) AS cb,
+         |    max(na_raw) OVER (PARTITION BY p) AS na,
+         |    max(nb_raw) OVER (PARTITION BY p) AS nb,
+         |    coalesce(lead(g) OVER (PARTITION BY p ORDER BY g), 256) - g AS glen
+         |  FROM merged)
+         |SELECT CAST(p AS BIGINT) AS pair_i,
+         |  CAST(sum(abs(coalesce(ca, 0)*nb - coalesce(cb, 0)*na) * glen)
+         |    AS BIGINT) AS emd_num,
+         |  CAST(max(na*nb) AS BIGINT) AS den
+         |FROM filled GROUP BY 1""".stripMargin,
 
     // q184 — the same clamped 3×3 binomial over the pixel chain via
     // the weighted offset join, floor //16, even samples only
