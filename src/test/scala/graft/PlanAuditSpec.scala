@@ -423,4 +423,54 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must not contain a global sort:\n$plan")
     }
   }
+
+  test("q192 line raster is pure column arithmetic — zero exchanges, no UDF") {
+    val plan = SparkEntry.queries("q192_line_raster")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q192 must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("lambdafunction"),
+      s"q192 must stay codegen'd column arithmetic:\n$plan")
+  }
+
+  test("q186 slope/aspect rides hash exchanges only — no window, no global sort") {
+    val plan = SparkEntry.queries("q186_slope_aspect")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q186 must not use a window:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q186 must not contain a global sort:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("rangepartitioning"),
+      s"q186 must not concentrate on one partition:\n$plan")
+  }
+
+  test("q200 map matching broadcasts the road network — no shuffle join on points") {
+    val plan = SparkEntry.queries("q200_map_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"q200 must not shuffle-join the points against the network:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q200 must not contain a global sort:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"q200's network side must broadcast:\n$plan")
+  }
+
+  test("q193 skyline: candidate set broadcasts into the dominance anti-join") {
+    val plan = SparkEntry.queries("q193_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftAnti"),
+      s"q193's dominance filter must be a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q193 must not shuffle or go cartesian:\n$plan")
+  }
+
+  test("q190/q199 mosaics: narrow decode into exactly one world-cell exchange") {
+    for (q <- Seq("q190_mosaic", "q199_feather_mosaic")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(wx".r.findAllIn(plan).length == 1,
+        s"$q: expected exactly one world-cell exchange:\n$plan")
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global sort:\n$plan")
+    }
+  }
 }
