@@ -2240,6 +2240,76 @@ object SparkEntry {
         .select(col("p").as("pair_i"), col("emd_num"), col("den"))
     }),
 
+    // edit-distance similarity join — all caption pairs within
+    // Levenshtein distance ≤ 2 via PassJoin pigeonhole segments
+    // (EditJoin.passJoin): candidate generation is an equi-join on
+    // (segment, ordinal, length) with CONSTANT per-row probe fan-out,
+    // verify is one codegen'd levenshtein per candidate. Planted
+    // variants: one substitution (id+100000) and a 2-char truncation
+    // (id+200000); the oracle brute-forces the full quadratic
+    // levenshtein over the same strings — the quadratic IS the spec
+    // the linear-probe plan must match.
+    "q202_edit_join" -> ((s, _) => {
+      val base = s.range(0, 400).select(col("id"),
+        format_string("site %04d sector %03d unit %02d",
+          (col("id") * 37) % 9000, (col("id") * 7) % 700, col("id") % 53).as("s"))
+      val v1 = base.filter(col("id") % 5 === 0)
+        .select((col("id") + 100000L).as("id"),
+          concat(expr("substring(s, 1, length(s) - 1)"), lit("x")).as("s"))
+      val v2 = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 200000L).as("id"),
+          expr("substring(s, 1, length(s) - 2)").as("s"))
+      graft.dedup.EditJoin.passJoin(base.union(v1).union(v2), "id", "s", 2)
+    }),
+
+    // stay-point (dwell) detection — per device, consecutive fixes
+    // split into segments wherever the squared step exceeds 25, one
+    // window cumsum over the device timeline, then per-segment spans;
+    // dwells are segments of ≥ 4 fixes. Positions are block-stationary
+    // hash arithmetic (the device parks inside each event_id-500 block
+    // with ≤ ±2 jitter, jumps between blocks), so real dwells exist by
+    // construction. ONE window exchange on the device key + one
+    // aggregation — the trajectory-mining shape at fleet scale.
+    "q206_staypoints" -> ((s, dir) => {
+      val pts = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          ((col("user_id") * 13 + (col("event_id") / 500).cast("long") * 37) % 200
+            + col("event_id") % 3).as("x"),
+          ((col("user_id") * 29 + (col("event_id") / 500).cast("long") * 53) % 200
+            + col("event_id") % 5).as("y"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dx = col("x") - lag(col("x"), 1).over(w)
+      val dy = col("y") - lag(col("y"), 1).over(w)
+      val brk = when((dx * dx + dy * dy).isNull || dx * dx + dy * dy > 25, 1L)
+        .otherwise(0L)
+      pts.withColumn("seg",
+          sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(count(lit(1)).as("n_fixes"),
+          min(col("event_id")).as("e_first"), max(col("event_id")).as("e_last"),
+          min(col("x")).as("x_min"), min(col("y")).as("y_min"))
+        .filter(col("n_fixes") >= 4)
+    }),
+
+    // origin→destination flow matrix — per (device, day) trip, origin =
+    // zone of the first fix, destination = zone of the last (min_by /
+    // max_by on the unique event_id, which is ts-ordered within a
+    // device), then one count per (o, d) cell: the OD-matrix rollup a
+    // mobility pipeline runs. Two exchanges total: (device, day)
+    // first/last, then the zone-pair count.
+    "q207_od_matrix" -> ((s, dir) => {
+      val zoned = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"),
+          (((col("user_id") * 7919 + col("event_id") * 31) % 100 / 25).cast("long") * 4
+            + ((col("user_id") * 104729 + col("event_id") * 37) % 100 / 25).cast("long"))
+            .as("zone"))
+      zoned.groupBy(col("user_id"), col("day"))
+        .agg(expr("min_by(zone, event_id)").as("o_zone"),
+          expr("max_by(zone, event_id)").as("d_zone"))
+        .groupBy(col("o_zone"), col("d_zone"))
+        .agg(count(lit(1)).as("n_trips"))
+    }),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -7683,6 +7753,60 @@ object SparkEntry {
         |  CAST(f.range AS INT) AS frame_idx, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h
         |FROM range(0, 100) v, range(0, 8) f
         |WHERE f.range % 2 = 0""".stripMargin,
+
+    // q202 — brute-force quadratic levenshtein over the same planted
+    // strings: the PassJoin candidate pipeline must reproduce the full
+    // all-pairs result (the pigeonhole guarantee under test)
+    "q202_edit_join" ->
+      """WITH b AS (SELECT CAST(t.i AS BIGINT) AS id,
+        |    printf('site %04d sector %03d unit %02d',
+        |      (t.i*37)%9000, (t.i*7)%700, t.i%53) AS s
+        |  FROM range(0, 400) t(i)),
+        |v1 AS (SELECT id + 100000 AS id, substr(s, 1, length(s)-1) || 'x' AS s
+        |       FROM b WHERE id % 5 = 0),
+        |v2 AS (SELECT id + 200000 AS id, substr(s, 1, length(s)-2) AS s
+        |       FROM b WHERE id % 10 = 0),
+        |allv AS (SELECT * FROM b UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT a.id AS id_a, c.id AS id_b,
+        |  CAST(levenshtein(a.s, c.s) AS INT) AS dist
+        |FROM allv a JOIN allv c ON a.id < c.id
+        |WHERE abs(length(a.s) - length(c.s)) <= 2
+        |  AND levenshtein(a.s, c.s) <= 2""".stripMargin,
+
+    // q206 — the same break/cumsum windows replayed verbatim
+    "q206_staypoints" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, ts,
+        |    (user_id*13 + (event_id // 500)*37) % 200 + event_id % 3 AS x,
+        |    (user_id*29 + (event_id // 500)*53) % 200 + event_id % 5 AS y
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, event_id, ts, x, y,
+        |    x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sg AS (
+        |  SELECT user_id, event_id, x, y,
+        |    CAST(sum(CASE WHEN dx IS NULL OR dx*dx + dy*dy > 25 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM st)
+        |SELECT user_id, seg, count(*) AS n_fixes,
+        |  min(event_id) AS e_first, max(event_id) AS e_last,
+        |  min(x) AS x_min, min(y) AS y_min
+        |FROM sg GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin,
+
+    // q207 — arg_min/arg_max on the unique event_id ≡ Spark min_by/max_by
+    "q207_od_matrix" ->
+      """WITH z AS (
+        |  SELECT user_id, event_id, CAST(ts AS DATE) AS day,
+        |    ((user_id*7919 + event_id*31) % 100 // 25) * 4
+        |      + ((user_id*104729 + event_id*37) % 100 // 25) AS zone
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, day, arg_min(zone, event_id) AS o_zone,
+        |    arg_max(zone, event_id) AS d_zone
+        |  FROM z GROUP BY 1, 2)
+        |SELECT o_zone, d_zone, count(*) AS n_trips FROM t GROUP BY 1, 2""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,
