@@ -275,6 +275,27 @@ object SparkEntry {
        |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
        |  FROM t1)""".stripMargin
 
+  /** [[pixelChainCtes]] extended with the per-pixel Sobel pair on
+    * interior pixels — ends in `sob(i, w, h, x, y, gx, gy)`. Shared by
+    * the gradient-window oracles (q203/q204).
+    */
+  private def sobelChainCtes(n: Int): String =
+    s"""${pixelChainCtes(n)},
+       |sob AS (
+       |  SELECT p.i, p.w, p.h, p.x, p.y,
+       |    (ne.g + 2*e.g + se.g - nw.g - 2*w_.g - sw.g) AS gx,
+       |    (sw.g + 2*s_.g + se.g - nw.g - 2*n_.g - ne.g) AS gy
+       |  FROM px p
+       |  JOIN px nw ON nw.i = p.i AND nw.x = p.x-1 AND nw.y = p.y-1
+       |  JOIN px n_ ON n_.i = p.i AND n_.x = p.x   AND n_.y = p.y-1
+       |  JOIN px ne ON ne.i = p.i AND ne.x = p.x+1 AND ne.y = p.y-1
+       |  JOIN px w_ ON w_.i = p.i AND w_.x = p.x-1 AND w_.y = p.y
+       |  JOIN px e  ON e.i  = p.i AND e.x  = p.x+1 AND e.y  = p.y
+       |  JOIN px sw ON sw.i = p.i AND sw.x = p.x-1 AND sw.y = p.y+1
+       |  JOIN px s_ ON s_.i = p.i AND s_.x = p.x   AND s_.y = p.y+1
+       |  JOIN px se ON se.i = p.i AND se.x = p.x+1 AND se.y = p.y+1
+       |  WHERE p.x BETWEEN 1 AND p.w-2 AND p.y BETWEEN 1 AND p.h-2)""".stripMargin
+
   private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
     polys.flatMap { case (id, rings) =>
       rings.flatMap(_.map { case (vy, vx) => s"($id::BIGINT, $vy::DOUBLE, $vx::DOUBLE)" })
@@ -2309,6 +2330,31 @@ object SparkEntry {
         .groupBy(col("o_zone"), col("d_zone"))
         .agg(count(lit(1)).as("n_trips"))
     }),
+
+    // Harris corner response — the interest-point detector feeding any
+    // image-matching/registration pipeline: Sobel structure tensor over
+    // a 3×3 window, k=1/25 kept exact by clearing the denominator
+    // (R = 25·det − trace²). Narrow per-image kernel, no shuffle; the
+    // oracle replays the two-level convolution over the pixel formula.
+    "q203_harris" -> ((s, _) =>
+      graft.img.ImageOps.harrisStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // 4-direction Hough line transform — edge pixels (Sobel magnitude
+    // ≥ 300) vote in the four exact-integer (θ, ρ) families (vertical /
+    // horizontal / both diagonals, cos/sin ∈ {0, ±1}); per direction
+    // the winning line by (votes desc, ρ asc). Narrow per-image kernel.
+    "q204_hough_lines" -> ((s, _) =>
+      graft.img.ImageOps.houghStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // 3×3 median filter (salt-and-pepper denoiser) summary — exact 5th
+    // of 9 at every interior pixel; Σ median, changed-pixel count, max
+    // deviation per image. Narrow per-image kernel; the oracle ranks
+    // the 9-neighborhood per center in SQL and picks rank 5.
+    "q205_median_filter" -> ((s, _) =>
+      graft.img.ImageOps.medianStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
 
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
@@ -7807,6 +7853,72 @@ object SparkEntry {
         |    arg_max(zone, event_id) AS d_zone
         |  FROM z GROUP BY 1, 2)
         |SELECT o_zone, d_zone, count(*) AS n_trips FROM t GROUP BY 1, 2""".stripMargin,
+
+    // q203 — the structure tensor replayed as a second 3×3 pass over the
+    // per-pixel Sobel CTE (equi-join via exploded offsets, never a
+    // range join), exact k=1/25 response in HUGEINT, cast at the edge
+    "q203_harris" ->
+      s"""WITH ${sobelChainCtes(200)},
+         |win AS (
+         |  SELECT a.i, a.x, a.y,
+         |    sum(CAST(b.gx AS BIGINT) * b.gx) AS sxx,
+         |    sum(CAST(b.gy AS BIGINT) * b.gy) AS syy,
+         |    sum(CAST(b.gx AS BIGINT) * b.gy) AS sxy
+         |  FROM sob a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN sob b ON b.i = a.i AND b.x = a.x + ox.dx AND b.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 2 AND a.w-3 AND a.y BETWEEN 2 AND a.h-3
+         |  GROUP BY 1, 2, 3),
+         |resp AS (
+         |  SELECT i, 25*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r FROM win)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corners,
+         |  CAST(max(r) AS BIGINT) AS r_max
+         |FROM resp GROUP BY 1""".stripMargin,
+
+    // q204 — votes per exact-integer (θ, ρ) family over the edge set,
+    // winner by (votes desc, ρ asc) per direction
+    "q204_hough_lines" ->
+      s"""WITH ${sobelChainCtes(200)},
+         |edges AS (SELECT i, x, y FROM sob WHERE abs(gx) + abs(gy) >= 300),
+         |votes AS (
+         |  SELECT i, d.dir,
+         |    CASE d.dir WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN x + y
+         |      ELSE x - y END AS rho,
+         |    count(*) AS votes
+         |  FROM edges CROSS JOIN (VALUES (0), (1), (2), (3)) d(dir)
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT i, dir, rho, votes,
+         |    row_number() OVER (PARTITION BY i, dir ORDER BY votes DESC, rho) AS rn
+         |  FROM votes)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(dir AS INT) AS dir, CAST(rho AS BIGINT) AS rho,
+         |  CAST(votes AS BIGINT) AS votes
+         |FROM best WHERE rn = 1""".stripMargin,
+
+    // q205 — the 9-neighborhood ranked per center pixel, rank 5 is the
+    // exact median (multiset order; tie order irrelevant to rank 5)
+    "q205_median_filter" ->
+      s"""WITH ${pixelChainCtes(200)},
+         |nine AS (
+         |  SELECT a.i, a.x, a.y, a.g AS cg, b.g AS ng
+         |  FROM px a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN px b ON b.i = a.i AND b.x = a.x + ox.dx AND b.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 1 AND a.w-2 AND a.y BETWEEN 1 AND a.h-2),
+         |ranked AS (
+         |  SELECT i, x, y, cg, ng,
+         |    row_number() OVER (PARTITION BY i, x, y ORDER BY ng) AS rn
+         |  FROM nine),
+         |med AS (SELECT i, cg, ng AS m FROM ranked WHERE rn = 5)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(sum(m) AS BIGINT) AS med_sum,
+         |  CAST(sum(CASE WHEN m <> cg THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(max(abs(m - cg)) AS BIGINT) AS max_dev
+         |FROM med GROUP BY 1""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

@@ -973,4 +973,223 @@ object ImageOps {
         sum(col("sat")).as("sat_sum"),
         (satAt(11, 9) - satAt(3, 9) - satAt(11, 1) + satAt(3, 1)).as("block_sum"))
   }
+
+  /** Integer Harris corner response (Harris & Stephens '88) for one
+    * image: BT.601 floor grayscale, 3×3 Sobel gradients on interior
+    * pixels, then at every doubly-interior pixel the structure tensor
+    * summed over the 3×3 gradient window — Sxx = Σgx², Syy = Σgy²,
+    * Sxy = Σgx·gy — and the response with k = 1/25 kept EXACT by
+    * clearing the denominator: R = 25·(Sxx·Syy − Sxy²) − (Sxx+Syy)².
+    * |gx| ≤ 1020 ⇒ window sums ≤ 9.4e6 ⇒ |R| ≤ ~2.2e15, comfortably a
+    * Long. Returns (count of R > 0 — the corner pixels — and max R).
+    */
+  def harris(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    @inline def g(xx: Int, yy: Int) = gray(yy * w + xx)
+    val gxs = new Array[Int](w * h)
+    val gys = new Array[Int](w * h)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        gxs(y * w + x) = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+        gys(y * w + x) = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+        x += 1
+      }
+      y += 1
+    }
+    var nCorners = 0L
+    var rMax = Long.MinValue
+    y = 2
+    while (y < h - 2) {
+      var x = 2
+      while (x < w - 2) {
+        var sxx = 0L; var syy = 0L; var sxy = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val o = (y + dy) * w + (x + dx)
+            val a = gxs(o).toLong; val b = gys(o).toLong
+            sxx += a * a; syy += b * b; sxy += a * b
+            dx += 1
+          }
+          dy += 1
+        }
+        val tr = sxx + syy
+        val r = 25L * (sxx * syy - sxy * sxy) - tr * tr
+        if (r > 0) nCorners += 1
+        if (r > rMax) rMax = r
+        x += 1
+      }
+      y += 1
+    }
+    (nCorners, rMax)
+  }
+
+  /** (image_id, n_corners, r_max) per image — [[harris]] over the
+    * decoded binary column; narrow mapPartitions, no shuffle.
+    */
+  def harrisStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (n, rMax) = harris(px, w, h)
+          (id, n, rMax)
+        }
+      }
+      .toDF("image_id", "n_corners", "r_max")
+  }
+
+  /** 4-direction Hough line accumulator for one image: edge pixels are
+    * interior pixels with Sobel |gx|+|gy| ≥ 300; each votes in four
+    * quantized line families — dir 0: vertical (ρ = x), 1: horizontal
+    * (ρ = y), 2: anti-diagonal (ρ = x+y), 3: diagonal (ρ = x−y) — the
+    * exact-integer restriction of the (θ, ρ) Hough transform to the
+    * four axis/diagonal angles (cos/sin ∈ {0, ±1} keeps ρ integral).
+    * Returns, per direction with ≥ 1 vote, the winning line
+    * (max votes, smallest ρ on ties).
+    */
+  def houghLines(px: Array[Int], w: Int, h: Int): Seq[(Int, Long, Long)] = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    @inline def g(xx: Int, yy: Int) = gray(yy * w + xx)
+    // rho ranges: dir 0 → [0, w), 1 → [0, h), 2 → [0, w+h), 3 → (−h, w)
+    val acc = Array.fill(4)(new java.util.HashMap[Long, Long]())
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+        val gy = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+        if (math.abs(gx) + math.abs(gy) >= 300) {
+          val rhos = Array(x.toLong, y.toLong, (x + y).toLong, (x - y).toLong)
+          var d = 0
+          while (d < 4) {
+            acc(d).merge(rhos(d), 1L, (a, b) => a + b)
+            d += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 4).flatMap { d =>
+      var bestRho = Long.MaxValue
+      var bestVotes = 0L
+      acc(d).forEach { (rho, v) =>
+        if (v > bestVotes || (v == bestVotes && rho < bestRho)) {
+          bestVotes = v; bestRho = rho
+        }
+      }
+      if (bestVotes > 0) Some((d, bestRho, bestVotes)) else None
+    }
+  }
+
+  /** (image_id, dir, rho, votes) — the winning Hough line per direction
+    * per image ([[houghLines]]); narrow mapPartitions, no shuffle.
+    */
+  def houghStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          houghLines(px, w, h).map { case (d, rho, v) => (id, d, rho, v) }
+        }
+      }
+      .toDF("image_id", "dir", "rho", "votes")
+  }
+
+  /** 3×3 median filter summary for one image: at every interior pixel
+    * the median (5th smallest of the 9-neighborhood, exact integer) of
+    * the BT.601 floor grayscale; returns (Σ median, count median ≠
+    * center — the pixels the salt-and-pepper denoiser would change —
+    * and max |median − center|).
+    */
+  def medianFilter3(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    var medSum = 0L
+    var nChanged = 0L
+    var maxDev = 0L
+    val buf = new Array[Int](9)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var n = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            buf(n) = gray((y + dy) * w + (x + dx)); n += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        java.util.Arrays.sort(buf)
+        val m = buf(4)
+        val c = gray(y * w + x)
+        medSum += m
+        if (m != c) nChanged += 1
+        val dev = math.abs(m - c).toLong
+        if (dev > maxDev) maxDev = dev
+        x += 1
+      }
+      y += 1
+    }
+    (medSum, nChanged, maxDev)
+  }
+
+  /** (image_id, med_sum, n_changed, max_dev) per image —
+    * [[medianFilter3]] over the decoded binary column; narrow
+    * mapPartitions, no shuffle.
+    */
+  def medianStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (ms, nc, md) = medianFilter3(px, w, h)
+          (id, ms, nc, md)
+        }
+      }
+      .toDF("image_id", "med_sum", "n_changed", "max_dev")
+  }
 }
