@@ -296,6 +296,41 @@ object SparkEntry {
        |  JOIN px se ON se.i = p.i AND se.x = p.x+1 AND se.y = p.y+1
        |  WHERE p.x BETWEEN 1 AND p.w-2 AND p.y BETWEEN 1 AND p.h-2)""".stripMargin
 
+  /** Planted community graph for q208/q209: communities of `cs`
+    * consecutive nodes — intra-community ring (+1), chord (+2), and a
+    * hub star to the community's first node — chained by hub→hub
+    * bridges. Dense inside, one thin edge between: the structure
+    * majority-vote LPA must keep separate (and connected components
+    * would merge).
+    */
+  private def communityEdgesDF(s: SparkSession, n: Long, cs: Long): DataFrame = {
+    val ids = s.range(0, n).select(col("id").as("i"))
+    val ring = ids.filter((col("i") + 1) % cs =!= 0 && col("i") + 1 < n)
+      .select(col("i").as("src"), (col("i") + 1).as("dst"))
+    val chord = ids.filter(col("i") % cs < cs - 2 && col("i") + 2 < n)
+      .select(col("i").as("src"), (col("i") + 2).as("dst"))
+    val hub = ids.filter(col("i") % cs =!= 0)
+      .select(col("i").as("src"), (col("i") - col("i") % cs).as("dst"))
+    val bridge = ids.filter(col("i") % cs === 0 && col("i") + cs < n)
+      .select(col("i").as("src"), (col("i") + cs).as("dst"))
+    ring.union(chord).union(hub).union(bridge)
+  }
+
+  /** [[communityEdgesDF]] as DuckDB CTEs ending in `dir(src, dst)` (both
+    * orientations, distinct, no self-loops) over `ids(i)`.
+    */
+  private def communityEdgesSql(n: Long, cs: Long): String =
+    s"""ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, $n)),
+       |e0 AS (
+       |  SELECT i AS src, i + 1 AS dst FROM ids
+       |    WHERE (i + 1) % $cs <> 0 AND i + 1 < $n
+       |  UNION ALL SELECT i, i + 2 FROM ids WHERE i % $cs < ${cs - 2} AND i + 2 < $n
+       |  UNION ALL SELECT i, i - (i % $cs) FROM ids WHERE i % $cs <> 0
+       |  UNION ALL SELECT i, i + $cs FROM ids WHERE i % $cs = 0 AND i + $cs < $n),
+       |dir AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0) u
+       |  WHERE src <> dst)""".stripMargin
+
   private def polyVertsSqlValues(polys: Seq[(Long, Seq[Seq[(Int, Int)]])]): String =
     polys.flatMap { case (id, rings) =>
       rings.flatMap(_.map { case (vy, vx) => s"($id::BIGINT, $vy::DOUBLE, $vx::DOUBLE)" })
@@ -2355,6 +2390,29 @@ object SparkEntry {
     "q205_median_filter" -> ((s, _) =>
       graft.img.ImageOps.medianStats(s,
         graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // majority-vote label propagation (community detection, Raghavan
+    // 2007) — 3 deterministic synchronous rounds over the planted
+    // 5-community graph: dense communities keep their own label across
+    // the thin hub bridges (where connected components would merge
+    // everything). Two hash exchanges per round, node-sized state,
+    // per-round plan truncation.
+    "q208_label_prop" -> ((s, _) =>
+      graft.graph.LabelProp.propagate(s, s.range(0, 100).toDF("id"),
+        communityEdgesDF(s, 100, 20), 3)),
+
+    // closeness centrality sufficient statistics — ONE multi-origin
+    // level-synchronous BFS over (origin, node) state rows (never |V|
+    // traversals): per node the reached count and hop-distance sum.
+    // All-pairs state is O(V²) by definition — the operator is for
+    // bounded communities, which is exactly the fixture.
+    "q209_closeness" -> ((s, _) =>
+      graft.graph.Bfs.allPairsHops(s,
+          communityEdgesDF(s, 60, 20)
+            .select(col("src").as("rel_a"), col("dst").as("rel_b")))
+        .groupBy(col("origin"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("hops")).as("dist_sum"))
+        .select(col("origin").as("id"), col("n_reached"), col("dist_sum"))),
 
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
@@ -7919,6 +7977,38 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN m <> cg THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
          |  CAST(max(abs(m - cg)) AS BIGINT) AS max_dev
          |FROM med GROUP BY 1""".stripMargin,
+
+    // q208 — the three synchronous rounds unrolled as CTEs; the argmax
+    // is the count-dominance NOT EXISTS with smallest-label ties,
+    // matching the struct-max
+    "q208_label_prop" -> {
+      def round(prev: String, cur: String): String =
+        s"""n$cur AS (SELECT d.src AS id, l.lab FROM dir d JOIN l$prev l ON l.id = d.dst),
+           |c$cur AS (SELECT id, lab, count(*) AS cnt FROM n$cur GROUP BY 1, 2),
+           |l$cur AS (SELECT c.id, c.lab FROM c$cur c WHERE NOT EXISTS (
+           |  SELECT 1 FROM c$cur d WHERE d.id = c.id AND
+           |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.lab < c.lab))))""".stripMargin
+      s"""WITH ${communityEdgesSql(100, 20)},
+         |l0 AS (SELECT i AS id, i AS lab FROM ids),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT id, lab AS label FROM l3""".stripMargin
+    },
+
+    // q209 — bounded-hop reachability fixpoint (q51 style) with the hop
+    // count carried, min per (origin, node), then the closeness rollup
+    "q209_closeness" ->
+      s"""WITH RECURSIVE ${communityEdgesSql(60, 20)},
+         |walk(origin, id, hops) AS (
+         |  SELECT i, i, CAST(0 AS BIGINT) FROM ids
+         |  UNION
+         |  SELECT w.origin, d.dst, w.hops + 1 FROM walk w
+         |  JOIN dir d ON d.src = w.id WHERE w.hops < 16),
+         |md AS (SELECT origin, id, min(hops) AS hops FROM walk GROUP BY 1, 2)
+         |SELECT origin AS id, count(*) AS n_reached,
+         |  CAST(sum(hops) AS BIGINT) AS dist_sum
+         |FROM md GROUP BY 1""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

@@ -87,4 +87,66 @@ object Bfs {
     dir.unpersist()
     dist
   }
+
+  /** All-pairs hop distance — every node is its own BFS source, run as
+    * ONE level-synchronous loop over (origin, node) state rows instead
+    * of |V| separate traversals: round r joins the frontier against the
+    * directed edge view on the current node and anti-joins the visited
+    * set on the (origin, node) pair. Per round: one equi-join + one
+    * distinct + one anti-join, state is origin×reached sized — the
+    * closeness-centrality / average-path-length primitive. All-pairs
+    * state is O(V²) by definition: callers cap the component size, not
+    * this loop (at 100 TB you run it per bounded community, never on
+    * the raw web graph). Same eager localCheckpoint discipline as
+    * [[hops]] (plan growth is the driver hazard).
+    *
+    * Returns (src, id, hops) for every ordered reachable pair,
+    * including (v, v, 0).
+    */
+  def allPairsHops(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("rel_a").cast("long").as("src"),
+      col("rel_b").cast("long").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(lvl)
+    val nodes = dir.select(col("src").as("id")).distinct()
+    var dist = nodes.select(col("id").as("origin"), col("id"))
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      val next = frontier.join(dir.withColumnRenamed("src", "cur"),
+          frontier("id") === col("cur"))
+        .select(col("origin"), col("dst").as("id")).distinct()
+        .join(dist.select(col("origin"), col("id")), Seq("origin", "id"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        dir.unpersist()
+        throw new IllegalStateException(
+          s"Bfs.allPairsHops did not converge within $maxRounds rounds")
+      } else {
+        val acc = dist.unionByName(next).localCheckpoint(true)
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = acc
+        frontier = next
+        round += 1
+      }
+    }
+    dir.unpersist()
+    dist
+  }
 }
