@@ -2414,6 +2414,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_reached"), sum(col("hops")).as("dist_sum"))
         .select(col("origin").as("id"), col("n_reached"), col("dist_sum"))),
 
+    // 3×3 binary morphology OPENING/CLOSING residues (one composition
+    // level past q155's single erosion/dilation pass) — binarize at
+    // gray ≥ 128, erosion/dilation on interior pixels, opening =
+    // dilation∘erosion and closing = erosion∘dilation on
+    // DOUBLY-interior pixels so no border-extension rule is needed;
+    // per image the speckles opening removes and pinholes closing
+    // fills. Narrow per-image kernel.
+    "q210_open_close" -> ((s, _) =>
+      graft.img.ImageOps.morphStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // gradient non-maximum suppression (Canny's edge-thinning stage) —
+    // all-integer: Sobel L1 magnitude, ≥ 300 edge bar, direction
+    // quantized by exact 2|gy|-vs-|gx| comparisons, survive iff
+    // mag ≥ prev AND mag > next along the gradient (a run of equals
+    // keeps its last pixel; missing neighbors read −1). Narrow.
+    "q211_nms_edges" -> ((s, _) =>
+      graft.img.ImageOps.nmsStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // minimum vertical seam (Avidan & Shamir 2007) — the content-aware
+    // retargeting DP over Sobel L1 energy on the interior grid; per
+    // image the cheapest seam's cost and bottom-row x (smallest on
+    // ties). Narrow per-image kernel; the oracle unrolls the DP as 61
+    // chained min-join CTEs (row y from row y−1 — images stop at their
+    // own h−2, taller levels simply produce no rows for them).
+    "q212_seam_carve" -> ((s, _) =>
+      graft.img.ImageOps.seamStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -8009,6 +8039,124 @@ object SparkEntry {
          |SELECT origin AS id, count(*) AS n_reached,
          |  CAST(sum(hops) AS BIGINT) AS dist_sum
          |FROM md GROUP BY 1""".stripMargin,
+
+    // q210 — the two morphology levels as 9-neighborhood min/max
+    // joins; opening/closing live on the doubly-interior region where
+    // every neighbor's erosion/dilation exists
+    "q210_open_close" ->
+      s"""WITH ${pixelChainCtes(200)},
+         |b AS MATERIALIZED (SELECT i, w, h, x, y,
+         |    CASE WHEN g >= 128 THEN 1 ELSE 0 END AS v FROM px),
+         |er AS MATERIALIZED (
+         |  SELECT a.i, a.w, a.h, a.x, a.y, min(n.v) AS v
+         |  FROM b a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN b n ON n.i = a.i AND n.x = a.x + ox.dx AND n.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 1 AND a.w-2 AND a.y BETWEEN 1 AND a.h-2
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |di AS MATERIALIZED (
+         |  SELECT a.i, a.w, a.h, a.x, a.y, max(n.v) AS v
+         |  FROM b a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN b n ON n.i = a.i AND n.x = a.x + ox.dx AND n.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 1 AND a.w-2 AND a.y BETWEEN 1 AND a.h-2
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |op AS (
+         |  SELECT a.i, a.x, a.y, max(n.v) AS v
+         |  FROM er a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN er n ON n.i = a.i AND n.x = a.x + ox.dx AND n.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 2 AND a.w-3 AND a.y BETWEEN 2 AND a.h-3
+         |  GROUP BY 1, 2, 3),
+         |cl AS (
+         |  SELECT a.i, a.x, a.y, min(n.v) AS v
+         |  FROM di a
+         |  CROSS JOIN (VALUES (-1), (0), (1)) ox(dx)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+         |  JOIN di n ON n.i = a.i AND n.x = a.x + ox.dx AND n.y = a.y + oy.dy
+         |  WHERE a.x BETWEEN 2 AND a.w-3 AND a.y BETWEEN 2 AND a.h-3
+         |  GROUP BY 1, 2, 3)
+         |SELECT printf('img_%09d', CAST(c.i AS BIGINT)) AS image_id,
+         |  CAST(sum(c.v) AS BIGINT) AS n_fg,
+         |  CAST(sum(CASE WHEN c.v = 1 AND o.v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN c.v = 0 AND l.v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+         |FROM b c
+         |JOIN op o ON o.i = c.i AND o.x = c.x AND o.y = c.y
+         |JOIN cl l ON l.i = c.i AND l.x = c.x AND l.y = c.y
+         |GROUP BY 1""".stripMargin,
+
+    // q211 — direction by exact integer comparisons, prev/next
+    // magnitudes via LEFT JOINs (missing → −1); per-image aggregation
+    // keeps zero-edge images via the LEFT JOIN onto the magnitude base
+    "q211_nms_edges" ->
+      s"""WITH ${sobelChainCtes(200)},
+         |mg AS MATERIALIZED (SELECT i, x, y, gx, gy, abs(gx) + abs(gy) AS m FROM sob),
+         |dirn AS (
+         |  SELECT i, x, y, m,
+         |    CASE WHEN 2 * abs(gy) <= abs(gx) THEN 0
+         |         WHEN 2 * abs(gx) <= abs(gy) THEN 1
+         |         WHEN gx * gy > 0 THEN 2 ELSE 3 END AS d
+         |  FROM mg WHERE m >= 300),
+         |nb AS (
+         |  SELECT e.i, e.m, COALESCE(p.m, -1) AS pm, COALESCE(q.m, -1) AS nm
+         |  FROM dirn e
+         |  LEFT JOIN mg p ON p.i = e.i
+         |    AND p.x = e.x + CASE e.d WHEN 0 THEN -1 WHEN 1 THEN 0
+         |                            WHEN 2 THEN -1 ELSE -1 END
+         |    AND p.y = e.y + CASE e.d WHEN 0 THEN 0 WHEN 1 THEN -1
+         |                            WHEN 2 THEN -1 ELSE 1 END
+         |  LEFT JOIN mg q ON q.i = e.i
+         |    AND q.x = e.x + CASE e.d WHEN 0 THEN 1 WHEN 1 THEN 0
+         |                            WHEN 2 THEN 1 ELSE 1 END
+         |    AND q.y = e.y + CASE e.d WHEN 0 THEN 0 WHEN 1 THEN 1
+         |                            WHEN 2 THEN 1 ELSE -1 END),
+         |base AS (SELECT i, max(m) AS mag_max FROM mg GROUP BY 1),
+         |agg AS (
+         |  SELECT i, count(*) AS n_edges,
+         |    sum(CASE WHEN m >= pm AND m > nm THEN 1 ELSE 0 END) AS n_thin
+         |  FROM nb GROUP BY 1)
+         |SELECT printf('img_%09d', CAST(b.i AS BIGINT)) AS image_id,
+         |  CAST(COALESCE(a.n_edges, 0) AS BIGINT) AS n_edges,
+         |  CAST(COALESCE(a.n_thin, 0) AS BIGINT) AS n_thin,
+         |  CAST(b.mag_max AS BIGINT) AS mag_max
+         |FROM base b LEFT JOIN agg a ON a.i = b.i""".stripMargin,
+
+    // q212 — the seam DP unrolled: level y joins level y−1 with
+    // p.x BETWEEN c.x−1 AND c.x+1 (the grid's own extent clamps);
+    // final row per image at y = h−2, winner by (cost, x)
+    "q212_seam_carve" -> {
+      // every dp level references `en` — without MATERIALIZED DuckDB
+      // INLINES the whole sobel chain (9 self-joins over the generated
+      // pixel set) into each of the 61 levels and the oracle runs for
+      // tens of CPU-minutes; materialized, en is computed once and each
+      // level is a small join
+      val levels = (2 to 61).map { yy =>
+        s"""dp$yy AS MATERIALIZED (
+           |  SELECT c.i, c.x, $yy AS y, c.e + min(p.cost) AS cost, c.w, c.h
+           |  FROM en c JOIN dp${yy - 1} p
+           |    ON p.i = c.i AND p.x BETWEEN c.x - 1 AND c.x + 1
+           |  WHERE c.y = $yy GROUP BY c.i, c.x, c.e, c.w, c.h)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 61).map(yy => s"SELECT * FROM dp$yy").mkString(" UNION ALL ")
+      s"""WITH ${sobelChainCtes(200)},
+         |en AS MATERIALIZED (
+         |  SELECT i, x, y, abs(gx) + abs(gy) AS e, w, h FROM sob),
+         |dp1 AS MATERIALIZED (
+         |  SELECT i, x, 1 AS y, CAST(e AS BIGINT) AS cost, w, h
+         |  FROM en WHERE y = 1),
+         |$levels,
+         |fin AS (SELECT * FROM ($unions) WHERE y = h - 2),
+         |win AS (
+         |  SELECT f.* FROM fin f WHERE NOT EXISTS (
+         |    SELECT 1 FROM fin g2 WHERE g2.i = f.i AND (g2.cost < f.cost
+         |      OR (g2.cost = f.cost AND g2.x < f.x))))
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(cost AS BIGINT) AS seam_cost, CAST(x AS BIGINT) AS seam_end_x
+         |FROM win""".stripMargin
+    },
 
     "q22_quality" ->
       """SELECT doc_id,

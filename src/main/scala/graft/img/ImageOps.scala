@@ -1192,4 +1192,256 @@ object ImageOps {
       }
       .toDF("image_id", "med_sum", "n_changed", "max_dev")
   }
+
+  /** 3×3 binary morphology summary for one image: binarize b = [gray ≥
+    * 128]; erosion/dilation = min/max over the 9-neighborhood (defined
+    * on interior pixels), opening = dilation∘erosion and closing =
+    * erosion∘dilation (defined on DOUBLY-interior pixels, where every
+    * neighbor's erosion/dilation exists — no border extension rule to
+    * argue about). Returns, over the doubly-interior region,
+    * (n_fg, n_removed, n_added): foreground count, foreground pixels
+    * the opening removes (speckle noise), background pixels the
+    * closing fills (pinholes).
+    */
+  def morph3(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val b = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      val g = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      b(k) = if (g >= 128) 1 else 0
+      k += 1
+    }
+    val er = new Array[Int](w * h)
+    val di = new Array[Int](w * h)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var mn = 1; var mx = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = b((y + dy) * w + (x + dx))
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            dx += 1
+          }
+          dy += 1
+        }
+        er(y * w + x) = mn
+        di(y * w + x) = mx
+        x += 1
+      }
+      y += 1
+    }
+    var nFg = 0L; var nRemoved = 0L; var nAdded = 0L
+    y = 2
+    while (y < h - 2) {
+      var x = 2
+      while (x < w - 2) {
+        var open = 0; var close = 1
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val o = (y + dy) * w + (x + dx)
+            if (er(o) > open) open = er(o)
+            if (di(o) < close) close = di(o)
+            dx += 1
+          }
+          dy += 1
+        }
+        val c = b(y * w + x)
+        if (c == 1) { nFg += 1; if (open == 0) nRemoved += 1 }
+        else if (close == 1) nAdded += 1
+        x += 1
+      }
+      y += 1
+    }
+    (nFg, nRemoved, nAdded)
+  }
+
+  /** (image_id, n_fg, n_removed, n_added) per image ([[morph3]]);
+    * narrow mapPartitions, no shuffle.
+    */
+  def morphStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (fg, rm, ad) = morph3(px, w, h)
+          (id, fg, rm, ad)
+        }
+      }
+      .toDF("image_id", "n_fg", "n_removed", "n_added")
+  }
+
+  /** Gradient non-maximum suppression (the edge-thinning stage of a
+    * Canny detector) for one image, all-integer: Sobel (gx, gy) on
+    * interior pixels, L1 magnitude |gx|+|gy|, edge bar ≥ 300 (the
+    * Hough bar). Direction quantized by exact comparisons —
+    * 2|gy| ≤ |gx| → horizontal, 2|gx| ≤ |gy| → vertical, else
+    * gx·gy > 0 → diagonal, else anti-diagonal (mutually exclusive for
+    * any edge pixel: both "≤" branches together force gx = gy = 0).
+    * An edge survives iff mag ≥ mag(prev) AND mag > mag(next) along
+    * its direction, prev = the smaller-x (smaller-y for vertical)
+    * neighbor; neighbors without a Sobel value (outside the interior)
+    * count as −1 — a run of equals keeps exactly its last pixel.
+    * Returns (n_edges, n_thin, mag_max) — raw edges, survivors, max
+    * interior magnitude.
+    */
+  def nmsEdges(px: Array[Int], w: Int, h: Int): (Long, Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    @inline def g(xx: Int, yy: Int) = gray(yy * w + xx)
+    val gxs = new Array[Int](w * h)
+    val gys = new Array[Int](w * h)
+    val mag = new Array[Int](w * h)
+    java.util.Arrays.fill(mag, -1)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+        val gy = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+        val o = y * w + x
+        gxs(o) = gx; gys(o) = gy
+        mag(o) = math.abs(gx) + math.abs(gy)
+        x += 1
+      }
+      y += 1
+    }
+    @inline def m(xx: Int, yy: Int): Int =
+      if (xx < 1 || xx > w - 2 || yy < 1 || yy > h - 2) -1 else mag(yy * w + xx)
+    var nEdges = 0L; var nThin = 0L; var magMax = 0L
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val o = y * w + x
+        val mm = mag(o)
+        if (mm > magMax) magMax = mm
+        if (mm >= 300) {
+          nEdges += 1
+          val gx = gxs(o); val gy = gys(o)
+          val ax = math.abs(gx); val ay = math.abs(gy)
+          val (pm, nm) =
+            if (2 * ay <= ax) (m(x - 1, y), m(x + 1, y))
+            else if (2 * ax <= ay) (m(x, y - 1), m(x, y + 1))
+            else if (gx.toLong * gy > 0) (m(x - 1, y - 1), m(x + 1, y + 1))
+            else (m(x - 1, y + 1), m(x + 1, y - 1))
+          if (mm >= pm && mm > nm) nThin += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (nEdges, nThin, magMax)
+  }
+
+  /** (image_id, n_edges, n_thin, mag_max) per image ([[nmsEdges]]);
+    * narrow mapPartitions, no shuffle.
+    */
+  def nmsStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (ne, nt, mx) = nmsEdges(px, w, h)
+          (id, ne, nt, mx)
+        }
+      }
+      .toDF("image_id", "n_edges", "n_thin", "mag_max")
+  }
+
+  /** Minimum vertical seam (Avidan & Shamir 2007, the content-aware
+    * retargeting DP) for one image: energy e = |gx|+|gy| (Sobel L1) on
+    * the interior grid x ∈ [1, w−2], y ∈ [1, h−2]; top row seeds the
+    * DP, each next row adds min(E(x−1), E(x), E(x+1)) of the row above
+    * (clamped to the grid). Returns (cost of the cheapest seam, its
+    * bottom-row x — smallest on ties).
+    */
+  def minSeam(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    @inline def g(xx: Int, yy: Int) = gray(yy * w + xx)
+    @inline def energy(x: Int, y: Int): Long = {
+      val gx = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+        g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+      val gy = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+        g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+      (math.abs(gx) + math.abs(gy)).toLong
+    }
+    val lo = 1
+    val hi = w - 2
+    var prev = new Array[Long](w)
+    var cur = new Array[Long](w)
+    var x = lo
+    while (x <= hi) { prev(x) = energy(x, 1); x += 1 }
+    var y = 2
+    while (y <= h - 2) {
+      x = lo
+      while (x <= hi) {
+        var best = prev(x)
+        if (x > lo && prev(x - 1) < best) best = prev(x - 1)
+        if (x < hi && prev(x + 1) < best) best = prev(x + 1)
+        cur(x) = energy(x, y) + best
+        x += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    var bestCost = Long.MaxValue
+    var bestX = -1L
+    x = lo
+    while (x <= hi) {
+      if (prev(x) < bestCost) { bestCost = prev(x); bestX = x }
+      x += 1
+    }
+    (bestCost, bestX)
+  }
+
+  /** (image_id, seam_cost, seam_end_x) per image ([[minSeam]]);
+    * narrow mapPartitions, no shuffle.
+    */
+  def seamStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (c, sx) = minSeam(px, w, h)
+          (id, c, sx)
+        }
+      }
+      .toDF("image_id", "seam_cost", "seam_end_x")
+  }
 }
