@@ -2444,6 +2444,88 @@ object SparkEntry {
       graft.img.ImageOps.seamStats(s,
         graft.img.ImageTable.generate(s, 200, 8).toDF())),
 
+    // FAST-9 segment-test corners (Rosten & Drummond 2006) — per image
+    // the bright/dark corner counts: 16-pixel radius-3 Bresenham ring,
+    // corner iff ≥ 9 CONTIGUOUS circular ring pixels all > c+20 (or
+    // all < c−20); all-integer, disjoint classes (9+9 > 16). Narrow
+    // per-image kernel; the oracle enumerates the 16 arc starts and
+    // min-reduces each 9-pixel window.
+    "q215_fast_corners" -> ((s, _) =>
+      graft.img.ImageOps.fastStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // grouped ordinary least squares — per device the exact
+    // closed-form regression of daily event count on the epoch day:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    // (Σy·Σx² − Σx·Σxy) / same-denominator; emitted as the integer
+    // (num, den) pair so nothing rounds. Two hash aggregations
+    // (day rollup, then per-device sufficient statistics) — the
+    // million-device trend-fit shape with zero windows.
+    "q213_group_ols" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"))
+        .groupBy(col("user_id"), col("x")).agg(count(lit(1)).as("y"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_days") >= 2)
+        .select(col("user_id"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+    }),
+
+    // decision stump by the histogram method (the LightGBM binning
+    // strategy, made EXACT): feature n_chars bins to ≤ 256 fixed-width
+    // buckets in ONE hash aggregation, label = (lang = 'en'); the best
+    // split threshold maximizes Σ_side (p² + q²)/n — equivalently
+    // minimizes weighted Gini — compared as cross-multiplied
+    // DECIMAL(38,0) rationals over the ≤ 256-candidate set (the only
+    // window and the dominance anti-join both run on the metadata-
+    // sized histogram, never the corpus). Smallest threshold on ties.
+    "q214_stump" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hist = table(s, dir, "documents")
+        .select(least(expr("n_chars div 2"), lit(255L)).as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val tot = hist.agg(sum(col("c")).as("n"), sum(col("p")).as("pp"))
+      val wspec = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cand = hist
+        .select(col("bin"), sum(col("c")).over(wspec).as("nl"),
+          sum(col("p")).over(wspec).as("pl"))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n"))
+        .select(col("bin").as("t"), col("nl"), col("pl"),
+          (col("n") - col("nl")).as("nr"), (col("pp") - col("pl")).as("pr"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast(d38)
+      def scored(df: DataFrame, suffix: String): DataFrame = {
+        val a = dec(col("pl")) * dec(col("pl")) +
+          dec(col("nl") - col("pl")) * dec(col("nl") - col("pl"))
+        val b = dec(col("pr")) * dec(col("pr")) +
+          dec(col("nr") - col("pr")) * dec(col("nr") - col("pr"))
+        df.select(col("t").as(s"t$suffix"),
+          (a * dec(col("nr")) + b * dec(col("nl"))).as(s"snum$suffix"),
+          (dec(col("nl")) * dec(col("nr"))).as(s"sden$suffix"),
+          col("nl").as(s"nl$suffix"), col("pl").as(s"pl$suffix"),
+          col("nr").as(s"nr$suffix"), col("pr").as(s"pr$suffix"))
+      }
+      val sa = scored(cand, "")
+      val sb = scored(cand, "2")
+      sa.join(broadcast(sb),
+          col("snum2") * col("sden") > col("snum") * col("sden2") ||
+            (col("snum2") * col("sden") === col("snum") * col("sden2") &&
+              col("t2") < col("t")),
+          "left_anti")
+        .select(col("t"), col("nl"), col("pl"), col("nr"), col("pr"))
+    }),
+
     // binomial half-res pyramid level — 3×3 [1,2,1]² /16 smoothing
     // (floor, clamped borders) sampled at even (x,y): the anti-aliased
     // 2× downsample; exact integer sum + position checksum per image.
@@ -8157,6 +8239,84 @@ object SparkEntry {
          |  CAST(cost AS BIGINT) AS seam_cost, CAST(x AS BIGINT) AS seam_end_x
          |FROM win""".stripMargin
     },
+
+    // q215 — ring pixels via the 16-offset VALUES table, arc test via
+    // 16 starts × the 9-window membership ((k−s+16) % 16 ≤ 8), a min
+    // per (center, start), then existence per center; zero-corner
+    // images survive through the LEFT JOIN onto dims
+    "q215_fast_corners" ->
+      s"""WITH ${pixelChainCtes(200)},
+         |ringv AS MATERIALIZED (
+         |  SELECT c.i, c.x, c.y, o.k,
+         |    CASE WHEN r.g > c.g + 20 THEN 1 ELSE 0 END AS br,
+         |    CASE WHEN r.g < c.g - 20 THEN 1 ELSE 0 END AS dk
+         |  FROM px c
+         |  CROSS JOIN (VALUES (0, 0, -3), (1, 1, -3), (2, 2, -2), (3, 3, -1),
+         |    (4, 3, 0), (5, 3, 1), (6, 2, 2), (7, 1, 3), (8, 0, 3), (9, -1, 3),
+         |    (10, -2, 2), (11, -3, 1), (12, -3, 0), (13, -3, -1), (14, -2, -2),
+         |    (15, -1, -3)) o(k, dx, dy)
+         |  JOIN px r ON r.i = c.i AND r.x = c.x + o.dx AND r.y = c.y + o.dy
+         |  WHERE c.x BETWEEN 3 AND c.w-4 AND c.y BETWEEN 3 AND c.h-4),
+         |arcs AS (
+         |  SELECT v.i, v.x, v.y, s.s, min(v.br) AS allb, min(v.dk) AS alld
+         |  FROM ringv v CROSS JOIN (SELECT unnest(range(16)) AS s) s
+         |  WHERE (v.k - s.s + 16) % 16 <= 8
+         |  GROUP BY 1, 2, 3, 4),
+         |ctr AS (
+         |  SELECT i, x, y, max(allb) AS isb, max(alld) AS isd
+         |  FROM arcs GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT i, sum(isb) AS n_bright,
+         |    sum(CASE WHEN isb = 0 THEN isd ELSE 0 END) AS n_dark
+         |  FROM ctr GROUP BY 1)
+         |SELECT printf('img_%09d', CAST(d.i AS BIGINT)) AS image_id,
+         |  CAST(COALESCE(a.n_bright, 0) AS BIGINT) AS n_bright,
+         |  CAST(COALESCE(a.n_dark, 0) AS BIGINT) AS n_dark
+         |FROM dims d LEFT JOIN agg a ON a.i = d.i""".stripMargin,
+
+    // q213 — the same two-level rollup; slope/intercept share the
+    // denominator n·Σx² − (Σx)², so three integer numerators pin the
+    // whole fit
+    "q213_group_ols" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |  CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+        |  CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS BIGINT) AS icept_num
+        |FROM daily GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // q214 — identical histogram + cumsum + cross-multiplied dominance
+    // in HUGEINT; QUALIFY keeps splits with a nonempty right side
+    "q214_stump" ->
+      """WITH hist AS (
+        |  SELECT least(n_chars // 2, 255) AS bin, count(*) AS c,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, sum(p) AS pp FROM hist),
+        |cand AS (
+        |  SELECT bin AS t,
+        |    sum(c) OVER (ORDER BY bin) AS nl,
+        |    sum(p) OVER (ORDER BY bin) AS pl, n, pp
+        |  FROM hist CROSS JOIN tot
+        |  QUALIFY sum(c) OVER (ORDER BY bin) < n),
+        |sc AS (
+        |  SELECT t, nl, pl, n - nl AS nr, pp - pl AS pr,
+        |    (CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT) * (nl - pl)) * (n - nl)
+        |      + (CAST(pp - pl AS HUGEINT) * (pp - pl)
+        |         + CAST((n - nl) - (pp - pl) AS HUGEINT) * ((n - nl) - (pp - pl))) * nl AS snum,
+        |    CAST(nl AS HUGEINT) * (n - nl) AS sden
+        |  FROM cand)
+        |SELECT CAST(a.t AS BIGINT) AS t, CAST(a.nl AS BIGINT) AS nl,
+        |  CAST(a.pl AS BIGINT) AS pl, CAST(a.nr AS BIGINT) AS nr,
+        |  CAST(a.pr AS BIGINT) AS pr
+        |FROM sc a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sc b WHERE b.snum * a.sden > a.snum * b.sden
+        |    OR (b.snum * a.sden = a.snum * b.sden AND b.t < a.t))""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

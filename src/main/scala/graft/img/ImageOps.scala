@@ -1426,6 +1426,84 @@ object ImageOps {
     (bestCost, bestX)
   }
 
+  /** FAST-9 segment-test corners (Rosten & Drummond 2006) for one
+    * image, all-integer on the BT.601 floor grayscale: the 16-pixel
+    * Bresenham circle of radius 3; a center (valid when the whole
+    * circle is in range, x, y ∈ [3, w−4]×[3, h−4]) is a BRIGHT corner
+    * iff some contiguous circular arc of ≥ 9 ring pixels are all
+    * > c + 20, a DARK corner iff ≥ 9 contiguous are all < c − 20
+    * (9 + 9 > 16 makes the two classes disjoint). Returns
+    * (n_bright, n_dark).
+    */
+  private val fastRing: Array[(Int, Int)] = Array(
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3))
+
+  def fast9(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    var nBright = 0L
+    var nDark = 0L
+    val bright = new Array[Boolean](16)
+    val dark = new Array[Boolean](16)
+    var y = 3
+    while (y < h - 3) {
+      var x = 3
+      while (x < w - 3) {
+        val c = gray(y * w + x)
+        var i = 0
+        while (i < 16) {
+          val (dx, dy) = fastRing(i)
+          val r = gray((y + dy) * w + (x + dx))
+          bright(i) = r > c + 20
+          dark(i) = r < c - 20
+          i += 1
+        }
+        @inline def hasArc(a: Array[Boolean]): Boolean = {
+          var run = 0
+          var best = 0
+          var j = 0
+          while (j < 32) { // doubled scan covers circular wrap
+            if (a(j % 16)) { run += 1; if (run > best) best = run }
+            else run = 0
+            j += 1
+          }
+          best >= 9
+        }
+        if (hasArc(bright)) nBright += 1
+        else if (hasArc(dark)) nDark += 1
+        x += 1
+      }
+      y += 1
+    }
+    (nBright, nDark)
+  }
+
+  /** (image_id, n_bright, n_dark) per image ([[fast9]]); narrow
+    * mapPartitions, no shuffle.
+    */
+  def fastStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (nb, nd) = fast9(px, w, h)
+          (id, nb, nd)
+        }
+      }
+      .toDF("image_id", "n_bright", "n_dark")
+  }
+
   /** (image_id, seam_cost, seam_end_x) per image ([[minSeam]]);
     * narrow mapPartitions, no shuffle.
     */
