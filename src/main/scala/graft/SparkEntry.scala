@@ -2454,6 +2454,21 @@ object SparkEntry {
       graft.img.ImageOps.fastStats(s,
         graft.img.ImageTable.generate(s, 200, 8).toDF())),
 
+    // minimum-area oriented bounding rectangle per group, EXACT —
+    // rotating calipers made relational (Freeman–Shapira 1975: a side
+    // of the optimum is collinear with a hull edge, so the min over
+    // all extreme-point-pair directions attains it): q107's two-level
+    // hull, h²-pair candidate directions, integer projections, and the
+    // rational argmin as a decimal(38,0) cross-multiplied anti-join.
+    // Everything past the hull is hull-sized; |coord| ≤ 2^14 keeps
+    // every product exact in Long
+    "q216_oriented_mbr" -> ((s, dir) =>
+      graft.geom.Hull.orientedMbr(s,
+        table(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") % 4).as("grp"),
+            (abs(col("o_orderkey") * 9973 + 12345) % 32769 - 16384).as("x"),
+            (abs(col("o_orderkey") * 7919 + 54321) % 32769 - 16384).as("y")))),
+
     // grouped ordinary least squares — per device the exact
     // closed-form regression of daily event count on the epoch day:
     // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
@@ -8317,6 +8332,65 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM sc b WHERE b.snum * a.sden > a.snum * b.sden
         |    OR (b.snum * a.sden = a.snum * b.sden AND b.t < a.t))""".stripMargin,
+
+    // q216 — hull via q107's Carathéodory extreme-point test on the
+    // bounded fixture, then the same direction/extent/anti-join
+    // pipeline in HUGEINT; canonical row = smallest (area_den,
+    // area_num) among the exact-rational minima
+    "q216_oriented_mbr" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT o_orderkey % 4 AS grp,
+        |    abs(o_orderkey*9973+12345) % 32769 - 16384 AS x,
+        |    abs(o_orderkey*7919+54321) % 32769 - 16384 AS y
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |hull AS MATERIALIZED (
+        |SELECT g.grp, g.x, g.y FROM pts g
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts a, pts b, pts c
+        |  WHERE a.grp = g.grp AND b.grp = g.grp AND c.grp = g.grp
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |    AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+        |    AND NOT (a.x = g.x AND a.y = g.y) AND NOT (b.x = g.x AND b.y = g.y)
+        |    AND NOT (c.x = g.x AND c.y = g.y)
+        |    AND (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+        |    AND NOT (
+        |      (((b.x-a.x)*(g.y-a.y) - (b.y-a.y)*(g.x-a.x) < 0) OR
+        |       ((c.x-b.x)*(g.y-b.y) - (c.y-b.y)*(g.x-b.x) < 0) OR
+        |       ((a.x-c.x)*(g.y-c.y) - (a.y-c.y)*(g.x-c.x) < 0))
+        |      AND
+        |      (((b.x-a.x)*(g.y-a.y) - (b.y-a.y)*(g.x-a.x) > 0) OR
+        |       ((c.x-b.x)*(g.y-b.y) - (c.y-b.y)*(g.x-b.x) > 0) OR
+        |       ((a.x-c.x)*(g.y-c.y) - (a.y-c.y)*(g.x-c.x) > 0))))
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM pts a, pts b
+        |  WHERE a.grp = g.grp AND b.grp = g.grp
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |    AND NOT (a.x = g.x AND a.y = g.y) AND NOT (b.x = g.x AND b.y = g.y)
+        |    AND (b.x-a.x)*(g.y-a.y) = (b.y-a.y)*(g.x-a.x)
+        |    AND least(a.x,b.x) <= g.x AND g.x <= greatest(a.x,b.x)
+        |    AND least(a.y,b.y) <= g.y AND g.y <= greatest(a.y,b.y))),
+        |nh AS (SELECT grp, count(*) AS n_hull FROM hull GROUP BY 1),
+        |dirs AS (
+        |  SELECT DISTINCT a.grp, b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM hull a JOIN hull b ON b.grp = a.grp
+        |  WHERE a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+        |ext AS (
+        |  SELECT d.grp, d.dx*d.dx + d.dy*d.dy AS d,
+        |    (max(d.dx*h.x + d.dy*h.y) - min(d.dx*h.x + d.dy*h.y)) *
+        |    (max(d.dx*h.y - d.dy*h.x) - min(d.dx*h.y - d.dy*h.x)) AS n
+        |  FROM dirs d JOIN hull h ON h.grp = d.grp
+        |  GROUP BY 1, d.dx, d.dy),
+        |surv AS (
+        |  SELECT e.grp, e.d, e.n FROM ext e WHERE NOT EXISTS (
+        |    SELECT 1 FROM ext f WHERE f.grp = e.grp
+        |      AND CAST(f.n AS HUGEINT) * e.d < CAST(e.n AS HUGEINT) * f.d)),
+        |best AS (
+        |  SELECT grp, n, d,
+        |    row_number() OVER (PARTITION BY grp ORDER BY d, n) AS rn
+        |  FROM surv)
+        |SELECT b.grp, nh.n_hull, CAST(b.n AS BIGINT) AS area_num,
+        |  CAST(b.d AS BIGINT) AS area_den
+        |FROM best b JOIN nh USING (grp) WHERE rn = 1""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

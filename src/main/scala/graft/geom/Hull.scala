@@ -91,6 +91,82 @@ object Hull extends Serializable {
     * all-vertex-pairs oracle therefore cross-validates the hull
     * reduction itself.
     */
+  /** Per-group minimum-area oriented bounding rectangle, EXACT. Emits
+    * (grp, n_hull, area_num, area_den) with area = area_num/area_den
+    * (not reduced; canonical representative = the achieving direction
+    * with the lexicographically smallest (area_den, area_num), so the
+    * row is deterministic and a DuckDB oracle reproduces it verbatim).
+    *
+    * Method — rotating calipers made relational. The minimum-area
+    * enclosing rectangle has a side collinear with a hull edge
+    * (Freeman–Shapira 1975), so the global minimum over ALL directions
+    * equals the minimum over hull-edge directions; enumerating every
+    * ordered pair of EXTREME points is a superset of the hull edges and
+    * therefore attains the same minimum — no edge identification
+    * needed. For direction (dx,dy) from such a pair, project every hull
+    * point: dot = dx·x+dy·y (along), crs = dx·y−dy·x (normal); the
+    * rectangle area is Δdot·Δcrs/(dx²+dy²) — an exact integer rational.
+    * The argmin is an anti-join: direction e survives iff no direction
+    * f in the group has n_f·d_e < n_e·d_f (cross-multiplied in
+    * decimal(38,0) — exact, no floats anywhere).
+    *
+    * Scale shape: everything past [[extremePoints]] is hull-sized —
+    * h(h−1)/2 directions × h projections per group (h = O(log n)
+    * expected for random points), one hash exchange for the hull, and
+    * per-group-local joins after it.
+    *
+    * Exact-arithmetic bound: |coordinate| ≤ 2^14 (16384), checked —
+    * then |Δdot|, |Δcrs| ≤ 2^31, area_num ≤ 2^62 (Long-safe output),
+    * d ≤ 2^31, and the cross-comparison products ≤ 2^93 sit well inside
+    * decimal(38,0). Groups with a single distinct point (no direction
+    * pair) emit nothing; two collinear points emit area 0.
+    */
+  def orientedMbr(spark: SparkSession, points: DataFrame,
+      nSalt: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lim = 1L << 14
+    val checked = points.select(
+      col("grp").cast("long"),
+      when(abs(col("x").cast("long")) <= lim, col("x").cast("long"))
+        .otherwise(raise_error(concat(lit("orientedMbr: |x| > 2^14: "),
+          col("x").cast("string")))).as("x"),
+      when(abs(col("y").cast("long")) <= lim, col("y").cast("long"))
+        .otherwise(raise_error(concat(lit("orientedMbr: |y| > 2^14: "),
+          col("y").cast("string")))).as("y"))
+    val hull = extremePoints(spark, checked, nSalt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nh = hull.groupBy(col("grp")).agg(count(lit(1)).as("n_hull"))
+    val a = hull.select(col("grp"), col("x").as("ax"), col("y").as("ay"))
+    val b = hull.select(col("grp"), col("x").as("bx"), col("y").as("by"))
+    val dirs = a.join(b, Seq("grp"))
+      .filter(col("ax") < col("bx") ||
+        (col("ax") === col("bx") && col("ay") < col("by")))
+      .select(col("grp"), (col("bx") - col("ax")).as("dx"),
+        (col("by") - col("ay")).as("dy"))
+      .distinct()
+      .withColumn("d", col("dx") * col("dx") + col("dy") * col("dy"))
+    val ext = dirs.join(hull, Seq("grp"))
+      .withColumn("dot", col("dx") * col("x") + col("dy") * col("y"))
+      .withColumn("crs", col("dx") * col("y") - col("dy") * col("x"))
+      .groupBy(col("grp"), col("dx"), col("dy"), col("d"))
+      .agg((max(col("dot")) - min(col("dot"))).as("ddot"),
+        (max(col("crs")) - min(col("crs"))).as("dcrs"))
+      .withColumn("n", col("ddot") * col("dcrs"))
+      .select(col("grp"), col("d"), col("n"))
+    val dec = DecimalType(38, 0)
+    val better = ext.select(col("grp").as("fgrp"), col("d").as("fd"),
+      col("n").as("fn"))
+    val surv = ext.join(better,
+        col("grp") === col("fgrp") &&
+          col("fn").cast(dec) * col("d") < col("n").cast(dec) * col("fd"),
+        "left_anti")
+    surv.groupBy(col("grp"))
+      .agg(min(struct(col("d"), col("n"))).as("m"))
+      .select(col("grp"), col("m.n").as("area_num"), col("m.d").as("area_den"))
+      .join(nh, Seq("grp"))
+      .select(col("grp"), col("n_hull"), col("area_num"), col("area_den"))
+  }
+
   def diameter2(spark: SparkSession, points: DataFrame,
       nSalt: Int = 16): DataFrame = {
     val hull = extremePoints(spark, points, nSalt)

@@ -55,6 +55,69 @@ class HullSpec extends AnyFunSuite {
     assert(got1 == want)
   }
 
+  test("orientedMbr: axis-aligned rectangle, canonical (den, num) rep") {
+    // 4x3 rectangle + interior noise: min area 12, canonical direction
+    // is the shorter side (0,3): d = 9, n = 9*12 = 108
+    val df = Seq((0L, 0L, 0L), (0L, 4L, 0L), (0L, 4L, 3L), (0L, 0L, 3L),
+      (0L, 2L, 1L), (0L, 1L, 2L)).toDF("grp", "x", "y")
+    val got = Hull.orientedMbr(spark, df, nSalt = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 108L, 9L)))
+    assert(108.0 / 9.0 == 12.0)
+  }
+
+  test("orientedMbr: rotated square beats the axis-aligned box") {
+    // square rotated 45 deg, side sqrt(2): true min area 2 at direction
+    // (1,1) or (1,-1) (d=2, n=4); the axis-aligned box would be 4
+    val df = Seq((7L, 0L, 0L), (7L, 1L, 1L), (7L, 2L, 0L), (7L, 1L, -1L))
+      .toDF("grp", "x", "y")
+    val got = Hull.orientedMbr(spark, df, nSalt = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 4L, 4L, 2L)))
+  }
+
+  test("orientedMbr: collinear group has area 0; singleton emits nothing") {
+    val df = Seq((1L, 0L, 0L), (1L, 3L, 3L), (1L, 6L, 6L), (2L, 5L, 5L))
+      .toDF("grp", "x", "y")
+    val got = Hull.orientedMbr(spark, df, nSalt = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 72L))) // dir (6,6): d=72, dcrs=0
+  }
+
+  test("orientedMbr: matches brute-force rational min over all pair directions") {
+    def mix(i: Long) = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 27)
+    }
+    val rows = (0 until 240).map { i =>
+      (i % 3L, math.abs(mix(i)) % 32769L - 16384L,
+        math.abs(mix(i * 13 + 5)) % 32769L - 16384L)
+    }
+    val got = Hull.orientedMbr(spark, rows.toDF("grp", "x", "y"), nSalt = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, (t._2, t._3, t._4))).toMap
+    val want = rows.groupBy(_._1).map { case (g, ps) =>
+      val hull = Hull.chain(ps.map(t => (t._2, t._3)).toArray)
+      val dirs = for {
+        a <- hull; b <- hull
+        if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      } yield (b._1 - a._1, b._2 - a._2)
+      val cands = dirs.distinct.map { case (dx, dy) =>
+        val dots = hull.map(p => dx * p._1 + dy * p._2)
+        val crss = hull.map(p => dx * p._2 - dy * p._1)
+        val n = (dots.max - dots.min) * (crss.max - crss.min)
+        (BigInt(n), BigInt(dx * dx + dy * dy))
+      }
+      // exact rational min with BigInt cross-compare, then (d, n) tiebreak
+      val best = cands.filter { case (n, d) =>
+        cands.forall { case (n2, d2) => n2 * d >= n * d2 } }
+        .map { case (n, d) => (d.toLong, n.toLong) }.min
+      (g, (hull.length.toLong, best._2, best._1))
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
   test("extremePoints: out-of-range coordinate fails loudly") {
     val df = Seq((0L, 1L << 32, 5L)).toDF("grp", "x", "y")
     val e = intercept[Exception](Hull.extremePoints(spark, df).collect())
