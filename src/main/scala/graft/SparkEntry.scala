@@ -2469,6 +2469,49 @@ object SparkEntry {
             (abs(col("o_orderkey") * 9973 + 12345) % 32769 - 16384).as("x"),
             (abs(col("o_orderkey") * 7919 + 54321) % 32769 - 16384).as("y")))),
 
+    // per-node eccentricity + graph radius/diameter classification —
+    // ONE multi-origin level-synchronous BFS (q209's engine), then the
+    // max-hop rollup and a broadcast of the single-row global
+    // (radius, diameter) to flag center/periphery nodes. 5-community
+    // fixture so the hub-chain diameter is non-trivial.
+    "q217_eccentricity" -> ((s, _) => {
+      val ecc = graft.graph.Bfs.allPairsHops(s,
+          communityEdgesDF(s, 80, 16)
+            .select(col("src").as("rel_a"), col("dst").as("rel_b")))
+        .groupBy(col("origin"))
+        .agg(max(col("hops")).as("ecc"), count(lit(1)).as("n_reached"))
+      val g = ecc.agg(min(col("ecc")).as("r"), max(col("ecc")).as("d"))
+      ecc.crossJoin(broadcast(g))
+        .select(col("origin").as("id"), col("ecc"), col("n_reached"),
+          (col("ecc") === col("r")).cast("int").as("is_center"),
+          (col("ecc") === col("d")).cast("int").as("is_periphery"))
+    }),
+
+    // stress centrality (Shimbel 1953) — number of shortest paths
+    // THROUGH each node, integer-exact: one batched Brandes forward
+    // pass carrying σ path counts (Bfs.allPairsSigma), then a
+    // three-way equi-self-join where legs (s→v), (v→t) meet on v and
+    // the (s→t) row supplies the d(s,v)+d(v,t)=d(s,t) test. Bounded-
+    // community operator by contract (all-pairs state is O(V²)).
+    "q218_stress" -> ((s, _) =>
+      graft.graph.Centrality.stress(s,
+        communityEdgesDF(s, 60, 20)
+          .select(col("src").as("rel_a"), col("dst").as("rel_b")))),
+
+    // Newman–Girvan modularity of the LPA assignment, EXACT — per
+    // community (intra edges, degree mass) and its contribution to Q
+    // as the integer 4·m·L_c − D_c² over the shared denominator 4m²;
+    // two label-keyed hash aggregations + one broadcast single-row m.
+    // Composes q208's deterministic majority-vote labels with the
+    // quality score that validates them.
+    "q219_modularity" -> ((s, _) => {
+      val edges = communityEdgesDF(s, 100, 20)
+      graft.graph.Centrality.modularity(s,
+        graft.graph.LabelProp.propagate(s, s.range(0, 100).toDF("id"),
+          edges, 3),
+        edges)
+    }),
+
     // grouped ordinary least squares — per device the exact
     // closed-form regression of daily event count on the epoch day:
     // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
@@ -8391,6 +8434,88 @@ object SparkEntry {
         |SELECT b.grp, nh.n_hull, CAST(b.n AS BIGINT) AS area_num,
         |  CAST(b.d AS BIGINT) AS area_den
         |FROM best b JOIN nh USING (grp) WHERE rn = 1""".stripMargin,
+
+    // q217 — q209's bounded-hop reachability fixpoint, rolled up to the
+    // per-origin max; radius/diameter flags from the one-row global
+    "q217_eccentricity" ->
+      s"""WITH RECURSIVE ${communityEdgesSql(80, 16)},
+         |walk(origin, id, hops) AS (
+         |  SELECT i, i, CAST(0 AS BIGINT) FROM ids
+         |  UNION
+         |  SELECT w.origin, d.dst, w.hops + 1 FROM walk w
+         |  JOIN dir d ON d.src = w.id WHERE w.hops < 16),
+         |md AS (SELECT origin, id, min(hops) AS hops FROM walk GROUP BY 1, 2),
+         |ecc AS (SELECT origin AS id, max(hops) AS ecc, count(*) AS n_reached
+         |  FROM md GROUP BY 1),
+         |g AS (SELECT min(ecc) AS r, max(ecc) AS d FROM ecc)
+         |SELECT e.id, e.ecc, e.n_reached,
+         |  CAST(e.ecc = g.r AS INT) AS is_center,
+         |  CAST(e.ecc = g.d AS INT) AS is_periphery
+         |FROM ecc e CROSS JOIN g""".stripMargin,
+
+    // q218 — the σ-carrying BFS unrolled level by level (aggregation
+    // inside a recursive CTE is illegal, so each level is its own CTE:
+    // d_k = first-reached nodes with σ = Σ over d_{k-1} predecessors;
+    // fixture diameter is 4, 6 levels leave two provably-empty tails),
+    // then the same three-way join and per-node rollup as the engine
+    "q218_stress" -> {
+      def level(k: Int): String =
+        s"""d$k AS (
+           |  SELECT w.origin, e.dst AS id, CAST($k AS BIGINT) AS hops,
+           |    CAST(sum(w.sigma) AS BIGINT) AS sigma
+           |  FROM d${k - 1} w JOIN dir e ON e.src = w.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+           |    WHERE v.origin = w.origin AND v.id = e.dst)
+           |  GROUP BY 1, 2),
+           |v$k AS (SELECT * FROM v${k - 1} UNION ALL SELECT * FROM d$k)""".stripMargin
+      s"""WITH ${communityEdgesSql(60, 20)},
+         |d0 AS (SELECT i AS origin, i AS id, CAST(0 AS BIGINT) AS hops,
+         |  CAST(1 AS BIGINT) AS sigma FROM ids),
+         |v0 AS (SELECT * FROM d0),
+         |${(1 to 6).map(level).mkString(",\n")},
+         |p AS (
+         |  SELECT a.id AS v, a.sigma * b.sigma AS c
+         |  FROM v6 a
+         |  JOIN v6 b ON b.origin = a.id
+         |  JOIN v6 st ON st.origin = a.origin AND st.id = b.id
+         |  WHERE a.origin < b.id AND a.id <> a.origin AND a.id <> b.id
+         |    AND a.hops + b.hops = st.hops)
+         |SELECT n.i AS id, CAST(coalesce(sum(p.c), 0) AS BIGINT) AS stress
+         |FROM ids n LEFT JOIN p ON p.v = n.i GROUP BY 1""".stripMargin
+    },
+
+    // q219 — q208's three unrolled LPA rounds feed the modularity
+    // rollup: und = canonical undirected edge set, L_c / D_c per label,
+    // contribution 4·m·L_c − D_c² over the constant 4m²
+    "q219_modularity" -> {
+      def round(prev: String, cur: String): String =
+        s"""n$cur AS (SELECT d.src AS id, l.lab FROM dir d JOIN l$prev l ON l.id = d.dst),
+           |c$cur AS (SELECT id, lab, count(*) AS cnt FROM n$cur GROUP BY 1, 2),
+           |l$cur AS (SELECT c.id, c.lab FROM c$cur c WHERE NOT EXISTS (
+           |  SELECT 1 FROM c$cur d WHERE d.id = c.id AND
+           |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.lab < c.lab))))""".stripMargin
+      s"""WITH ${communityEdgesSql(100, 20)},
+         |l0 AS (SELECT i AS id, i AS lab FROM ids),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |lab AS (SELECT id, lab AS label FROM l3),
+         |el AS (SELECT la.label AS la, lb.label AS lb
+         |  FROM und u JOIN lab la ON la.id = u.a JOIN lab lb ON lb.id = u.b),
+         |intra AS (SELECT la AS label, count(*) AS l_in FROM el WHERE la = lb GROUP BY 1),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |  SELECT a AS id FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
+         |byl AS (SELECT l.label, count(*) AS n_nodes,
+         |    CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS d_tot
+         |  FROM lab l LEFT JOIN deg d ON d.id = l.id GROUP BY 1)
+         |SELECT b.label, b.n_nodes, CAST(coalesce(i.l_in, 0) AS BIGINT) AS l_in,
+         |  b.d_tot,
+         |  CAST(4 * mm.m * coalesce(i.l_in, 0) - b.d_tot * b.d_tot AS BIGINT) AS contrib_num,
+         |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+         |FROM byl b LEFT JOIN intra i ON i.label = b.label CROSS JOIN mm""".stripMargin
+    },
 
     "q22_quality" ->
       """SELECT doc_id,

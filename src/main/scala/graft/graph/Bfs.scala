@@ -103,6 +103,75 @@ object Bfs {
     * Returns (src, id, hops) for every ordered reachable pair,
     * including (v, v, 0).
     */
+  /** All-pairs hop distance AND shortest-path counts — the forward pass
+    * of Brandes' betweenness algorithm run for every origin at once as
+    * ONE level-synchronous loop over (origin, node) state rows. The BFS
+    * invariant extends to counts: when round r first reaches `id`, its
+    * σ(origin, id) is the sum of σ over ALL its distance-(r−1)
+    * predecessors, and the frontier is exactly the distance-(r−1) set
+    * with final σ values — so one (origin, dst) sum-aggregation per
+    * round computes the counts exactly (Brandes 2001, eq. for σ).
+    * Per round: one equi-join + one hash aggregation + one anti-join.
+    * Same O(V²) state caveat and eager localCheckpoint discipline as
+    * [[allPairsHops]] — a bounded-community operator.
+    *
+    * Returns (origin, id, hops, sigma) for every ordered reachable
+    * pair, with σ(v, v) = 1.
+    */
+  def allPairsSigma(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("rel_a").cast("long").as("src"),
+      col("rel_b").cast("long").as("dst"))
+    val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(lvl)
+    val nodes = dir.select(col("src").as("id")).distinct()
+    var dist = nodes.select(col("id").as("origin"), col("id"))
+      .withColumn("hops", lit(0L))
+      .withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      // sum BEFORE the anti-join: candidates that are really at
+      // distance < r get a (wrong) sum too, but the anti-join discards
+      // them; survivors are exactly the distance-r nodes, whose
+      // predecessors all sit in the frontier — their sum is final
+      val next = frontier.join(dir.withColumnRenamed("src", "cur"),
+          frontier("id") === col("cur"))
+        .groupBy(col("origin"), col("dst").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(dist.select(col("origin"), col("id")), Seq("origin", "id"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
+        .select(col("origin"), col("id"), col("hops"), col("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        next.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        dir.unpersist()
+        throw new IllegalStateException(
+          s"Bfs.allPairsSigma did not converge within $maxRounds rounds")
+      } else {
+        val acc = dist.unionByName(next).localCheckpoint(true)
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = acc
+        frontier = next
+        round += 1
+      }
+    }
+    dir.unpersist()
+    dist
+  }
+
   def allPairsHops(spark: SparkSession, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
