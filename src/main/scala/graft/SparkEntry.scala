@@ -296,6 +296,16 @@ object SparkEntry {
        |  JOIN px se ON se.i = p.i AND se.x = p.x+1 AND se.y = p.y+1
        |  WHERE p.x BETWEEN 1 AND p.w-2 AND p.y BETWEEN 1 AND p.h-2)""".stripMargin
 
+  /** Daily event-count series per device, (user_id, x = epoch day,
+    * y = count) — the shared prep of the q213/q220–q223 series battery.
+    */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"))
+      .groupBy(col("user_id"), col("x")).agg(count(lit(1)).as("y"))
+
   /** Planted community graph for q208/q209: communities of `cs`
     * consecutive nodes — intra-community ring (+1), chord (+2), and a
     * hub star to the community's first node — chained by hub→hub
@@ -2486,6 +2496,45 @@ object SparkEntry {
           (col("ecc") === col("r")).cast("int").as("is_center"),
           (col("ecc") === col("d")).cast("int").as("is_periphery"))
     }),
+
+    // per-device lag-1 autocorrelation sufficient statistics over the
+    // daily event-count series (q213's prep) — exact Pearson pieces
+    // (n·Σab − ΣaΣb and the two variance factors) so nothing square-
+    // roots; one bounded window lag + one hash aggregation.
+    "q220_lag_autocorr" -> ((s, dir) =>
+      graft.stats.Series.lagAutocorr(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // exact CUSUM changepoint per device — argmax_k |n·S_k − k·S_n|
+    // (the no-division form of the mean-shift statistic), ties to the
+    // smallest k; prefix sums via a series-bounded window, argmax via
+    // one struct-max aggregation.
+    "q221_changepoint" -> ((s, dir) =>
+      graft.stats.Series.cusumChangepoint(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // Mann–Whitney rank-sum per device: weekend vs weekday daily
+    // counts, midranks kept DOUBLED so ties stay integer-exact; the
+    // weekend flag is pure epoch-day arithmetic ((x+4)%7 ∈ {0,6}) so
+    // Spark and the oracle share no calendar library.
+    "q222_ranksum" -> ((s, dir) =>
+      graft.stats.Series.rankSumU(
+          dailyCounts(s, dir)
+            .select(col("user_id").as("grp"),
+              ((col("x") + 4) % 7).isin(0L, 6L).cast("long").as("side"),
+              col("y").as("v")))
+        .withColumnRenamed("grp", "user_id")),
+
+    // Kendall concordance counts per device between day and daily
+    // count — the τ_b pieces (nc, nd, y-ties) as exact integers over
+    // the bounded per-series pair join; the monotone-trend test that
+    // complements q213's parametric OLS.
+    "q223_kendall" -> ((s, dir) =>
+      graft.stats.Series.kendallTau(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
 
     // stress centrality (Shimbel 1953) — number of shortest paths
     // THROUGH each node, integer-exact: one batched Brandes forward
@@ -8516,6 +8565,90 @@ object SparkEntry {
          |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
          |FROM byl b LEFT JOIN intra i ON i.label = b.label CROSS JOIN mm""".stripMargin
     },
+
+    // q220 — row-lag pairs via lead() over the day order, then the
+    // Pearson sufficient statistics
+    "q220_lag_autocorr" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, y AS a,
+        |    lead(y) OVER (PARTITION BY user_id ORDER BY x) AS b
+        |  FROM daily)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  CAST(count(*) * sum(a*b) - sum(a) * sum(b) AS BIGINT) AS r_num,
+        |  CAST(count(*) * sum(a*a) - sum(a) * sum(a) AS BIGINT) AS da,
+        |  CAST(count(*) * sum(b*b) - sum(b) * sum(b) AS BIGINT) AS db
+        |FROM p WHERE b IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q221 — prefix sums + the integer mean-shift statistic; argmax as
+    // the dominance NOT EXISTS with smallest-k ties, matching struct-max
+    "q221_changepoint" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT user_id, x, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x) AS BIGINT) AS k,
+        |    sum(y) OVER (PARTITION BY user_id ORDER BY x) AS s
+        |  FROM daily),
+        |tot AS (SELECT user_id, count(*) AS n, sum(y) AS s_total
+        |  FROM daily GROUP BY 1),
+        |cand AS (SELECT p.user_id, p.x, p.k,
+        |    abs(t.n * p.s - p.k * t.s_total) AS stat, t.n, t.s_total
+        |  FROM pre p JOIN tot t USING (user_id) WHERE p.k < t.n)
+        |SELECT c.user_id, c.x AS split_x, c.k AS split_k,
+        |  CAST(c.stat AS BIGINT) AS stat, c.n,
+        |  CAST(c.s_total AS BIGINT) AS s_total
+        |FROM cand c WHERE NOT EXISTS (
+        |  SELECT 1 FROM cand d WHERE d.user_id = c.user_id AND
+        |    (d.stat > c.stat OR (d.stat = c.stat AND d.k < c.k)))""".stripMargin,
+
+    // q222 — doubled midranks (minrank + maxrank) over the distinct
+    // value list; weekend = (epoch day + 4) % 7 ∈ {0, 6}, calendar-free
+    "q222_ranksum" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sided AS (SELECT user_id,
+        |    CASE WHEN (x + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS side,
+        |    y AS v FROM daily),
+        |byv AS (SELECT user_id, v, count(*) AS c, sum(side) AS c1
+        |  FROM sided GROUP BY 1, 2),
+        |rk AS (SELECT user_id, c, c1,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum
+        |  FROM byv)
+        |SELECT user_id, CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c - c1) AS BIGINT) AS n2,
+        |  CAST(sum(c1 * (2*cum - c + 1)) AS BIGINT) AS r1_x2,
+        |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
+        |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    // q223 — all day-ordered pairs within a device; x is unique by
+    // construction (daily grain), so the engine's duplicate guard is 0
+    "q223_kendall" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS n FROM daily GROUP BY 1),
+        |g AS (SELECT a.user_id,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS t_y
+        |  FROM daily a JOIN daily b
+        |    ON b.user_id = a.user_id AND a.x < b.x
+        |  GROUP BY 1)
+        |SELECT n.user_id, n.n, coalesce(g.nc, 0) AS nc,
+        |  coalesce(g.nd, 0) AS nd, coalesce(g.t_y, 0) AS t_y
+        |FROM n LEFT JOIN g USING (user_id)""".stripMargin,
 
     "q22_quality" ->
       """SELECT doc_id,

@@ -1,0 +1,140 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group time-series and robust-rank statistics, INTEGER-EXACT —
+  * the per-device/per-document battery a telemetry or curation pipeline
+  * runs at millions-of-groups scale. Every operator here emits exact
+  * integer sufficient statistics (numerators, cross-multiplied
+  * denominators, doubled rank sums) instead of floats, so each is
+  * DuckDB-oracle-able bit-for-bit and composes with downstream rational
+  * comparisons.
+  *
+  * Scale shape: one hash aggregation keyed by group plus, where a
+  * window is unavoidable, a window over the per-group SERIES — bounded
+  * by the series length (days per device), never by corpus size. The
+  * pair-join operator ([[kendallTau]]) is quadratic in series length by
+  * definition and documented as such. Nothing here windows over an
+  * unbounded partition or collects to the driver.
+  */
+object Series {
+
+  private def grouped(df: DataFrame): DataFrame =
+    df.select(col("grp").cast("long").as("grp"), col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"))
+
+  /** Lag-k autocorrelation sufficient statistics per group: pairs are
+    * (y_t, y_{t+k}) over the series in x order (row lag, so calendar
+    * gaps don't produce NULL pairs). Emits (grp, n_pairs, r_num, da,
+    * db) with r = r_num / sqrt(da·db): r_num = n·Σab − Σa·Σb,
+    * da = n·Σa² − (Σa)², db likewise — the Pearson pieces kept apart so
+    * nothing takes a square root. Groups with ≤ k observations emit
+    * nothing.
+    */
+  def lagAutocorr(df: DataFrame, k: Int = 1): DataFrame = {
+    require(k >= 1, s"lag k=$k must be >= 1")
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    grouped(df)
+      .withColumn("b", lead(col("y"), k).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("y") * col("b")).as("sab"),
+        sum(col("y") * col("y")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      .select(col("grp"), col("n_pairs"),
+        (col("n_pairs") * col("sab") - col("sa") * col("sb")).as("r_num"),
+        (col("n_pairs") * col("saa") - col("sa") * col("sa")).as("da"),
+        (col("n_pairs") * col("sbb") - col("sb") * col("sb")).as("db"))
+  }
+
+  /** CUSUM changepoint per group, exact: over the series in x order
+    * with prefix sums S_k, the split k ∈ [1, n) maximizing
+    * |n·S_k − k·S_n| (the integer form of max_k |S_k − (k/n)·S_n| —
+    * same argmax, no division). Ties break to the SMALLEST k. Emits
+    * (grp, split_x, split_k, stat, n, s_total); single-observation
+    * groups have no interior split and emit nothing.
+    */
+  def cusumChangepoint(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val pre = g.withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("y")).over(w))
+    val tot = g.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s_total"))
+    pre.join(tot, Seq("grp"))
+      .filter(col("k") < col("n"))
+      .select(col("grp"), col("n"), col("s_total"),
+        abs(col("n") * col("s") - col("k") * col("s_total")).as("stat"),
+        col("k"), col("x"))
+      .groupBy(col("grp"))
+      .agg(max(struct(col("stat"), (-col("k")).as("nk"), col("x").as("sx"),
+        col("n").as("nn"), col("s_total").as("st"))).as("m"))
+      .select(col("grp"), col("m.sx").as("split_x"), (-col("m.nk")).as("split_k"),
+        col("m.stat").as("stat"), col("m.nn").as("n"), col("m.st").as("s_total"))
+  }
+
+  /** Mann–Whitney rank-sum sufficient statistics per group, exact with
+    * ties: input is (grp, side ∈ {0,1}, v); midranks are kept DOUBLED
+    * (2·midrank = minrank + maxrank, always an integer). Emits
+    * (grp, n1, n2, r1_x2, u1_x2) where r1_x2 = 2·R₁ (doubled rank sum
+    * of side 1) and u1_x2 = 2·U₁ = 2·n₁·n₂ + n₁(n₁+1) − r1_x2. One
+    * (grp, v) aggregation then a window over the DISTINCT-value list —
+    * bounded by the value cardinality per group.
+    */
+  def rankSumU(df: DataFrame): DataFrame = {
+    val g = df.select(col("grp").cast("long").as("grp"),
+      col("side").cast("long").as("side"), col("v").cast("long").as("v"))
+    val byv = g.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("side")).as("c1"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val ranked = byv.withColumn("cum", sum(col("c")).over(w))
+      // 2·midrank of a tie run ending at cumulative count `cum` with
+      // run length c: (cum - c + 1) + cum
+      .withColumn("rank2", lit(2L) * col("cum") - col("c") + 1L)
+    ranked.groupBy(col("grp"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * col("rank2")).as("r1_x2"))
+      .select(col("grp"), col("n1"), col("n2"), col("r1_x2"),
+        (lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1L) -
+          col("r1_x2")).as("u1_x2"))
+  }
+
+  /** Kendall concordance counts per group, exact: over all unordered
+    * observation pairs taken in x order (x must be UNIQUE within a
+    * group — pre-aggregate first; enforced by a loud in-plan check),
+    * counts concordant (y strictly rises), discordant (strictly falls),
+    * and y-ties. τ_b's pieces without any square root: emits
+    * (grp, n, nc, nd, t_y). Quadratic in series length by definition —
+    * a bounded-series operator.
+    */
+  def kendallTau(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    // duplicate-x guard folded INTO the preserved aggregate (count vs
+    // countDistinct) — a guard on the null-producing side of a join can
+    // be skipped wholesale by AQE empty-relation propagation
+    val n = g.groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("x")).as("ndx"))
+      .select(col("grp"),
+        when(col("cnt") === col("ndx"), col("cnt"))
+          .otherwise(raise_error(concat(
+            lit("kendallTau: duplicate x within group "),
+            col("grp").cast("string"))).cast("long")).as("n"))
+    val a = g.select(col("grp"), col("x").as("xa"), col("y").as("ya"))
+    val b = g.select(col("grp"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, Seq("grp")).filter(col("xa") < col("xb"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("yb") > col("ya"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("yb") < col("ya"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("yb") === col("ya"), 1L).otherwise(0L)).as("t_y"))
+    // left join from n: singleton groups emit (n = 1, 0, 0, 0)
+    n.join(pairs, Seq("grp"), "left")
+      .select(col("grp"), col("n"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("t_y"), lit(0L)).as("t_y"))
+  }
+}

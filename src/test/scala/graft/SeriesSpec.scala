@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stats.Series
+
+/** The series battery against closed forms and sequential brute force:
+  * autocorrelation pieces, the CUSUM argmax with its tie rule, doubled
+  * midranks under ties, and Kendall pair counts.
+  */
+class SeriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("lagAutocorr: perfectly linear series has r_num^2 = da*db (r = 1)") {
+    val df = (0L until 6L).map(i => (1L, i, 2 * i + 3)).toDF("grp", "x", "y")
+    val got = Series.lagAutocorr(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == 1)
+    val (_, n, rn, da, db) = got.head
+    assert(n == 5 && rn > 0 && rn * rn == da * db)
+  }
+
+  test("lagAutocorr: alternating series is perfectly anti-correlated at lag 1") {
+    val ys = Seq(0L, 10L, 0L, 10L, 0L, 10L)
+    val df = ys.zipWithIndex.map { case (y, i) => (2L, i.toLong, y) }
+      .toDF("grp", "x", "y")
+    val Seq((_, n, rn, da, db)) = Series.lagAutocorr(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(n == 5 && rn < 0 && rn * rn == da * db)
+    // and lag 2 is perfectly positive
+    val Seq((_, n2, rn2, da2, db2)) = Series.lagAutocorr(df, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(n2 == 4 && rn2 > 0 && rn2 * rn2 == da2 * db2)
+    // short group (<= k points) emits nothing
+    assert(Series.lagAutocorr(Seq((9L, 0L, 5L)).toDF("grp", "x", "y"))
+      .count() == 0)
+  }
+
+  test("cusumChangepoint: step series splits at the step; ties take smallest k") {
+    // 4 zeros then 4 tens: S_n = 40, n = 8; stat_k = |8 S_k - 40 k|
+    // k=4: |0 - 160| = 160 is the max, at day x = 13
+    val df = (0L until 8L).map(i => (1L, 10L + i, if (i < 4) 0L else 10L))
+      .toDF("grp", "x", "y")
+    val got = Series.cusumChangepoint(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 13L, 4L, 160L, 8L, 40L)))
+    // constant series: every stat is 0, tie -> k = 1
+    val const = (0L until 5L).map(i => (2L, i, 7L)).toDF("grp", "x", "y")
+    val g2 = Series.cusumChangepoint(const)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((2L, 0L, 1L, 0L, 5L, 35L)))
+    // single observation: no interior split
+    assert(Series.cusumChangepoint(Seq((3L, 0L, 1L)).toDF("grp", "x", "y"))
+      .count() == 0)
+  }
+
+  test("cusumChangepoint: random series equals sequential argmax") {
+    val rnd = new scala.util.Random(11L)
+    val rows = for (g <- 0L until 4L; i <- 0L until 30L)
+      yield (g, i, rnd.nextInt(20).toLong)
+    val got = Series.cusumChangepoint(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val n = ys.length.toLong
+      val sn = ys.sum
+      val cands = ys.scanLeft(0L)(_ + _).tail.zipWithIndex.init.map {
+        case (s, i) => (math.abs(n * s - (i + 1) * sn), (i + 1).toLong)
+      }
+      val best = cands.maxBy(c => (c._1, -c._2))
+      g -> (best._2 - 1, best._2, best._1) // x = k-1 here since x = 0..29
+    }
+    assert(got == want)
+  }
+
+  test("rankSumU: textbook no-tie case and doubled midranks under ties") {
+    // side1 = {1, 4, 5}, side0 = {2, 3}: ranks of side1 = 1, 4, 5,
+    // R1 = 10, U1 = n1 n2 + n1(n1+1)/2 - R1 = 6 + 6 - 10 = 2
+    val df = Seq((1L, 1L, 1L), (1L, 0L, 2L), (1L, 0L, 3L), (1L, 1L, 4L),
+      (1L, 1L, 5L)).toDF("grp", "side", "v")
+    val got = Series.rankSumU(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 20L, 4L)))
+    // ties: side1 = {3, 3}, side0 = {3}: all midrank 2 -> R1 = 4,
+    // U1 = 2*1 + 3 - 4 = 1 (doubled: r1_x2 = 8, u1_x2 = 2)
+    val t = Seq((2L, 1L, 3L), (2L, 1L, 3L), (2L, 0L, 3L)).toDF("grp", "side", "v")
+    assert(Series.rankSumU(t)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 1L, 8L, 2L)))
+  }
+
+  test("rankSumU: U1 + U2 = n1*n2 on random data (doubled: sums to 2 n1 n2)") {
+    val rnd = new scala.util.Random(3L)
+    val rows = (0 until 200).map(i =>
+      (i % 3L, rnd.nextInt(2).toLong, rnd.nextInt(12).toLong))
+    val got = Series.rankSumU(rows.toDF("grp", "side", "v"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (_, n1, n2, r1x2, u1x2) =>
+      // U2 = n1 n2 - U1; also recompute R1 doubled by brute force
+      assert(u1x2 == 2 * n1 * n2 + n1 * (n1 + 1) - r1x2)
+      assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2)
+    }
+    // brute midranks
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted
+      def rank2(v: Long): Long =
+        (sorted.indexOf(v) + 1).toLong + sorted.lastIndexOf(v) + 1
+      g -> rs.filter(_._2 == 1).map(r => rank2(r._3)).sum
+    }
+    assert(got.map(t => t._1 -> t._4).toMap == want)
+  }
+
+  test("kendallTau: monotone series is all-concordant; duplicate x fails loudly") {
+    val up = (0L until 6L).map(i => (1L, i, i * i)).toDF("grp", "x", "y")
+    assert(Series.kendallTau(up)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 6L, 15L, 0L, 0L)))
+    val down = (0L until 5L).map(i => (2L, i, 10L - i)).toDF("grp", "x", "y")
+    assert(Series.kendallTau(down)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 5L, 0L, 10L, 0L)))
+    val dup = Seq((3L, 1L, 1L), (3L, 1L, 2L)).toDF("grp", "x", "y")
+    val e = intercept[Exception](Series.kendallTau(dup).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("kendallTau: nc + nd + t_y = n(n-1)/2 and matches brute force") {
+    val rnd = new scala.util.Random(5L)
+    val rows = for (g <- 0L until 3L; i <- 0L until 25L)
+      yield (g, i, rnd.nextInt(6).toLong)
+    val got = Series.kendallTau(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val ps = for (i <- ys.indices; j <- ys.indices if i < j)
+        yield math.signum(ys(j) - ys(i))
+      g -> (ys.length.toLong, ps.count(_ > 0).toLong,
+        ps.count(_ < 0).toLong, ps.count(_ == 0).toLong)
+    }
+    assert(got == want)
+    got.values.foreach { case (n, nc, nd, ty) =>
+      assert(nc + nd + ty == n * (n - 1) / 2)
+    }
+  }
+}
