@@ -2497,6 +2497,31 @@ object SparkEntry {
           (col("ecc") === col("d")).cast("int").as("is_periphery"))
     }),
 
+    // exact bridge detection — every edge tested in ONE batched
+    // per-edge-masked BFS (origins retire the round their far endpoint
+    // is reached, so cycle edges stop after ~girth rounds); fixture =
+    // the cycle-rich community graph plus a planted pendant path whose
+    // 3 edges are the provable bridges (with the 3 hub-hub bridges).
+    "q224_bridges" -> ((s, _) => {
+      val extra = s.range(0, 3)
+        .select((col("id") + 1000).as("src"),
+          when(col("id") === 0, 0L).otherwise(col("id") + 999).as("dst"))
+      graft.graph.Centrality.bridges(s,
+        communityEdgesDF(s, 40, 10).unionByName(extra))
+    }),
+
+    // degree assortativity per community, exact Pearson pieces over
+    // (deg(src), deg(dst)) across directed intra-community edge
+    // instances — hub-star communities read disassortative (num < 0);
+    // composes q208's LPA labels like q219.
+    "q225_assortativity" -> ((s, _) => {
+      val edges = communityEdgesDF(s, 100, 20)
+      graft.graph.Centrality.assortativity(s,
+        graft.graph.LabelProp.propagate(s, s.range(0, 100).toDF("id"),
+          edges, 3),
+        edges)
+    }),
+
     // per-device lag-1 autocorrelation sufficient statistics over the
     // daily event-count series (q213's prep) — exact Pearson pieces
     // (n·Σab − ΣaΣb and the two variance factors) so nothing square-
@@ -8564,6 +8589,59 @@ object SparkEntry {
          |  CAST(4 * mm.m * coalesce(i.l_in, 0) - b.d_tot * b.d_tot AS BIGINT) AS contrib_num,
          |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
          |FROM byl b LEFT JOIN intra i ON i.label = b.label CROSS JOIN mm""".stripMargin
+    },
+
+    // q224 — reachability-under-edge-removal as a recursive CTE whose
+    // rows carry the masked edge; bridge = far endpoint never appears
+    "q224_bridges" ->
+      s"""WITH RECURSIVE ${communityEdgesSql(40, 10)},
+         |e1 AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT * FROM (VALUES (1000, 0), (1001, 1000), (1002, 1001)) v(src, dst)),
+         |dir2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1) u
+         |  WHERE src <> dst),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir2),
+         |walk(a, b, id) AS (
+         |  SELECT a, b, a FROM und
+         |  UNION
+         |  SELECT w.a, w.b, d.dst FROM walk w JOIN dir2 d ON d.src = w.id
+         |  WHERE NOT ((d.src = w.a AND d.dst = w.b) OR (d.src = w.b AND d.dst = w.a)))
+         |SELECT u.a AS src, u.b AS dst,
+         |  CASE WHEN EXISTS (SELECT 1 FROM walk w
+         |    WHERE w.a = u.a AND w.b = u.b AND w.id = u.b) THEN 0 ELSE 1 END AS is_bridge
+         |FROM und u""".stripMargin,
+
+    // q225 — q208's three unrolled LPA rounds, then the edge-instance
+    // degree-pair sufficient statistics within each community subgraph
+    "q225_assortativity" -> {
+      def round(prev: String, cur: String): String =
+        s"""n$cur AS (SELECT d.src AS id, l.lab FROM dir d JOIN l$prev l ON l.id = d.dst),
+           |c$cur AS (SELECT id, lab, count(*) AS cnt FROM n$cur GROUP BY 1, 2),
+           |l$cur AS (SELECT c.id, c.lab FROM c$cur c WHERE NOT EXISTS (
+           |  SELECT 1 FROM c$cur d WHERE d.id = c.id AND
+           |    (d.cnt > c.cnt OR (d.cnt = c.cnt AND d.lab < c.lab))))""".stripMargin
+      s"""WITH ${communityEdgesSql(100, 20)},
+         |l0 AS (SELECT i AS id, i AS lab FROM ids),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir),
+         |lab AS (SELECT id, lab AS label FROM l3),
+         |intra AS (SELECT la.label, u.a, u.b FROM und u
+         |  JOIN lab la ON la.id = u.a JOIN lab lb ON lb.id = u.b
+         |  WHERE la.label = lb.label),
+         |dire AS (SELECT label, a AS s, d FROM (
+         |  SELECT label, a, b AS d FROM intra
+         |  UNION ALL SELECT label, b AS a, a AS d FROM intra) q),
+         |deg AS (SELECT label, s AS n, count(*) AS deg FROM dire GROUP BY 1, 2),
+         |wd AS (SELECT e.label, dj.deg AS dj, dk.deg AS dk FROM dire e
+         |  JOIN deg dj ON dj.label = e.label AND dj.n = e.s
+         |  JOIN deg dk ON dk.label = e.label AND dk.n = e.d)
+         |SELECT label, count(*) AS m_dir,
+         |  CAST(count(*) * sum(dj*dk) - sum(dj) * sum(dk) AS BIGINT) AS num,
+         |  CAST(count(*) * sum(dj*dj) - sum(dj) * sum(dj) AS BIGINT) AS da,
+         |  CAST(count(*) * sum(dk*dk) - sum(dk) * sum(dk) AS BIGINT) AS db
+         |FROM wd GROUP BY 1""".stripMargin
     },
 
     // q220 — row-lag pairs via lead() over the day order, then the

@@ -56,6 +56,127 @@ object Centrality {
     out
   }
 
+  /** Exact bridge detection — an edge {a, b} is a bridge iff b is
+    * unreachable from a once the edge itself is masked. Every edge is
+    * tested in ONE batched level-synchronous BFS over (a, b, node)
+    * state rows: the frontier joins the directed edge view with the
+    * origin's own edge excluded by the join predicate, and an origin
+    * retires early the round its b is reached (so cycle-rich regions
+    * stop paying after ~girth rounds; only true bridges run to their
+    * component's diameter). Same plan-growth discipline as
+    * [[Bfs.hops]]. Returns (src, dst, is_bridge ∈ {0,1}) with
+    * src < dst canonical.
+    *
+    * State is Σ_e |component(e)| worst case — like the other all-pairs
+    * operators this is for bounded components, not the raw web graph
+    * (where you'd run it per 2-edge-connected candidate region).
+    */
+  def bridges(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 256): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(lvl)
+    val dir = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+      .persist(lvl)
+    var dist = und.select(col("a"), col("b"), col("a").as("id"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      val step = frontier.join(dir,
+          frontier("id") === dir("s") &&
+            !(col("a") === col("s") && col("b") === col("d")) &&
+            !(col("a") === col("d") && col("b") === col("s")))
+        .select(col("a"), col("b"), col("d").as("id")).distinct()
+        .join(dist, Seq("a", "b", "id"), "left_anti")
+        .localCheckpoint(true)
+      // retire origins whose far endpoint was just reached — nothing
+      // further from them can change the verdict
+      val reachedB = step.filter(col("id") === col("b"))
+        .select(col("a"), col("b"))
+      val next = step.join(reachedB, Seq("a", "b"), "left_anti")
+        .localCheckpoint(true)
+      val acc = dist.unionByName(step).localCheckpoint(true)
+      step.unpersist()
+      dist.unpersist()
+      if (frontier ne dist) frontier.unpersist()
+      dist = acc
+      if (next.isEmpty) {
+        next.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        next.unpersist()
+        dist.unpersist()
+        dir.unpersist()
+        und.unpersist()
+        throw new IllegalStateException(
+          s"Centrality.bridges did not converge within $maxRounds rounds")
+      } else {
+        frontier = next
+        round += 1
+      }
+    }
+    val reached = dist.filter(col("id") === col("b"))
+      .select(col("a"), col("b"), lit(0).as("is_bridge"))
+    val out = und.join(reached.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), lit(1).as("is_bridge"))
+      .unionByName(reached)
+      .select(col("a").as("src"), col("b").as("dst"), col("is_bridge"))
+    dir.unpersist()
+    out
+  }
+
+  /** Degree assortativity per community, EXACT — over each label's
+    * intra-community subgraph the Pearson sufficient statistics of
+    * (deg(src), deg(dst)) across directed edge instances (both
+    * orientations, the standard convention): emits (label, m_dir, num,
+    * da, db) with r = num / sqrt(da·db), num = M·Σjk − Σj·Σk and the
+    * two variance factors — no square root taken. Degrees are computed
+    * WITHIN the subgraph. Two label-keyed hash aggregations + two
+    * node-keyed joins; nothing quadratic.
+    */
+  def assortativity(spark: SparkSession, labels: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val intra = und
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .select(col("la").as("label"), col("a"), col("b"))
+    val dirE = intra.select(col("label"), col("a").as("s"), col("b").as("d"))
+      .union(intra.select(col("label"), col("b").as("s"), col("a").as("d")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = dirE.groupBy(col("label"), col("s").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    val withDegs = dirE
+      .join(deg.select(col("label"), col("n").as("s"), col("deg").as("dj")),
+        Seq("label", "s"))
+      .join(deg.select(col("label"), col("n").as("d"), col("deg").as("dk")),
+        Seq("label", "d"))
+    withDegs.groupBy(col("label"))
+      .agg(count(lit(1)).as("m_dir"),
+        sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj") * col("dj")).as("sjj"),
+        sum(col("dk") * col("dk")).as("skk"))
+      .select(col("label"), col("m_dir"),
+        (col("m_dir") * col("sjk") - col("sj") * col("sk")).as("num"),
+        (col("m_dir") * col("sjj") - col("sj") * col("sj")).as("da"),
+        (col("m_dir") * col("skk") - col("sk") * col("sk")).as("db"))
+  }
+
   /** Newman–Girvan modularity of a community assignment, EXACT — per
     * community the sufficient statistics and its contribution to Q as
     * an integer numerator over the shared denominator 4m²:

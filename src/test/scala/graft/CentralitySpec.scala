@@ -116,6 +116,93 @@ class CentralitySpec extends AnyFunSuite {
     assert(got == Seq((0L, 4L, 5L, 10L, 0L, 100L)))
   }
 
+  private def bridgesOf(edges: Seq[(Long, Long)]): Map[(Long, Long), Int] =
+    Centrality.bridges(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+
+  /** Sequential ground truth: edge is a bridge iff removing it
+    * disconnects its endpoints.
+    */
+  private def bruteBridges(edges: Seq[(Long, Long)]): Map[(Long, Long), Int] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    und.map { e =>
+      val rest = und.filterNot(_ == e).flatMap(x => Seq(x, x.swap))
+      val adj = rest.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+      var seen = Set(e._1)
+      var frontier = Seq(e._1)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filterNot(seen).distinct
+        seen ++= nxt
+        frontier = nxt
+      }
+      e -> (if (seen(e._2)) 0 else 1)
+    }.toMap
+  }
+
+  test("bridges: path is all bridges, cycle none, pendant on cycle only the pendant") {
+    val path = (0L until 5L).map(i => (i, i + 1))
+    assert(bridgesOf(path).values.forall(_ == 1))
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(bridgesOf(cycle).values.forall(_ == 0))
+    val withPendant = cycle :+ (0L, 99L)
+    val got = bridgesOf(withPendant)
+    assert(got((0L, 99L)) == 1 && got.count(_._2 == 1) == 1)
+  }
+
+  test("bridges: two cliques joined by one edge find exactly that edge") {
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val edges = clique(0L to 3L) ++ clique(10L to 13L) :+ (3L, 10L)
+    val got = bridgesOf(edges)
+    assert(got((3L, 10L)) == 1 && got.count(_._2 == 1) == 1)
+  }
+
+  test("bridges: random graph equals sequential removal test; reversed dups collapse") {
+    val rnd = new scala.util.Random(13L)
+    val edges = (0 until 40).map(_ =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .filter(e => e._1 != e._2)
+    assert(bridgesOf(edges ++ edges.map(_.swap)) == bruteBridges(edges))
+  }
+
+  test("assortativity: star is perfectly disassortative; regular graph degenerates to 0") {
+    // star: center 0, leaves 1..4, all one community
+    val star = (1L to 4L).map(i => (0L, i))
+    val labs = (0L to 4L).map(i => (i, 0L))
+    val Seq((_, m, num, da, db)) =
+      Centrality.assortativity(spark, labs.toDF("id", "label"),
+          star.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == 8 && num < 0 && num * num == da * db) // r = -1 exactly
+    // 5-cycle: all degrees 2 -> zero variance, num = da = db = 0
+    val cyc = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val labc = (0L until 5L).map(i => (i, 0L))
+    val Seq((_, mc, numc, dac, dbc)) =
+      Centrality.assortativity(spark, labc.toDF("id", "label"),
+          cyc.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(mc == 10 && numc == 0 && dac == 0 && dbc == 0)
+  }
+
+  test("assortativity: cross-community edges are excluded and degrees are subgraph-local") {
+    // community 0: path 0-1-2 (plus an edge to community 1 that must
+    // not count); community 1: single edge 10-11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 10L), (10L, 11L))
+    val labs = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
+    val got = Centrality.assortativity(spark, labs.toDF("id", "label"),
+        edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    // community 0 subgraph: path 0-1-2, degrees 1,2,1; 4 directed
+    // instances with (dj,dk) = (1,2),(2,1),(2,1),(1,2):
+    // sj=sk=6, sjk=8, sjj=skk=10 -> num=4*8-36=-4, da=db=40-36=4
+    assert(got(0L) == (4L, -4L, 4L, 4L))
+    // community 1: single edge, degrees 1,1 -> all zero variance
+    assert(got(1L) == (2L, 0L, 0L, 0L))
+  }
+
   test("modularity: duplicate and reversed edges collapse to one undirected edge") {
     val edges = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L))
     val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L))
