@@ -2522,6 +2522,24 @@ object SparkEntry {
         edges)
     }),
 
+    // exact template matching — the fixed 4×4 gray template slid over
+    // every anchor, integer-SSD argmin with row-major ties: the
+    // where-is-the-patch primitive (logo/watermark localization) as a
+    // narrow per-image kernel, oracled against the full relational
+    // slide in DuckDB.
+    "q226_template_match" -> ((s, _) =>
+      graft.img.ImageOps.templateStats(s,
+        graft.img.ImageTable.generate(s, 200, 8).toDF())),
+
+    // integer autocorrelation pitch detection THROUGH the real FLAC
+    // codec — argmax_L Σ s_k·s_{k+L} over L ∈ [220, 320], smallest lag
+    // on ties; the clips are closed-form triangle waves, so the oracle
+    // recomputes the argmax from the synth arithmetic and any codec
+    // bit-slip moves it. Narrow per-clip kernel.
+    "q227_pitch" -> ((s, _) =>
+      graft.img.Multimodal.pitchFeatures(s,
+        graft.img.Multimodal.synthAudioFlac(s, 100), 220, 320)),
+
     // per-device lag-1 autocorrelation sufficient statistics over the
     // daily event-count series (q213's prep) — exact Pearson pieces
     // (n·Σab − ΣaΣb and the two variance factors) so nothing square-
@@ -8643,6 +8661,60 @@ object SparkEntry {
          |  CAST(count(*) * sum(dk*dk) - sum(dk) * sum(dk) AS BIGINT) AS db
          |FROM wd GROUP BY 1""".stripMargin
     },
+
+    // q226 — the 4×4 slide done relationally: anchors × template cells
+    // joined back to the pixel chain, SSD per anchor, argmin via the
+    // dominance NOT EXISTS with row-major ties
+    "q226_template_match" ->
+      s"""WITH ${pixelChainCtes(200)},
+         |t AS (SELECT a.dx, b.dy, (37 * a.dx + 53 * b.dy) % 256 AS v
+         |  FROM (SELECT unnest(range(4)) AS dx) a
+         |  CROSS JOIN (SELECT unnest(range(4)) AS dy) b),
+         |anch AS (SELECT i, x, y FROM px WHERE x <= w - 4 AND y <= h - 4),
+         |ssd AS (
+         |  SELECT a.i, a.x, a.y, sum((p.g - t.v) * (p.g - t.v)) AS ssd
+         |  FROM anch a CROSS JOIN t
+         |  JOIN px p ON p.i = a.i AND p.x = a.x + t.dx AND p.y = a.y + t.dy
+         |  GROUP BY 1, 2, 3)
+         |SELECT printf('img_%09d', CAST(s.i AS BIGINT)) AS image_id,
+         |  CAST(s.x AS INT) AS best_x, CAST(s.y AS INT) AS best_y,
+         |  CAST(s.ssd AS BIGINT) AS ssd
+         |FROM ssd s WHERE NOT EXISTS (
+         |  SELECT 1 FROM ssd u WHERE u.i = s.i AND
+         |    (u.ssd < s.ssd OR (u.ssd = s.ssd AND
+         |      (u.y < s.y OR (u.y = s.y AND u.x < s.x)))))""".stripMargin,
+
+    // q227 — q62's closed-form triangle-wave synth (the FLAC fixture is
+    // lossless, so decode ≡ synth), every candidate lag joined against
+    // the shifted stream, argmax with smallest-lag ties
+    "q227_pitch" ->
+      s"""WITH ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range(0, 100)),
+         |${splitmixChain("fl", Seq("i"), "ids", "i")},
+         |${splitmixChain("fp", Seq("i"), "ids", "(i * 3::HUGEINT + 1::HUGEINT)")},
+         |${splitmixChain("fa", Seq("i"), "ids", "(i * 3::HUGEINT + 2::HUGEINT)")},
+         |params AS (
+         |  SELECT fl3.i AS i,
+         |    512 + CAST(fl3.z & 255::HUGEINT AS INT) AS len,
+         |    256 + CAST(fp3.z & 511::HUGEINT AS INT) AS period,
+         |    4000 + CAST(fa3.z & 8191::HUGEINT AS INT) AS amp
+         |  FROM fl3 JOIN fp3 ON fp3.i = fl3.i JOIN fa3 ON fa3.i = fl3.i),
+         |ks AS (SELECT i, len, period, amp, unnest(range(len)) AS k FROM params),
+         |samples AS (
+         |  SELECT i, len, k,
+         |    (2 * least(k % period, period - (k % period)) * amp) // period - amp // 2 AS s
+         |  FROM ks),
+         |lags AS (SELECT unnest(range(220, 321)) AS lag),
+         |r AS (
+         |  SELECT a.i, l.lag, CAST(sum(a.s * b.s) AS BIGINT) AS r
+         |  FROM samples a CROSS JOIN lags l
+         |  JOIN samples b ON b.i = a.i AND b.k = a.k + l.lag
+         |  GROUP BY 1, 2)
+         |SELECT printf('aud_%09d', CAST(r.i AS BIGINT)) AS audio_id,
+         |  CAST(r.lag AS INT) AS best_lag, r.r AS r_max, p.len AS n_samples
+         |FROM r JOIN params p ON p.i = r.i
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM r u WHERE u.i = r.i AND
+         |    (u.r > r.r OR (u.r = r.r AND u.lag < r.lag)))""".stripMargin,
 
     // q220 — row-lag pairs via lead() over the day order, then the
     // Pearson sufficient statistics

@@ -1522,4 +1522,68 @@ object ImageOps {
       }
       .toDF("image_id", "seam_cost", "seam_end_x")
   }
+
+  /** Exact template matching for one image: slide the fixed 4×4 gray
+    * template t(dx, dy) = (37·dx + 53·dy) mod 256 over every anchor
+    * (x0 ≤ w−4, y0 ≤ h−4) and return the integer-SSD argmin as
+    * (best_x, best_y, ssd), ties to the smallest (y, x) in row-major
+    * order. All arithmetic is integer — gray ∈ [0,255], 16 terms of
+    * ≤ 255² each, SSD ≤ 2^20 — so the argmin is oracle-exact.
+    */
+  def templateMatch(px: Array[Int], w: Int, h: Int): (Int, Int, Long) = {
+    val gray = new Array[Int](w * h)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+        (p & 255) * 114) / 1000
+      k += 1
+    }
+    var bestX = 0
+    var bestY = 0
+    var bestSsd = Long.MaxValue
+    var y0 = 0
+    while (y0 <= h - 4) {
+      var x0 = 0
+      while (x0 <= w - 4) {
+        var ssd = 0L
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) {
+            val d = gray((y0 + dy) * w + (x0 + dx)) - (37 * dx + 53 * dy) % 256
+            ssd += (d * d).toLong
+            dx += 1
+          }
+          dy += 1
+        }
+        // strict < in (y outer, x inner) scan order keeps the smallest
+        // (y, x) on ties
+        if (ssd < bestSsd) { bestSsd = ssd; bestX = x0; bestY = y0 }
+        x0 += 1
+      }
+      y0 += 1
+    }
+    (bestX, bestY, bestSsd)
+  }
+
+  /** (image_id, best_x, best_y, ssd) per image ([[templateMatch]]);
+    * narrow mapPartitions, no shuffle — the classic where-is-the-patch
+    * search made exact.
+    */
+  def templateStats(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val (bx, by, ssd) = templateMatch(px, w, h)
+          (id, bx, by, ssd)
+        }
+      }
+      .toDF("image_id", "best_x", "best_y", "ssd")
+  }
 }

@@ -434,6 +434,48 @@ object Multimodal {
     }
   }
 
+  /** Integer autocorrelation pitch detection — per clip the lag
+    * L ∈ [loLag, hiLag] maximizing R(L) = Σ_k s_k·s_{k+L} (k up to
+    * len−1−L), ties to the SMALLEST lag; all-integer so the argmax is
+    * oracle-exact (|s| < 2^15, len < 2^10 ⇒ |R| < 2^41). Decodes
+    * through the same real codecs as [[audioFeatures]] — on the FLAC
+    * triangle-wave clips the detected lag is the synth period whenever
+    * the period lies in range, so any codec bit-slip moves the argmax.
+    * Narrow per-clip kernel, no shuffle. Emits
+    * (audio_id, best_lag, r_max, n_samples).
+    */
+  def pitchFeatures(spark: SparkSession, audio: Dataset[AudioRow],
+      loLag: Int, hiLag: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(0 < loLag && loLag <= hiLag, s"bad lag range [$loLag, $hiLag]")
+    audio.mapPartitions { it =>
+      it.map { a =>
+        val pcm = a.fmt match {
+          case "wav" => Wav.decode(a.bytes)._1
+          case "wav_adpcm" => Adpcm.decodeWav(a.bytes)._1
+          case "flac" => Flac.decode(a.bytes)._1
+          case _ => decodeAudioStub(a.bytes)
+        }
+        var bestLag = loLag
+        var bestR = Long.MinValue
+        var lag = loLag
+        while (lag <= hiLag) {
+          var r = 0L
+          var k = 0
+          val n = pcm.length - lag
+          while (k < n) {
+            r += pcm(k).toLong * pcm(k + lag)
+            k += 1
+          }
+          // strict > keeps the smallest lag on ties (ascending scan)
+          if (r > bestR) { bestR = r; bestLag = lag }
+          lag += 1
+        }
+        (a.audio_id, bestLag, bestR, pcm.length)
+      }
+    }.toDF("audio_id", "best_lag", "r_max", "n_samples")
+  }
+
   /** Minimal RIFF AVI container — a REAL, player-openable video format
     * needing zero external libraries — with TWO codecs:
     *

@@ -416,4 +416,31 @@ class ImageOpsSpec extends AnyFunSuite {
       assert(t >= 0 && t < 255) // synthetic gradients always split
     }
   }
+
+  test("templateMatch: planted exact patch is found with ssd 0; ties row-major") {
+    // 10x8 flat image with the exact template written at (5, 3)
+    val w = 10; val h = 8
+    val px = Array.fill(w * h)(0xFFFFFF) // gray 255 everywhere else
+    for (dy <- 0 until 4; dx <- 0 until 4) {
+      val v = (37 * dx + 53 * dy) % 256
+      px((3 + dy) * w + (5 + dx)) = (v << 16) | (v << 8) | v
+    }
+    // BT.601 of (v,v,v) is (v*299+v*587+v*114)/1000 = v exactly
+    assert(ImageOps.templateMatch(px, w, h) == ((5, 3, 0L)))
+    // uniform image: every anchor has the same ssd -> smallest (y, x)
+    val flat = Array.fill(w * h)(0x808080)
+    assert(ImageOps.templateMatch(flat, w, h)._1 == 0)
+    assert(ImageOps.templateMatch(flat, w, h)._2 == 0)
+  }
+
+  test("templateStats over decoded bytes equals templateMatch over raw pixels") {
+    val spark = SparkTestSession.spark
+    val got = ImageOps.templateStats(spark, ImageTable.generate(spark, 6, 2).toDF())
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    for (i <- 0L until 6L) {
+      val (px, w, h) = img(i)
+      assert(got(f"img_$i%09d") == ImageOps.templateMatch(px, w, h))
+    }
+  }
 }

@@ -188,4 +188,37 @@ class MultimodalSpec extends AnyFunSuite {
         assert(p(f) >= 100L, s"i=$i frame $f peak ${p(f)}")
     }
   }
+
+  test("pitchFeatures: argmax equals brute force over the decoded FLAC stream") {
+    import graft.img.{Flac, Multimodal}
+    val clips = Multimodal.synthAudioFlac(spark, 8)
+    val raw = clips.collect().map(a => a.audio_id -> Flac.decode(a.bytes)._1).toMap
+    val got = Multimodal.pitchFeatures(spark, clips, 220, 320)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.size == 8)
+    raw.foreach { case (id, pcm) =>
+      var bestLag = 220; var bestR = Long.MinValue
+      for (lag <- 220 to 320) {
+        var r = 0L
+        for (k <- 0 until pcm.length - lag) r += pcm(k).toLong * pcm(k + lag)
+        if (r > bestR) { bestR = r; bestLag = lag }
+      }
+      assert(got(id) == ((bestLag, bestR, pcm.length)), id)
+    }
+  }
+
+  test("pitchFeatures: a pure square wave with period in range detects exactly it") {
+    import graft.img.Multimodal
+    // period 250, len 1000: R(L) is maximized at L = 250 (full alignment)
+    val period = 250
+    val pcm = Array.tabulate[Short](1000)(k =>
+      if (k % period < period / 2) 8000.toShort else (-8000).toShort)
+    val row = Multimodal.AudioRow("sq_0", Multimodal.Wav.encode(pcm, 16000), 16000,
+      pcm.length, "wav", "square")
+    import spark.implicits._
+    val got = Multimodal.pitchFeatures(spark, Seq(row).toDS(), 220, 320)
+      .collect().head
+    assert(got.getInt(1) == period && got.getLong(2) > 0)
+  }
 }
