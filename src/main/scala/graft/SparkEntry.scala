@@ -2570,6 +2570,31 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // exact median absolute deviation per device — both medians are
+    // rank-⌈n/2⌉ (lower-median) selections so everything stays
+    // integer; the robust-dispersion partner of q47's percentiles.
+    "q228_mad" -> ((s, dir) =>
+      graft.stats.Series.mad(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // Wald–Wolfowitz runs test counts per device — sign against the
+    // lower median (zeros dropped), maximal same-sign runs over the
+    // day order; the randomness screen for telemetry streams.
+    "q229_runs_test" -> ((s, dir) =>
+      graft.stats.Series.runsTest(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // Spearman rank correlation pieces per device — doubled midranks
+    // on both variables (x unique at daily grain, y midranked under
+    // ties), then the integer Pearson pieces over the rank pairs; the
+    // non-parametric sibling of q213's OLS and q223's Kendall.
+    "q230_spearman" -> ((s, dir) =>
+      graft.stats.Series.spearman(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
     // Kendall concordance counts per device between day and daily
     // count — the τ_b pieces (nc, nd, y-ties) as exact integers over
     // the bounded per-series pair join; the monotone-trend test that
@@ -8778,6 +8803,82 @@ object SparkEntry {
         |  CAST(sum(c1 * (2*cum - c + 1)) AS BIGINT) AS r1_x2,
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    // q228 — both lower medians as row_number-rank selections with the
+    // same (value, x) tie order as the engine's window
+    "q228_mad" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS n FROM daily GROUP BY 1),
+        |r1 AS (SELECT user_id, x, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY y, x) AS BIGINT) AS rn
+        |  FROM daily),
+        |med AS (SELECT r1.user_id, n.n, r1.y AS med
+        |  FROM r1 JOIN n USING (user_id) WHERE r1.rn = (n.n + 1) // 2),
+        |dev AS (SELECT d.user_id, d.x, abs(d.y - m.med) AS dd
+        |  FROM daily d JOIN med m USING (user_id)),
+        |r2 AS (SELECT user_id, dd,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY dd, x) AS BIGINT) AS rn
+        |  FROM dev),
+        |madt AS (SELECT r2.user_id, r2.dd AS mad
+        |  FROM r2 JOIN n USING (user_id) WHERE r2.rn = (n.n + 1) // 2)
+        |SELECT m.user_id, m.n, CAST(m.med AS BIGINT) AS med,
+        |  CAST(a.mad AS BIGINT) AS mad
+        |FROM med m JOIN madt a USING (user_id)""".stripMargin,
+
+    // q229 — sign vs the lower median, zeros dropped, runs counted as
+    // sign transitions (+1 for the first row) over the day order
+    "q229_runs_test" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS n FROM daily GROUP BY 1),
+        |r1 AS (SELECT user_id, x, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY y, x) AS BIGINT) AS rn
+        |  FROM daily),
+        |med AS (SELECT r1.user_id, r1.y AS med
+        |  FROM r1 JOIN n USING (user_id) WHERE r1.rn = (n.n + 1) // 2),
+        |sg AS (SELECT d.user_id, d.x,
+        |    CASE WHEN d.y > m.med THEN 1 ELSE -1 END AS s
+        |  FROM daily d JOIN med m USING (user_id) WHERE d.y <> m.med),
+        |lg AS (SELECT user_id, s,
+        |    lag(s) OVER (PARTITION BY user_id ORDER BY x) AS ps
+        |  FROM sg),
+        |agg AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN ps IS NULL OR ps <> s THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM lg GROUP BY 1)
+        |SELECT m.user_id, coalesce(a.n_pos, 0) AS n_pos,
+        |  coalesce(a.n_neg, 0) AS n_neg, coalesce(a.n_runs, 0) AS n_runs
+        |FROM med m LEFT JOIN agg a USING (user_id)""".stripMargin,
+
+    // q230 — doubled midranks (2·row_number on the unique day axis;
+    // minrank+maxrank on the tied counts), then the Pearson pieces
+    "q230_spearman" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |byv AS (SELECT user_id, y, count(*) AS c FROM daily GROUP BY 1, 2),
+        |yr AS (SELECT user_id, y,
+        |    2 * sum(c) OVER (PARTITION BY user_id ORDER BY y) - c + 1 AS ry2
+        |  FROM byv),
+        |rk AS (SELECT d.user_id,
+        |    2 * CAST(row_number() OVER (PARTITION BY d.user_id ORDER BY d.x, d.y) AS BIGINT) AS rx2,
+        |    r.ry2
+        |  FROM daily d JOIN yr r ON r.user_id = d.user_id AND r.y = d.y)
+        |SELECT user_id, count(*) AS n,
+        |  CAST(count(*) * sum(rx2*ry2) - sum(rx2) * sum(ry2) AS BIGINT) AS num,
+        |  CAST(count(*) * sum(rx2*rx2) - sum(rx2) * sum(rx2) AS BIGINT) AS da,
+        |  CAST(count(*) * sum(ry2*ry2) - sum(ry2) * sum(ry2) AS BIGINT) AS db
         |FROM rk GROUP BY 1""".stripMargin,
 
     // q223 — all day-ordered pairs within a device; x is unique by

@@ -77,6 +77,96 @@ object Series {
         col("m.stat").as("stat"), col("m.nn").as("n"), col("m.st").as("s_total"))
   }
 
+  /** Per-group lower median of y — the value at rank ⌈n/2⌉ in y order
+    * (row_number over (y, x) keeps the rank deterministic under ties;
+    * the VALUE at the rank is tie-invariant). Series-bounded window.
+    */
+  private def lowerMedian(g: DataFrame, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col(valueCol), col("x"))
+    val n = g.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    g.withColumn("rn", row_number().over(w).cast("long"))
+      .join(n, Seq("grp"))
+      // integer div — Column./ on longs is DOUBLE division and would
+      // make even-n ranks (n+1)/2 = k.5 match nothing
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("grp"), col("n"), col(valueCol).as("med"))
+  }
+
+  /** Median absolute deviation per group, EXACT — med = lower median of
+    * y, mad = lower median of |y − med|; both medians are rank-⌈n/2⌉
+    * selections, so everything stays integer (no midpoint averaging).
+    * Emits (grp, n, med, mad). Two series-bounded windows + one
+    * broadcast-sized median join.
+    */
+  def mad(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val m1 = lowerMedian(g, "y")
+    val dev = g.join(m1.select(col("grp"), col("med")), Seq("grp"))
+      .select(col("grp"), col("x"), abs(col("y") - col("med")).as("d"))
+    val m2 = lowerMedian(dev, "d")
+      .select(col("grp"), col("med").as("mad"))
+    m1.join(m2, Seq("grp"))
+      .select(col("grp"), col("n"), col("med"), col("mad"))
+  }
+
+  /** Wald–Wolfowitz runs test counts per group, EXACT: sign each
+    * observation against the lower median of its group (+1 above, −1
+    * below, zeros DROPPED per the classic prescription), then count
+    * maximal same-sign runs over the x order. Emits (grp, n_pos,
+    * n_neg, n_runs); groups whose values all equal the median emit
+    * (0, 0, 0). One median + one series-bounded lag window.
+    */
+  def runsTest(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val med = lowerMedian(g, "y").select(col("grp"), col("med"))
+    val signed = g.join(med, Seq("grp"))
+      .withColumn("s", when(col("y") > col("med"), 1L)
+        .when(col("y") < col("med"), -1L).otherwise(0L))
+      .filter(col("s") =!= 0L)
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val runs = signed.withColumn("ps", lag(col("s"), 1).over(w))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_neg"),
+        (sum(when(col("ps").isNull || col("ps") =!= col("s"), 1L)
+          .otherwise(0L))).as("n_runs"))
+    med.select(col("grp")).join(runs, Seq("grp"), "left")
+      .select(col("grp"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"))
+  }
+
+  /** Spearman rank correlation sufficient statistics per group, EXACT
+    * with ties: both variables are replaced by DOUBLED midranks (x is
+    * required unique per group so 2·row_number; y uses minrank+maxrank
+    * like [[rankSumU]]), then the Pearson pieces over the rank pairs:
+    * (grp, n, num, da, db) with ρ = num / sqrt(da·db). All integer.
+    */
+  def spearman(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    // (x, y) order keeps the rank deterministic even if a caller passes
+    // duplicate x (the contract is unique x; the fallback is benign)
+    val wx = Window.partitionBy(col("grp")).orderBy(col("x"), col("y"))
+    val byv = g.groupBy(col("grp"), col("y")).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("y"))
+    val yr = byv.withColumn("cum", sum(col("c")).over(wv))
+      .select(col("grp"), col("y"),
+        (lit(2L) * col("cum") - col("c") + 1L).as("ry2"))
+    val ranked = g
+      .withColumn("rx2", lit(2L) * row_number().over(wx).cast("long"))
+      .join(yr, Seq("grp", "y"))
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sa"), sum(col("ry2")).as("sb"),
+        sum(col("rx2") * col("ry2")).as("sab"),
+        sum(col("rx2") * col("rx2")).as("saa"),
+        sum(col("ry2") * col("ry2")).as("sbb"))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n") * col("saa") - col("sa") * col("sa")).as("da"),
+        (col("n") * col("sbb") - col("sb") * col("sb")).as("db"))
+  }
+
   /** Mann–Whitney rank-sum sufficient statistics per group, exact with
     * ties: input is (grp, side ∈ {0,1}, v); midranks are kept DOUBLED
     * (2·midrank = minrank + maxrank, always an integer). Emits

@@ -111,6 +111,79 @@ class SeriesSpec extends AnyFunSuite {
     assert(got.map(t => t._1 -> t._4).toMap == want)
   }
 
+  test("mad: lower medians on odd and even n; brute parity on random data") {
+    // odd: y = {1,3,9}: med = 3 (rank 2), devs {2,0,6} -> mad = 2
+    val odd = Seq((1L, 0L, 1L), (1L, 1L, 3L), (1L, 2L, 9L)).toDF("grp", "x", "y")
+    assert(Series.mad(odd).as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 3L, 3L, 2L)))
+    // even: y = {1,2,8,9}: lower median = rank 2 -> 2; devs {1,0,6,7}
+    // sorted {0,1,6,7} -> lower median = 1
+    val even = Seq((2L, 0L, 1L), (2L, 1L, 2L), (2L, 2L, 8L), (2L, 3L, 9L))
+      .toDF("grp", "x", "y")
+    assert(Series.mad(even).as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 4L, 2L, 1L)))
+    // brute parity
+    val rnd = new scala.util.Random(21L)
+    val rows = for (g <- 0L until 5L; i <- 0L until (7 + g * 3))
+      yield (g, i, rnd.nextInt(15).toLong)
+    val got = Series.mad(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      def lm(vs: Seq[Long]): Long = vs.sorted.apply((vs.length + 1) / 2 - 1)
+      val med = lm(rs.map(_._3))
+      g -> (rs.length.toLong, med, lm(rs.map(r => math.abs(r._3 - med))))
+    }
+    assert(got == want)
+  }
+
+  test("runsTest: alternating signs give max runs; all-equal group gives zeros") {
+    // median of {0,10,0,10,0} = 0 (lower); zeros dropped, +1 runs only
+    val alt = Seq(0L, 10L, 0L, 10L, 0L).zipWithIndex
+      .map { case (y, i) => (1L, i.toLong, y) }.toDF("grp", "x", "y")
+    assert(Series.runsTest(alt).as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 2L, 0L, 1L))) // zeros drop, the two +1s become ONE run
+    // values strictly alternating around the median
+    val pm = Seq(1L, 9L, 1L, 9L, 1L, 9L, 5L).zipWithIndex
+      .map { case (y, i) => (2L, i.toLong, y) }.toDF("grp", "x", "y")
+    // median of {1,1,1,5,9,9,9} = 5 -> signs -,+,-,+,-,+ (the 5 drops)
+    assert(Series.runsTest(pm).as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 3L, 3L, 6L)))
+    val const = (0L until 4L).map(i => (3L, i, 7L)).toDF("grp", "x", "y")
+    assert(Series.runsTest(const).as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((3L, 0L, 0L, 0L)))
+  }
+
+  test("spearman: monotone series is exactly +1; brute midrank parity under ties") {
+    val up = (0L until 7L).map(i => (1L, i, i * 3 + 1)).toDF("grp", "x", "y")
+    val Seq((_, n, num, da, db)) = Series.spearman(up)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(n == 7 && num > 0 && num * num == da * db && num == da)
+    // brute with ties
+    val rnd = new scala.util.Random(31L)
+    val rows = for (g <- 0L until 4L; i <- 0L until 20L)
+      yield (g, i, rnd.nextInt(5).toLong)
+    val got = Series.spearman(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.length.toLong
+      val sorted = rs.sortBy(_._2)
+      val rx2 = sorted.indices.map(i => 2L * (i + 1))
+      val ys = sorted.map(_._3)
+      val ysorted = ys.sorted
+      def ry2(v: Long): Long =
+        (ysorted.indexOf(v) + 1).toLong + ysorted.lastIndexOf(v) + 1
+      val ry = ys.map(ry2)
+      val (sa, sb) = (rx2.sum, ry.sum)
+      val sab = rx2.zip(ry).map { case (a, b) => a * b }.sum
+      val saa = rx2.map(a => a * a).sum
+      val sbb = ry.map(b => b * b).sum
+      g -> (n, n * sab - sa * sb, n * saa - sa * sa, n * sbb - sb * sb)
+    }
+    assert(got == want)
+  }
+
   test("kendallTau: monotone series is all-concordant; duplicate x fails loudly") {
     val up = (0L until 6L).map(i => (1L, i, i * i)).toDF("grp", "x", "y")
     assert(Series.kendallTau(up)
