@@ -2570,6 +2570,43 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // Iceberg-style named refs: tag a version, keep reading it by name
+    // while the table advances (append, then a COW merge), retarget the
+    // moving tag — the release/nightly pattern. The emitted counts and
+    // idx-sums come from ACTUAL reads through each ref, so a pointer
+    // slip (stale CURRENT, wrong manifest, ref caught by rollback)
+    // turns the row red.
+    "q231_snapshot_refs" -> ((s, _) => {
+      import s.implicits._
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q231")
+      def baseRows(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
+        col("id").as("idx"),
+        concat(lit("caption_"), col("id")).as("caption"))
+      val bucketOf = pmod(mixCol(s, col("idx")), lit(64L))
+      SnapshotTable.create(s, baseRows(0, 400), out.getPath, 64, bucketOf)
+      SnapshotTable.setRef(out.getPath, "release", 1L)
+      SnapshotTable.setRef(out.getPath, "nightly", 1L)
+      SnapshotTable.append(s, baseRows(400, 500), out.getPath, bucketOf)
+      val updates = s.range(0, 500).filter(col("id") % 89 === 0).select(
+          col("id").as("idx"), concat(lit("updated_"), col("id")).as("caption"))
+        .unionByName(baseRows(500, 510))
+      SnapshotTable.merge(s, updates, out.getPath, "idx", bucketOf)
+      SnapshotTable.setRef(out.getPath, "nightly", 3L) // retarget
+      def probe(label: String, df: DataFrame, v: Long): (String, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("idx"))).collect().head
+        (label, v, r.getLong(0), r.getLong(1))
+      }
+      Seq(
+        probe("release", SnapshotTable.readRef(s, out.getPath, "release"),
+          SnapshotTable.refVersion(out.getPath, "release")),
+        probe("nightly", SnapshotTable.readRef(s, out.getPath, "nightly"),
+          SnapshotTable.refVersion(out.getPath, "nightly")),
+        probe("current", SnapshotTable.read(s, out.getPath),
+          SnapshotTable.currentVersion(out.getPath))
+      ).toDF("label", "version", "n_rows", "sum_idx")
+    }),
+
     // exact median absolute deviation per device — both medians are
     // rank-⌈n/2⌉ (lower-median) selections so everything stays
     // integer; the robust-dispersion partner of q47's percentiles.
@@ -8804,6 +8841,21 @@ object SparkEntry {
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // q231 — the ref pointers resolved by construction: release pins
+    // v1 = [0,400), nightly retargets to v3 = [0,510) ≡ current
+    "q231_snapshot_refs" ->
+      """SELECT 'release' AS label, CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(i) AS BIGINT) AS sum_idx
+        |FROM range(0, 400) t(i)
+        |UNION ALL
+        |SELECT 'nightly', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(i) AS BIGINT)
+        |FROM range(0, 510) t(i)
+        |UNION ALL
+        |SELECT 'current', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(i) AS BIGINT)
+        |FROM range(0, 510) t(i)""".stripMargin,
 
     // q228 — both lower medians as row_number-rank selections with the
     // same (value, x) tie order as the engine's window

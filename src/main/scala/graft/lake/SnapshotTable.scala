@@ -611,6 +611,70 @@ object SnapshotTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def refsDir(dir: String): Path = metaDir(dir).resolve("refs")
+
+  private def validRefName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+
+  /** Iceberg-style named ref (tag): an atomic named pointer to a
+    * snapshot version, independent of CURRENT — `rollback` moves
+    * CURRENT, never refs. Re-setting an existing name retargets it
+    * (branch-advance semantics). The pointed-at manifest must exist at
+    * set time; [[refVersion]] re-validates at read time so a ref left
+    * dangling by [[expire]] fails loudly instead of resolving to
+    * garbage (callers expire with refs in mind, as in Iceberg).
+    */
+  def setRef(dir: String, name: String, version: Long): Unit = {
+    require(validRefName(name), s"bad ref name '$name'")
+    require(Files.exists(manifestPath(dir, version)), s"no manifest v$version")
+    Files.createDirectories(refsDir(dir))
+    val tmp = refsDir(dir).resolve(s".$name.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, refsDir(dir).resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version a ref points at; throws if the ref or its manifest is gone. */
+  def refVersion(dir: String, name: String): Long = {
+    require(validRefName(name), s"bad ref name '$name'")
+    val p = refsDir(dir).resolve(name)
+    require(Files.exists(p), s"no ref '$name'")
+    val v = Files.readString(p).trim.toLong
+    require(Files.exists(manifestPath(dir, v)),
+      s"ref '$name' points at expired version $v")
+    v
+  }
+
+  /** [[read]] of [[refVersion]] — time travel by name. */
+  def readRef(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, Some(refVersion(dir, name)))
+
+  /** All refs as (name, version), name-sorted. Unreadable entries and
+    * in-flight temp files are skipped.
+    */
+  def listRefs(dir: String): Seq[(String, Long)] = {
+    val d = refsDir(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => validRefName(p.getFileName.toString))
+        .flatMap { p =>
+          scala.util.Try((p.getFileName.toString,
+            Files.readString(p).trim.toLong)).toOption
+        }
+        .toSeq.sortBy(_._1)
+    } finally s.close()
+  }
+
+  /** Remove a ref; true if it existed. */
+  def dropRef(dir: String, name: String): Boolean = {
+    require(validRefName(name), s"bad ref name '$name'")
+    Files.deleteIfExists(refsDir(dir).resolve(name))
+  }
+
   /** Data files on disk that NO retained manifest references — the
     * residue of torn commits (a crash between `writeData` and the
     * CURRENT swap leaves that commit's files unreferenced forever; the

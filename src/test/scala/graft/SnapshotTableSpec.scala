@@ -454,4 +454,42 @@ class SnapshotTableSpec extends AnyFunSuite {
       assert(!Files.exists(Paths.get(p.stripPrefix("file:"))))
     }
   }
+
+  test("refs: tags pin versions, retarget atomically, survive rollback") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 50, "a"), dir, B, bucketOf)
+    SnapshotTable.setRef(dir, "release", 1L)
+    SnapshotTable.append(spark, rows(50, 80, "b"), dir, bucketOf)
+    SnapshotTable.setRef(dir, "nightly", 2L)
+    assert(SnapshotTable.readRef(spark, dir, "release").count() === 50L)
+    assert(SnapshotTable.readRef(spark, dir, "nightly").count() === 80L)
+    assert(SnapshotTable.listRefs(dir) ===
+      Seq(("nightly", 2L), ("release", 1L)))
+    // retarget the moving tag
+    SnapshotTable.setRef(dir, "release", 2L)
+    assert(SnapshotTable.refVersion(dir, "release") === 2L)
+    // rollback moves CURRENT, never refs
+    SnapshotTable.rollback(dir, 1L)
+    assert(SnapshotTable.read(spark, dir).count() === 50L)
+    assert(SnapshotTable.readRef(spark, dir, "release").count() === 80L)
+    assert(SnapshotTable.dropRef(dir, "nightly"))
+    assert(!SnapshotTable.dropRef(dir, "nightly"))
+    assert(SnapshotTable.listRefs(dir) === Seq(("release", 2L)))
+  }
+
+  test("refs: bad names, missing versions, and expired targets fail loudly") {
+    val dir = tmp()
+    SnapshotTable.create(spark, rows(0, 10, "a"), dir, B, bucketOf)
+    intercept[IllegalArgumentException](SnapshotTable.setRef(dir, "a/b", 1L))
+    intercept[IllegalArgumentException](SnapshotTable.setRef(dir, "", 1L))
+    intercept[IllegalArgumentException](SnapshotTable.setRef(dir, "tag", 9L))
+    intercept[IllegalArgumentException](SnapshotTable.refVersion(dir, "ghost"))
+    // a ref whose manifest was expired must refuse, not read garbage
+    SnapshotTable.setRef(dir, "old", 1L)
+    SnapshotTable.merge(spark, rows(0, 5, "b"), dir, "k", bucketOf)
+    SnapshotTable.expire(dir, keepFromVersion = 2L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.refVersion(dir, "old"))
+    assert(e.getMessage.contains("expired"))
+  }
 }
