@@ -2570,6 +2570,49 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // exact χ² contingency pieces: event type × weekend flag over the
+    // raw event stream — per observed cell the integer deviation
+    // numerator n·N − r·c and denominator N·r·c (χ² = Σ num²/den);
+    // three hash aggregations + one broadcast total, no division.
+    "q232_chisq" -> ((s, dir) =>
+      graft.stats.Contingency.chiSqPieces(
+          table(s, dir, "events").select(col("event_type").as("a"),
+            (((datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") + 4) % 7)
+              .isin(0L, 6L)).cast("long").as("b")))
+        .select(col("a").as("event_type"), col("b").as("is_weekend"),
+          col("n"), col("r"), col("c"), col("total"),
+          col("dev_num"), col("dev_den"))),
+
+    // per-ring convexity audit — winding from the signed doubled area,
+    // reflex/collinear turn counts from the vertex cross products
+    // classified against the orientation; fixture plants a dent
+    // (reflex), a collinear vertex, and odd-ring reflections so both
+    // windings and all three verdicts appear. Complements q120's
+    // simplicity audit on the ring QA side of the boundary pipeline.
+    "q233_convexity" -> ((s, _) => {
+      val oxA = array(Seq(2L, 4L, 6L, 6L, 4L, 2L, 0L, 0L).map(lit): _*)
+      val oyA = array(Seq(0L, 0L, 2L, 4L, 6L, 6L, 4L, 2L).map(lit): _*)
+      val zl = mixCol(s, col("ring_id")).bitwiseAND(lit((1L << 62) - 1))
+      val verts = s.range(0, 300).select(col("id").as("ring_id"))
+        .withColumn("c", col("ring_id") % 3)
+        .withColumn("cx", pmod(zl.bitwiseAND(lit(0xFFFFL)), lit(50000L)))
+        .withColumn("cy", pmod(shiftright(zl, 16).bitwiseAND(lit(0xFFFFL)), lit(50000L)))
+        .withColumn("idx", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("ox", when(col("c") === 1 && col("idx") === 3, 3L)
+          .when(col("c") === 2 && col("idx") === 4, 6L)
+          .otherwise(element_at(oxA, (col("idx") + 1).cast("int"))))
+        .withColumn("oy0", when(col("c") === 1 && col("idx") === 3, 3L)
+          .when(col("c") === 2 && col("idx") === 4, 6L)
+          .otherwise(element_at(oyA, (col("idx") + 1).cast("int"))))
+        .withColumn("oy",
+          when(col("ring_id") % 2 === 1, -col("oy0")).otherwise(col("oy0")))
+        .select(col("ring_id"), col("idx"), lit(8L).as("n"),
+          (col("cx") + col("ox") * 8).as("x"),
+          (col("cy") + col("oy") * 8).as("y"))
+      graft.geom.Geom.ringConvexity(verts)
+    }),
+
     // Iceberg-style named refs: tag a version, keep reading it by name
     // while the table advances (append, then a COW merge), retarget the
     // moving tag — the release/nightly pattern. The emitted counts and
@@ -8841,6 +8884,65 @@ object SparkEntry {
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // q232 — the same cell/row/column/total rollups; weekend by the
+    // shared calendar-free epoch-day arithmetic
+    "q232_chisq" ->
+      """WITH e AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN (CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) + 4) % 7 IN (0, 6)
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        |cells AS (SELECT a, b, count(*) AS n FROM e GROUP BY 1, 2),
+        |rs AS (SELECT a, sum(n) AS r FROM cells GROUP BY 1),
+        |cs AS (SELECT b, sum(n) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM cells)
+        |SELECT cells.a AS event_type, CAST(cells.b AS BIGINT) AS is_weekend,
+        |  CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c, CAST(total AS BIGINT) AS total,
+        |  CAST(n * total - r * c AS BIGINT) AS dev_num,
+        |  CAST(total * r * c AS BIGINT) AS dev_den
+        |FROM cells JOIN rs USING (a) JOIN cs USING (b) CROSS JOIN tot""".stripMargin,
+
+    // q233 — the q120-style splitmix ring family with the dent /
+    // collinear / reflection cases, area and turn signs recomputed
+    // relationally with modular-successor joins
+    "q233_convexity" ->
+      s"""WITH ids AS (SELECT i, CAST(i AS HUGEINT) AS seed FROM range(0, 300) t(i)),
+         |${splitmixChain("sr", Seq("i"), "ids", "seed")},
+         |ctr AS (
+         |  SELECT i AS ring_id, i % 3 AS c,
+         |    (zl & 65535) % 50000 AS cx, ((zl >> 16) & 65535) % 50000 AS cy
+         |  FROM (SELECT i, ${toSigned("z")} & 4611686018427387903 AS zl FROM sr3)),
+         |off(v, ox, oy) AS (VALUES (0,2,0),(1,4,0),(2,6,2),(3,6,4),(4,4,6),(5,2,6),(6,0,4),(7,0,2)),
+         |verts AS (
+         |  SELECT ring_id, e AS idx,
+         |    cx + (CASE WHEN c = 1 AND e = 3 THEN 3
+         |               WHEN c = 2 AND e = 4 THEN 6 ELSE o.ox END) * 8 AS x,
+         |    cy + (CASE WHEN ring_id % 2 = 1 THEN -1 ELSE 1 END) *
+         |         (CASE WHEN c = 1 AND e = 3 THEN 3
+         |               WHEN c = 2 AND e = 4 THEN 6 ELSE o.oy END) * 8 AS y
+         |  FROM ctr, range(0, 8) r(e) JOIN off o ON o.v = e),
+         |area AS (
+         |  SELECT a.ring_id, sum(a.x*b.y - b.x*a.y) AS s2, count(*) AS n_verts
+         |  FROM verts a JOIN verts b
+         |    ON b.ring_id = a.ring_id AND b.idx = (a.idx + 1) % 8
+         |  GROUP BY 1),
+         |turns AS (
+         |  SELECT a.ring_id,
+         |    (b.x-a.x)*(c_.y-b.y) - (b.y-a.y)*(c_.x-b.x) AS cr
+         |  FROM verts a
+         |  JOIN verts b  ON b.ring_id = a.ring_id AND b.idx = (a.idx + 1) % 8
+         |  JOIN verts c_ ON c_.ring_id = a.ring_id AND c_.idx = (a.idx + 2) % 8)
+         |SELECT t.ring_id, CAST(ar.n_verts AS BIGINT) AS n_verts,
+         |  CAST(abs(ar.s2) AS BIGINT) AS area2,
+         |  CASE WHEN ar.s2 > 0 THEN 'ccw' ELSE 'cw' END AS winding,
+         |  CAST(sum(CASE WHEN sign(t.cr) * sign(ar.s2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reflex,
+         |  CAST(sum(CASE WHEN t.cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_collinear,
+         |  CAST(CASE WHEN sum(CASE WHEN sign(t.cr) * sign(ar.s2) < 0 THEN 1 ELSE 0 END) = 0
+         |       THEN 1 ELSE 0 END AS INT) AS is_convex
+         |FROM turns t JOIN area ar ON ar.ring_id = t.ring_id
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // q231 — the ref pointers resolved by construction: release pins
     // v1 = [0,400), nightly retargets to v3 = [0,510) ≡ current

@@ -227,4 +227,55 @@ object Geom {
     val dy = lat1 - lat2; val dx = lon1 - lon2
     dy * dy + dx * dx
   }
+
+  /** Per-ring convexity audit over an exploded vertex table
+    * (ring_id, idx, n, x, y) with idx ∈ [0, n) in ring order —
+    * INTEGER-exact: signed doubled area for the winding, the turn
+    * cross product at every vertex classified against the ring
+    * orientation. Emits (ring_id, n_verts, area2, winding, n_reflex,
+    * n_collinear, is_convex) with area2 = |Σ x_i·y_{i+1} − x_{i+1}·y_i|,
+    * winding ∈ {ccw, cw}, reflex = turns opposing the orientation,
+    * is_convex = 1 iff no reflex turn (collinear vertices allowed —
+    * weak convexity, matching the usual polygon-simplification
+    * contract). Two modular-successor equi-joins + one ring-keyed
+    * aggregation; nothing quadratic, no window.
+    *
+    * Assumes simple rings with nonzero area (the q120 segment-overlay
+    * audit is the simplicity check; compose them).
+    */
+  def ringConvexity(verts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = verts.select(col("ring_id").cast("long").as("ring_id"),
+      col("idx").cast("long").as("idx"), col("n").cast("long").as("n"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val nxt = v.select(col("ring_id").as("brid"), col("idx").as("bidx"),
+      col("x").as("bx"), col("y").as("by"))
+    val nn2 = v.select(col("ring_id").as("crid"), col("idx").as("cidx"),
+      col("x").as("cx"), col("y").as("cy"))
+    val area = v.join(nxt,
+        col("brid") === col("ring_id") &&
+          col("bidx") === (col("idx") + 1) % col("n"))
+      .groupBy(col("ring_id").as("rid"))
+      .agg(sum(col("x") * col("by") - col("bx") * col("y")).as("s2"),
+        count(lit(1)).as("n_verts"))
+    val turns = v.join(nxt,
+        col("brid") === col("ring_id") &&
+          col("bidx") === (col("idx") + 1) % col("n"))
+      .join(nn2,
+        col("crid") === col("ring_id") &&
+          col("cidx") === (col("idx") + 2) % col("n"))
+      .select(col("ring_id"),
+        ((col("bx") - col("x")) * (col("cy") - col("by")) -
+          (col("by") - col("y")) * (col("cx") - col("bx"))).as("cr"))
+    turns.join(area, turns("ring_id") === col("rid"))
+      .groupBy(col("ring_id"))
+      .agg(max(col("n_verts")).as("n_verts"),
+        max(abs(col("s2"))).as("area2"),
+        max(when(col("s2") > 0, "ccw").otherwise("cw")).as("winding"),
+        sum(when(signum(col("cr")) * signum(col("s2")) < 0, 1L)
+          .otherwise(0L)).as("n_reflex"),
+        sum(when(col("cr") === 0, 1L).otherwise(0L)).as("n_collinear"))
+      .withColumn("is_convex", (col("n_reflex") === 0).cast("int"))
+  }
 }

@@ -367,4 +367,43 @@ class PolygonStatsSpec extends AnyFunSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("shared by >2 polygons"))
   }
+
+  test("ringConvexity: convex square, dented reflex, collinear vertex, both windings") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def ring(id: Long, pts: Seq[(Long, Long)]) =
+      pts.zipWithIndex.map { case ((x, y), i) =>
+        (id, i.toLong, pts.length.toLong, x, y) }
+    // ring 1: ccw square; ring 2: same reversed (cw); ring 3: dent at
+    // (5,5) -> 1 reflex; ring 4: collinear midpoint on the bottom edge
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val dent = Seq((0L, 0L), (10L, 0L), (5L, 5L), (10L, 10L), (0L, 10L))
+    val coll = Seq((0L, 0L), (5L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val verts = (ring(1, sq) ++ ring(2, sq.reverse) ++ ring(3, dent) ++
+      ring(4, coll)).toDF("ring_id", "idx", "n", "x", "y")
+    val got = Geom.ringConvexity(verts)
+      .as[(Long, Long, Long, String, Long, Long, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6, t._7)).toMap
+    assert(got(1L) == (4L, 200L, "ccw", 0L, 0L, 1))
+    assert(got(2L) == (4L, 200L, "cw", 0L, 0L, 1))
+    // dent square: area 2*(100 - 25) = 150... shoelace of the dent ring:
+    // (0,0)(10,0)(5,5)(10,10)(0,10): 2A = 150
+    assert(got(3L) == (5L, 150L, "ccw", 1L, 0L, 0))
+    assert(got(4L) == (5L, 200L, "ccw", 0L, 1L, 1))
+  }
+
+  test("chiSqPieces: marginals and deviations sum to zero by construction") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 1L),
+      ("y", 1L), ("y", 1L)).toDF("a", "b")
+    val got = graft.stats.Contingency.chiSqPieces(df)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 4 && got.forall(_._6 == 7L))
+    // n sums to total; dev_num sums to zero over all cells (full table)
+    assert(got.map(_._3).sum == 7L && got.map(_._7).sum == 0L)
+    val m = got.map(t => (t._1, t._2) -> t).toMap
+    // cell (x, 0): n=2, r=3, c=3 -> dev_num = 14 - 9 = 5, den = 63
+    assert(m(("x", 0L))._7 == 5L && m(("x", 0L))._8 == 63L)
+  }
 }
