@@ -473,4 +473,49 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must not contain a global sort:\n$plan")
     }
   }
+
+  test("q226/q227 per-row kernels are exchange-free (no shuffle at any scale)") {
+    for (q <- Seq("q226_template_match", "q227_pitch")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$q is a narrow per-row kernel and must not shuffle:\n$plan")
+    }
+  }
+
+  test("series battery q220-q230: grp-keyed windows only, no global sort") {
+    for (q <- Seq("q220_lag_autocorr", "q221_changepoint", "q222_ranksum",
+        "q228_mad", "q229_runs_test", "q230_spearman")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition") ||
+        plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"single-partition exchange in $q plan:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+    }
+  }
+
+  test("q232 chi-square: the one-row total broadcasts, never shuffles the cells") {
+    val plan = SparkEntry.queries("q232_chisq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"q232's total must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q232 must not shuffle-join or go cartesian:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q232 must not contain a global sort:\n$plan")
+  }
+
+  test("q233 convexity: ring-keyed hash joins only, no window, no global sort") {
+    val plan = SparkEntry.queries("q233_convexity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q233 must not use a window:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q233 must not contain a global sort:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"q233 must not range-partition:\n$plan")
+  }
 }
