@@ -2570,6 +2570,40 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // exact Gini concentration per device over daily event counts —
+    // the sorted-form identity keeps G = gini_num/gini_den fully
+    // integer; one series-bounded rank window + one hash aggregation.
+    // The traffic-concentration screen (is a device's activity spread
+    // or spiked?) that pairs with q228's MAD.
+    "q234_gini" -> ((s, dir) =>
+      graft.stats.Series.gini(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // exact sliding-window distinct count: per device and ACTIVE day,
+    // the distinct event types seen in the trailing 7 days — each
+    // event-day row explodes to its ≤7 covering windows (explode
+    // factor = window length, the documented scale trade), then one
+    // distinct aggregation; windows anchored only on active days.
+    "q235_sliding_distinct" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"),
+          col("event_type"))
+        .distinct()
+      val active = e.select(col("user_id").as("a_user"), col("day").as("a_day"))
+        .distinct()
+      val contrib = e
+        .withColumn("off", explode(sequence(lit(0L), lit(6L))))
+        .select(col("user_id"), (col("day") + col("off")).as("wday"),
+          col("event_type"))
+      contrib.join(active,
+          col("user_id") === col("a_user") && col("wday") === col("a_day"))
+        .groupBy(col("user_id"), col("wday"))
+        .agg(countDistinct(col("event_type")).as("n_types"))
+    }),
+
     // exact χ² contingency pieces: event type × weekend flag over the
     // raw event stream — per observed cell the integer deviation
     // numerator n·N − r·c and denominator N·r·c (χ² = Σ num²/den);
@@ -8884,6 +8918,40 @@ object SparkEntry {
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // q234 — ascending rank via row_number (tie order irrelevant to the
+    // weighted sum), then the sorted-form Gini identity
+    "q234_gini" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY y, x) AS BIGINT) AS i
+        |  FROM daily)
+        |SELECT user_id, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(2 * sum(i*y) - (count(*) + 1) * sum(y) AS BIGINT) AS gini_num,
+        |  CAST(count(*) * sum(y) AS BIGINT) AS gini_den
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q235 — each (device, day, type) row covers the 7 windows it can
+    // influence; anchor on active days, then distinct-count per window
+    "q235_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    event_type
+        |  FROM events),
+        |active AS (SELECT DISTINCT user_id, day FROM e),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(off AS BIGINT) AS wday, event_type
+        |  FROM e CROSS JOIN (SELECT unnest(range(7)) AS off) o)
+        |SELECT c.user_id, c.wday,
+        |  CAST(count(DISTINCT c.event_type) AS BIGINT) AS n_types
+        |FROM contrib c JOIN active a
+        |  ON a.user_id = c.user_id AND a.day = c.wday
+        |GROUP BY 1, 2""".stripMargin,
 
     // q232 — the same cell/row/column/total rollups; weekend by the
     // shared calendar-free epoch-day arithmetic

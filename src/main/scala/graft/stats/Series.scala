@@ -167,6 +167,33 @@ object Series {
         (col("n") * col("sbb") - col("sb") * col("sb")).as("db"))
   }
 
+  /** Gini coefficient per group, EXACT — the sorted-form identity
+    * G = (2·Σ i·y_(i) − (n+1)·Σy) / (n·Σy) over ranks i = 1..n in
+    * ascending y order: emits (grp, n, sum_y, gini_num, gini_den) with
+    * G = gini_num/gini_den, all integer. Σ i·y_(i) is tie-invariant:
+    * tied values occupy a run of consecutive ranks, and permuting
+    * equal values within that run leaves the sum unchanged — so the
+    * deterministic (y, x) rank order is a convenience, not a semantic.
+    * Requires y ≥ 0 (guarded in-plan). One series-bounded
+    * rank window + one hash aggregation — the token/pixel/traffic
+    * concentration metric at millions of groups.
+    */
+  def gini(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val w = Window.partitionBy(col("grp")).orderBy(col("y"), col("x"))
+    val checked = g.withColumn("yv",
+      when(col("y") >= 0, col("y")).otherwise(raise_error(concat(
+        lit("gini: negative value in group "), col("grp").cast("string")))
+        .cast("long")))
+    checked.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("yv")).as("sum_y"),
+        sum(col("i") * col("yv")).as("siy"))
+      .select(col("grp"), col("n"), col("sum_y"),
+        (lit(2L) * col("siy") - (col("n") + 1L) * col("sum_y")).as("gini_num"),
+        (col("n") * col("sum_y")).as("gini_den"))
+  }
+
   /** Mann–Whitney rank-sum sufficient statistics per group, exact with
     * ties: input is (grp, side ∈ {0,1}, v); midranks are kept DOUBLED
     * (2·midrank = minrank + maxrank, always an integer). Emits

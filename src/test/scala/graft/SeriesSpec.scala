@@ -184,6 +184,35 @@ class SeriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("gini: equal values give 0, extreme concentration approaches 1, brute parity") {
+    // all equal: num = 2*(1+..+n)*v - (n+1)*n*v = 0
+    val eq = (0L until 5L).map(i => (1L, i, 7L)).toDF("grp", "x", "y")
+    val Seq((_, n1, _, num1, _)) = Series.gini(eq)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(n1 == 5 && num1 == 0)
+    // one spike: {0,0,0,10}: G = (2*4*10 - 5*10)/(4*10) = 30/40
+    val spike = Seq((2L, 0L, 0L), (2L, 1L, 0L), (2L, 2L, 0L), (2L, 3L, 10L))
+      .toDF("grp", "x", "y")
+    assert(Series.gini(spike).as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 4L, 10L, 30L, 40L)))
+    // brute parity via the mean-absolute-difference definition:
+    // G = sum_ij |yi - yj| / (2 n sum_y)  ->  num/den = that exactly
+    val rnd = new scala.util.Random(17L)
+    val rows = for (g <- 0L until 4L; i <- 0L until 15L)
+      yield (g, i, rnd.nextInt(9).toLong)
+    val got = Series.gini(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (g, n, sy, num, den) =>
+      val ys = rows.filter(_._1 == g).map(_._3)
+      val mad2 = (for (a <- ys; b <- ys) yield math.abs(a - b)).sum
+      assert(den == n * sy && num * 2 * n * sy == mad2 * den,
+        s"g=$g num/den vs brute")
+    }
+    // negative values refuse loudly
+    val neg = Seq((9L, 0L, -1L)).toDF("grp", "x", "y")
+    intercept[Exception](Series.gini(neg).collect())
+  }
+
   test("kendallTau: monotone series is all-concordant; duplicate x fails loudly") {
     val up = (0L until 6L).map(i => (1L, i, i * i)).toDF("grp", "x", "y")
     assert(Series.kendallTau(up)
