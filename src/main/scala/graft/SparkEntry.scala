@@ -2570,6 +2570,29 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // weighted median along the day axis — per device the first day by
+    // which HALF its total event mass has landed (doubled comparison,
+    // no halving); the mid-activity point that q47's unweighted
+    // percentiles can't express.
+    "q236_weighted_median" -> ((s, dir) =>
+      graft.stats.Series.weightedMedian(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // merged-interval union per device: each event opens a 5-minute
+    // half-open interval (unix millis); islands break where an interval
+    // starts past the running max end, covered time = Σ island spans.
+    // Overlap semantics — DISTINCT from q41's gap sessionization.
+    "q237_interval_union" -> ((s, dir) =>
+      graft.stats.Series.intervalUnion(
+          table(s, dir, "events")
+            .select(col("user_id").as("grp"),
+              // ts is TIMESTAMP_NTZ; the session runs UTC, so the cast
+              // is the identity embedding DuckDB's epoch_ms(ntz) uses
+              unix_millis(col("ts").cast("timestamp")).as("s"),
+              (unix_millis(col("ts").cast("timestamp")) + 300000L).as("e")))
+        .withColumnRenamed("grp", "user_id")),
+
     // exact Gini concentration per device over daily event counts —
     // the sorted-form identity keeps G = gini_num/gini_den fully
     // integer; one series-bounded rank window + one hash aggregation.
@@ -8918,6 +8941,45 @@ object SparkEntry {
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // q236 — cumsum over the day order, first row whose doubled mass
+    // reaches the total (argmin via min over the qualifying set)
+    "q236_weighted_median" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, x,
+        |    sum(y) OVER (PARTITION BY user_id ORDER BY x) AS cum,
+        |    sum(y) OVER (PARTITION BY user_id) AS total
+        |  FROM daily),
+        |q AS (SELECT user_id, x, cum, total FROM c WHERE 2 * cum >= total)
+        |SELECT user_id, min(x) AS half_x,
+        |  CAST(min_by(cum, x) AS BIGINT) AS cum_mass,
+        |  CAST(min(total) AS BIGINT) AS total_mass
+        |FROM q GROUP BY 1""".stripMargin,
+
+    // q237 — running-max island flags over (s, e) order, then the
+    // island spans; epoch millis on both sides
+    "q237_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e
+        |  FROM events),
+        |f AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e) AS island
+        |  FROM f),
+        |g AS (SELECT user_id, island, count(*) AS ni,
+        |    min(s) AS is_, max(e) AS ie
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(ie - is_) AS BIGINT) AS covered
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q234 — ascending rank via row_number (tie order irrelevant to the
     // weighted sum), then the sorted-form Gini identity

@@ -194,6 +194,61 @@ object Series {
         (col("n") * col("sum_y")).as("gini_den"))
   }
 
+  /** Weighted median along the axis, EXACT: the smallest x whose
+    * cumulative mass reaches half the total — 2·Σ_{x'≤x} y ≥ Σy (the
+    * doubled comparison avoids halving). Emits (grp, half_x, cum_mass,
+    * total_mass). Requires y ≥ 0 (guarded in-plan); groups with zero
+    * total mass pick their first x (cum 0 ≥ 0). One series-bounded
+    * cumsum window + one struct-min aggregation — the mid-activity
+    * point of a device, the half-energy sample of a clip.
+    */
+  def weightedMedian(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val checked = g.withColumn("yv",
+      when(col("y") >= 0, col("y")).otherwise(raise_error(concat(
+        lit("weightedMedian: negative mass in group "),
+        col("grp").cast("string"))).cast("long")))
+    val tot = checked.groupBy(col("grp")).agg(sum(col("yv")).as("total_mass"))
+    checked.withColumn("cum", sum(col("yv")).over(w))
+      .join(tot, Seq("grp"))
+      .filter(lit(2L) * col("cum") >= col("total_mass"))
+      .groupBy(col("grp"))
+      .agg(min(struct(col("x"), col("cum").as("c"),
+        col("total_mass").as("t"))).as("m"))
+      .select(col("grp"), col("m.x").as("half_x"), col("m.c").as("cum_mass"),
+        col("m.t").as("total_mass"))
+  }
+
+  /** Merged-interval (gaps-and-islands with OVERLAP semantics) rollup
+    * per group: input (grp, s, e) half-open intervals; islands break
+    * where an interval starts past the running max end of everything
+    * before it, then each island contributes its span. Emits
+    * (grp, n_intervals, n_islands, covered) with covered =
+    * Σ_islands (max e − min s) — exact under any overlap/containment
+    * pattern. Two series-bounded windows + one island aggregation;
+    * DISTINCT from gap-based sessionization (q41), which clusters
+    * points — this measures covered extent under overlaps.
+    */
+  def intervalUnion(df: DataFrame): DataFrame = {
+    val g = df.select(col("grp").cast("long").as("grp"),
+      col("s").cast("long").as("s"), col("e").cast("long").as("e"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"), col("e"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = g
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+    flagged.groupBy(col("grp"), col("island"))
+      .agg(count(lit(1)).as("ni"), min(col("s")).as("is_"),
+        max(col("e")).as("ie"))
+      .groupBy(col("grp"))
+      .agg(sum(col("ni")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is_")).as("covered"))
+  }
+
   /** Mann–Whitney rank-sum sufficient statistics per group, exact with
     * ties: input is (grp, side ∈ {0,1}, v); midranks are kept DOUBLED
     * (2·midrank = minrank + maxrank, always an integer). Emits

@@ -184,6 +184,60 @@ class SeriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("weightedMedian: half-mass day lands where the doubled cumsum crosses") {
+    // masses 1,2,3,4 over days 10..13: total 10, cum 1,3,6,10 ->
+    // first 2*cum >= 10 at day 12 (cum 6)
+    val df = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L))
+      .toDF("grp", "x", "y")
+    assert(Series.weightedMedian(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq == Seq((1L, 12L, 6L, 10L)))
+    // all mass on the first day
+    val front = Seq((2L, 5L, 9L), (2L, 6L, 0L)).toDF("grp", "x", "y")
+    assert(Series.weightedMedian(front)
+      .as[(Long, Long, Long, Long)].collect().toSeq == Seq((2L, 5L, 9L, 9L)))
+    intercept[Exception](
+      Series.weightedMedian(Seq((3L, 0L, -2L)).toDF("grp", "x", "y")).collect())
+  }
+
+  test("intervalUnion: disjoint, chained-overlap, and contained intervals") {
+    // grp 1: [0,10) [5,20) [30,40): two islands, covered 20+10 = 30
+    // grp 2: [0,100) contains [10,20): one island, covered 100
+    // grp 3: touching [0,10) [10,20): s = pmax (NOT >) merges -> covered 20
+    val df = Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L),
+      (2L, 0L, 100L), (2L, 10L, 20L),
+      (3L, 0L, 10L), (3L, 10L, 20L)).toDF("grp", "s", "e")
+    val got = Series.intervalUnion(df)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got == Map(1L -> (3L, 2L, 30L), 2L -> (2L, 1L, 100L),
+      3L -> (2L, 1L, 20L)))
+  }
+
+  test("intervalUnion: random intervals equal a sequential sweep") {
+    val rnd = new scala.util.Random(23L)
+    val rows = for (g <- 0L until 4L; _ <- 0 until 30) yield {
+      val s = rnd.nextInt(200).toLong
+      (g, s, s + 1 + rnd.nextInt(30).toLong)
+    }
+    val got = Series.intervalUnion(rows.toDF("grp", "s", "e"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(t => (t._2, t._3)).sortBy(identity)
+      var islands = 0L; var covered = 0L
+      var curS = 0L; var curE = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (curE == Long.MinValue || s > curE) {
+          if (curE != Long.MinValue) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      if (curE != Long.MinValue) covered += curE - curS
+      g -> (rs.length.toLong, islands, covered)
+    }
+    assert(got == want)
+  }
+
   test("gini: equal values give 0, extreme concentration approaches 1, brute parity") {
     // all equal: num = 2*(1+..+n)*v - (n+1)*n*v = 0
     val eq = (0L until 5L).map(i => (1L, i, 7L)).toDF("grp", "x", "y")
