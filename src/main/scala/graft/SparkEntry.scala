@@ -2570,6 +2570,15 @@ object SparkEntry {
               col("y").as("v")))
         .withColumnRenamed("grp", "user_id")),
 
+    // one exact BPE merge step (Sennrich 2016) — the tokenizer-TRAINING
+    // primitive: pair counts over the frequency-weighted word
+    // vocabulary, argmax merge (lexicographic ties), GREEDY left-to-
+    // right application (run parity handles left==right overlaps), and
+    // the post-merge recount that pins the application byte-for-byte.
+    // Everything past the word-frequency agg is vocabulary-sized.
+    "q238_bpe_step" -> ((s, dir) =>
+      graft.text.TextOps.bpeStep(s, table(s, dir, "documents"))),
+
     // weighted median along the day axis — per device the first day by
     // which HALF its total event mass has landed (doubled comparison,
     // no halving); the mid-activity point that q47's unweighted
@@ -8941,6 +8950,62 @@ object SparkEntry {
         |  CAST(2 * sum(c1) * sum(c - c1) + sum(c1) * (sum(c1) + 1)
         |    - sum(c1 * (2*cum - c + 1)) AS BIGINT) AS u1_x2
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // q238 — the whole step replayed relationally: word vocabulary,
+    // adjacent-pair counts, LIMIT-1 argmax with the lexicographic tie,
+    // run-parity greedy application, recount
+    "q238_bpe_step" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE regexp_full_match(w, '[a-z]+')
+        |  GROUP BY 1),
+        |syms AS (
+        |  SELECT w, freq, CAST(i AS BIGINT) AS i,
+        |    substr(w, CAST(i + 1 AS INT), 1) AS s
+        |  FROM (SELECT w, freq, unnest(range(length(w))) AS i FROM words)),
+        |bef AS (
+        |  SELECT a.s AS lhs, b.s AS rhs, CAST(sum(a.freq) AS BIGINT) AS cnt
+        |  FROM syms a JOIN syms b ON b.w = a.w AND b.i = a.i + 1
+        |  GROUP BY 1, 2),
+        |mg AS (SELECT lhs AS ml, rhs AS mr FROM bef
+        |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |hits AS (
+        |  SELECT a.w, a.freq, a.i, a.s, b.s AS ns,
+        |    CASE WHEN b.s IS NOT NULL AND a.s = mg.ml AND b.s = mg.mr
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM syms a
+        |  LEFT JOIN syms b ON b.w = a.w AND b.i = a.i + 1
+        |  CROSS JOIN mg),
+        |ph AS (
+        |  SELECT *, coalesce(lag(hit) OVER (PARTITION BY w ORDER BY i), 0)
+        |    AS phit FROM hits),
+        |runs AS (
+        |  SELECT *, sum(CASE WHEN hit = 1 AND phit = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY w ORDER BY i) AS run
+        |  FROM ph),
+        |rs AS (
+        |  SELECT *, CASE WHEN hit = 1 THEN
+        |      min(CASE WHEN hit = 1 THEN i END) OVER (PARTITION BY w, run)
+        |    END AS run_start
+        |  FROM runs),
+        |tk AS (
+        |  SELECT *, CASE WHEN hit = 1 AND (i - run_start) % 2 = 0
+        |    THEN 1 ELSE 0 END AS take FROM rs),
+        |reb AS (
+        |  SELECT w, freq,
+        |    CAST(row_number() OVER (PARTITION BY w ORDER BY i) - 1 AS BIGINT) AS j,
+        |    CASE WHEN take = 1 THEN s || ns ELSE s END AS s
+        |  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY w ORDER BY i), 0) AS ptake
+        |        FROM tk) q
+        |  WHERE ptake = 0),
+        |aft AS (
+        |  SELECT a.s AS lhs, b.s AS rhs, CAST(sum(a.freq) AS BIGINT) AS cnt
+        |  FROM reb a JOIN reb b ON b.w = a.w AND b.j = a.j + 1
+        |  GROUP BY 1, 2)
+        |SELECT 'before' AS phase, lhs, rhs, cnt FROM bef
+        |UNION ALL SELECT 'after', lhs, rhs, cnt FROM aft""".stripMargin,
 
     // q236 — cumsum over the day order, first row whose doubled mass
     // reaches the total (argmin via min over the qualifying set)

@@ -700,4 +700,83 @@ object TextOps {
       .withColumn("mbits", expr("sum_bits * 1000 div n_bigrams"))
       .withColumn("keep", col("mbits") < keepMbits)
   }
+
+  /** ONE exact BPE merge step (Sennrich, Haddow, Birch 2016) — the
+    * tokenizer-TRAINING primitive: over the [a-z]+ word vocabulary
+    * (weighted by corpus frequency), count all adjacent symbol pairs,
+    * select the argmax pair (ties to the lexicographically smallest
+    * (left, right)), apply it GREEDILY LEFT-TO-RIGHT inside every word,
+    * and recount. Greedy semantics matter exactly when left == right:
+    * in a run like "aaaa" the matches at positions 0,1,2 overlap and
+    * greedy takes 0 and 2 — reproduced here by run-parity (a match
+    * survives iff its offset from its match-run start is even; runs of
+    * consecutive match positions only arise when left == right).
+    *
+    * Returns (phase ∈ {before, after}, lhs, rhs, cnt): the full pair
+    * table before the merge and after it — the "after" rows pin the
+    * greedy application byte-for-byte (e.g. "aaa" counts (a,a) twice
+    * before and ("aa","a") once after).
+    *
+    * Scale shape: everything past the word-frequency aggregation is
+    * VOCABULARY-sized, not corpus-sized (the classic BPE trick); per
+    * word the position explode is word-length-bounded; the two
+    * argmax aggregates are single-row broadcasts.
+    */
+  def bpeStep(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val syms = words
+      .withColumn("i", explode(sequence(lit(0L), length(col("w")) - 1)))
+      .select(col("w"), col("freq"), col("i"),
+        col("w").substr((col("i") + 1).cast("int"), lit(1)).as("s"))
+    def pairsOf(seq: DataFrame): DataFrame = {
+      val nx = seq.select(col("w").as("nw"), col("i").as("ni"),
+        col("s").as("ns"))
+      seq.join(nx, col("nw") === col("w") && col("ni") === col("i") + 1)
+        .groupBy(col("s").as("lhs"), col("ns").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+    }
+    val before = pairsOf(syms).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mMax = before.agg(max(col("cnt")).as("mc"))
+    val merge = before.crossJoin(broadcast(mMax))
+      .filter(col("cnt") === col("mc"))
+      .agg(min(struct(col("lhs"), col("rhs"))).as("m"))
+      .select(col("m.lhs").as("ml"), col("m.rhs").as("mr"))
+    // match positions of the selected pair, greedy-filtered by run parity
+    val withNext = syms
+      .join(syms.select(col("w").as("nw"), col("i").as("ni"), col("s").as("ns")),
+        col("nw") === col("w") && col("ni") === col("i") + 1, "left")
+      .crossJoin(broadcast(merge))
+      .withColumn("hit", (col("ns").isNotNull &&
+        col("s") === col("ml") && col("ns") === col("mr")).cast("int"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("i"))
+    val runs = withNext
+      .withColumn("phit", lag(col("hit"), 1, 0).over(wOrd))
+      .withColumn("brk", when(col("hit") === 1 && col("phit") === 0, 1L)
+        .otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(wOrd))
+      .withColumn("runStart",
+        when(col("hit") === 1, min(when(col("hit") === 1, col("i")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("w"), col("run")))))
+      .withColumn("take", (col("hit") === 1 &&
+        (col("i") - col("runStart")) % 2 === 0).cast("int"))
+    // a position is absorbed iff the PREVIOUS position was taken
+    val rebuilt = runs
+      .withColumn("ptake", lag(col("take"), 1, 0).over(wOrd))
+      .filter(col("ptake") === 0)
+      .select(col("w"), col("freq"), col("i"),
+        when(col("take") === 1, concat(col("s"), col("ns")))
+          .otherwise(col("s")).as("s"))
+    val after = pairsOf(
+      rebuilt.withColumn("i",
+        (row_number().over(wOrd) - 1).cast("long")))
+    before.select(lit("before").as("phase"), col("lhs"), col("rhs"), col("cnt"))
+      .unionByName(after.select(lit("after").as("phase"), col("lhs"),
+        col("rhs"), col("cnt")))
+  }
 }
