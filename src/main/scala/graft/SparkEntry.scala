@@ -2579,6 +2579,41 @@ object SparkEntry {
     "q238_bpe_step" -> ((s, dir) =>
       graft.text.TextOps.bpeStep(s, table(s, dir, "documents"))),
 
+    // exact Otsu binarization threshold per image (Otsu 1979) — argmax
+    // of the between-class variance over the 256-bin gray histogram,
+    // all-integer cross-multiplied comparisons, ties to the smallest
+    // occupied level. Narrow decode, one row per image; the bounded
+    // gray domain is what makes the exact distributed form free (same
+    // reason as q182's exact quantiles).
+    "q239_otsu" -> ((s, _) =>
+      graft.img.ImageOps.otsuThreshold(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
+    // Cohen's kappa between the engine's n-gram language-ID (q26's
+    // predictor) and the gold `lang` column — the inter-rater
+    // chance-corrected agreement, kept EXACT as the integer pair
+    // κ = kappa_num/kappa_den with kappa_num = N·O − Σ_k r_k·c_k and
+    // kappa_den = N² − Σ_k r_k·c_k (O = observed agreement count,
+    // r/c the gold/predicted marginals). Everything past the per-doc
+    // prediction is label-space-sized.
+    "q240_kappa" -> ((s, dir) => {
+      val conf = graft.text.TextOps.withLang(s, table(s, dir, "documents"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val tot = conf.agg(sum(col("n")).as("nn"),
+        sum(when(col("lang") === col("predicted_lang"), col("n"))
+          .otherwise(0L)).as("o"))
+      val marg = conf.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+        .join(conf.groupBy(col("predicted_lang")).agg(sum(col("n")).as("cn")),
+          col("lang") === col("predicted_lang"))
+        .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("p"))
+      tot.crossJoin(broadcast(marg))
+        .select(col("nn").as("n_items"), col("o").as("observed"),
+          (col("nn") * col("o") - col("p")).as("kappa_num"),
+          (col("nn") * col("nn") - col("p")).as("kappa_den"))
+    }),
+
     // weighted median along the day axis — per device the first day by
     // which HALF its total event mass has landed (doubled comparison,
     // no halving); the mid-activity point that q47's unweighted
@@ -4801,6 +4836,46 @@ object SparkEntry {
   }
 
   /** q27's exact-kNN oracle, shared with q89's recall eval. */
+  /** TextOps.langId replicated relationally, ending in
+    * `pred(lang, predicted_lang)` — shared by the q26 confusion-matrix
+    * oracle and the q240 kappa oracle. CJK share first, then argmax
+    * stopword hits over the same public profiles, ties to the
+    * alphabetically-first language, und when nothing matches (incl.
+    * NULL text). Tokenizer fidelity: RE2's \p{L} matches Java's for BMP
+    * letters; known residual divergence = supplementary-plane
+    * characters (UTF-16 length vs codepoints) — out of this corpus's
+    * charset.
+    */
+  private val langPredCtes: String =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), t -> t <> '') AS ws,
+      |    length(text) AS n,
+      |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang, n, cjk, ws,
+      |    len(list_filter(ws, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+      |    len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de,
+      |    len(list_filter(ws, t -> t IN ('el','la','los','las','y','es','en','que','de','un'))) AS h_es,
+      |    len(list_filter(ws, t -> t IN ('le','la','les','et','est','en','que','un','une','des'))) AS h_fr,
+      |    len(list_filter(ws, t -> t IN ('il','la','di','e','che','un','per','con','del','sono'))) AS h_it
+      |  FROM toks),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN n IS NULL OR n = 0 THEN 'und'
+      |      WHEN cjk * 5 > n THEN 'zh'
+      |      WHEN len(ws) = 0 THEN 'und'
+      |      WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
+      |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_it THEN 'de'
+      |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it THEN 'en'
+      |      WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
+      |      WHEN h_fr >= h_it THEN 'fr'
+      |      ELSE 'it'
+      |    END AS predicted_lang
+      |  FROM scored)""".stripMargin
+
   private val embedKnnOracleSql: String =
     """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -8015,34 +8090,7 @@ object SparkEntry {
     // letters; known residual divergence = supplementary-plane characters
     // (UTF-16 length vs codepoints) — out of this corpus's charset.
     "q26_lang_id" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), t -> t <> '') AS ws,
-        |    length(text) AS n,
-        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk
-        |  FROM documents),
-        |scored AS (
-        |  SELECT lang, n, cjk, ws,
-        |    len(list_filter(ws, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
-        |    len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de,
-        |    len(list_filter(ws, t -> t IN ('el','la','los','las','y','es','en','que','de','un'))) AS h_es,
-        |    len(list_filter(ws, t -> t IN ('le','la','les','et','est','en','que','un','une','des'))) AS h_fr,
-        |    len(list_filter(ws, t -> t IN ('il','la','di','e','che','un','per','con','del','sono'))) AS h_it
-        |  FROM toks),
-        |pred AS (
-        |  SELECT lang,
-        |    CASE
-        |      WHEN n IS NULL OR n = 0 THEN 'und'
-        |      WHEN cjk * 5 > n THEN 'zh'
-        |      WHEN len(ws) = 0 THEN 'und'
-        |      WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
-        |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_it THEN 'de'
-        |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it THEN 'en'
-        |      WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
-        |      WHEN h_fr >= h_it THEN 'fr'
-        |      ELSE 'it'
-        |    END AS predicted_lang
-        |  FROM scored)
+      s"""WITH $langPredCtes
         |SELECT lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2""".stripMargin,
 
     "q25_regex_tokens" ->
@@ -9006,6 +9054,50 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT 'before' AS phase, lhs, rhs, cnt FROM bef
         |UNION ALL SELECT 'after', lhs, rhs, cnt FROM aft""".stripMargin,
+
+    // q239 — histogram + running (count, gray-sum) per occupied level,
+    // the cross-multiplied variance argmax replayed as a per-image
+    // anti-join (HUGEINT: the squared numerator alone needs 127 bits)
+    "q239_otsu" ->
+      s"""WITH ${pixelChainCtes(48)},
+         |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT i, CAST(w*h AS BIGINT) AS n, sum(g*c) AS s
+         |        FROM hist GROUP BY 1, 2),
+         |cum AS (SELECT i, g AS t,
+         |    sum(c) OVER (PARTITION BY i ORDER BY g) AS c0,
+         |    sum(g*c) OVER (PARTITION BY i ORDER BY g) AS s0 FROM hist),
+         |obj AS (
+         |  SELECT cum.i, t, c0, tot.n - c0 AS c1,
+         |    (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0)
+         |      * (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0) AS num,
+         |    CAST(c0 AS HUGEINT)*(tot.n - c0) AS den
+         |  FROM cum JOIN tot ON tot.i = cum.i WHERE c0 > 0 AND c0 < tot.n),
+         |best AS (
+         |  SELECT o.i, o.t, o.c0, o.c1 FROM obj o
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM obj d WHERE d.i = o.i AND
+         |      (d.num*o.den > o.num*d.den OR
+         |       (d.num*o.den = o.num*d.den AND d.t < o.t))))
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(t AS BIGINT) AS thr, CAST(c0 AS BIGINT) AS c0,
+         |  CAST(c1 AS BIGINT) AS c1 FROM best""".stripMargin,
+
+    // q240 — the q26 prediction CTE, then κ's integer identity:
+    // kappa_num = N·O − Σ r_k·c_k, kappa_den = N² − Σ r_k·c_k
+    "q240_kappa" ->
+      s"""WITH $langPredCtes,
+         |conf AS (SELECT lang, predicted_lang, count(*) AS n
+         |         FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS nn,
+         |    sum(CASE WHEN lang = predicted_lang THEN n ELSE 0 END) AS o
+         |  FROM conf),
+         |r AS (SELECT lang AS k, sum(n) AS rn FROM conf GROUP BY 1),
+         |c AS (SELECT predicted_lang AS k, sum(n) AS cn FROM conf GROUP BY 1),
+         |p AS (SELECT coalesce(sum(rn*cn), 0) AS p FROM r JOIN c USING (k))
+         |SELECT CAST(nn AS BIGINT) AS n_items, CAST(o AS BIGINT) AS observed,
+         |  CAST(nn*o - p.p AS BIGINT) AS kappa_num,
+         |  CAST(nn*nn - p.p AS BIGINT) AS kappa_den
+         |FROM tot, p""".stripMargin,
 
     // q236 — cumsum over the day order, first row whose doubled mass
     // reaches the total (argmin via min over the qualifying set)

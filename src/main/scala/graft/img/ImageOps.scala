@@ -1586,4 +1586,66 @@ object ImageOps {
       }
       .toDF("image_id", "best_x", "best_y", "ssd")
   }
+
+  /** Exact Otsu threshold (Otsu 1979) over the BT.601 gray histogram:
+    * the t maximizing the between-class variance
+    * σ²_B(t) = (s0·n − S·c0)² / (c0·(n − c0)), with c0/s0 the count/
+    * gray-sum of the g ≤ t class, S/n the image totals. All comparisons
+    * are EXACT integer cross-multiplications (BigInt — (s0·n − S·c0)²
+    * overflows i64 at 63×63); ties go to the SMALLEST t, and since the
+    * objective is constant between occupied gray levels, the argmax is
+    * always an occupied level — which is what lets a histogram-only SQL
+    * oracle reproduce it. Returns (image_id, thr, c0, c1); degenerate
+    * single-level images (impossible for the 16..63-dim fixture) fall
+    * back to thr = that level, c1 = 0.
+    */
+  def otsuThreshold(spark: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    images.select(col("image_id"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = Codecs.decode(bytes)
+          val hist = new Array[Long](256)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            hist((((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000) += 1
+            k += 1
+          }
+          val n = w.toLong * h
+          var s = 0L
+          var g = 0
+          while (g < 256) { s += g.toLong * hist(g); g += 1 }
+          var bestT = -1
+          var bestNum = BigInt(-1)
+          var bestDen = BigInt(1)
+          var bestC0 = 0L
+          var c0 = 0L
+          var s0 = 0L
+          var t = 0
+          while (t < 256) {
+            c0 += hist(t); s0 += t.toLong * hist(t)
+            if (c0 > 0 && c0 < n) {
+              val d = BigInt(s0) * n - BigInt(s) * c0
+              val num = d * d
+              val den = BigInt(c0) * (n - c0)
+              if (bestT < 0 || num * bestDen > bestNum * den) {
+                bestT = t; bestNum = num; bestDen = den; bestC0 = c0
+              }
+            }
+            t += 1
+          }
+          if (bestT < 0) {
+            var lone = 0
+            while (hist(lone) == 0L) lone += 1
+            (id, lone.toLong, n, 0L)
+          } else (id, bestT.toLong, bestC0, n - bestC0)
+        }
+      }
+      .toDF("image_id", "thr", "c0", "c1")
+  }
 }
