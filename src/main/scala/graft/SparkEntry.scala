@@ -275,6 +275,42 @@ object SparkEntry {
        |    ((x*7 + hr) % 256 * 299 + (y*11 + hg) % 256 * 587 + ((x+y)*3 + hb) % 256 * 114) // 1000 AS g
        |  FROM t1)""".stripMargin
 
+  /** [[pixelChainCtes]] extended with the exact Otsu argmax — ends in
+    * `best(i, t, c0, c1)` (and keeps `px` visible). Histogram + running
+    * (count, gray·count), the cross-multiplied variance comparison as a
+    * per-image anti-join; HUGEINT because the squared numerator alone
+    * needs 127 bits at 63×63. Shared by q239 and q242.
+    */
+  private def otsuCtes(n: Int): String =
+    s"""${pixelChainCtes(n)},
+       |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT i, CAST(w*h AS BIGINT) AS n, sum(g*c) AS s
+       |        FROM hist GROUP BY 1, 2),
+       |cum AS (SELECT i, g AS t,
+       |    sum(c) OVER (PARTITION BY i ORDER BY g) AS c0,
+       |    sum(g*c) OVER (PARTITION BY i ORDER BY g) AS s0 FROM hist),
+       |obj AS (
+       |  SELECT cum.i, t, c0, tot.n - c0 AS c1,
+       |    (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0)
+       |      * (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0) AS num,
+       |    CAST(c0 AS HUGEINT)*(tot.n - c0) AS den
+       |  FROM cum JOIN tot ON tot.i = cum.i WHERE c0 > 0 AND c0 < tot.n),
+       |best AS (
+       |  SELECT o.i, o.t, o.c0, o.c1 FROM obj o
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM obj d WHERE d.i = o.i AND
+       |      (d.num*o.den > o.num*d.den OR
+       |       (d.num*o.den = o.num*d.den AND d.t < o.t))))""".stripMargin
+
+  /** lcm(1..k), k = 1..40, as a DuckDB list literal — mirrors
+    * Series.lcmUpTo for the q241 oracle.
+    */
+  private val lcmSqlList: String = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to 40).scanLeft(1L)((l, k) => l / gcd(l, k) * k).tail
+      .mkString("[", ", ", "]")
+  }
+
   /** [[pixelChainCtes]] extended with the per-pixel Sobel pair on
     * interior pixels — ends in `sob(i, w, h, x, y, gx, gy)`. Shared by
     * the gradient-window oracles (q203/q204).
@@ -2596,6 +2632,24 @@ object SparkEntry {
     // kappa_den = N² − Σ_k r_k·c_k (O = observed agreement count,
     // r/c the gold/predicted marginals). Everything past the per-doc
     // prediction is label-space-sized.
+    // exact isotonic regression per device over its daily-count series
+    // (PAVA via the minimax identity, lcm-scaled integer averages —
+    // Series.isotonic). The calibration primitive: the best monotone
+    // non-decreasing fit of activity over days, exact as
+    // iso_num/iso_den, constant on pooled blocks.
+    "q241_isotonic" -> ((s, dir) =>
+      graft.stats.Series.isotonic(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
+    // marching-squares contour cases per image over the image's OWN
+    // Otsu threshold (q239 composed with the 2×2 stencil) — the exact
+    // raster→vector step: per (image, case) cell counts and the
+    // contour-segment tally.
+    "q242_marching_squares" -> ((s, _) =>
+      graft.img.ImageOps.marchingSquares(s,
+        graft.img.ImageTable.generate(s, 48, 16).toDF())),
+
     "q240_kappa" -> ((s, dir) => {
       val conf = graft.text.TextOps.withLang(s, table(s, dir, "documents"))
         .groupBy(col("lang"), col("predicted_lang"))
@@ -9059,28 +9113,67 @@ object SparkEntry {
     // the cross-multiplied variance argmax replayed as a per-image
     // anti-join (HUGEINT: the squared numerator alone needs 127 bits)
     "q239_otsu" ->
-      s"""WITH ${pixelChainCtes(48)},
-         |hist AS (SELECT i, w, h, g, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
-         |tot AS (SELECT i, CAST(w*h AS BIGINT) AS n, sum(g*c) AS s
-         |        FROM hist GROUP BY 1, 2),
-         |cum AS (SELECT i, g AS t,
-         |    sum(c) OVER (PARTITION BY i ORDER BY g) AS c0,
-         |    sum(g*c) OVER (PARTITION BY i ORDER BY g) AS s0 FROM hist),
-         |obj AS (
-         |  SELECT cum.i, t, c0, tot.n - c0 AS c1,
-         |    (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0)
-         |      * (CAST(s0 AS HUGEINT)*n - CAST(tot.s AS HUGEINT)*c0) AS num,
-         |    CAST(c0 AS HUGEINT)*(tot.n - c0) AS den
-         |  FROM cum JOIN tot ON tot.i = cum.i WHERE c0 > 0 AND c0 < tot.n),
-         |best AS (
-         |  SELECT o.i, o.t, o.c0, o.c1 FROM obj o
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM obj d WHERE d.i = o.i AND
-         |      (d.num*o.den > o.num*d.den OR
-         |       (d.num*o.den = o.num*d.den AND d.t < o.t))))
+      s"""WITH ${otsuCtes(48)}
          |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
          |  CAST(t AS BIGINT) AS thr, CAST(c0 AS BIGINT) AS c0,
          |  CAST(c1 AS BIGINT) AS c1 FROM best""".stripMargin,
+
+    // q241 — the same interval×position expansion, scaled by the
+    // group's lcm(1..n) literal list, nested min-then-max as plain
+    // integer aggregates
+    "q241_isotonic" ->
+      s"""WITH daily AS (
+         |  SELECT user_id AS grp,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT grp, x, y,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS k,
+         |    sum(y) OVER (PARTITION BY grp ORDER BY x) AS cum FROM daily),
+         |sc AS (
+         |  SELECT grp, list_extract($lcmSqlList, CAST(max(k) AS INT)) AS bigl
+         |  FROM idx GROUP BY 1),
+         |iv AS (
+         |  SELECT a.grp, a.k AS i, b.k AS j,
+         |    (b.cum - a.cum + a.y) * (s.bigl // (b.k - a.k + 1)) AS v
+         |  FROM idx a JOIN idx b ON b.grp = a.grp AND b.k >= a.k
+         |  JOIN sc s ON s.grp = a.grp),
+         |inr AS (
+         |  SELECT iv.grp, iv.i, kk.k, min(iv.v) AS mn
+         |  FROM iv JOIN idx kk ON kk.grp = iv.grp
+         |    AND kk.k BETWEEN iv.i AND iv.j
+         |  GROUP BY 1, 2, 3),
+         |fit AS (SELECT grp, k, max(mn) AS iso_num FROM inr GROUP BY 1, 2)
+         |SELECT idx.grp AS user_id, idx.x, idx.y,
+         |  CAST(fit.iso_num AS BIGINT) AS iso_num,
+         |  CAST(sc.bigl AS BIGINT) AS iso_den
+         |FROM idx
+         |JOIN fit ON fit.grp = idx.grp AND fit.k = idx.k
+         |JOIN sc ON sc.grp = idx.grp""".stripMargin,
+
+    // q242 — the otsu chain shared with q239, then the 2×2 stencil as
+    // four shifted self-joins of px and the per-case segment tally
+    "q242_marching_squares" ->
+      s"""WITH ${otsuCtes(48)},
+         |cells AS (
+         |  SELECT tl.i,
+         |    8*(CASE WHEN tl.g > b.t THEN 1 ELSE 0 END) +
+         |    4*(CASE WHEN tr.g > b.t THEN 1 ELSE 0 END) +
+         |    2*(CASE WHEN br.g > b.t THEN 1 ELSE 0 END) +
+         |      (CASE WHEN bl.g > b.t THEN 1 ELSE 0 END) AS mcase, b.t
+         |  FROM px tl
+         |  JOIN best b ON b.i = tl.i
+         |  JOIN px tr ON tr.i = tl.i AND tr.x = tl.x+1 AND tr.y = tl.y
+         |  JOIN px br ON br.i = tl.i AND br.x = tl.x+1 AND br.y = tl.y+1
+         |  JOIN px bl ON bl.i = tl.i AND bl.x = tl.x   AND bl.y = tl.y+1
+         |  WHERE tl.x < tl.w - 1 AND tl.y < tl.h - 1)
+         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
+         |  CAST(t AS BIGINT) AS thr, CAST(mcase AS BIGINT) AS mcase,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(count(*) * (CASE WHEN mcase IN (0, 15) THEN 0
+         |    WHEN mcase IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segs
+         |FROM cells GROUP BY i, t, mcase""".stripMargin,
 
     // q240 — the q26 prediction CTE, then κ's integer identity:
     // kappa_num = N·O − Σ r_k·c_k, kappa_den = N² − Σ r_k·c_k

@@ -309,4 +309,63 @@ object Series {
         coalesce(col("nd"), lit(0L)).as("nd"),
         coalesce(col("t_y"), lit(0L)).as("t_y"))
   }
+
+  /** lcm(1..k) for k = 1..40 — the common scale that turns every
+    * interval average sum/len (len ≤ n ≤ 40) into an EXACT integer
+    * sum·(lcm/len). lcm(1..40) ≈ 5.3e15, so scaled values stay in i64
+    * for interval sums up to ~1.7e3; beyond n = 40 the scale itself
+    * would overflow — guarded loudly in [[isotonic]].
+    */
+  private val lcmUpTo: Seq[Long] = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to 40).scanLeft(1L)((l, k) => l / gcd(l, k) * k).tail
+  }
+
+  /** Exact isotonic (monotone non-decreasing) L2 regression per group —
+    * PAVA's pool-adjacent-violators fit via the minimax identity
+    * (Robertson–Wright–Dykstra 1988, Thm 1.4.4):
+    * fit[k] = max_{i ≤ k} min_{j ≥ k} avg(y[i..j]). Averages are made
+    * exactly comparable by scaling with L = lcm(1..n) (len divides L),
+    * so the nested min/max are PLAIN integer aggregations — no rational
+    * anti-joins. Emits (grp, x, y, iso_num, iso_den): the fitted value
+    * is iso_num/iso_den, constant on PAVA's pooled blocks.
+    *
+    * Scale shape: the interval×position expansion is O(n³) in SERIES
+    * length (n ≤ 40 guarded — days per device), never corpus-sized;
+    * three hash aggregations keyed by group, one series-bounded window.
+    * The calibration primitive (reliability curves, monotone score →
+    * rate maps) a training pipeline runs per segment.
+    */
+  def isotonic(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val idx = g.withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("y")).over(w))
+    val lcmArr = array(lcmUpTo.map(lit): _*)
+    val scale = idx.groupBy(col("grp")).agg(max(col("k")).as("n"))
+      .select(col("grp"),
+        when(col("n") <= 40L, element_at(lcmArr, col("n").cast("int")))
+          .otherwise(raise_error(concat(
+            lit("isotonic: series longer than 40 in group "),
+            col("grp").cast("string"))).cast("long")).as("bigl"))
+    val iSide = idx.select(col("grp"), col("k").as("i"),
+      (col("cum") - col("y")).as("pre"))
+    val jSide = idx.select(col("grp"), col("k").as("j"), col("cum"))
+    val intervals = iSide.join(jSide, Seq("grp")).filter(col("i") <= col("j"))
+      .join(scale, Seq("grp"))
+      .select(col("grp"), col("i"), col("j"),
+        // len divides bigl exactly, so the integer div loses nothing
+        ((col("cum") - col("pre")) *
+          expr("bigl div (j - i + 1)")).as("v"))
+    val ks = idx.select(col("grp"), col("k"))
+    val inner = intervals.join(ks, Seq("grp"))
+      .filter(col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy(col("grp"), col("i"), col("k"))
+      .agg(min(col("v")).as("mn"))
+    val fit = inner.groupBy(col("grp"), col("k"))
+      .agg(max(col("mn")).as("iso_num"))
+    idx.join(fit, Seq("grp", "k")).join(scale, Seq("grp"))
+      .select(col("grp"), col("x"), col("y"), col("iso_num"),
+        col("bigl").as("iso_den"))
+  }
 }
