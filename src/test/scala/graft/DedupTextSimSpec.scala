@@ -472,6 +472,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nn.select(explode(graft.text.TextExpr.tokNgramsCol(spark, col("text"), 3)))
       .count() === 0)
   }
+
+  import spark.implicits._
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("bpeStep: argmax pair, GREEDY overlap handling, exact recount") {
+    // words: aaaa (freq 2), ab (freq 3); before: (a,a)=6, (a,b)=3
+    // argmax (a,a); greedy on "aaaa" takes positions 0 and 2 -> "aa","aa"
+    // after: (aa,aa)=2, (a,b)=3
+    val d = docs((1L, "aaaa ab ab"), (2L, "aaaa ab"))
+    val got = TextOps.bpeStep(spark, d)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("before", "a", "a", 6L), ("before", "a", "b", 3L),
+      ("after", "aa", "aa", 2L), ("after", "a", "b", 3L)))
+    // lexicographic tie: (a,b) and (b,a) both count 2 -> merge (a,b);
+    // "aba" greedy: only position 0 merges -> "ab","a" -> (ab,a)=2
+    val d2 = docs((1L, "aba aba"))
+    val got2 = TextOps.bpeStep(spark, d2)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got2 == Set(
+      ("before", "a", "b", 2L), ("before", "b", "a", 2L),
+      ("after", "ab", "a", 2L)))
+    // odd run: "aaaaa" (5 a's, 4 adjacent pairs) greedy -> aa aa a:
+    // after pairs (aa,aa)=1, (aa,a)=1
+    val got3 = TextOps.bpeStep(spark, docs((1L, "aaaaa")))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got3 == Set(
+      ("before", "a", "a", 4L),
+      ("after", "aa", "aa", 1L), ("after", "aa", "a", 1L)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -518,4 +518,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       s"q233 must not range-partition:\n$plan")
   }
+
+  test("q238/q241 vocabulary- and series-keyed plans: no global sort anywhere") {
+    // q238's windows partition by word (vocabulary-keyed), q241's by
+    // device group — the O(n³) expansion must stay inside per-group
+    // hash exchanges, never a single-partition or range sort
+    for (q <- Seq("q238_bpe_step", "q241_isotonic")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+    }
+  }
+
+  test("q239/q242 per-image kernels are narrow: zero exchanges, no UDF") {
+    for (q <- Seq("q239_otsu", "q242_marching_squares")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$q decodes and classifies in-task — no shuffle belongs here:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"UDF in $q plan:\n$plan")
+    }
+  }
 }

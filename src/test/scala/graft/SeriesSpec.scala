@@ -300,4 +300,49 @@ class SeriesSpec extends AnyFunSuite {
       assert(nc + nd + ty == n * (n - 1) / 2)
     }
   }
+
+  /** Sequential pool-adjacent-violators reference: returns one (sum,
+    * len) block stat per position. Pools while the previous block's
+    * average is >= the current's (merging equal averages changes no
+    * fitted value).
+    */
+  private def pavaRef(ys: Seq[Long]): Seq[(Long, Long)] = {
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (y <- ys) {
+      var s = y
+      var l = 1L
+      while (st.nonEmpty && st.last._1 * l >= s * st.last._2) {
+        val (ps, pl) = st.remove(st.length - 1); s += ps; l += pl
+      }
+      st += ((s, l))
+    }
+    st.toSeq.flatMap { case (s, l) => Seq.fill(l.toInt)((s, l)) }
+  }
+
+  test("isotonic: equals sequential PAVA on random series; monotone; fixed point") {
+    val rnd = new scala.util.Random(17L)
+    val rows = for (g <- 0L until 4L; i <- 0L until 20L)
+      yield (g, i * 3, rnd.nextInt(15).toLong)
+    val got = Series.isotonic(rows.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val ys = rs.sortBy(_._2).map(_._3)
+      val want = pavaRef(ys.toSeq)
+      val gs = got(g)
+      assert(gs.map(_._3) == ys.toSeq, s"y passthrough broken for $g")
+      val bigl = gs.head._5
+      // iso_num = blockSum * (L / blockLen), same L across the group
+      assert(gs.map(_._4) == want.map { case (s, l) => s * (bigl / l) },
+        s"PAVA mismatch for group $g")
+      // monotone non-decreasing (same denominator -> numerators ordered)
+      assert(gs.map(_._4) == gs.map(_._4).sorted)
+    }
+    // already-monotone series is its own fit: iso_num/iso_den == y
+    val mono = Seq(1L, 2L, 2L, 5L, 9L).zipWithIndex
+      .map { case (y, i) => (9L, i.toLong, y) }
+    val fix = Series.isotonic(mono.toDF("grp", "x", "y"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(fix.forall(r => r._4 == r._3 * r._5))
+  }
 }
