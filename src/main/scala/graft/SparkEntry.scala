@@ -2546,6 +2546,18 @@ object SparkEntry {
         communityEdgesDF(s, 40, 10).unionByName(extra))
     }),
 
+    // articulation (cut) vertices on the q224 fixture — the vertex
+    // analogue of bridge detection, run as ONE batched what-if BFS
+    // over (removed-vertex, kind, node) composite state (the q180
+    // side-tagging pattern): hub chains make 0/1000/1001 cut vertices.
+    "q243_articulation" -> ((s, _) => {
+      val extra = s.range(0, 3)
+        .select((col("id") + 1000).as("src"),
+          when(col("id") === 0, 0L).otherwise(col("id") + 999).as("dst"))
+      graft.graph.Centrality.articulation(s,
+        communityEdgesDF(s, 40, 10).unionByName(extra))
+    }),
+
     // degree assortativity per community, exact Pearson pieces over
     // (deg(src), deg(dst)) across directed intra-community edge
     // instances — hub-star communities read disassortative (num < 0);
@@ -8901,6 +8913,36 @@ object SparkEntry {
          |  CASE WHEN EXISTS (SELECT 1 FROM walk w
          |    WHERE w.a = u.a AND w.b = u.b AND w.id = u.b) THEN 0 ELSE 1 END AS is_bridge
          |FROM und u""".stripMargin,
+
+    // q243 — the q224 fixture, one recursive walk per candidate that
+    // never enters the removed vertex, one unrestricted coverage walk
+    "q243_articulation" ->
+      s"""WITH RECURSIVE ${communityEdgesSql(40, 10)},
+         |e1 AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT * FROM (VALUES (1000, 0), (1001, 1000), (1002, 1001)) v(src, dst)),
+         |dir2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1) u
+         |  WHERE src <> dst),
+         |deg AS (SELECT src AS v, count(*) AS degree, min(dst) AS seed
+         |        FROM dir2 GROUP BY 1),
+         |walk(v, id) AS (
+         |  SELECT v, seed FROM deg WHERE degree >= 2
+         |  UNION
+         |  SELECT w.v, d.dst FROM walk w JOIN dir2 d ON d.src = w.id
+         |  WHERE d.dst <> w.v),
+         |cover(v, id) AS (
+         |  SELECT v, v FROM deg
+         |  UNION
+         |  SELECT c.v, d.dst FROM cover c JOIN dir2 d ON d.src = c.id),
+         |r AS (SELECT v, count(*) AS reached FROM walk GROUP BY 1),
+         |cs AS (SELECT v, count(*) AS comp_size FROM cover GROUP BY 1)
+         |SELECT deg.v AS id, CAST(degree AS BIGINT) AS degree,
+         |  CAST(comp_size AS BIGINT) AS comp_size,
+         |  CAST(coalesce(reached, 0) AS BIGINT) AS reached,
+         |  CAST(CASE WHEN degree >= 2 AND coalesce(reached, 0) < comp_size - 1
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_articulation
+         |FROM deg JOIN cs ON cs.v = deg.v
+         |LEFT JOIN r ON r.v = deg.v""".stripMargin,
 
     // q225 — q208's three unrolled LPA rounds, then the edge-instance
     // degree-pair sufficient statistics within each community subgraph

@@ -132,6 +132,94 @@ object Centrality {
     out
   }
 
+  /** Articulation (cut) vertices, exact — the vertex analogue of
+    * [[bridges]]: v is an articulation point iff deleting v disconnects
+    * its component. Run as ONE batched level-synchronous BFS over
+    * composite (v, kind, node) state instead of |V| separate what-if
+    * traversals: kind 0 is the REMOVAL walk (starts at v's min-id
+    * neighbor, never traverses v — only candidates with degree ≥ 2
+    * participate; a degree-1 vertex cannot cut), kind 1 is the
+    * COVERAGE walk (starts at v itself, unrestricted — it measures
+    * |comp(v)|). v is an articulation point iff the removal walk
+    * converges before covering comp(v) \ {v}. Both fixpoints share
+    * every round's jobs through the composite key — the q180
+    * side-tagged batching pattern applied to graph what-ifs.
+    *
+    * Per round: one equi-join + one distinct + one anti-join; eager
+    * localCheckpoint each round ([[Bfs.hops]] — plan growth is the
+    * driver hazard). All-pairs state is O(V²) by definition — a
+    * bounded-community operator like [[Bfs.allPairsHops]]; at 100 TB
+    * you run it per community, never on the raw graph.
+    *
+    * Returns (id, degree, comp_size, reached, is_articulation) for
+    * every non-isolated vertex; `reached` is 0 for non-candidates.
+    */
+  def articulation(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 256): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dir = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+      .persist(lvl)
+    val deg = dir.groupBy(col("s").as("v"))
+      .agg(count(lit(1)).as("degree"), min(col("d")).as("seed"))
+      .persist(lvl)
+    val removalSeeds = deg.filter(col("degree") >= 2L)
+      .select(col("v"), lit(0L).as("kind"), col("seed").as("id"))
+    val coverSeeds = deg.select(col("v"), lit(1L).as("kind"),
+      col("v").as("id"))
+    var dist = removalSeeds.unionByName(coverSeeds).localCheckpoint(true)
+    var frontier = dist
+    var round = 1
+    var done = false
+    while (!done) {
+      val step = frontier.join(dir,
+          frontier("id") === dir("s") &&
+            (frontier("kind") === 1L || dir("d") =!= frontier("v")))
+        .select(col("v"), col("kind"), col("d").as("id")).distinct()
+        .join(dist, Seq("v", "kind", "id"), "left_anti")
+        .localCheckpoint(true)
+      if (step.isEmpty) {
+        step.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        done = true
+      } else if (round > maxRounds) {
+        step.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        dir.unpersist()
+        deg.unpersist()
+        throw new IllegalStateException(
+          s"Centrality.articulation did not converge within $maxRounds rounds")
+      } else {
+        val acc = dist.unionByName(step).localCheckpoint(true)
+        dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
+        dist = acc
+        frontier = step
+        round += 1
+      }
+    }
+    val reached = dist.filter(col("kind") === 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("reached"))
+    val compSize = dist.filter(col("kind") === 1L)
+      .groupBy(col("v")).agg(count(lit(1)).as("comp_size"))
+    val out = deg.join(compSize, Seq("v"))
+      .join(reached, Seq("v"), "left")
+      .select(col("v").as("id"), col("degree"), col("comp_size"),
+        coalesce(col("reached"), lit(0L)).as("reached"),
+        when(col("degree") >= 2L &&
+          coalesce(col("reached"), lit(0L)) < col("comp_size") - 1L, 1L)
+          .otherwise(0L).as("is_articulation"))
+    dir.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** Degree assortativity per community, EXACT — over each label's
     * intra-community subgraph the Pearson sufficient statistics of
     * (deg(src), deg(dst)) across directed edge instances (both

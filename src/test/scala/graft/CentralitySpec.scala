@@ -215,4 +215,54 @@ class CentralitySpec extends AnyFunSuite {
     assert(got == Map(0L -> (2L, 1L, 3L, -1L, 16L),
       2L -> (1L, 0L, 1L, -1L, 16L)))
   }
+
+  /** Brute-force articulation reference: components via union-find with
+    * and without each vertex.
+    */
+  private def articulationOf(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+    def comps(vs: Seq[Long], es: Seq[(Long, Long)]): Int = {
+      val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      vs.map(find).distinct.size
+    }
+    val base = comps(nodes, und)
+    // v cuts iff the component count over the remaining vertices grows:
+    // a non-cut removal leaves its (size ≥ 2) component connected, so
+    // the count stays at base; a cut splits it
+    nodes.map { v =>
+      val vs = nodes.filterNot(_ == v)
+      val es = und.filterNot(e => e._1 == v || e._2 == v)
+      v -> (if (comps(vs, es) > base) 1 else 0)
+    }.toMap
+  }
+
+  test("articulation: path interiors and hubs cut; cycles do not; matches brute force") {
+    // path 0-1-2-3: interiors 1,2 cut. 4-cycle 10-11-12-13: none cut.
+    // star 20-{21,22,23}: center cuts.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L))
+    val got = Centrality.articulation(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._5).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L, 13L -> 0L,
+      20L -> 1L, 21L -> 0L, 22L -> 0L, 23L -> 0L))
+    // random sparse graph vs union-find what-if
+    val rnd = new scala.util.Random(23L)
+    val re = (0 until 40).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong)).filter(e => e._1 != e._2)
+    val want = articulationOf(re).map { case (v, c) => v -> c.toLong }
+    val g2 = Centrality.articulation(spark, re.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._5).toMap
+    assert(g2 == want, s"diff: ${g2.toSet -- want.toSet}")
+  }
 }
