@@ -2637,6 +2637,33 @@ object SparkEntry {
       graft.img.ImageOps.otsuThreshold(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // mutual-kNN clustering over embeddings — the semantic-curation
+    // grouping: an edge exists iff BOTH endpoints rank each other in
+    // their cosine top-5 (mutual-kNN is the standard density-robust
+    // sparsifier), clusters = connected components, singletons kept.
+    // Exact top-k here is the q27 bounded-fixture form; at corpus
+    // scale the candidate generation is the IVF path (q52) feeding the
+    // SAME mutual filter + CC. One semi-join for mutuality; CC via
+    // Dedup.connectedComponents (auto algorithm).
+    "q244_mutual_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 150)
+      val knn = graft.sim.Similarity.bruteForceTopK(e, e, k = 5)
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      val mutual = knn
+        .join(knn.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      val cc = graft.dedup.Dedup.connectedComponents(s,
+        mutual.select(col("a").as("src"), col("b").as("dst")))
+      val lab = e.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster"))
+      lab.join(lab.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cluster_size"))
+    }),
+
     // Cohen's kappa between the engine's n-gram language-ID (q26's
     // predictor) and the gold `lang` column — the inter-rater
     // chance-corrected agreement, kept EXACT as the integer pair
@@ -9216,6 +9243,37 @@ object SparkEntry {
          |  CAST(count(*) * (CASE WHEN mcase IN (0, 15) THEN 0
          |    WHEN mcase IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segs
          |FROM cells GROUP BY i, t, mcase""".stripMargin,
+
+    // q244 — cosine ranks as in q27's oracle, the mutual self-join,
+    // then a recursive reachability closure min-labeled per node
+    "q244_mutual_knn" ->
+      """WITH RECURSIVE ranked AS (
+        |  SELECT q.vec_id AS a, c.vec_id AS b,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 150 AND c.vec_id < 150),
+        |knn AS (SELECT a, b FROM ranked WHERE rank <= 5),
+        |mutual AS (
+        |  SELECT k1.a, k1.b FROM knn k1
+        |  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+        |  WHERE k1.a < k1.b),
+        |dire AS (SELECT a AS s, b AS d FROM mutual
+        |  UNION SELECT b, a FROM mutual),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM dire
+        |  UNION
+        |  SELECT re.id, d.d FROM reach re JOIN dire d ON d.s = re.r),
+        |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+        |allv AS (SELECT vec_id FROM embeddings WHERE vec_id < 150),
+        |lab AS (SELECT vec_id, coalesce(c.cluster, vec_id) AS cluster
+        |        FROM allv LEFT JOIN comp c ON c.id = vec_id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(lab.cluster AS BIGINT) AS cluster,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM lab JOIN sz USING (cluster)""".stripMargin,
 
     // q240 — the q26 prediction CTE, then κ's integer identity:
     // kappa_num = N·O − Σ r_k·c_k, kappa_den = N² − Σ r_k·c_k
