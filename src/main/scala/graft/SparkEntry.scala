@@ -1248,6 +1248,38 @@ object SparkEntry {
         .select(col("image_id"), col("caption"))
     }),
 
+    // Iceberg partition-spec EVOLUTION on the snapshot table: two
+    // commits record bounds on k1, the spec evolves to k2
+    // (metadata-only — no history rewrite), two more commits record k2
+    // bounds. A k2-range read must then skip only post-evolution files
+    // whose k2 bounds miss, while every pre-evolution file is read and
+    // filtered residually (its bounds describe the OLD spec). Files are
+    // k2-div-bucketed so the post-evolution bounds are tight: of the 6
+    // new files, [45,62] keeps 3; all 4 old files must be read —
+    // kept 7 / skipped 3, a closed-form consequence the oracle pins
+    // alongside the row aggregate.
+    "q245_spec_evolution" -> ((s, _) => {
+      import graft.lake.SnapshotTable
+      val out = snapshotScratchDir("q245")
+      def rowsOf(lo: Long, hi: Long): DataFrame = s.range(lo, hi).select(
+        col("id").as("idx"), (col("id") % 50).as("k1"),
+        expr("id div 10").as("k2"),
+        concat(lit("cap_"), col("id")).as("caption"))
+      val bucketOf = pmod(expr("k2 div 10"), lit(4L))
+      SnapshotTable.create(s, rowsOf(0, 200), out.getPath, 4, bucketOf,
+        statsCol = Some("k1"))
+      SnapshotTable.append(s, rowsOf(200, 400), out.getPath, bucketOf)
+      SnapshotTable.evolveStats(out.getPath, "k2")
+      SnapshotTable.append(s, rowsOf(400, 800), out.getPath, bucketOf)
+      SnapshotTable.append(s, rowsOf(800, 1000), out.getPath, bucketOf)
+      val (kept, skipped) = SnapshotTable.prunePlan(out.getPath, 45L, 62L)
+      SnapshotTable.readPruned(s, out.getPath, 45L, 62L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("idx")).as("sum_idx"))
+        .select(col("n_rows"), col("sum_idx"),
+          lit(kept.length.toLong).as("kept_files"),
+          lit(skipped.length.toLong).as("skipped_files"))
+    }),
+
     // time travel + incremental scan over the same snapshot mechanics: a
     // SPARSE merge (7 updates + 5 inserts into 64 buckets) so the
     // incremental row count discriminates carry-forward from rewrite-all —
@@ -9243,6 +9275,19 @@ object SparkEntry {
          |  CAST(count(*) * (CASE WHEN mcase IN (0, 15) THEN 0
          |    WHEN mcase IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segs
          |FROM cells GROUP BY i, t, mcase""".stripMargin,
+
+    // q245 — the matched-row aggregate replayed over the generator;
+    // kept/skipped are the closed-form file counts of the fixture
+    // (4 old files always read + 3 of 6 k2-bounded files overlap
+    // [45, 62] — see the query's construction comment)
+    "q245_spec_evolution" ->
+      """WITH r AS (SELECT range AS idx, range // 10 AS k2
+        |           FROM range(0, 1000))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(idx) AS BIGINT) AS sum_idx,
+        |  CAST(7 AS BIGINT) AS kept_files,
+        |  CAST(3 AS BIGINT) AS skipped_files
+        |FROM r WHERE k2 BETWEEN 45 AND 62""".stripMargin,
 
     // q244 — cosine ranks as in q27's oracle, the mutual self-join,
     // then a recursive reachability closure min-labeled per node

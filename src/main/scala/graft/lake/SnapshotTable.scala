@@ -52,7 +52,8 @@ object SnapshotTable {
     * older files — absence means "can't skip", never "skip".
     */
   final case class FileEntry(path: String, bucket: Int, rows: Long,
-      minKey: Option[Long] = None, maxKey: Option[Long] = None)
+      minKey: Option[Long] = None, maxKey: Option[Long] = None,
+      statsOf: Option[String] = None)
   final case class Manifest(version: Long, parent: Long, op: String,
       buckets: Int, files: Seq[FileEntry], totalRows: Long,
       schemaDdl: String, statsCol: Option[String] = None,
@@ -128,10 +129,11 @@ object SnapshotTable {
       .getOrElse(sys.error(s"manifest v$v missing $k")).group(1).toLong
     val files =
       ("""\{"path":"([^"]+)","bucket":(\d+),"rows":(\d+)""" +
-        """(?:,"min":(-?\d+),"max":(-?\d+))?\}""").r
+        """(?:,"min":(-?\d+),"max":(-?\d+))?(?:,"sof":"([^"]+)")?\}""").r
       .findAllMatchIn(json)
       .map(m => FileEntry(m.group(1), m.group(2).toInt, m.group(3).toLong,
-        Option(m.group(4)).map(_.toLong), Option(m.group(5)).map(_.toLong))).toSeq
+        Option(m.group(4)).map(_.toLong), Option(m.group(5)).map(_.toLong),
+        Option(m.group(6)))).toSeq
     val op = """"op":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
     val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest v$v missing schema")).group(1)
@@ -151,7 +153,8 @@ object SnapshotTable {
           case (Some(lo), Some(hi)) => s""","min":$lo,"max":$hi"""
           case _ => ""
         }
-        s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows}$stats}"""
+        val sof = f.statsOf.map(c => s""","sof":"$c"""").getOrElse("")
+        s"""{"path":"${f.path}","bucket":${f.bucket},"rows":${f.rows}$stats$sof}"""
       }
       .mkString(",")
     require(!m.schemaDdl.contains('"') && !m.schemaDdl.contains('\\'),
@@ -265,7 +268,8 @@ object SnapshotTable {
                 if (longs.isEmpty || per.exists(s => s == null || s.isEmpty)) None
                 else Some((longs.map(_.getMin).min, longs.map(_.getMax).max))
               }
-              FileEntry(pathStr, b, rows, stats.map(_._1), stats.map(_._2))
+              FileEntry(pathStr, b, rows, stats.map(_._1), stats.map(_._2),
+                if (stats.isDefined) statsCol else None)
             } finally reader.close()
           }
         })
@@ -546,10 +550,43 @@ object SnapshotTable {
       version: Option[Long] = None): (Seq[FileEntry], Seq[FileEntry]) = {
     val m = manifest(dir, version.getOrElse(currentVersion(dir)))
     require(m.statsCol.isDefined, s"table at $dir carries no stats column")
-    m.files.partition(f => (f.minKey, f.maxKey) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => true // no stats: must read
-    })
+    m.files.partition { f =>
+      // a file's bounds only authorize skipping when they describe the
+      // CURRENT stats column (Iceberg partition-spec-evolution reads:
+      // pre-evolution files have no bounds for the new spec and must be
+      // read); statsOf None = legacy entry under a never-evolved spec
+      val effective = f.statsOf.orElse(m.statsCol)
+      (f.minKey, f.maxKey) match {
+        case (Some(mn), Some(mx)) if effective == m.statsCol =>
+          mx >= lo && mn <= hi
+        case _ => true // no usable stats under the current spec: must read
+      }
+    }
+  }
+
+  /** Metadata-only commit that CHANGES the designated stats column —
+    * the Iceberg partition-spec-evolution analogue for this model's
+    * bounds: files written from now on record min/max of `newCol`;
+    * files already in the table keep their old-column bounds, stamped
+    * with the column they describe (legacy unstamped entries get the
+    * parent's stats column), and [[prunePlan]] refuses to skip them
+    * under the new spec. No data moves; rewriting history is exactly
+    * what spec evolution avoids.
+    */
+  def evolveStats(dir: String, newCol: String): Manifest = {
+    val parent = manifest(dir, currentVersion(dir))
+    require(parent.version > 0L, s"no table at $dir")
+    require(parent.schema.fieldNames.contains(newCol),
+      s"stats column '$newCol' not in ${parent.schema.fieldNames.mkString(", ")}")
+    val stamped = parent.files.map { f =>
+      if (f.minKey.isDefined && f.statsOf.isEmpty)
+        f.copy(statsOf = parent.statsCol)
+      else f
+    }
+    val m = Manifest(nextVersion(dir), parent.version, "evolve_stats",
+      parent.buckets, stamped, parent.totalRows, parent.schemaDdl,
+      Some(newCol))
+    writeManifest(dir, m, parent.tsMillis); m
   }
 
   /** Read only the rows with statsCol ∈ [lo, hi], opening only the files

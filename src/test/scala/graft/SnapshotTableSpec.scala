@@ -492,4 +492,47 @@ class SnapshotTableSpec extends AnyFunSuite {
       SnapshotTable.refVersion(dir, "old"))
     assert(e.getMessage.contains("expired"))
   }
+
+  test("evolveStats: pre-evolution files must-read, new files skip on the new spec") {
+    val dir = tmp()
+    // two BIGINT keys: k2 = k div 25 (tight per-bucket ranges when
+    // bucketed by it); spec starts on k, evolves to k2
+    def kd(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i.toLong / 25L, s"v$i")).toDF("k", "k2", "v")
+    val byK2 = pmod(col("k2"), lit(4L))
+    SnapshotTable.create(spark, kd(0, 100), dir, 4, byK2, statsCol = Some("k"))
+    val mEv = SnapshotTable.evolveStats(dir, "k2")
+    assert(mEv.op === "evolve_stats" && mEv.statsCol === Some("k2"))
+    // carried files are STAMPED with the column their bounds describe
+    assert(mEv.files.forall(f => f.minKey.isEmpty || f.statsOf === Some("k")))
+    SnapshotTable.append(spark, kd(100, 200), dir, byK2)
+    // predicate k2 in [4, 5]: the 4 old files (k-bounds) all read; the
+    // 4 new files have k2 residue buckets {0..3} with two k2 values
+    // each ({4,8},{5,9}(wait) ...) — compute expected from the manifest
+    val m = SnapshotTable.manifest(dir, SnapshotTable.currentVersion(dir))
+    val (kept, skipped) = SnapshotTable.prunePlan(dir, 4L, 5L)
+    val newFiles = m.files.filter(_.statsOf === Some("k2"))
+    assert(newFiles.nonEmpty)
+    // every skipped file is post-evolution and genuinely out of range
+    assert(skipped.forall(f => f.statsOf === Some("k2") &&
+      (f.maxKey.get < 4L || f.minKey.get > 5L)))
+    assert(skipped.nonEmpty, "tight k2 buckets must produce skippable files")
+    // every pre-evolution file is kept regardless of its old-spec bounds
+    assert(m.files.filter(_.statsOf === Some("k")).forall(f =>
+      kept.exists(_.path == f.path)))
+    // the pruned read equals the full-scan filter
+    val want = SnapshotTable.read(spark, dir)
+      .filter(col("k2") >= 4L && col("k2") <= 5L)
+      .select("k", "k2", "v").as[(Long, Long, String)].collect().toSet
+    val got = SnapshotTable.readPruned(spark, dir, 4L, 5L)
+      .select("k", "k2", "v").as[(Long, Long, String)].collect().toSet
+    assert(got === want)
+    // a merge after evolution records NEW-spec stats on rewritten files
+    val up = Seq((0L, 0L, "upd")).toDF("k", "k2", "v")
+    SnapshotTable.merge(spark, up, dir, "k", byK2)
+    val m3 = SnapshotTable.manifest(dir, SnapshotTable.currentVersion(dir))
+    assert(m3.statsCol === Some("k2"))
+    // evolving to a column not in the schema refuses loudly
+    intercept[IllegalArgumentException](SnapshotTable.evolveStats(dir, "zzz"))
+  }
 }
