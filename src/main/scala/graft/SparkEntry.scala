@@ -2669,6 +2669,35 @@ object SparkEntry {
       graft.img.ImageOps.otsuThreshold(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
 
+    // Burrows–Wheeler fingerprint of each document head (48 chars +
+    // sentinel) with the primary index — the exact compression-
+    // structure fingerprint (TextOps.bwt); oracled against the full
+    // relational rotation sort.
+    "q247_bwt" -> ((s, dir) =>
+      graft.text.TextOps.bwt(s, table(s, dir, "documents"))),
+
+    // relational PIVOT (long→wide reshaping) — per device, event
+    // counts and summed integer-cent value per event type as COLUMNS,
+    // through Spark's native pivot with an explicit value list (the
+    // form that avoids the distinct-scan planning pass and keeps the
+    // output schema static — the 100 TB rule: never let the data
+    // define the schema). One hash aggregation; map-side partial
+    // aggregation applies as usual.
+    "q246_pivot" -> ((s, dir) => {
+      val w = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // pivot emits NULL for absent (device, type) cells; a count
+      // should read 0 (the SQL replay's CASE-sum does)
+      w.select(col("user_id") +:
+        Seq("click", "error", "purchase", "signup", "view").flatMap(t => Seq(
+          coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+          coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
+    }),
+
     // mutual-kNN clustering over embeddings — the semantic-curation
     // grouping: an edge exists iff BOTH endpoints rank each other in
     // their cosine top-5 (mutual-kNN is the standard density-robust
@@ -9288,6 +9317,42 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS kept_files,
         |  CAST(3 AS BIGINT) AS skipped_files
         |FROM r WHERE k2 BETWEEN 45 AND 62""".stripMargin,
+
+    // q247 — the rotation matrix materialized relationally, sorted per
+    // doc, last column string_agg'd in rank order
+    "q247_bwt" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), 1, 48)
+        |      || '~' AS s
+        |  FROM documents),
+        |pos AS (SELECT doc_id, s, length(s) AS n,
+        |        unnest(range(length(s))) AS i FROM base),
+        |rot AS (SELECT doc_id, i, n,
+        |    substr(s, CAST(i + 1 AS INT)) || substr(s, 1, CAST(i AS INT)) AS r
+        |  FROM pos),
+        |rk AS (SELECT doc_id, i, n, r,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rank
+        |  FROM rot)
+        |SELECT doc_id,
+        |  string_agg(substr(r, CAST(n AS INT), 1), '' ORDER BY rank) AS bwt,
+        |  CAST(max(CASE WHEN i = 0 THEN rank - 1 END) AS BIGINT) AS idx
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    // q246 — the pivot replayed as filtered CASE aggregation (the
+    // standard relational encoding of PIVOT)
+    "q246_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map { t =>
+        s"""  CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS ${t}_n,
+           |  CAST(coalesce(sum(CASE WHEN event_type = '$t'
+           |    THEN CAST(round(value*100) AS BIGINT) END), 0) AS BIGINT) AS ${t}_cents"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
 
     // q244 — cosine ranks as in q27's oracle, the mutual self-join,
     // then a recursive reachability closure min-labeled per node

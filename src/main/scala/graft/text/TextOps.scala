@@ -701,6 +701,38 @@ object TextOps {
       .withColumn("keep", col("mbits") < keepMbits)
   }
 
+  /** Burrows–Wheeler transform fingerprint (Burrows & Wheeler 1994)
+    * of each document's head: the text is lowercased, restricted to
+    * [a-z ], truncated to `take` chars, and terminated with the unique
+    * '~' sentinel; the BWT is the last column of the sorted rotation
+    * matrix, emitted with the primary index (the rank of rotation 0 —
+    * what the inverse transform needs). The compression-structure
+    * fingerprint: run-length structure in the BWT is the
+    * compressibility signal curation pipelines use, and the transform
+    * is exactly invertible so the fingerprint is collision-honest.
+    * ASCII-only alphabet by construction, so JVM string order and
+    * byte-wise SQL collation agree. Narrow mapPartitions, O(take²) per
+    * doc — bounded, never corpus-sized.
+    */
+  def bwt(spark: SparkSession, docs: DataFrame, take: Int = 48): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t0) =>
+          val t = Option(t0).getOrElse("")
+          val cleaned = t.toLowerCase
+            .filter(c => (c >= 'a' && c <= 'z') || c == ' ')
+            .take(take) + "~"
+          val n = cleaned.length
+          val order = Array.tabulate(n)(i =>
+            (cleaned.substring(i) + cleaned.substring(0, i), i)).sortBy(_._1)
+          val out = order.map { case (r, _) => r.charAt(n - 1) }.mkString
+          (id, out, order.indexWhere(_._2 == 0).toLong)
+        }
+      }
+      .toDF("doc_id", "bwt", "idx")
+  }
+
   /** ONE exact BPE merge step (Sennrich, Haddow, Birch 2016) — the
     * tokenizer-TRAINING primitive: over the [a-z]+ word vocabulary
     * (weighted by corpus frequency), count all adjacent symbol pairs,
