@@ -2676,6 +2676,13 @@ object SparkEntry {
     "q247_bwt" -> ((s, dir) =>
       graft.text.TextOps.bwt(s, table(s, dir, "documents"))),
 
+    // BWT → move-to-front → run-length tallies: the bzip2-shaped exact
+    // compressibility score per document (zeros fraction and run count
+    // of the MTF code stream) — the repetition/quality signal as pure
+    // integers (TextOps.mtfRle).
+    "q248_mtf_rle" -> ((s, dir) =>
+      graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
+
     // relational PIVOT (long→wide reshaping) — per device, event
     // counts and summed integer-cent value per event type as COLUMNS,
     // through Spark's native pivot with an explicit value list (the
@@ -5029,6 +5036,31 @@ object SparkEntry {
       |      ELSE 'it'
       |    END AS predicted_lang
       |  FROM scored)""".stripMargin
+
+  /** The q247 BWT chain as CTEs ending in `bw(doc_id, bwt, idx)` —
+    * rotation matrix, per-doc sort, last column — shared by the q247
+    * fingerprint and the q248 MTF/RLE recursion.
+    */
+  private val bwtCtes: String =
+    // NOTE: interpolated into strings that stripMargin AFTERWARDS — no
+    // line here may start with the || concat operator
+    """base AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), 1, 48) ||
+      |      '~' AS s
+      |  FROM documents),
+      |pos AS (SELECT doc_id, s, length(s) AS n,
+      |        unnest(range(length(s))) AS i FROM base),
+      |rot AS (SELECT doc_id, i, n,
+      |    substr(s, CAST(i + 1 AS INT)) || substr(s, 1, CAST(i AS INT)) AS r
+      |  FROM pos),
+      |rk AS (SELECT doc_id, i, n, r,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rank
+      |  FROM rot),
+      |bw AS (SELECT doc_id,
+      |    string_agg(substr(r, CAST(n AS INT), 1), '' ORDER BY rank) AS bwt,
+      |    CAST(max(CASE WHEN i = 0 THEN rank - 1 END) AS BIGINT) AS idx
+      |  FROM rk GROUP BY 1)""".stripMargin
 
   private val embedKnnOracleSql: String =
     """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -9321,23 +9353,32 @@ object SparkEntry {
     // q247 — the rotation matrix materialized relationally, sorted per
     // doc, last column string_agg'd in rank order
     "q247_bwt" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    substr(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), 1, 48)
-        |      || '~' AS s
-        |  FROM documents),
-        |pos AS (SELECT doc_id, s, length(s) AS n,
-        |        unnest(range(length(s))) AS i FROM base),
-        |rot AS (SELECT doc_id, i, n,
-        |    substr(s, CAST(i + 1 AS INT)) || substr(s, 1, CAST(i AS INT)) AS r
-        |  FROM pos),
-        |rk AS (SELECT doc_id, i, n, r,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rank
-        |  FROM rot)
-        |SELECT doc_id,
-        |  string_agg(substr(r, CAST(n AS INT), 1), '' ORDER BY rank) AS bwt,
-        |  CAST(max(CASE WHEN i = 0 THEN rank - 1 END) AS BIGINT) AS idx
-        |FROM rk GROUP BY 1""".stripMargin,
+      s"""WITH $bwtCtes
+        |SELECT doc_id, bwt, idx FROM bw""".stripMargin,
+
+    // q248 — the MTF state machine as a per-position recursion carrying
+    // the alphabet permutation as a string (the removed char is unique,
+    // so replace() is the exact deletion), then zero/run tallies
+    "q248_mtf_rle" ->
+      s"""WITH RECURSIVE $bwtCtes,
+        |m(doc_id, i, st, code) AS (
+        |  SELECT doc_id, 0, 'abcdefghijklmnopqrstuvwxyz ~',
+        |    CAST(NULL AS BIGINT) FROM bw
+        |  UNION ALL
+        |  SELECT m.doc_id, m.i + 1,
+        |    substr(bw.bwt, m.i + 1, 1) ||
+        |      replace(m.st, substr(bw.bwt, m.i + 1, 1), ''),
+        |    CAST(strpos(m.st, substr(bw.bwt, m.i + 1, 1)) - 1 AS BIGINT)
+        |  FROM m JOIN bw ON bw.doc_id = m.doc_id
+        |  WHERE m.i < length(bw.bwt)),
+        |codes AS (SELECT doc_id, i, code,
+        |    lag(code) OVER (PARTITION BY doc_id ORDER BY i) AS pcode
+        |  FROM m WHERE i >= 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+        |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |FROM codes GROUP BY 1""".stripMargin,
 
     // q246 — the pivot replayed as filtered CASE aggregation (the
     // standard relational encoding of PIVOT)

@@ -714,23 +714,63 @@ object TextOps {
     * byte-wise SQL collation agree. Narrow mapPartitions, O(take²) per
     * doc — bounded, never corpus-sized.
     */
+  private def cleanedHead(t0: String, take: Int): String =
+    Option(t0).getOrElse("").toLowerCase
+      .filter(c => (c >= 'a' && c <= 'z') || c == ' ').take(take) + "~"
+
+  private def bwtOf(cleaned: String): (String, Long) = {
+    val n = cleaned.length
+    val order = Array.tabulate(n)(i =>
+      (cleaned.substring(i) + cleaned.substring(0, i), i)).sortBy(_._1)
+    (order.map { case (r, _) => r.charAt(n - 1) }.mkString,
+      order.indexWhere(_._2 == 0).toLong)
+  }
+
   def bwt(spark: SparkSession, docs: DataFrame, take: Int = 48): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, t0) =>
-          val t = Option(t0).getOrElse("")
-          val cleaned = t.toLowerCase
-            .filter(c => (c >= 'a' && c <= 'z') || c == ' ')
-            .take(take) + "~"
-          val n = cleaned.length
-          val order = Array.tabulate(n)(i =>
-            (cleaned.substring(i) + cleaned.substring(0, i), i)).sortBy(_._1)
-          val out = order.map { case (r, _) => r.charAt(n - 1) }.mkString
-          (id, out, order.indexWhere(_._2 == 0).toLong)
+          val (out, idx) = bwtOf(cleanedHead(t0, take))
+          (id, out, idx)
         }
       }
       .toDF("doc_id", "bwt", "idx")
+  }
+
+  /** The bzip2-shaped compressibility score: BWT ([[bwt]]) → move-to-
+    * front → run-length statistics, all exact integers. MTF starts from
+    * the fixed alphabet "abcdefghijklmnopqrstuvwxyz ~"; emits per doc
+    * (doc_id, n, zeros, runs): `zeros` = MTF codes equal to 0 (the
+    * fraction bzip2's Huffman stage feeds on) and `runs` = RLE run
+    * count over the code sequence — high zeros / low runs = repetitive,
+    * low-quality text. Narrow mapPartitions; the per-doc state machine
+    * is take-bounded.
+    */
+  def mtfRle(spark: SparkSession, docs: DataFrame, take: Int = 48): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t0) =>
+          val (bw, _) = bwtOf(cleanedHead(t0, take))
+          val st = new StringBuilder("abcdefghijklmnopqrstuvwxyz ~")
+          var zeros = 0L
+          var runs = 0L
+          var prev = -1
+          var i = 0
+          while (i < bw.length) {
+            val c = bw.charAt(i)
+            val p = st.indexOf(c.toString)
+            if (p == 0) zeros += 1
+            if (p != prev) runs += 1
+            prev = p
+            st.deleteCharAt(p).insert(0, c)
+            i += 1
+          }
+          (id, bw.length.toLong, zeros, runs)
+        }
+      }
+      .toDF("doc_id", "n", "zeros", "runs")
   }
 
   /** ONE exact BPE merge step (Sennrich, Haddow, Birch 2016) — the

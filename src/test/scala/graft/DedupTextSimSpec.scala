@@ -476,6 +476,57 @@ class TextOpsSpec extends AnyFunSuite {
   import spark.implicits._
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("bwt: inverse transform reconstructs the cleaned head exactly") {
+    // standard LF-mapping inversion: stable-sort the BWT column to get
+    // the first column, walk idx through the mapping
+    def invert(bwt: String, idx: Int): String = {
+      val n = bwt.length
+      val order = bwt.zipWithIndex.sortBy { case (c, i) => (c, i) }
+      val next = order.map(_._2).toArray
+      val sb = new StringBuilder
+      var p = idx
+      var k = 0
+      while (k < n) { p = next(p); sb.append(bwt.charAt(p)); k += 1 }
+      sb.toString
+    }
+    val fixtures = Seq(
+      (1L, "banana bandana"), (2L, "the quick brown fox"),
+      (3L, "aaaaaaa"), (4L, ""), (5L, "MiXeD CaSe 123!@# and spaces"),
+      (6L, null: String))
+    val got = graft.text.TextOps.bwt(spark, docs(fixtures: _*))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, t) <- fixtures) {
+      val cleaned = Option(t).getOrElse("").toLowerCase
+        .filter(c => (c >= 'a' && c <= 'z') || c == ' ').take(48) + "~"
+      val (bw, idx) = got(id)
+      assert(bw.sorted == cleaned.sorted, s"doc $id: BWT must be a permutation")
+      val rec = invert(bw, idx.toInt)
+      // the inversion yields the string rotated so '~' comes last —
+      // i.e. exactly `cleaned` when the sentinel is terminal
+      assert(rec == cleaned, s"doc $id: inverse BWT $rec != $cleaned")
+    }
+    // known value: "banana" + '~' sentinel
+    val one = graft.text.TextOps.bwt(spark, docs((9L, "banana")))
+      .as[(Long, String, Long)].collect().head
+    assert(one._2.length == 7 && one._2.sorted == "aaabnn~".sorted)
+  }
+
+  test("mtfRle: repetitive text scores far more zeros than varied text") {
+    val rep = ("spam " * 20).trim
+    val varied = "the quick brown fox jumps over lazy dogs quietly"
+    val got = graft.text.TextOps.mtfRle(spark, docs((1L, rep), (2L, varied)))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, n1, z1, r1) = got(1L)
+    val (_, n2, z2, r2) = got(2L)
+    assert(n1 == 49 && n2 == 49) // 48 chars + sentinel
+    assert(z1 > z2, s"repetitive zeros $z1 must exceed varied $z2")
+    assert(r1 < r2, s"repetitive runs $r1 must undercut varied $r2")
+    // zeros and runs are bounded by n; runs >= 1 on non-empty input
+    got.values.foreach { case (_, n, z, r) =>
+      assert(z <= n && r >= 1 && r <= n)
+    }
+  }
+
   test("bpeStep: argmax pair, GREEDY overlap handling, exact recount") {
     // words: aaaa (freq 2), ab (freq 3); before: (a,a)=6, (a,b)=3
     // argmax (a,a); greedy on "aaaa" takes positions 0 and 2 -> "aa","aa"
