@@ -2683,6 +2683,19 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // exact union-of-rectangles area per zone (strip decomposition +
+    // per-strip interval union, RectUnion.areaByZone) — the coverage
+    // accounting that Σ w·h double-counts; integer throughout.
+    "q249_rect_union" -> ((s, _) => {
+      val rects = s.range(0, 60).select(
+        (col("id") % 4).as("zone"),
+        ((col("id") * 37) % 200).as("x0"),
+        ((col("id") * 37) % 200 + 20 + (col("id") * 7) % 40).as("x1"),
+        ((col("id") * 53) % 200).as("y0"),
+        ((col("id") * 53) % 200 + 15 + (col("id") * 11) % 35).as("y1"))
+      graft.geom.RectUnion.areaByZone(s, rects)
+    }),
+
     // relational PIVOT (long→wide reshaping) — per device, event
     // counts and summed integer-cent value per event type as COLUMNS,
     // through Spark's native pivot with an explicit value list (the
@@ -9379,6 +9392,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
         |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // q249 — same generator, same strip/island decomposition in SQL
+    "q249_rect_union" ->
+      """WITH r AS (
+        |  SELECT range % 4 AS zone,
+        |    (range*37) % 200 AS x0, (range*37) % 200 + 20 + (range*7) % 40 AS x1,
+        |    (range*53) % 200 AS y0, (range*53) % 200 + 15 + (range*11) % 35 AS y1
+        |  FROM range(0, 60)),
+        |b AS (SELECT DISTINCT zone, x FROM (
+        |  SELECT zone, x0 AS x FROM r UNION ALL SELECT zone, x1 FROM r) u),
+        |st AS (SELECT zone, x AS sx,
+        |    lead(x) OVER (PARTITION BY zone ORDER BY x) AS ex FROM b),
+        |s2 AS (SELECT * FROM st WHERE ex IS NOT NULL),
+        |cov AS (SELECT s2.zone, sx, ex, y0 AS s, y1 AS e
+        |  FROM s2 JOIN r ON r.zone = s2.zone
+        |    AND r.x0 <= s2.sx AND r.x1 >= s2.ex),
+        |f AS (SELECT zone, sx, ex, s, e,
+        |    max(e) OVER (PARTITION BY zone, sx ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM cov),
+        |isl AS (SELECT zone, sx, ex, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY zone, sx ORDER BY s, e) AS island
+        |  FROM f),
+        |g AS (SELECT zone, sx, ex, island, min(s) AS is_, max(e) AS ie
+        |      FROM isl GROUP BY 1, 2, 3, 4),
+        |cv AS (SELECT zone, sx, ex, sum(ie - is_) AS c FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT zone, sum((ex - sx) * c) AS area FROM cv GROUP BY 1),
+        |n AS (SELECT zone, count(*) AS n_rects FROM r GROUP BY 1)
+        |SELECT CAST(n.zone AS BIGINT) AS zone,
+        |  CAST(n_rects AS BIGINT) AS n_rects,
+        |  CAST(coalesce(area, 0) AS BIGINT) AS area
+        |FROM n LEFT JOIN a ON a.zone = n.zone""".stripMargin,
 
     // q246 — the pivot replayed as filtered CASE aggregation (the
     // standard relational encoding of PIVOT)
