@@ -2683,6 +2683,28 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // 10%-trimmed aggregate per device — the robust mean's exact
+    // sufficient statistics: drop the k = n div 10 lowest and highest
+    // integer-cent values (rank ties broken by event_id for
+    // determinism) and emit the surviving sum/count. One grp-keyed
+    // rank window + one hash aggregation.
+    "q250_trimmed_mean" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("k", expr("n div 10"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+            col("cents")).otherwise(0L)).as("trimmed_cents"),
+          sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+            1L).otherwise(0L)).as("trimmed_n"))
+    }),
+
     // exact union-of-rectangles area per zone (strip decomposition +
     // per-strip interval union, RectUnion.areaByZone) — the coverage
     // accounting that Σ w·h double-counts; integer throughout.
@@ -9392,6 +9414,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
         |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // q250 — rank + count windows, the same trim bounds
+    "q250_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |rk AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM c)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(n) // 10 AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+        |       THEN cents ELSE 0 END) AS BIGINT) AS trimmed_cents,
+        |  CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_n
+        |FROM rk GROUP BY 1""".stripMargin,
 
     // q249 — same generator, same strip/island decomposition in SQL
     "q249_rect_union" ->
