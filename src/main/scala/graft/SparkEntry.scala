@@ -2683,6 +2683,72 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // exact two-sample Kolmogorov–Smirnov statistic per device between
+    // its click-value and view-value distributions: D = max_t
+    // |F_click(t) − F_view(t)| kept integer as d_num / (n_a·n_b) with
+    // d_num = max |cumA·nB − cumB·nA| over the merged value order. The
+    // distribution-drift screen that complements q222's rank-sum
+    // (location) — KS sees shape. One grp-keyed value aggregation +
+    // one series-bounded cumsum window.
+    "q251_ks_test" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_type"))
+      val g = ev.groupBy(col("user_id"), col("cents"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ac"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("bc"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("user_id"))
+      g.withColumn("cuma", sum(col("ac")).over(w))
+        .withColumn("cumb", sum(col("bc")).over(w))
+        .withColumn("na", sum(col("ac")).over(wAll))
+        .withColumn("nb", sum(col("bc")).over(wAll))
+        .groupBy(col("user_id"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("d_num"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+    }),
+
+    // deterministic exhaustive RANSAC-style line detection per zone:
+    // over every point PAIR, count the points exactly collinear with
+    // the pair's line (integer cross product = 0 — no tolerance, no
+    // floats), keep the argmax pair (ties to the lexicographically
+    // smallest pair coordinates). The robust-model-fitting primitive
+    // with the randomness removed: the planted 25-point line dominates
+    // every accidental collinear set. Pair and inlier joins are
+    // zone-keyed; the fan-out is zone-bounded (n²·n per zone, the
+    // documented cost of exhaustive hypothesis search at fixture
+    // scale — the sampled variant at corpus scale draws pairs by
+    // splitmix hash, same verify join).
+    "q252_ransac_line" -> ((s, _) => {
+      val pts = s.range(0, 120).select(
+        expr("id div 40").as("zone"), (col("id") % 40).as("i"))
+        .select(col("zone"),
+          when(col("i") < 25, col("i"))
+            .otherwise((col("i") * 37 + col("zone") * 11) % 30).as("px"),
+          when(col("i") < 25, (col("zone") + 2) * col("i") + 5)
+            .otherwise((col("i") * 53 + col("zone") * 29) % 60).as("py"),
+          col("i").as("pid"))
+      val a = pts.select(col("zone"), col("px").as("ax"), col("py").as("ay"),
+        col("pid").as("aid"))
+      val b = pts.select(col("zone"), col("px").as("bx"), col("py").as("by"),
+        col("pid").as("bid"))
+      val pairs = a.join(b, Seq("zone")).filter(col("aid") < col("bid"))
+      val inl = pairs.join(pts, Seq("zone"))
+        .filter((col("bx") - col("ax")) * (col("py") - col("ay")) ===
+          (col("by") - col("ay")) * (col("px") - col("ax")))
+        .groupBy(col("zone"), col("ax"), col("ay"), col("bx"), col("by"))
+        .agg(count(lit(1)).as("inliers"))
+      val w = Window.partitionBy(col("zone"))
+        .orderBy(col("inliers").desc, col("ax"), col("ay"), col("bx"), col("by"))
+      inl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("zone"), col("ax"), col("ay"), col("bx"), col("by"),
+          col("inliers"))
+    }),
+
     // 10%-trimmed aggregate per device — the robust mean's exact
     // sufficient statistics: drop the k = n div 10 lowest and highest
     // integer-cent values (rank ties broken by event_id for
@@ -9414,6 +9480,58 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
         |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // q251 — per-(device, value) class counts, cumsums, the cross-
+    // multiplied sup statistic
+    "q251_ks_test" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    event_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT user_id, cents,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ac,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bc
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id,
+        |    sum(ac) OVER (PARTITION BY user_id ORDER BY cents) AS cuma,
+        |    sum(bc) OVER (PARTITION BY user_id ORDER BY cents) AS cumb,
+        |    sum(ac) OVER (PARTITION BY user_id) AS na,
+        |    sum(bc) OVER (PARTITION BY user_id) AS nb
+        |  FROM g)
+        |SELECT user_id, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT) AS d_num
+        |FROM c GROUP BY 1
+        |HAVING max(na) > 0 AND max(nb) > 0""".stripMargin,
+
+    // q252 — the point generator replayed, all pairs, the zero-cross
+    // collinearity count, QUALIFY argmax with the lexicographic tie
+    "q252_ransac_line" ->
+      """WITH p AS (
+        |  SELECT range // 40 AS zone, range % 40 AS i FROM range(0, 120)),
+        |pts AS (
+        |  SELECT zone,
+        |    CASE WHEN i < 25 THEN i ELSE (i*37 + zone*11) % 30 END AS px,
+        |    CASE WHEN i < 25 THEN (zone + 2)*i + 5
+        |         ELSE (i*53 + zone*29) % 60 END AS py,
+        |    i AS pid
+        |  FROM p),
+        |pairs AS (
+        |  SELECT a.zone, a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by
+        |  FROM pts a JOIN pts b ON b.zone = a.zone AND a.pid < b.pid),
+        |inl AS (
+        |  SELECT pr.zone, ax, ay, bx, by, count(*) AS inliers
+        |  FROM pairs pr JOIN pts q ON q.zone = pr.zone
+        |    AND (bx - ax)*(q.py - ay) = (by - ay)*(q.px - ax)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(zone AS BIGINT) AS zone, CAST(ax AS BIGINT) AS ax,
+        |  CAST(ay AS BIGINT) AS ay, CAST(bx AS BIGINT) AS bx,
+        |  CAST(by AS BIGINT) AS by, CAST(inliers AS BIGINT) AS inliers
+        |FROM inl
+        |QUALIFY row_number() OVER (PARTITION BY zone
+        |  ORDER BY inliers DESC, ax, ay, bx, by) = 1""".stripMargin,
 
     // q250 — rank + count windows, the same trim bounds
     "q250_trimmed_mean" ->
