@@ -2749,6 +2749,54 @@ object SparkEntry {
           col("inliers"))
     }),
 
+    // Geary's C per polygon — Moran's local-contrast sibling over the
+    // same lattice/weights: C = (n−1)·Σw (x_i−x_j)² / (2W·Σ(x_i−x̄)²),
+    // exact via the same n-scaled centering ((n·x_i − n·x_j)² =
+    // (z_i − z_j)²): c_num = (n−1)·Σ_pairs (z_i−z_j)², c_den =
+    // 2·W·Σz². Moran sees global pattern, Geary sees edge contrast —
+    // the pair is the standard ESDA screen.
+    "q254_gearys_c" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .select(col("relation_id"), col("cx"), col("cy"),
+          ((col("cx") + lit(2L) * col("cy")) % 5L).as("v"))
+      val stats = cells.groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val z = cells.join(stats, Seq("relation_id"))
+        .select(col("relation_id"), col("cx"), col("cy"), col("n"),
+          (col("n") * col("v") - col("sv")).as("z"))
+      val zsum = z.groupBy(col("relation_id"))
+        .agg(max(col("n")).as("n"), sum(col("z") * col("z")).as("szz"))
+      val nb = z.select(col("relation_id"), col("cx"), col("cy"), col("z"))
+      def shifted(dx: Long, dy: Long) = nb.select(col("relation_id"),
+        (col("cx") - dx).as("cx"), (col("cy") - dy).as("cy"),
+        col("z").as("zj"))
+      val pairs = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+        .map(d => nb.join(shifted(d._1, d._2), Seq("relation_id", "cx", "cy")))
+        .reduce(_ unionByName _)
+      val wsum = pairs.groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("w"),
+          sum((col("z") - col("zj")) * (col("z") - col("zj"))).as("sd2"))
+      zsum.join(wsum, Seq("relation_id"))
+        .select(col("relation_id"), col("n"), col("w"),
+          ((col("n") - 1L) * col("sd2")).as("c_num"),
+          (lit(2L) * col("w") * col("szz")).as("c_den"))
+    }),
+
+    // Simpson diversity per device over its event-type mix, exact:
+    // D = 1 − Σn_i(n_i−1)/(N(N−1)) emitted as the rational pieces
+    // (conc_num = Σn_i(n_i−1), den = N(N−1)) — the behavioral-
+    // concentration screen (one-note device vs varied). Two hash
+    // aggregations, label-space bounded.
+    "q255_simpson" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1L)).as("conc_num"))
+        .withColumn("den", col("n_events") * (col("n_events") - 1L))),
+
     // 10%-trimmed aggregate per device — the robust mean's exact
     // sufficient statistics: drop the k = n div 10 lowest and highest
     // integer-cent values (rank ties broken by event_id for
@@ -3235,6 +3283,42 @@ object SparkEntry {
       graft.geom.Raster.focalMode(
         graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
           .withColumn("class", (col("cx") + lit(2L) * col("cy")) % 5L))),
+
+    // Moran's I spatial autocorrelation per polygon, EXACT — over the
+    // rasterized lattice with rook-contiguity weights (w = 1 for the 4
+    // neighbors, ordered pairs), the classic I = (n/W)·Σw z_i z_j / Σz²
+    // kept integer by the n-scaled centering z_i = n·v_i − Σv:
+    // i_num = n·Σ_pairs z_i·z_j, i_den = W·Σ_i z_i² (I = i_num/i_den
+    // exactly — both engines never divide). THE geospatial clustering
+    // screen (is the surface patterned or noise?); one cell equi-join
+    // for pairs + two polygon-keyed aggregations.
+    "q253_morans_i" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .select(col("relation_id"), col("cx"), col("cy"),
+          ((col("cx") + lit(2L) * col("cy")) % 5L).as("v"))
+      val stats = cells.groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val z = cells.join(stats, Seq("relation_id"))
+        .select(col("relation_id"), col("cx"), col("cy"), col("n"),
+          (col("n") * col("v") - col("sv")).as("z"))
+      val zsum = z.groupBy(col("relation_id"))
+        .agg(max(col("n")).as("n"), sum(col("z") * col("z")).as("szz"))
+      // rook pairs via two shifted equi-joins (E and S), each counted
+      // in both orders — no |dx|+|dy| theta join
+      val nb = z.select(col("relation_id"), col("cx"), col("cy"), col("z"))
+      def shifted(dx: Long, dy: Long) = nb.select(col("relation_id"),
+        (col("cx") - dx).as("cx"), (col("cy") - dy).as("cy"),
+        col("z").as("zj"))
+      val pairs = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+        .map(d => nb.join(shifted(d._1, d._2), Seq("relation_id", "cx", "cy")))
+        .reduce(_ unionByName _)
+      val wsum = pairs.groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("w"), sum(col("z") * col("zj")).as("szij"))
+      zsum.join(wsum, Seq("relation_id"))
+        .select(col("relation_id"), col("n"), col("w"),
+          (col("n") * col("szij")).as("i_num"),
+          (col("w") * col("szz")).as("i_den"))
+    }),
 
     // supersampled (anti-aliased) rasterization — the q86 burn at HALF
     // pitch folded 2×2 into parent cells: per cell the exact subcell
@@ -6858,6 +6942,25 @@ object SparkEntry {
          |JOIN thr ON thr.pid = f.pid
          |WHERE f.dist + bk.bdist - c.v = thr.thr""".stripMargin,
 
+    // q253 — the lattice chain, n-scaled centering, rook pairs as a
+    // |dx|+|dy| = 1 self-join, the two integer I factors
+    "q253_morans_i" ->
+      s"""WITH ${insideCtes("", rasterEdgesSqlValues)},
+         |v AS (SELECT pid, cx, cy, (cx + 2*cy) % 5 AS v FROM inside),
+         |st AS (SELECT pid, count(*) AS n, sum(v) AS sv FROM v GROUP BY 1),
+         |z AS (SELECT v.pid, cx, cy, st.n, st.n*v.v - st.sv AS z
+         |      FROM v JOIN st ON st.pid = v.pid),
+         |zs AS (SELECT pid, max(n) AS n, sum(z*z) AS szz FROM z GROUP BY 1),
+         |pr AS (SELECT a.pid, a.z AS zi, b.z AS zj
+         |  FROM z a JOIN z b ON b.pid = a.pid
+         |    AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+         |ws AS (SELECT pid, count(*) AS w, sum(zi*zj) AS szij FROM pr GROUP BY 1)
+         |SELECT zs.pid AS relation_id, CAST(zs.n AS BIGINT) AS n,
+         |  CAST(w AS BIGINT) AS w,
+         |  CAST(zs.n * szij AS BIGINT) AS i_num,
+         |  CAST(w * szz AS BIGINT) AS i_den
+         |FROM zs JOIN ws ON ws.pid = zs.pid""".stripMargin,
+
     // q181 — the ×9 neighborhood replayed as a lattice-sized LEFT
     // self-join with |dx|≤1 ∧ |dy|≤1 (self included), then the q160
     // dominance rule per cell
@@ -9480,6 +9583,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
         |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // q254 — the q253 chain with the squared-difference pair statistic
+    "q254_gearys_c" ->
+      s"""WITH ${insideCtes("", rasterEdgesSqlValues)},
+         |v AS (SELECT pid, cx, cy, (cx + 2*cy) % 5 AS v FROM inside),
+         |st AS (SELECT pid, count(*) AS n, sum(v) AS sv FROM v GROUP BY 1),
+         |z AS (SELECT v.pid, cx, cy, st.n, st.n*v.v - st.sv AS z
+         |      FROM v JOIN st ON st.pid = v.pid),
+         |zs AS (SELECT pid, max(n) AS n, sum(z*z) AS szz FROM z GROUP BY 1),
+         |pr AS (SELECT a.pid, a.z AS zi, b.z AS zj
+         |  FROM z a JOIN z b ON b.pid = a.pid
+         |    AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+         |ws AS (SELECT pid, count(*) AS w,
+         |       sum((zi - zj)*(zi - zj)) AS sd2 FROM pr GROUP BY 1)
+         |SELECT zs.pid AS relation_id, CAST(zs.n AS BIGINT) AS n,
+         |  CAST(w AS BIGINT) AS w,
+         |  CAST((zs.n - 1) * sd2 AS BIGINT) AS c_num,
+         |  CAST(2 * w * szz AS BIGINT) AS c_den
+         |FROM zs JOIN ws ON ws.pid = zs.pid""".stripMargin,
+
+    // q255 — class counts then the concentration identity
+    "q255_simpson" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c*(c-1)) AS BIGINT) AS conc_num,
+        |  CAST(sum(c)*(sum(c)-1) AS BIGINT) AS den
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q251 — per-(device, value) class counts, cumsums, the cross-
     // multiplied sup statistic
