@@ -3284,6 +3284,17 @@ object SparkEntry {
         graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
           .withColumn("class", (col("cx") + lit(2L) * col("cy")) % 5L))),
 
+    // minimum spanning forest via distributed Borůvka over three
+    // disjoint 30-node zone graphs (ring + chords + star each) — the
+    // single-linkage backbone; strict (w, a, b) total order makes the
+    // forest unique, and the oracle is an INDEPENDENT scalar Kruskal
+    // over the same fixture run at oracle-construction time.
+    "q256_mst" -> ((s, _) => {
+      import s.implicits._
+      graft.graph.Mst.boruvka(s,
+        s.createDataset(mstFixtureEdges).toDF("src", "dst", "w"))
+    }),
+
     // Moran's I spatial autocorrelation per polygon, EXACT — over the
     // rasterized lattice with rook-contiguity weights (w = 1 for the 4
     // neighbors, ordered pairs), the classic I = (n/W)·Σw z_i z_j / Σz²
@@ -5182,6 +5193,44 @@ object SparkEntry {
   }
 
   /** q27's exact-kNN oracle, shared with q89's recall eval. */
+  /** q256's fixture: three disjoint zone graphs (nodes z·100 + 0..29),
+    * each a ring (i, i+1 mod 30) + chords (i, i+7 mod 30) for i ≡ 0
+    * (mod 3) + star spokes (0, i) for i ≡ 2 (mod 5); the weight is a
+    * deterministic hash of the NORMALIZED endpoint pair, so parallel
+    * constructions collapse before the algorithm sees them.
+    */
+  private lazy val mstFixtureEdges: Seq[(Long, Long, Long)] = {
+    val raw = for {
+      z <- 0L until 3L
+      i <- 0L until 30L
+      (u, v) <- Seq((i, (i + 1) % 30)) ++
+        (if (i % 3 == 0) Seq((i, (i + 7) % 30)) else Nil) ++
+        (if (i % 5 == 2) Seq((0L, i)) else Nil)
+    } yield {
+      val a = math.min(z * 100 + u, z * 100 + v)
+      val b = math.max(z * 100 + u, z * 100 + v)
+      (a, b, 1L + (a * 7919 + b * 104729) % 997)
+    }
+    raw.distinct
+  }
+
+  /** Scalar Kruskal under the same (w, a, b) order — q256's oracle,
+    * computed once at oracle-construction time (the closed-form-oracle
+    * pattern of q50): an independent algorithm, not a replay.
+    */
+  private lazy val mstOracleRows: Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mstFixtureEdges.sortBy { case (a, b, w) => (w, a, b) }
+      .filter { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false else { parent(ra) = rb; true }
+      }
+  }
+
   /** TextOps.langId replicated relationally, ending in
     * `pred(lang, predicted_lang)` — shared by the q26 confusion-matrix
     * oracle and the q240 kappa oracle. CJK share first, then argmax
@@ -9583,6 +9632,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pcode IS NULL OR code <> pcode
         |       THEN 1 ELSE 0 END) AS BIGINT) AS runs
         |FROM codes GROUP BY 1""".stripMargin,
+
+    // q256 — the independent Kruskal's forest as literal rows (the
+    // q50 closed-form-oracle pattern; see mstOracleRows)
+    "q256_mst" -> {
+      val vals = mstOracleRows
+        .map { case (a, b, w) => s"($a, $b, $w)" }.mkString(", ")
+      s"""SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         |  CAST(w AS BIGINT) AS w
+         |FROM (VALUES $vals) v(src, dst, w)""".stripMargin
+    },
 
     // q254 — the q253 chain with the squared-difference pair statistic
     "q254_gearys_c" ->
