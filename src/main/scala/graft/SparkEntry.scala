@@ -3295,6 +3295,28 @@ object SparkEntry {
         s.createDataset(mstFixtureEdges).toDF("src", "dst", "w"))
     }),
 
+    // single-linkage clustering at threshold τ = 500 by CUTTING the
+    // Borůvka forest (the MST-cut ≡ threshold-graph-components
+    // equivalence is the point: the oracle union-finds the FULL edge
+    // set below τ, the engine cuts the 29-edge-per-zone forest — same
+    // clusters, asymmetric algorithms). The hierarchical-dedup
+    // primitive: cut level = dedup aggressiveness.
+    "q257_single_linkage" -> ((s, _) => {
+      import s.implicits._
+      val fixture = s.createDataset(mstFixtureEdges).toDF("src", "dst", "w")
+      val cut = graft.graph.Mst.boruvka(s, fixture)
+        .filter(col("w") < 500L)
+      val cc = graft.dedup.Dedup.connectedComponents(s,
+        cut.select(col("src"), col("dst")))
+      val nodes = fixture.select(col("src").as("id"))
+        .union(fixture.select(col("dst").as("id"))).distinct()
+      val lab = nodes.join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      lab.join(lab.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+    }),
+
     // Moran's I spatial autocorrelation per polygon, EXACT — over the
     // rasterized lattice with rook-contiguity weights (w = 1 for the 4
     // neighbors, ordered pairs), the classic I = (n/W)·Σw z_i z_j / Σz²
@@ -5229,6 +5251,26 @@ object SparkEntry {
         val (ra, rb) = (find(a), find(b))
         if (ra == rb) false else { parent(ra) = rb; true }
       }
+  }
+
+  /** q257's oracle: union-find over the FULL fixture edge set below
+    * the τ = 500 threshold (NOT via the MST — the independence is the
+    * oracle's value), labels = component min, with sizes.
+    */
+  private lazy val singleLinkageOracleRows: Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val nodes = mstFixtureEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    mstFixtureEdges.filter(_._3 < 500L).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val lab = nodes.map(id => id -> find(id))
+    val size = lab.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    lab.map { case (id, c) => (id, c, size(c)) }
   }
 
   /** TextOps.langId replicated relationally, ending in
@@ -9641,6 +9683,15 @@ object SparkEntry {
       s"""SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
          |  CAST(w AS BIGINT) AS w
          |FROM (VALUES $vals) v(src, dst, w)""".stripMargin
+    },
+
+    // q257 — independent threshold-graph union-find as literal rows
+    "q257_single_linkage" -> {
+      val vals = singleLinkageOracleRows
+        .map { case (i, c, n) => s"($i, $c, $n)" }.mkString(", ")
+      s"""SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM (VALUES $vals) v(id, cluster, cluster_size)""".stripMargin
     },
 
     // q254 — the q253 chain with the squared-difference pair statistic
