@@ -535,6 +535,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q243-q257 wave: no global sort, no range exchange, no cartesian") {
+    // iterative outputs (q243/q256/q257) are localCheckpoint-truncated,
+    // so this pins their FINAL stage plans; the rest pin end-to-end.
+    // q244/q252 rank windows partition by query/zone; q249-q251 windows
+    // by zone/device; q253-q255 are hash joins + aggregations only.
+    for (q <- Seq("q243_articulation", "q244_mutual_knn", "q246_pivot",
+        "q249_rect_union", "q250_trimmed_mean", "q251_ks_test",
+        "q252_ransac_line", "q253_morans_i", "q254_gearys_c",
+        "q255_simpson", "q256_mst", "q257_single_linkage")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"UDF in $q plan:\n$plan")
+    }
+  }
+
   test("q239/q242 per-image kernels are narrow: zero exchanges, no UDF") {
     for (q <- Seq("q239_otsu", "q242_marching_squares")) {
       val plan = SparkEntry.queries(q)(spark, sf)
