@@ -2854,6 +2854,30 @@ object SparkEntry {
           coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
     }),
 
+    // k-NN classification of embeddings: queries (vec_id < 50) vote
+    // their label from the cosine top-5 among the labeled corpus
+    // (vec_id ≥ 50), majority with ties to the smallest label — the
+    // eval-probe primitive (is the embedding space label-coherent?).
+    // Exact ranks are the q27 bounded form; corpus scale swaps in IVF
+    // candidates before the SAME vote.
+    "q258_knn_classify" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val knn = graft.sim.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50), k = 5)
+      val votes = knn
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("v").desc, col("nl"))
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(e.select(col("vec_id").as("query_id"), col("label").as("actual")),
+          Seq("query_id"))
+        .select(col("query_id"), col("nl").cast("long").as("predicted"),
+          col("actual").cast("long").as("actual"),
+          (col("nl") === col("actual")).cast("long").as("correct"))
+    }),
+
     // mutual-kNN clustering over embeddings — the semantic-curation
     // grouping: an edge exists iff BOTH endpoints rank each other in
     // their cosine top-5 (mutual-kNN is the standard density-robust
@@ -2863,22 +2887,41 @@ object SparkEntry {
     // SAME mutual filter + CC. One semi-join for mutuality; CC via
     // Dedup.connectedComponents (auto algorithm).
     "q244_mutual_knn" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings").filter(col("vec_id") < 150)
-      val knn = graft.sim.Similarity.bruteForceTopK(e, e, k = 5)
-        .select(col("query_id").as("a"), col("neighbor_id").as("b"))
-      val mutual = knn
-        .join(knn.select(col("b").as("a"), col("a").as("b")),
-          Seq("a", "b"), "left_semi")
-        .filter(col("a") < col("b"))
-      val cc = graft.dedup.Dedup.connectedComponents(s,
-        mutual.select(col("a").as("src"), col("b").as("dst")))
-      val lab = e.select(col("vec_id"))
-        .join(cc, col("vec_id") === col("id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("component"), col("vec_id")).as("cluster"))
+      val lab = mutualKnnClusters(s, dir)
       lab.join(lab.groupBy(col("cluster"))
           .agg(count(lit(1)).as("cluster_size")), Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("cluster_size"))
+    }),
+
+    // adjusted Rand index between the q244 mutual-kNN clustering and
+    // the gold label column — the chance-corrected cluster-vs-truth
+    // agreement as EXACT integers (the κ of clusterings). All pair
+    // counts kept DOUBLED (m(m−1), never halved — no integer division
+    // anywhere): with A2 = Σn_ij(n_ij−1), B2 = Σa_i(a_i−1),
+    // C2 = Σb_j(b_j−1), T2 = n(n−1): ari_num = 2(T2·A2 − B2·C2),
+    // ari_den = T2·(B2+C2) − 2·B2·C2 — the same ratio as the classic
+    // form. Contingency is cluster×label sized; downstream is scalar.
+    "q259_rand_index" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val cont = mutualKnnClusters(s, dir).join(e, Seq("vec_id"))
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("m"))
+        .persist()
+      def pairs2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(c * (c - 1L)).cast("long")
+      val a = cont.agg(pairs2(col("m")).as("a2"),
+        sum(col("m")).cast("long").as("n"))
+      val b = cont.groupBy(col("cluster")).agg(sum(col("m")).as("ai"))
+        .agg(pairs2(col("ai")).as("b2"))
+      val c = cont.groupBy(col("label")).agg(sum(col("m")).as("bj"))
+        .agg(pairs2(col("bj")).as("c2"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+        .withColumn("t2", col("n") * (col("n") - 1L))
+        .select(col("n"), col("a2"), col("b2"), col("c2"),
+          (lit(2L) * (col("t2") * col("a2") - col("b2") * col("c2")))
+            .as("ari_num"),
+          (col("t2") * (col("b2") + col("c2")) -
+            lit(2L) * col("b2") * col("c2")).as("ari_den"))
     }),
 
     // Cohen's kappa between the engine's n-gram language-ID (q26's
@@ -5215,6 +5258,26 @@ object SparkEntry {
   }
 
   /** q27's exact-kNN oracle, shared with q89's recall eval. */
+  /** q244's clustering chain, reused by q259's evaluation: mutual
+    * cosine top-5 edges over vec_id < 150, connected components,
+    * singletons labeled by themselves. Returns (vec_id, cluster).
+    */
+  private def mutualKnnClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings").filter(col("vec_id") < 150)
+    val knn = graft.sim.Similarity.bruteForceTopK(e, e, k = 5)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val mutual = knn
+      .join(knn.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+    val cc = graft.dedup.Dedup.connectedComponents(s,
+      mutual.select(col("a").as("src"), col("b").as("dst")))
+    e.select(col("vec_id"))
+      .join(cc, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   /** q256's fixture: three disjoint zone graphs (nodes z·100 + 0..29),
     * each a ring (i, i+1 mod 30) + chords (i, i+7 mod 30) for i ≡ 0
     * (mod 3) + star spokes (0, i) for i ≡ 2 (mod 5); the weight is a
@@ -5272,6 +5335,34 @@ object SparkEntry {
     val size = lab.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     lab.map { case (id, c) => (id, c, size(c)) }
   }
+
+  /** q244's mutual-kNN + reachability-closure clustering as CTEs ending
+    * in `lab(vec_id, cluster)` — shared with q259's ARI oracle. Must be
+    * opened with WITH RECURSIVE.
+    */
+  private val mutualKnnLabCtes: String =
+    """ranked AS (
+      |  SELECT q.vec_id AS a, c.vec_id AS b,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |        c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 150 AND c.vec_id < 150),
+      |knn AS (SELECT a, b FROM ranked WHERE rank <= 5),
+      |mutual AS (
+      |  SELECT k1.a, k1.b FROM knn k1
+      |  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+      |  WHERE k1.a < k1.b),
+      |dire AS (SELECT a AS s, b AS d FROM mutual
+      |  UNION SELECT b, a FROM mutual),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM dire
+      |  UNION
+      |  SELECT re.id, d.d FROM reach re JOIN dire d ON d.s = re.r),
+      |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      |allv AS (SELECT vec_id FROM embeddings WHERE vec_id < 150),
+      |lab AS (SELECT vec_id, coalesce(c.cluster, vec_id) AS cluster
+      |        FROM allv LEFT JOIN comp c ON c.id = vec_id)""".stripMargin
 
   /** TextOps.langId replicated relationally, ending in
     * `pred(lang, predicted_lang)` — shared by the q26 confusion-matrix
@@ -9843,36 +9934,55 @@ object SparkEntry {
          |FROM events GROUP BY 1""".stripMargin
     },
 
-    // q244 — cosine ranks as in q27's oracle, the mutual self-join,
-    // then a recursive reachability closure min-labeled per node
-    "q244_mutual_knn" ->
-      """WITH RECURSIVE ranked AS (
-        |  SELECT q.vec_id AS a, c.vec_id AS b,
+    // q258 — cosine top-5 ranks (q27 pattern), majority vote with the
+    // (count desc, label) tie, label join for the verdict
+    "q258_knn_classify" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
         |        c.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 150 AND c.vec_id < 150),
-        |knn AS (SELECT a, b FROM ranked WHERE rank <= 5),
-        |mutual AS (
-        |  SELECT k1.a, k1.b FROM knn k1
-        |  JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
-        |  WHERE k1.a < k1.b),
-        |dire AS (SELECT a AS s, b AS d FROM mutual
-        |  UNION SELECT b, a FROM mutual),
-        |reach(id, r) AS (
-        |  SELECT s, s FROM dire
-        |  UNION
-        |  SELECT re.id, d.d FROM reach re JOIN dire d ON d.s = re.r),
-        |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
-        |allv AS (SELECT vec_id FROM embeddings WHERE vec_id < 150),
-        |lab AS (SELECT vec_id, coalesce(c.cluster, vec_id) AS cluster
-        |        FROM allv LEFT JOIN comp c ON c.id = vec_id),
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 50
+        |  WHERE q.vec_id < 50),
+        |votes AS (
+        |  SELECT query_id, nl, count(*) AS v FROM ranked
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT query_id, nl FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY v DESC, nl) = 1)
+        |SELECT b.query_id, CAST(b.nl AS BIGINT) AS predicted,
+        |  CAST(e.label AS BIGINT) AS actual,
+        |  CAST(CASE WHEN b.nl = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM best b JOIN embeddings e ON e.vec_id = b.query_id""".stripMargin,
+
+    // q244 — cosine ranks as in q27's oracle, the mutual self-join,
+    // then a recursive reachability closure min-labeled per node
+    "q244_mutual_knn" ->
+      s"""WITH RECURSIVE $mutualKnnLabCtes,
         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |  CAST(lab.cluster AS BIGINT) AS cluster,
         |  CAST(cluster_size AS BIGINT) AS cluster_size
         |FROM lab JOIN sz USING (cluster)""".stripMargin,
+
+    // q259 — the q244 chain, a cluster×label contingency, the doubled
+    // pair-count ARI identity
+    "q259_rand_index" ->
+      s"""WITH RECURSIVE $mutualKnnLabCtes,
+        |cont AS (SELECT lab.cluster, e.label, count(*) AS m
+        |  FROM lab JOIN embeddings e ON e.vec_id = lab.vec_id
+        |  GROUP BY 1, 2),
+        |a AS (SELECT sum(m*(m-1)) AS a2, sum(m) AS n FROM cont),
+        |b AS (SELECT sum(ai*(ai-1)) AS b2 FROM (
+        |  SELECT sum(m) AS ai FROM cont GROUP BY cluster) q),
+        |c AS (SELECT sum(bj*(bj-1)) AS c2 FROM (
+        |  SELECT sum(m) AS bj FROM cont GROUP BY label) q)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(a2 AS BIGINT) AS a2,
+        |  CAST(b2 AS BIGINT) AS b2, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(2*(n*(n-1)*a2 - b2*c2) AS BIGINT) AS ari_num,
+        |  CAST(n*(n-1)*(b2+c2) - 2*b2*c2 AS BIGINT) AS ari_den
+        |FROM a, b, c""".stripMargin,
 
     // q240 — the q26 prediction CTE, then κ's integer identity:
     // kappa_num = N·O − Σ r_k·c_k, kappa_den = N² − Σ r_k·c_k
