@@ -2749,6 +2749,40 @@ object SparkEntry {
           col("inliers"))
     }),
 
+    // local Moran's I (Anselin's LISA, 1995) per CELL — the hotspot/
+    // coldspot decomposition of q253's global statistic: with the same
+    // n-scaled centering, li_num_i = z_i·Σ_{j∈rook(i)} z_j; positive =
+    // the cell sits in a like-valued cluster (hot or cold), negative =
+    // a spatial outlier. Emits per cell (relation_id, cx, cy, w_i,
+    // li_num) plus the polygon-wide Σz² (li_den, shared by every cell)
+    // — I_i = n·li_num/li_den without ever dividing. Same joins as
+    // q253; one extra cell-keyed aggregation.
+    "q260_local_morans" -> ((s, _) => {
+      val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
+        .select(col("relation_id"), col("cx"), col("cy"),
+          ((col("cx") + lit(2L) * col("cy")) % 5L).as("v"))
+      val stats = cells.groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val z = cells.join(stats, Seq("relation_id"))
+        .select(col("relation_id"), col("cx"), col("cy"), col("n"),
+          (col("n") * col("v") - col("sv")).as("z"))
+      val zsum = z.groupBy(col("relation_id"))
+        .agg(sum(col("z") * col("z")).as("szz"))
+      val nb = z.select(col("relation_id"), col("cx"), col("cy"), col("z"))
+      def shifted(dx: Long, dy: Long) = nb.select(col("relation_id"),
+        (col("cx") - dx).as("cx"), (col("cy") - dy).as("cy"),
+        col("z").as("zj"))
+      val pairs = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+        .map(d => nb.join(shifted(d._1, d._2), Seq("relation_id", "cx", "cy")))
+        .reduce(_ unionByName _)
+      pairs.groupBy(col("relation_id"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("w_i"), max(col("z")).as("z"),
+          sum(col("zj")).as("lag"))
+        .join(zsum, Seq("relation_id"))
+        .select(col("relation_id"), col("cx"), col("cy"), col("w_i"),
+          (col("z") * col("lag")).as("li_num"), col("szz").as("li_den"))
+    }),
+
     // Geary's C per polygon — Moran's local-contrast sibling over the
     // same lattice/weights: C = (n−1)·Σw (x_i−x_j)² / (2W·Σ(x_i−x̄)²),
     // exact via the same n-scaled centering ((n·x_i − n·x_j)² =
@@ -9784,6 +9818,24 @@ object SparkEntry {
          |  CAST(cluster_size AS BIGINT) AS cluster_size
          |FROM (VALUES $vals) v(id, cluster, cluster_size)""".stripMargin
     },
+
+    // q260 — the q253 chain, per-cell rook lag and the z·lag product
+    "q260_local_morans" ->
+      s"""WITH ${insideCtes("", rasterEdgesSqlValues)},
+         |v AS (SELECT pid, cx, cy, (cx + 2*cy) % 5 AS v FROM inside),
+         |st AS (SELECT pid, count(*) AS n, sum(v) AS sv FROM v GROUP BY 1),
+         |z AS (SELECT v.pid, cx, cy, st.n, st.n*v.v - st.sv AS z
+         |      FROM v JOIN st ON st.pid = v.pid),
+         |zs AS (SELECT pid, sum(z*z) AS szz FROM z GROUP BY 1),
+         |pr AS (SELECT a.pid, a.cx, a.cy, a.z, b.z AS zj
+         |  FROM z a JOIN z b ON b.pid = a.pid
+         |    AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1)
+         |SELECT pr.pid AS relation_id, pr.cx, pr.cy,
+         |  CAST(count(*) AS BIGINT) AS w_i,
+         |  CAST(max(pr.z) * sum(zj) AS BIGINT) AS li_num,
+         |  CAST(max(szz) AS BIGINT) AS li_den
+         |FROM pr JOIN zs ON zs.pid = pr.pid
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // q254 — the q253 chain with the squared-difference pair statistic
     "q254_gearys_c" ->
