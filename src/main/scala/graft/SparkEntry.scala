@@ -3372,6 +3372,42 @@ object SparkEntry {
         s.createDataset(mstFixtureEdges).toDF("src", "dst", "w"))
     }),
 
+    // bipartiteness audit per component — 2-color by BFS-parity from
+    // each component's min node (one BATCHED multi-seed BFS, disjoint
+    // components never interfere), then count monochromatic edges:
+    // 0 conflicts ⇔ bipartite (no odd cycle). Fixture: an even cycle
+    // (bipartite), an odd cycle (one conflict), a star (bipartite).
+    // The two-sided-market / matching precondition check.
+    "q261_bipartite" -> ((s, _) => {
+      val cyc10 = s.range(0, 10).select(col("id").as("src"),
+        ((col("id") + 1) % 10).as("dst"))
+      val cyc11 = s.range(0, 11).select((col("id") + 100).as("src"),
+        ((col("id") + 1) % 11 + 100).as("dst"))
+      val star = s.range(1, 16).select(lit(200L).as("src"),
+        (col("id") + 200).as("dst"))
+      val edges = cyc10.unionByName(cyc11).unionByName(star)
+      val cc = graft.dedup.Dedup.connectedComponents(s, edges)
+      val seeds = cc.groupBy(col("component")).agg(min(col("id")).as("id"))
+        .select(col("id"))
+      val hops = graft.graph.Bfs.hops(s,
+        edges.select(col("src").as("rel_a"), col("dst").as("rel_b")), seeds)
+      val colored = cc.join(hops, Seq("id"))
+        .select(col("id"), col("component"), (col("hops") % 2).as("par"))
+      val conflicts = edges
+        .join(colored.select(col("id").as("src"), col("par").as("pa"),
+          col("component")), Seq("src"))
+        .join(colored.select(col("id").as("dst"), col("par").as("pb")),
+          Seq("dst"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("n_conflicts"))
+      cc.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+        .join(conflicts, Seq("component"))
+        .select(col("component"), col("n_nodes"), col("n_edges"),
+          col("n_conflicts"),
+          (col("n_conflicts") === 0L).cast("long").as("bipartite"))
+    }),
+
     // single-linkage clustering at threshold τ = 500 by CUTTING the
     // Borůvka forest (the MST-cut ≡ threshold-graph-components
     // equivalence is the point: the oracle union-finds the FULL edge
@@ -9809,6 +9845,43 @@ object SparkEntry {
          |  CAST(w AS BIGINT) AS w
          |FROM (VALUES $vals) v(src, dst, w)""".stripMargin
     },
+
+    // q261 — bounded shortest-distance walk per component (the q180
+    // wf pattern), parity coloring, monochromatic-edge count
+    "q261_bipartite" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT range AS src, (range + 1) % 10 AS dst FROM range(0, 10)
+        |  UNION ALL
+        |  SELECT range + 100, (range + 1) % 11 + 100 FROM range(0, 11)
+        |  UNION ALL
+        |  SELECT 200, range + 200 FROM range(1, 16)),
+        |dir AS (SELECT src AS s, dst AS d FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |comp AS (SELECT s AS id,
+        |    CASE WHEN s < 100 THEN 0 WHEN s < 200 THEN 100 ELSE 200 END AS c
+        |  FROM (SELECT DISTINCT s FROM dir) q),
+        |walk(id, d) AS (
+        |  SELECT CAST(c AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT c FROM comp) q
+        |  UNION
+        |  SELECT dir.d, w.d + 1 FROM walk w JOIN dir ON dir.s = w.id
+        |  WHERE w.d < 40),
+        |dist AS (SELECT id, min(d) AS d FROM walk GROUP BY 1),
+        |colored AS (SELECT comp.id, comp.c, dist.d % 2 AS par
+        |  FROM comp JOIN dist ON dist.id = comp.id),
+        |conf AS (
+        |  SELECT a.c, count(*) AS n_edges,
+        |    sum(CASE WHEN a.par = b.par THEN 1 ELSE 0 END) AS n_conflicts
+        |  FROM e0 JOIN colored a ON a.id = e0.src
+        |  JOIN colored b ON b.id = e0.dst
+        |  GROUP BY 1),
+        |nn AS (SELECT c, count(*) AS n_nodes FROM comp GROUP BY 1)
+        |SELECT CAST(nn.c AS BIGINT) AS component,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_conflicts AS BIGINT) AS n_conflicts,
+        |  CAST(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END AS BIGINT) AS bipartite
+        |FROM nn JOIN conf ON conf.c = nn.c""".stripMargin,
 
     // q257 — independent threshold-graph union-find as literal rows
     "q257_single_linkage" -> {
