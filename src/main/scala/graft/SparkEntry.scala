@@ -2888,6 +2888,31 @@ object SparkEntry {
           coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))): _*)
     }),
 
+    // integer-quantized linear-classifier INFERENCE over embeddings —
+    // the model-serving shape as a pure Spark pipeline: the weight
+    // matrix (5 classes × 64 dims, deterministic integer literals)
+    // broadcasts, each embedding quantizes to round(e·1000) once, and
+    // score(c) = Σ_k qe_k·w_ck resolves by argmax (ties to the
+    // smallest class). Exact integers end to end; posexplode + one
+    // broadcast join + class-keyed aggregation — narrow per vector at
+    // any corpus size.
+    "q262_linear_infer" -> ((s, dir) => {
+      import s.implicits._
+      val weights = s.createDataset(for (c <- 0L until 5L; k <- 0L until 64L)
+          yield (c, k, (c * 73 + k * 37) % 21 - 10)).toDF("cls", "k", "wt")
+      val qe = table(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "e")))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          round(col("e") * 1000, 0).cast("long").as("qe"))
+      val scores = qe.join(broadcast(weights), Seq("k"))
+        .groupBy(col("vec_id"), col("cls"))
+        .agg(sum(col("qe") * col("wt")).as("score"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cls").as("predicted"), col("score"))
+    }),
+
     // k-NN classification of embeddings: queries (vec_id < 50) vote
     // their label from the cosine top-5 among the labeled corpus
     // (vec_id ≥ 50), majority with ties to the smallest label — the
@@ -10058,6 +10083,28 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+
+    // q262 — unnest WITH ORDINALITY (0-based to match posexplode), the
+    // same literal weight grid, argmax by QUALIFY
+    "q262_linear_infer" ->
+      """WITH wt AS (
+        |  SELECT c.range AS cls, k.range AS k,
+        |    (c.range*73 + k.range*37) % 21 - 10 AS wt
+        |  FROM range(0, 5) c, range(0, 64) k),
+        |qe AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS k,
+        |    CAST(round(list_extract(embedding, CAST(i + 1 AS INT)) * 1000)
+        |      AS BIGINT) AS qe
+        |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+        |        FROM embeddings) t),
+        |sc AS (
+        |  SELECT vec_id, cls, sum(qe * wt) AS score
+        |  FROM qe JOIN wt USING (k) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(cls AS BIGINT) AS predicted,
+        |  CAST(score AS BIGINT) AS score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY score DESC, cls) = 1""".stripMargin,
 
     // q258 — cosine top-5 ranks (q27 pattern), majority vote with the
     // (count desc, label) tie, label join for the verdict
