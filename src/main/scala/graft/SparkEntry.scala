@@ -2937,6 +2937,30 @@ object SparkEntry {
           (col("nl") === col("actual")).cast("long").as("correct"))
     }),
 
+    // reliability diagram of the q258 classifier, exact: confidence =
+    // the winning vote count v ∈ {1..5} (v/5 is the classic kNN
+    // confidence), per bucket the query count and how many were
+    // actually right — the calibration curve's integer sufficient
+    // statistics (is 5/5 confidence actually more accurate than
+    // 3/5?). Label-space-bounded output.
+    "q263_reliability" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val knn = graft.sim.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50), k = 5)
+      val votes = knn
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("v").desc, col("nl"))
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(e.select(col("vec_id").as("query_id"), col("label").as("actual")),
+          Seq("query_id"))
+        .groupBy(col("v").as("confidence"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("nl") === col("actual")).cast("long")).as("n_correct"))
+    }),
+
     // mutual-kNN clustering over embeddings — the semantic-curation
     // grouping: an edge exists iff BOTH endpoints rank each other in
     // their cosine top-5 (mutual-kNN is the standard density-robust
@@ -10127,6 +10151,29 @@ object SparkEntry {
         |  CAST(e.label AS BIGINT) AS actual,
         |  CAST(CASE WHEN b.nl = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM best b JOIN embeddings e ON e.vec_id = b.query_id""".stripMargin,
+
+    // q263 — the q258 chain rolled up by winning-vote count
+    "q263_reliability" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 50
+        |  WHERE q.vec_id < 50),
+        |votes AS (
+        |  SELECT query_id, nl, count(*) AS v FROM ranked
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT query_id, nl, v FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY v DESC, nl) = 1)
+        |SELECT CAST(v AS BIGINT) AS confidence,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN b.nl = e.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+        |GROUP BY 1""".stripMargin,
 
     // q244 — cosine ranks as in q27's oracle, the mutual self-join,
     // then a recursive reachability closure min-labeled per node
