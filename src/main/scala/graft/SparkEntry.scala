@@ -3421,6 +3421,39 @@ object SparkEntry {
         s.createDataset(mstFixtureEdges).toDF("src", "dst", "w"))
     }),
 
+    // admin containment hierarchy — the reference's admin_level made
+    // STRUCTURAL: each boundary's immediate parent is the max-level
+    // strictly-coarser polygon whose region ray-cast-contains its
+    // representative vertex (ties to the smallest id). The polygon set
+    // is the dimension side by design → broadcast; the ray cast is the
+    // q12 native expression, no UDF. Top-level polygons report no
+    // parent (level-0 sentinel).
+    "q264_admin_nesting" -> ((s, _) => {
+      import s.implicits._
+      val polys = s.createDataset(nestedPolys).toDF()
+      val child = polys.select(col("relation_id").as("child_id"),
+        col("admin_level").as("child_level"),
+        col("rings")(0)(0)("lat").as("plat"),
+        col("rings")(0)(0)("lon").as("plon"))
+      val parent = polys.select(col("relation_id").as("parent_id"),
+        col("admin_level").as("parent_level"), col("rings"))
+      val cand = child.join(broadcast(parent),
+        col("parent_level") < col("child_level") &&
+          GraftFunctions.rayCastContains(col("rings"),
+            col("plat").cast("double"), col("plon").cast("double")))
+      val w = Window.partitionBy(col("child_id"))
+        .orderBy(col("parent_level").desc, col("parent_id"))
+      val nested = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("child_id"), col("child_level"),
+          col("parent_id"), col("parent_level"))
+      child.select(col("child_id"), col("child_level"))
+        .join(nested, Seq("child_id", "child_level"), "left")
+        .select(col("child_id"), col("child_level"),
+          coalesce(col("parent_id"), lit(0L)).as("parent_id"),
+          coalesce(col("parent_level"), lit(0L)).as("parent_level"))
+    }),
+
     // bipartiteness audit per component — 2-color by BFS-parity from
     // each component's min node (one BATCHED multi-seed BFS, disjoint
     // components never interfere), then count monochromatic edges:
@@ -5396,6 +5429,26 @@ object SparkEntry {
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
+
+  /** q264's fixture: an admin-nesting hierarchy of axis-aligned
+    * rectangles at levels 2/4/6/8 (country → state → county → city),
+    * each strictly inside its parent — (id, level, la0, lo0, la1, lo1).
+    */
+  private val nestedRects: Seq[(Long, Long, Double, Double, Double, Double)] =
+    Seq(
+      (1L, 2L, 0.0, 0.0, 40.0, 40.0), (2L, 2L, 50.0, 0.0, 90.0, 40.0),
+      (11L, 4L, 2.0, 2.0, 18.0, 38.0), (12L, 4L, 22.0, 2.0, 38.0, 38.0),
+      (21L, 4L, 52.0, 2.0, 88.0, 38.0),
+      (111L, 6L, 4.0, 4.0, 8.0, 20.0), (121L, 6L, 24.0, 4.0, 30.0, 20.0),
+      (211L, 6L, 54.0, 4.0, 60.0, 20.0),
+      (1111L, 8L, 5.0, 5.0, 6.0, 10.0))
+
+  private def nestedPolys: Seq[PolygonRow] =
+    nestedRects.map { case (id, lvl, la0, lo0, la1, lo1) =>
+      PolygonRow(s"admin_$id", Seq(Seq(
+        Pt(la0.toFloat, lo0.toFloat), Pt(la0.toFloat, lo1.toFloat),
+        Pt(la1.toFloat, lo1.toFloat), Pt(la1.toFloat, lo0.toFloat))), id, lvl)
+    }
 
   /** q256's fixture: three disjoint zone graphs (nodes z·100 + 0..29),
     * each a ring (i, i+1 mod 30) + chords (i, i+7 mod 30) for i ≡ 0
@@ -9893,6 +9946,29 @@ object SparkEntry {
       s"""SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
          |  CAST(w AS BIGINT) AS w
          |FROM (VALUES $vals) v(src, dst, w)""".stripMargin
+    },
+
+    // q264 — rect containment is BETWEEN for rectangles (strict — the
+    // representative vertices are strictly interior by construction)
+    "q264_admin_nesting" -> {
+      val vals = nestedRects.map { case (id, lvl, a, b, c, d) =>
+        s"($id, $lvl, $a, $b, $c, $d)"
+      }.mkString(", ")
+      s"""WITH r AS (SELECT * FROM (VALUES $vals) v(id, lvl, la0, lo0, la1, lo1)),
+         |cand AS (
+         |  SELECT c.id AS child_id, c.lvl AS child_level,
+         |    p.id AS parent_id, p.lvl AS parent_level
+         |  FROM r c JOIN r p ON p.lvl < c.lvl
+         |    AND c.la0 > p.la0 AND c.la0 < p.la1
+         |    AND c.lo0 > p.lo0 AND c.lo0 < p.lo1),
+         |best AS (SELECT * FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY child_id
+         |    ORDER BY parent_level DESC, parent_id) = 1)
+         |SELECT CAST(r.id AS BIGINT) AS child_id,
+         |  CAST(r.lvl AS BIGINT) AS child_level,
+         |  CAST(coalesce(parent_id, 0) AS BIGINT) AS parent_id,
+         |  CAST(coalesce(parent_level, 0) AS BIGINT) AS parent_level
+         |FROM r LEFT JOIN best ON best.child_id = r.id""".stripMargin
     },
 
     // q261 — bounded shortest-distance walk per component (the q180
