@@ -556,6 +556,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q258-q264 eval/inference wave: broadcast dims, no global sort, no UDF") {
+    for (q <- Seq("q258_knn_classify", "q259_rand_index", "q260_local_morans",
+        "q261_bipartite", "q262_linear_infer", "q263_reliability",
+        "q264_admin_nesting")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"UDF in $q plan:\n$plan")
+    }
+    // the weight grid and polygon dimension must BROADCAST
+    for (q <- Seq("q262_linear_infer", "q264_admin_nesting")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$q's dimension side must broadcast:\n$plan")
+    }
+  }
+
   test("q239/q242 per-image kernels are narrow: zero exchanges, no UDF") {
     for (q <- Seq("q239_otsu", "q242_marching_squares")) {
       val plan = SparkEntry.queries(q)(spark, sf)
