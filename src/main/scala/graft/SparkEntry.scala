@@ -2683,6 +2683,92 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // RFM segmentation — the classic marketing tercile grid made exact
+    // AND scale-shaped: per device recency (days since last event, vs
+    // the corpus max day), frequency (event count), monetary (integer
+    // cents). Tercile CUTOFFS come from cumulative counts over each
+    // axis's DISTINCT-VALUE histogram (the q98 device-domain trick —
+    // the window runs over distinct values, never over devices):
+    // c1 = smallest v with cum ≥ ⌈n/3⌉, c2 likewise at ⌈2n/3⌉; devices
+    // then label by broadcast threshold compare (ties share a tercile
+    // by VALUE — deterministic, no id tie-break). Segment =
+    // 100·r + 10·f + m, all terciles ascending in the raw value.
+    "q265_rfm" -> ((s, dir) => {
+      val per = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01")))).cast("long").as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val maxDay = per.agg(max(col("last_day")).as("mx"))
+      val scored = per.crossJoin(broadcast(maxDay))
+        .withColumn("recency", col("mx") - col("last_day"))
+        .persist()
+      def cuts(axis: String): DataFrame = {
+        val hist = scored.groupBy(col(axis).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wv = Window.orderBy(col("v"))
+        val wall = Window.partitionBy(lit(1))
+        hist.withColumn("cum", sum(col("c")).over(wv))
+          .withColumn("n", sum(col("c")).over(wall))
+          .agg(
+            min(when(lit(3L) * col("cum") >= col("n"), col("v")))
+              .as(s"${axis}_c1"),
+            min(when(lit(3L) * col("cum") >= lit(2L) * col("n"), col("v")))
+              .as(s"${axis}_c2"))
+      }
+      def terc(axis: String): org.apache.spark.sql.Column =
+        when(col(axis) <= col(s"${axis}_c1"), 0L)
+          .when(col(axis) <= col(s"${axis}_c2"), 1L).otherwise(2L)
+      scored
+        .crossJoin(broadcast(cuts("recency")))
+        .crossJoin(broadcast(cuts("freq")))
+        .crossJoin(broadcast(cuts("cents")))
+        .select(col("user_id"), col("recency"), col("freq"), col("cents"),
+          (terc("recency") * 100 + terc("freq") * 10 + terc("cents"))
+            .as("segment"))
+    }),
+
+    // burstiness (Fano factor) per device over daily counts — the
+    // variance-to-mean ratio as exact integer pieces: fano_num =
+    // n·Σy² − (Σy)², fano_den = n·Σy (F = fano_num/fano_den); F ≫ 1 =
+    // bursty, ≈ 1 = Poisson-like. One hash aggregation.
+    "q266_fano" -> ((s, dir) =>
+      dailyCounts(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"),
+          sum(col("y") * col("y")).as("sum_sq"))
+        .select(col("user_id"), col("n_days"), col("total"),
+          (col("n_days") * col("sum_sq") - col("total") * col("total"))
+            .as("fano_num"),
+          (col("n_days") * col("total")).as("fano_den"))),
+
+    // Heaps-law vocabulary growth curve — cumulative distinct types vs
+    // cumulative tokens over the corpus in doc-id order, bucketed by
+    // 50 docs: the distributed-exact cumulative distinct via FIRST
+    // OCCURRENCE (a type counts once, at the bucket of its min doc_id
+    // — one hash aggregation keyed by type), then cumsums over the
+    // BUCKET table (bucket-domain-sized, never corpus-sized). The
+    // dedup-yield planning curve: how fast does new vocabulary dry up?
+    "q267_vocab_growth" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+      val perBucket = toks
+        .groupBy(expr("doc_id div 50").as("bucket"))
+        .agg(count(lit(1)).as("tokens"))
+      val newTypes = toks.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("fd"))
+        .groupBy(expr("fd div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val wb = Window.orderBy(col("bucket"))
+      perBucket.join(newTypes, Seq("bucket"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_tokens", sum(col("tokens")).over(wb))
+        .withColumn("cum_types", sum(col("new_types")).over(wb))
+    }),
+
     // exact two-sample Kolmogorov–Smirnov statistic per device between
     // its click-value and view-value distributions: D = max_t
     // |F_click(t) − F_view(t)| kept integer as d_num / (n_a·n_b) with
@@ -10064,6 +10150,70 @@ object SparkEntry {
         |  CAST(sum(c*(c-1)) AS BIGINT) AS conc_num,
         |  CAST(sum(c)*(sum(c)-1) AS BIGINT) AS den
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q265 — per-device rollup, distinct-value-histogram cutoffs, the
+    // broadcast threshold compare
+    "q265_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT user_id, (SELECT max(last_day) FROM per) - last_day AS recency,
+        |       freq, cents FROM per),
+        |rc AS (SELECT min(CASE WHEN 3*cum >= n THEN v END) AS c1,
+        |       min(CASE WHEN 3*cum >= 2*n THEN v END) AS c2 FROM (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+        |  FROM (SELECT recency AS v, count(*) AS c FROM sc GROUP BY 1) h) t),
+        |fc AS (SELECT min(CASE WHEN 3*cum >= n THEN v END) AS c1,
+        |       min(CASE WHEN 3*cum >= 2*n THEN v END) AS c2 FROM (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+        |  FROM (SELECT freq AS v, count(*) AS c FROM sc GROUP BY 1) h) t),
+        |mc AS (SELECT min(CASE WHEN 3*cum >= n THEN v END) AS c1,
+        |       min(CASE WHEN 3*cum >= 2*n THEN v END) AS c2 FROM (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+        |  FROM (SELECT cents AS v, count(*) AS c FROM sc GROUP BY 1) h) t)
+        |SELECT user_id, CAST(recency AS BIGINT) AS recency,
+        |  CAST(freq AS BIGINT) AS freq, CAST(cents AS BIGINT) AS cents,
+        |  CAST(
+        |    100*(CASE WHEN recency <= rc.c1 THEN 0
+        |         WHEN recency <= rc.c2 THEN 1 ELSE 2 END) +
+        |    10*(CASE WHEN freq <= fc.c1 THEN 0
+        |        WHEN freq <= fc.c2 THEN 1 ELSE 2 END) +
+        |    (CASE WHEN cents <= mc.c1 THEN 0
+        |     WHEN cents <= mc.c2 THEN 1 ELSE 2 END) AS BIGINT) AS segment
+        |FROM sc, rc, fc, mc""".stripMargin,
+
+    // q266 — one aggregation, the variance-to-mean integer pieces
+    "q266_fano" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(y) AS BIGINT) AS total,
+        |  CAST(count(*)*sum(y*y) - sum(y)*sum(y) AS BIGINT) AS fano_num,
+        |  CAST(count(*)*sum(y) AS BIGINT) AS fano_den
+        |FROM daily GROUP BY 1""".stripMargin,
+
+    // q267 — first-occurrence buckets + bucket-order cumsums
+    "q267_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, w FROM toks WHERE regexp_full_match(w, '[a-z]+')),
+        |pb AS (SELECT doc_id // 50 AS bucket, count(*) AS tokens
+        |       FROM tk GROUP BY 1),
+        |nt AS (SELECT fd // 50 AS bucket, count(*) AS new_types FROM (
+        |  SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1) f GROUP BY 1)
+        |SELECT pb.bucket, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+        |    AS cum_types
+        |FROM pb LEFT JOIN nt ON nt.bucket = pb.bucket""".stripMargin,
 
     // q251 — per-(device, value) class counts, cumsums, the cross-
     // multiplied sup statistic
