@@ -2729,6 +2729,15 @@ object SparkEntry {
             .as("segment"))
     }),
 
+    // Tukey IQR outlier fences per device over daily counts — exact
+    // quartiles (discrete lower-quantile rule) and the doubled-
+    // arithmetic 1.5·IQR fences (Series.iqrOutliers); the box-plot
+    // outlier screen beside q228's MAD.
+    "q268_iqr_outliers" -> ((s, dir) =>
+      graft.stats.Series.iqrOutliers(
+          dailyCounts(s, dir).withColumnRenamed("user_id", "grp"))
+        .withColumnRenamed("grp", "user_id")),
+
     // burstiness (Fano factor) per device over daily counts — the
     // variance-to-mean ratio as exact integer pieces: fano_num =
     // n·Σy² − (Σy)², fano_den = n·Σy (F = fano_num/fano_den); F ≫ 1 =
@@ -10184,6 +10193,32 @@ object SparkEntry {
         |    (CASE WHEN cents <= mc.c1 THEN 0
         |     WHEN cents <= mc.c2 THEN 1 ELSE 2 END) AS BIGINT) AS segment
         |FROM sc, rc, fc, mc""".stripMargin,
+
+    // q268 — rank quartiles + doubled fences
+    "q268_iqr_outliers" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT user_id, y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY y, x) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |q AS (
+        |  SELECT user_id, max(n) AS n,
+        |    min(CASE WHEN 4*rk >= n THEN y END) AS q1,
+        |    min(CASE WHEN 4*rk >= 3*n THEN y END) AS q3
+        |  FROM rk GROUP BY 1)
+        |SELECT d.user_id, CAST(max(q.n) AS BIGINT) AS n,
+        |  CAST(max(q1) AS BIGINT) AS q1, CAST(max(q3) AS BIGINT) AS q3,
+        |  CAST(sum(CASE WHEN 2*y < 2*q1 - 3*(q3 - q1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2*y > 2*q3 + 3*(q3 - q1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high
+        |FROM daily d JOIN q ON q.user_id = d.user_id
+        |GROUP BY 1""".stripMargin,
 
     // q266 — one aggregation, the variance-to-mean integer pieces
     "q266_fano" ->

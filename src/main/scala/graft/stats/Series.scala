@@ -310,6 +310,36 @@ object Series {
         coalesce(col("t_y"), lit(0L)).as("t_y"))
   }
 
+  /** Tukey IQR outlier fences per group, exact: quartiles by the
+    * discrete lower-quantile rule (q1 at rank ⌈n/4⌉, q3 at ⌈3n/4⌉ of
+    * the ascending y order), and the classic 1.5·IQR fences kept
+    * integer by DOUBLING — y is an outlier iff 2y < 2·q1 − 3·(q3−q1)
+    * or 2y > 2·q3 + 3·(q3−q1). Emits (grp, n, q1, q3, n_low, n_high).
+    * One grp-keyed rank window + one hash aggregation; the
+    * box-plot/outlier screen that complements [[mad]]'s robust spread.
+    */
+  def iqrOutliers(df: DataFrame): DataFrame = {
+    val g = grouped(df)
+    val w = Window.partitionBy(col("grp")).orderBy(col("y"), col("x"))
+    val ranked = g
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val quarts = ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        min(when(lit(4L) * col("rk") >= col("n"), col("y"))).as("q1"),
+        min(when(lit(4L) * col("rk") >= lit(3L) * col("n"), col("y"))).as("q3"))
+    g.join(quarts, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"),
+        sum(when(lit(2L) * col("y") <
+          lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * col("y") >
+          lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_high"))
+  }
+
   /** lcm(1..k) for k = 1..40 — the common scale that turns every
     * interval average sum/len (len ≤ n ≤ 40) into an EXACT integer
     * sum·(lcm/len). lcm(1..40) ≈ 5.3e15, so scaled values stay in i64
