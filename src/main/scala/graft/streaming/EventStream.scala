@@ -78,4 +78,64 @@ object EventStream {
           }
       }
   }
+
+  final case class AlertOut(user_id: Long, window_s: Long, n: Long,
+      prev_n: Long, spike: Int)
+
+  // window currently filling + the last CLOSED window's count
+  final case class AlertState(winS: Long, n: Long, prevN: Long)
+
+  /** Per-device spike alerting over event-time tumbling windows,
+    * maintained in keyed state: each closed window emits
+    * (window start, count, previous closed window's count, spike flag
+    * when n > 3·prev and prev > 0). Windows close when a later-window
+    * event for the key arrives, or on event-time timeout (watermark
+    * past the window end) — so a device that goes silent still reports
+    * its final window. The streaming counterpart of q221's batch
+    * changepoint screen; integer thresholds, no floats in state.
+    */
+  def spikeAlerts(spark: SparkSession, events: Dataset[EventRow],
+      windowMinutes: Int = 5): Dataset[AlertOut] = {
+    import spark.implicits._
+    val winMs = windowMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AlertState, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[AlertState]) =>
+          def alert(winS: Long, n: Long, prevN: Long) = AlertOut(userId,
+            winS / 1000, n, prevN,
+            if (prevN > 0 && n > 3 * prevN) 1 else 0)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(alert(s.winS, s.n, s.prevN))
+          } else {
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val w = e.ts.getTime / winMs * winMs
+              cur match {
+                case Some(s) if w == s.winS =>
+                  cur = Some(s.copy(n = s.n + 1))
+                case Some(s) if w > s.winS =>
+                  out += alert(s.winS, s.n, s.prevN)
+                  cur = Some(AlertState(w, 1L, s.n))
+                case Some(s) => // late event for an already-closed window:
+                  // fold into the filling window's predecessor view is
+                  // impossible append-only — count it in the current window
+                  cur = Some(s.copy(n = s.n + 1))
+                case None => cur = Some(AlertState(w, 1L, 0L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.winS + winMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

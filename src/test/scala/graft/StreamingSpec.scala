@@ -115,6 +115,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, 2, 10.0)), s"user 2 session missing: $got")
   }
 
+  test("spike alerts: a 4x jump flags, a flat profile does not, timeout flushes") {
+    import graft.streaming.EventStream.EventRow
+    // base 1700000100000 ms is 5-minute aligned (5666667 × 300000), so
+    // minutes 0..4 share one tumbling window and 5..9 the next
+    def ev(id: Long, user: Long, minute: Long) =
+      EventRow(id, new java.sql.Timestamp(1700000100000L + minute * 60000), user, "x", 1.0, "{}")
+    // user 1: 2 events in window A, 9 in the NEXT window (spike);
+    // user 2: 3 then 3 (no spike). Sentinel advances the watermark.
+    val rows =
+      (1L to 2L).map(i => ev(i, 1, i % 2)) ++          // minutes 0..1
+      (10L to 18L).map(i => ev(i, 1, 5 + (i % 5))) ++  // minutes 5..9
+      (20L to 22L).map(i => ev(i, 2, i % 2)) ++
+      (30L to 32L).map(i => ev(i, 2, 5 + (i % 5))) :+
+      ev(99, 9, 10000)
+    val dir = java.nio.file.Files.createTempDirectory("graft-alert").toString
+    rows.toDS().write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in")
+      .as[EventRow]
+    val q = graft.streaming.EventStream.spikeAlerts(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName("alert_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query timed out")
+    val got = spark.table("alert_out")
+      .as[graft.streaming.EventStream.AlertOut].collect()
+      .filter(_.user_id != 9L)
+    val u1 = got.filter(_.user_id == 1L).sortBy(_.window_s)
+    val u2 = got.filter(_.user_id == 2L).sortBy(_.window_s)
+    // both windows of both users emitted (second via a later-window
+    // close or the event-time timeout)
+    assert(u1.map(_.n).toSeq == Seq(2L, 9L), s"u1 windows: ${u1.toSeq}")
+    assert(u1.last.prev_n == 2L && u1.last.spike == 1,
+      s"9 > 3*2 must flag: ${u1.toSeq}")
+    assert(u1.head.spike == 0, "first window has no predecessor to spike on")
+    assert(u2.map(_.n).toSeq == Seq(3L, 3L) && u2.forall(_.spike == 0),
+      s"flat profile must not flag: ${u2.toSeq}")
+  }
+
   test("streaming dedup finds near-dup pairs SPANNING micro-batches via bucket state") {
     import graft.streaming.StreamDedup
     import graft.streaming.StreamDedup.DocRow
