@@ -279,7 +279,8 @@ object SparkEntry {
     * `best(i, t, c0, c1)` (and keeps `px` visible). Histogram + running
     * (count, gray·count), the cross-multiplied variance comparison as a
     * per-image anti-join; HUGEINT because the squared numerator alone
-    * needs 127 bits at 63×63. Shared by q239 and q242.
+    * needs 127 bits at 63×63 (the SQL replay of the ImageOps.otsu
+    * kernel q150 drives). Used by the q242 oracle.
     */
   private def otsuCtes(n: Int): String =
     s"""${pixelChainCtes(n)},
@@ -2659,16 +2660,6 @@ object SparkEntry {
     "q238_bpe_step" -> ((s, dir) =>
       graft.text.TextOps.bpeStep(s, table(s, dir, "documents"))),
 
-    // exact Otsu binarization threshold per image (Otsu 1979) — argmax
-    // of the between-class variance over the 256-bin gray histogram,
-    // all-integer cross-multiplied comparisons, ties to the smallest
-    // occupied level. Narrow decode, one row per image; the bounded
-    // gray domain is what makes the exact distributed form free (same
-    // reason as q182's exact quantiles).
-    "q239_otsu" -> ((s, _) =>
-      graft.img.ImageOps.otsuThreshold(s,
-        graft.img.ImageTable.generate(s, 48, 16).toDF())),
-
     // Burrows–Wheeler fingerprint of each document head (48 chars +
     // sentinel) with the primary index — the exact compression-
     // structure fingerprint (TextOps.bwt); oracled against the full
@@ -3120,9 +3111,10 @@ object SparkEntry {
         .withColumnRenamed("grp", "user_id")),
 
     // marching-squares contour cases per image over the image's OWN
-    // Otsu threshold (q239 composed with the 2×2 stencil) — the exact
-    // raster→vector step: per (image, case) cell counts and the
-    // contour-segment tally.
+    // Otsu threshold (the q150 ImageOps.otsu kernel composed with the
+    // 2×2 stencil) — the exact IMAGE-side raster→vector step (q87 is
+    // the polygon-lattice form): per (image, case) cell counts and
+    // the contour-segment tally.
     "q242_marching_squares" -> ((s, _) =>
       graft.img.ImageOps.marchingSquares(s,
         graft.img.ImageTable.generate(s, 48, 16).toDF())),
@@ -9924,15 +9916,6 @@ object SparkEntry {
         |SELECT 'before' AS phase, lhs, rhs, cnt FROM bef
         |UNION ALL SELECT 'after', lhs, rhs, cnt FROM aft""".stripMargin,
 
-    // q239 — histogram + running (count, gray-sum) per occupied level,
-    // the cross-multiplied variance argmax replayed as a per-image
-    // anti-join (HUGEINT: the squared numerator alone needs 127 bits)
-    "q239_otsu" ->
-      s"""WITH ${otsuCtes(48)}
-         |SELECT printf('img_%09d', CAST(i AS BIGINT)) AS image_id,
-         |  CAST(t AS BIGINT) AS thr, CAST(c0 AS BIGINT) AS c0,
-         |  CAST(c1 AS BIGINT) AS c1 FROM best""".stripMargin,
-
     // q241 — the same interval×position expansion, scaled by the
     // group's lcm(1..n) literal list, nested min-then-max as plain
     // integer aggregates
@@ -9967,7 +9950,7 @@ object SparkEntry {
          |JOIN fit ON fit.grp = idx.grp AND fit.k = idx.k
          |JOIN sc ON sc.grp = idx.grp""".stripMargin,
 
-    // q242 — the otsu chain shared with q239, then the 2×2 stencil as
+    // q242 — the otsu argmax chain, then the 2×2 stencil as
     // four shifted self-joins of px and the per-case segment tally
     "q242_marching_squares" ->
       s"""WITH ${otsuCtes(48)},

@@ -1599,85 +1599,18 @@ object ImageOps {
     * single-level images (impossible for the 16..63-dim fixture) fall
     * back to thr = that level, c1 = 0.
     */
-  def otsuThreshold(spark: org.apache.spark.sql.SparkSession,
-      images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    images.select(col("image_id"), col("bytes"))
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (px, w, h) = Codecs.decode(bytes)
-          val g = grayOf(px)
-          val (thr, c0) = otsuScalar(g)
-          (id, thr.toLong, c0, g.length - c0)
-        }
-      }
-      .toDF("image_id", "thr", "c0", "c1")
-  }
-
-  /** BT.601 integer gray plane (the exact floor arithmetic shared by
-    * every gray-based operator here).
-    */
-  private def grayOf(px: Array[Int]): Array[Int] = {
-    val g = new Array[Int](px.length)
-    var k = 0
-    while (k < px.length) {
-      val p = px(k)
-      g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
-        (p & 255) * 114) / 1000
-      k += 1
-    }
-    g
-  }
-
-  /** Scalar Otsu over a gray plane: (argmax threshold, c0 = |{g ≤ t}|);
-    * see [[otsuThreshold]] for the comparison semantics.
-    */
-  private def otsuScalar(g: Array[Int]): (Int, Long) = {
-    val hist = new Array[Long](256)
-    var k = 0
-    while (k < g.length) { hist(g(k)) += 1; k += 1 }
-    val n = g.length.toLong
-    var s = 0L
-    var gg = 0
-    while (gg < 256) { s += gg.toLong * hist(gg); gg += 1 }
-    var bestT = -1
-    var bestNum = BigInt(-1)
-    var bestDen = BigInt(1)
-    var bestC0 = 0L
-    var c0 = 0L
-    var s0 = 0L
-    var t = 0
-    while (t < 256) {
-      c0 += hist(t); s0 += t.toLong * hist(t)
-      if (c0 > 0 && c0 < n) {
-        val d = BigInt(s0) * n - BigInt(s) * c0
-        val num = d * d
-        val den = BigInt(c0) * (n - c0)
-        if (bestT < 0 || num * bestDen > bestNum * den) {
-          bestT = t; bestNum = num; bestDen = den; bestC0 = c0
-        }
-      }
-      t += 1
-    }
-    if (bestT < 0) {
-      var lone = 0
-      while (hist(lone) == 0L) lone += 1
-      (lone, n)
-    } else (bestT, bestC0)
-  }
-
   /** Marching squares (Lorensen-style 2D cell classification) over the
     * image's OWN Otsu binarization — the raster→vector contour step
-    * made exact: inside = gray > thr, and each interior 2×2 cell gets
-    * the 4-bit case 8·TL + 4·TR + 2·BR + 1·BL (clockwise from
+    * made exact: inside = gray > thr with thr from the [[otsu]] kernel
+    * (the q150 binarization front end), and each interior 2×2 cell
+    * gets the 4-bit case 8·TL + 4·TR + 2·BR + 1·BL (clockwise from
     * top-left). Emits one row per (image, case) present:
     * (image_id, thr, mcase, n_cells, n_segs) — n_segs counts the
     * contour segments the case contributes (0 for empty/full, 2 for
-    * the two saddles 5/10, else 1). Narrow decode, ≤ 16 rows per
-    * image; composition of [[otsuThreshold]]'s argmax and a local
-    * 2×2 stencil.
+    * the two saddles 5/10, else 1). Images with no valid Otsu split
+    * (constant gray — [[otsu]]'s −1 sentinel) emit nothing, matching
+    * the oracle's candidate-less join. Narrow decode, ≤ 16 rows per
+    * image.
     */
   def marchingSquares(spark: org.apache.spark.sql.SparkSession,
       images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -1688,32 +1621,45 @@ object ImageOps {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           val (px, w, h) = Codecs.decode(bytes)
-          val g = grayOf(px)
-          val (thr, _) = otsuScalar(g)
-          val counts = new Array[Long](16)
-          var y = 0
-          while (y < h - 1) {
-            var x = 0
-            while (x < w - 1) {
-              val tl = if (g(y * w + x) > thr) 1 else 0
-              val tr = if (g(y * w + x + 1) > thr) 1 else 0
-              val br = if (g((y + 1) * w + x + 1) > thr) 1 else 0
-              val bl = if (g((y + 1) * w + x) > thr) 1 else 0
-              counts(8 * tl + 4 * tr + 2 * br + bl) += 1
-              x += 1
-            }
-            y += 1
+          val g = new Array[Int](px.length)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            g(k) = (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 +
+              (p & 255) * 114) / 1000
+            k += 1
           }
-          Iterator.range(0, 16).filter(counts(_) > 0L).map { c =>
-            val segs = c match {
-              case 0 | 15 => 0L
-              case 5 | 10 => 2L
-              case _      => 1L
-            }
-            (id, thr.toLong, c.toLong, counts(c), counts(c) * segs)
-          }
+          val (thr, _) = otsu(px, w, h)
+          if (thr < 0) Iterator.empty
+          else marchingCells(id, g, w, h, thr)
         }
       }
       .toDF("image_id", "thr", "mcase", "n_cells", "n_segs")
+  }
+
+  private def marchingCells(id: String, g: Array[Int], w: Int, h: Int,
+      thr: Int): Iterator[(String, Long, Long, Long, Long)] = {
+    val counts = new Array[Long](16)
+    var y = 0
+    while (y < h - 1) {
+      var x = 0
+      while (x < w - 1) {
+        val tl = if (g(y * w + x) > thr) 1 else 0
+        val tr = if (g(y * w + x + 1) > thr) 1 else 0
+        val br = if (g((y + 1) * w + x + 1) > thr) 1 else 0
+        val bl = if (g((y + 1) * w + x) > thr) 1 else 0
+        counts(8 * tl + 4 * tr + 2 * br + bl) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Iterator.range(0, 16).filter(counts(_) > 0L).map { c =>
+      val segs = c match {
+        case 0 | 15 => 0L
+        case 5 | 10 => 2L
+        case _      => 1L
+      }
+      (id, thr.toLong, c.toLong, counts(c), counts(c) * segs)
+    }
   }
 }

@@ -447,35 +447,6 @@ class ImageOpsSpec extends AnyFunSuite {
   private def grayRef(px: Array[Int]): Array[Int] = px.map(p =>
     (((p >> 16) & 255) * 299 + ((p >> 8) & 255) * 587 + (p & 255) * 114) / 1000)
 
-  test("otsuThreshold equals the brute-force BigInt variance argmax") {
-    val spark = SparkTestSession.spark
-    val got = ImageOps.otsuThreshold(spark, ImageTable.generate(spark, 8, 2).toDF())
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    for (i <- 0L until 8L) {
-      val (px, w, h) = img(i)
-      val g = grayRef(px)
-      val n = BigInt(g.length)
-      val s = BigInt(g.map(_.toLong).sum)
-      // brute force: for every t, σ²_B as an exact rational, argmax
-      // with smallest-t tie — compared via cross-multiplication
-      var best: Option[(Int, BigInt, BigInt, Long)] = None
-      for (t <- 0 until 256) {
-        val c0 = g.count(_ <= t).toLong
-        if (c0 > 0 && c0 < g.length) {
-          val s0 = BigInt(g.filter(_ <= t).map(_.toLong).sum)
-          val d = s0 * n - s * c0
-          val (num, den) = (d * d, BigInt(c0) * (n - c0))
-          if (best.isEmpty || num * best.get._3 > best.get._2 * den)
-            best = Some((t, num, den, c0))
-        }
-      }
-      val (t, _, _, c0) = best.get
-      assert(got(f"img_$i%09d") == ((t.toLong, c0, g.length - c0)),
-        s"otsu mismatch on image $i")
-    }
-  }
-
   test("marchingSquares: cell total, seg parity per case, brute-force equality") {
     val spark = SparkTestSession.spark
     val rows = ImageOps.marchingSquares(spark, ImageTable.generate(spark, 6, 2).toDF())

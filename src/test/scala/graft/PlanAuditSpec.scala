@@ -580,8 +580,8 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q239/q242 per-image kernels are narrow: zero exchanges, no UDF") {
-    for (q <- Seq("q239_otsu", "q242_marching_squares")) {
+  test("q242 per-image kernel is narrow: zero exchanges, no UDF") {
+    for (q <- Seq("q242_marching_squares")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
