@@ -2835,11 +2835,13 @@ object SparkEntry {
           col("inliers"))
     }),
 
-    // local Moran's I (Anselin's LISA, 1995) per CELL — the hotspot/
-    // coldspot decomposition of q253's global statistic: with the same
-    // n-scaled centering, li_num_i = z_i·Σ_{j∈rook(i)} z_j; positive =
-    // the cell sits in a like-valued cluster (hot or cold), negative =
-    // a spatial outlier. Emits per cell (relation_id, cx, cy, w_i,
+    // local Moran's I (Anselin's LISA, 1995) per CELL of the raster
+    // field — the hotspot decomposition of q253's per-polygon
+    // statistic at cell grain (q142's LISA runs at POLYGON grain over
+    // contiguity; this locates hot cells INSIDE each polygon): with
+    // the same n-scaled centering, li_num_i = z_i·Σ_{j∈rook(i)} z_j;
+    // positive = the cell sits in a like-valued cluster (hot or
+    // cold), negative = a spatial outlier. Emits per cell (relation_id, cx, cy, w_i,
     // li_num) plus the polygon-wide Σz² (li_den, shared by every cell)
     // — I_i = n·li_num/li_den without ever dividing. Same joins as
     // q253; one extra cell-keyed aggregation.
@@ -2869,12 +2871,13 @@ object SparkEntry {
           (col("z") * col("lag")).as("li_num"), col("szz").as("li_den"))
     }),
 
-    // Geary's C per polygon — Moran's local-contrast sibling over the
-    // same lattice/weights: C = (n−1)·Σw (x_i−x_j)² / (2W·Σ(x_i−x̄)²),
-    // exact via the same n-scaled centering ((n·x_i − n·x_j)² =
-    // (z_i − z_j)²): c_num = (n−1)·Σ_pairs (z_i−z_j)², c_den =
-    // 2·W·Σz². Moran sees global pattern, Geary sees edge contrast —
-    // the pair is the standard ESDA screen.
+    // FIELD Geary's C per polygon — q253's local-contrast sibling over
+    // the same cell lattice/weights (q143's battery computes the AREAL
+    // C across polygons; this is the per-polygon internal-surface
+    // form): C = (n−1)·Σw (x_i−x_j)² / (2W·Σ(x_i−x̄)²), exact via the
+    // same n-scaled centering ((n·x_i − n·x_j)² = (z_i − z_j)²):
+    // c_num = (n−1)·Σ_pairs (z_i−z_j)², c_den = 2·W·Σz². Moran sees
+    // global pattern, Geary sees edge contrast.
     "q254_gearys_c" -> ((s, _) => {
       val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
         .select(col("relation_id"), col("cx"), col("cy"),
@@ -3599,14 +3602,16 @@ object SparkEntry {
         .select(col("id"), col("cluster"), col("cluster_size"))
     }),
 
-    // Moran's I spatial autocorrelation per polygon, EXACT — over the
-    // rasterized lattice with rook-contiguity weights (w = 1 for the 4
-    // neighbors, ordered pairs), the classic I = (n/W)·Σw z_i z_j / Σz²
-    // kept integer by the n-scaled centering z_i = n·v_i − Σv:
-    // i_num = n·Σ_pairs z_i·z_j, i_den = W·Σ_i z_i² (I = i_num/i_den
-    // exactly — both engines never divide). THE geospatial clustering
-    // screen (is the surface patterned or noise?); one cell equi-join
-    // for pairs + two polygon-keyed aggregations.
+    // FIELD Moran's I per polygon — the within-polygon counterpart of
+    // q141's AREAL Moran (q141 asks "do adjacent POLYGONS carry similar
+    // attributes?" over the contiguity graph; this asks "is each
+    // polygon's INTERNAL raster surface patterned or noise?" over its
+    // cell lattice, one output row per polygon). Rook weights over
+    // cells, the classic I = (n/W)·Σw z_i z_j / Σz² kept integer by
+    // the n-scaled centering z_i = n·v_i − Σv: i_num = n·Σ_pairs
+    // z_i·z_j, i_den = W·Σ_i z_i² (never divides). Neighbor pairs ride
+    // four SHIFTED EQUI-JOINS — no theta join, unlike the oracle's
+    // |dx|+|dy| form.
     "q253_morans_i" -> ((s, _) => {
       val cells = graft.geom.Raster.rasterize(rasterPolyDF(s), 1.0)
         .select(col("relation_id"), col("cx"), col("cy"),
