@@ -2674,6 +2674,36 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // data-quality constraint report (the Deequ/Great-Expectations
+    // shape): completeness, uniqueness, domain, and range checks over
+    // the events table computed in ONE aggregation pass and unpivoted
+    // to (check, col, value) rows via stack — the audit a pipeline
+    // gates ingestion on. Ratios carried as ×10000 integer parts.
+    "q270_dq_report" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.agg(
+          count(lit(1)).as("n"),
+          sum(col("event_type").isNull.cast("long")).as("null_type"),
+          sum(col("value").isNull.cast("long")).as("null_value"),
+          countDistinct(col("event_type")).as("type_card"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+          sum((col("value") < 0).cast("long")).as("neg_values"),
+          sum(col("event_type").isin("click", "view", "purchase",
+            "signup", "error").cast("long")).as("in_domain"),
+          max(round(col("value") * 100, 0).cast("long")).as("max_cents"))
+        .selectExpr(
+          """stack(8,
+            |  'row_count',            'events',     n,
+            |  'null_count',           'event_type', null_type,
+            |  'null_count',           'value',      null_value,
+            |  'distinct_cardinality', 'event_type', type_card,
+            |  'uniqueness_violations','event_id',   dup_ids,
+            |  'range_violations',     'value',      neg_values,
+            |  'domain_pct_x10000',    'event_type', in_domain * 10000 div n,
+            |  'max_cents',            'value',      max_cents
+            |) AS (check, col, value)""".stripMargin)
+    }),
+
     // RFM segmentation — the classic marketing tercile grid made exact
     // AND scale-shaped: per device recency (days since last event, vs
     // the corpus max day), frequency (event count), monetary (integer
@@ -3796,30 +3826,29 @@ object SparkEntry {
     // keeper per cluster). Three planted tiers chained A–B–C by adjacent
     // pairs only, so the component requires TRANSITIVE closure — oracled
     // against a DuckDB recursive-CTE reachability fixpoint.
-    "q51_dedup_clusters" -> ((s, dir) => {
-      import s.implicits._
-      val docs0 = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"))
-      def tier(k: Int, suffix: String) = docs0.select(
-        (col("doc_id") + k * 100000L).as("doc_id"),
-        concat(col("text"), lit(suffix)).as("text"))
-      val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
-      // word-trigram set built with the SAME list algebra as the DuckDB
-      // oracle (split on single space, 1-based 3-slices, distinct) so the
-      // ≥0.5 edge decision cannot diverge on tokenization
-      // fused gram kernel — same SQL-split window algebra, one scalar
-      // loop per doc instead of an interpreted lambda per window
-      def grams(c: org.apache.spark.sql.Column) =
-        array_distinct(graft.text.GramExpr.wordGrams(s, c, 3))
-      val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
-        .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
-          col("dst") === col("src") + 100000L)
-      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-      val edges = cand
-        .filter(inter / (size(col("ga")) + size(col("gb")) - inter) >= 0.5)
-        .select(col("src"), col("dst"))
-      graft.dedup.Dedup.connectedComponents(s, edges)
-        .select(col("id").as("doc_id"), col("component"))
+    "q51_dedup_clusters" -> ((s, dir) =>
+      fuzzyClusterChain(s, dir)._2
+        .select(col("id").as("doc_id"), col("component"))),
+
+    // survivorship / golden-record selection over the q51 clusters —
+    // the MDM step AFTER dedup finds groups: each cluster elects ONE
+    // survivor by a QUALITY rule (longest text wins, ties to the
+    // smallest id — richer-record-wins, not min-id like q53's keeper)
+    // and reports the merged-record rollup. Cluster-keyed aggregation
+    // over the cc output joined back to the record attributes.
+    "q269_survivorship" -> ((s, dir) => {
+      val (tiers, cc) = fuzzyClusterChain(s, dir)
+      val members = cc.join(
+        tiers.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("len")),
+        Seq("id"))
+      members.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("len"), (-col("id")).as("nid"))).as("m"),
+          sum(col("len")).as("total_chars"))
+        .select(col("component"), (-col("m.nid")).as("survivor_doc_id"),
+          col("m.len").as("survivor_chars"), col("n_members"),
+          col("total_chars"))
     }),
 
     // end-to-end FUZZY-dedup training-set selection (the pipeline a
@@ -5502,6 +5531,33 @@ object SparkEntry {
   }
 
   /** q27's exact-kNN oracle, shared with q89's recall eval. */
+  /** The q51 fuzzy-dedup fixture + cluster chain, shared with q269's
+    * survivorship: planted 3-tier perturbations, word-trigram sets
+    * built with the SAME list algebra as the DuckDB oracle (split on
+    * single space, 1-based 3-slices, distinct — the fused gram kernel,
+    * one scalar loop per doc instead of an interpreted lambda per
+    * window) so the ≥ 0.5 Jaccard edge decision cannot diverge on
+    * tokenization. Returns (tiers(doc_id, text), cc(id, component)).
+    */
+  private def fuzzyClusterChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs0 = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    def tier(k: Int, suffix: String) = docs0.select(
+      (col("doc_id") + k * 100000L).as("doc_id"),
+      concat(col("text"), lit(suffix)).as("text"))
+    val tiers = docs0.union(tier(1, " perturbed")).union(tier(2, " perturbed perturbed"))
+    def grams(c: org.apache.spark.sql.Column) =
+      array_distinct(graft.text.GramExpr.wordGrams(s, c, 3))
+    val cand = tiers.select(col("doc_id").as("src"), grams(col("text")).as("ga"))
+      .join(tiers.select(col("doc_id").as("dst"), grams(col("text")).as("gb")),
+        col("dst") === col("src") + 100000L)
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val edges = cand
+      .filter(inter / (size(col("ga")) + size(col("gb")) - inter) >= 0.5)
+      .select(col("src"), col("dst"))
+    (tiers, graft.dedup.Dedup.connectedComponents(s, edges))
+  }
+
   /** q244's clustering chain, reused by q259's evaluation: mutual
     * cosine top-5 edges over vec_id < 150, connected components,
     * singletons labeled by themselves. Returns (vec_id, cluster).
@@ -8785,6 +8841,48 @@ object SparkEntry {
         |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r)
         |SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id""".stripMargin,
 
+    // q269 — the q51 fixpoint + richer-record-wins election and the
+    // merged-record rollup
+    "q269_survivorship" ->
+      """WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tiers AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, text || ' perturbed' FROM docs0
+        |  UNION ALL SELECT doc_id + 200000, text || ' perturbed perturbed' FROM docs0),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS grams
+        |  FROM tiers),
+        |cand AS (
+        |  SELECT doc_id AS src, doc_id + 100000 AS dst FROM docs0
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM docs0),
+        |edges AS (
+        |  SELECT src, dst FROM cand
+        |  JOIN g ga ON ga.doc_id = src
+        |  JOIN g gb ON gb.doc_id = dst
+        |  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+        |        (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM und),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN und e ON e.src = w.r),
+        |comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id),
+        |mem AS (SELECT c.component, c.id, length(t.text) AS len
+        |        FROM comp c JOIN tiers t ON t.doc_id = c.id),
+        |sur AS (SELECT component, id AS survivor_doc_id, len AS survivor_chars
+        |  FROM mem QUALIFY row_number() OVER (PARTITION BY component
+        |    ORDER BY len DESC, id) = 1),
+        |agg AS (SELECT component, count(*) AS n_members, sum(len) AS total_chars
+        |        FROM mem GROUP BY 1)
+        |SELECT a.component, CAST(survivor_doc_id AS BIGINT) AS survivor_doc_id,
+        |  CAST(survivor_chars AS BIGINT) AS survivor_chars,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(total_chars AS BIGINT) AS total_chars
+        |FROM agg a JOIN sur ON sur.component = a.component""".stripMargin,
+
     // q53 — q51's reachability fixpoint + keeper selection: keep cluster
     // minima and unclustered singletons
     "q53_fuzzy_select" ->
@@ -10147,6 +10245,28 @@ object SparkEntry {
         |  CAST(sum(c*(c-1)) AS BIGINT) AS conc_num,
         |  CAST(sum(c)*(sum(c)-1) AS BIGINT) AS den
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q270 — the same metrics as scalar selects, unioned
+    "q270_dq_report" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_type,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+        |    count(DISTINCT event_type) AS type_card,
+        |    count(*) - count(DISTINCT event_id) AS dup_ids,
+        |    sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_values,
+        |    sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+        |        THEN 1 ELSE 0 END) AS in_domain,
+        |    max(CAST(round(value*100) AS BIGINT)) AS max_cents
+        |  FROM events)
+        |SELECT 'row_count' AS check, 'events' AS col, CAST(n AS BIGINT) AS value FROM m
+        |UNION ALL SELECT 'null_count', 'event_type', CAST(null_type AS BIGINT) FROM m
+        |UNION ALL SELECT 'null_count', 'value', CAST(null_value AS BIGINT) FROM m
+        |UNION ALL SELECT 'distinct_cardinality', 'event_type', CAST(type_card AS BIGINT) FROM m
+        |UNION ALL SELECT 'uniqueness_violations', 'event_id', CAST(dup_ids AS BIGINT) FROM m
+        |UNION ALL SELECT 'range_violations', 'value', CAST(neg_values AS BIGINT) FROM m
+        |UNION ALL SELECT 'domain_pct_x10000', 'event_type', CAST(in_domain * 10000 // n AS BIGINT) FROM m
+        |UNION ALL SELECT 'max_cents', 'value', CAST(max_cents AS BIGINT) FROM m""".stripMargin,
 
     // q265 — per-device rollup, distinct-value-histogram cutoffs, the
     // broadcast threshold compare
