@@ -3541,6 +3541,28 @@ object SparkEntry {
         s.createDataset(mstFixtureEdges).toDF("src", "dst", "w"))
     }),
 
+    // autocomplete (search-suggest) index build: for every word prefix
+    // of length 1..4, the top completion by corpus frequency (ties to
+    // the lexicographically-first word) — vocabulary-sized explode
+    // (×4), one prefix-keyed rank window; the index a search box
+    // serves from.
+    "q272_autocomplete" -> ((s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val pre = words
+        .select(col("w"), col("freq"), explode(array(lit(1), lit(2),
+          lit(3), lit(4))).as("p"))
+        .filter(length(col("w")) >= col("p"))
+        .select(col("w").substr(lit(1), col("p")).as("prefix"),
+          col("w"), col("freq"))
+      val rk = Window.partitionBy(col("prefix"))
+        .orderBy(col("freq").desc, col("w"))
+      pre.withColumn("r", row_number().over(rk)).filter(col("r") === 1)
+        .select(col("prefix"), col("w").as("completion"), col("freq"))
+    }),
+
     // admin containment hierarchy — the reference's admin_level made
     // STRUCTURAL: each boundary's immediate parent is the max-level
     // strictly-coarser polygon whose region ray-cast-contains its
@@ -3572,6 +3594,48 @@ object SparkEntry {
         .select(col("child_id"), col("child_level"),
           coalesce(col("parent_id"), lit(0L)).as("parent_id"),
           coalesce(col("parent_level"), lit(0L)).as("parent_level"))
+    }),
+
+    // DAG critical-path layering — longest-path depth per node over a
+    // planted forward DAG (edges only i → j, i < j), by max-plus
+    // frontier relaxation: round r carries paths of length r, a node's
+    // layer is the max round that reaches it. Rounds = DAG depth (the
+    // scheduling/stage-planning primitive: layer = earliest wave a
+    // task can run in). Eager localCheckpoint per round (Bfs.hops
+    // discipline); the fixture's chord structure gives depth ≫ log n
+    // so the loop is genuinely exercised.
+    "q271_dag_layers" -> ((s, _) => {
+      val edges = s.range(0, 60).select(col("id").as("u"))
+        .select(col("u"), explode(array(
+          col("u") + 1,
+          when(col("u") % 3 === 0, col("u") + 7),
+          when(col("u") % 5 === 2, col("u") + 13))).as("v"))
+        .filter(col("v").isNotNull && col("v") < 60)
+        .persist()
+      var layer = s.range(0, 60).select(col("id"), lit(0L).as("layer"))
+        .localCheckpoint(true)
+      var frontier = layer
+      var round = 1
+      var done = false
+      while (!done) {
+        val step = frontier
+          .join(edges, frontier("id") === edges("u"))
+          .select(col("v").as("id")).distinct()
+          .withColumn("layer", lit(round.toLong))
+          .localCheckpoint(true)
+        if (step.isEmpty) done = true
+        else if (round > 128) throw new IllegalStateException("q271 diverged")
+        else {
+          val acc = layer.unionByName(step)
+            .groupBy(col("id")).agg(max(col("layer")).as("layer"))
+            .localCheckpoint(true)
+          layer = acc
+          frontier = step
+          round += 1
+        }
+      }
+      edges.unpersist()
+      layer
     }),
 
     // bipartiteness audit per component — 2-color by BFS-parity from
@@ -10128,6 +10192,36 @@ object SparkEntry {
          |  CAST(w AS BIGINT) AS w
          |FROM (VALUES $vals) v(src, dst, w)""".stripMargin
     },
+
+    // q271 — recursive longest-walk closure, layer = max depth reached
+    "q271_dag_layers" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT u, v FROM (
+        |    SELECT range AS u, range + 1 AS v FROM range(0, 60)
+        |    UNION ALL SELECT range, range + 7 FROM range(0, 60) WHERE range % 3 = 0
+        |    UNION ALL SELECT range, range + 13 FROM range(0, 60) WHERE range % 5 = 2) q
+        |  WHERE v < 60),
+        |walk(id, d) AS (
+        |  SELECT CAST(range AS BIGINT), CAST(0 AS BIGINT) FROM range(0, 60)
+        |  UNION
+        |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.id)
+        |SELECT id, CAST(max(d) AS BIGINT) AS layer FROM walk GROUP BY 1""".stripMargin,
+
+    // q272 — prefix explode + count-dominance QUALIFY
+    "q272_autocomplete" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |pre AS (
+        |  SELECT substr(w, 1, p) AS prefix, w, freq
+        |  FROM words, unnest([1, 2, 3, 4]) AS t(p)
+        |  WHERE length(w) >= p)
+        |SELECT prefix, w AS completion, CAST(freq AS BIGINT) AS freq
+        |FROM pre
+        |QUALIFY row_number() OVER (PARTITION BY prefix
+        |  ORDER BY freq DESC, w) = 1""".stripMargin,
 
     // q264 — rect containment is BETWEEN for rectangles (strict — the
     // representative vertices are strictly interior by construction)
