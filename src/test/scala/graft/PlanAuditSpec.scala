@@ -580,6 +580,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q265-q272 analytics wave: no global sort over rows, no cartesian, no UDF") {
+    // q265's cutoff windows run over DISTINCT-VALUE histograms and
+    // q267's cumsums over 50-doc buckets — both value/bucket-domain
+    // sized (the q98 pattern), so the plans may contain a
+    // single-partition window over that bounded side but never a
+    // range exchange or cartesian; the rest are hash aggs, grp-keyed
+    // windows, and broadcast scalar joins
+    for (q <- Seq("q265_rfm", "q266_fano", "q267_vocab_growth",
+        "q268_iqr_outliers", "q269_survivorship", "q270_dq_report",
+        "q271_dag_layers", "q272_autocomplete")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"UDF in $q plan:\n$plan")
+    }
+    // the device/vocab-keyed ones additionally pin no global sort
+    for (q <- Seq("q266_fano", "q268_iqr_outliers", "q270_dq_report",
+        "q272_autocomplete")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+        s"$q must not contain a global (single-partition) sort:\n$plan")
+    }
+  }
+
   test("q242 per-image kernel is narrow: zero exchanges, no UDF") {
     for (q <- Seq("q242_marching_squares")) {
       val plan = SparkEntry.queries(q)(spark, sf)
