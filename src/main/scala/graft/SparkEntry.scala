@@ -2674,6 +2674,28 @@ object SparkEntry {
     "q248_mtf_rle" -> ((s, dir) =>
       graft.text.TextOps.mtfRle(s, table(s, dir, "documents"))),
 
+    // Good-Turing frequency-of-frequencies — the LM-smoothing front
+    // end: N_f = how many word types occur exactly f times, plus the
+    // adjusted-count rational r* = (f+1)·N_{f+1}/N_f as its integer
+    // pair (gt_num, n_types). One vocabulary aggregation + one window
+    // over the DISTINCT-frequency table (value-domain-sized — the q98
+    // class); the unseen-mass estimate N_1/N falls straight out.
+    "q274_count_of_counts" -> ((s, dir) => {
+      val freqs = table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val nf = freqs.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+      val wv = Window.orderBy(col("f"))
+      nf.withColumn("next_f", lead(col("f"), 1).over(wv))
+        .withColumn("next_n", lead(col("n_types"), 1).over(wv))
+        .select(col("f"), col("n_types"),
+          when(col("next_f") === col("f") + 1, col("next_n"))
+            .otherwise(0L).as("n_next"),
+          (when(col("next_f") === col("f") + 1, col("next_n"))
+            .otherwise(0L) * (col("f") + 1)).as("gt_num"))
+    }),
+
     // data-quality constraint report (the Deequ/Great-Expectations
     // shape): completeness, uniqueness, domain, and range checks over
     // the events table computed in ONE aggregation pass and unpivoted
@@ -3054,6 +3076,31 @@ object SparkEntry {
         .select(col("query_id"), col("nl").cast("long").as("predicted"),
           col("actual").cast("long").as("actual"),
           (col("nl") === col("actual")).cast("long").as("correct"))
+    }),
+
+    // hard-negative mining for contrastive training — for each query
+    // embedding, the top-3 most-cosine-similar corpus items whose
+    // LABEL DIFFERS (the negatives that actually teach a metric
+    // model); deterministic (rank ties to the smaller id). Same
+    // bounded exact-rank form as q27; IVF candidates slot in at
+    // corpus scale.
+    "q273_hard_negatives" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val labeled = e.select(col("vec_id"), col("label"))
+      graft.sim.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50),
+          k = 500)
+        .join(labeled.select(col("vec_id").as("query_id"),
+          col("label").as("ql")), Seq("query_id"))
+        .join(labeled.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), Seq("neighbor_id"))
+        .filter(col("nl") =!= col("ql"))
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+        .filter(col("neg_rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_rank").cast("long").as("neg_rank"),
+          col("nl").cast("long").as("neg_label"))
     }),
 
     // reliability diagram of the q258 classifier, exact: confidence =
@@ -10339,6 +10386,43 @@ object SparkEntry {
         |  CAST(sum(c*(c-1)) AS BIGINT) AS conc_num,
         |  CAST(sum(c)*(sum(c)-1) AS BIGINT) AS den
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q273 — full cosine ranks, different-label re-rank, top-3
+    "q273_hard_negatives" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS nl, q.label AS ql,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 50
+        |  WHERE q.vec_id < 50),
+        |neg AS (
+        |  SELECT query_id, neighbor_id, nl,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+        |  FROM ranked WHERE nl <> ql)
+        |SELECT query_id, neighbor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+        |  CAST(nl AS BIGINT) AS neg_label
+        |FROM neg WHERE neg_rank <= 3""".stripMargin,
+
+    // q274 — vocabulary frequencies, count-of-counts, the f+1
+    // adjacency via lead over the distinct-frequency order
+    "q274_count_of_counts" ->
+      """WITH freqs AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 1 GROUP BY 1),
+        |nf AS (SELECT f, count(*) AS n_types FROM freqs GROUP BY 1),
+        |nx AS (SELECT f, n_types,
+        |    lead(f) OVER (ORDER BY f) AS next_f,
+        |    lead(n_types) OVER (ORDER BY f) AS next_n
+        |  FROM nf)
+        |SELECT CAST(f AS BIGINT) AS f, CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(CASE WHEN next_f = f + 1 THEN next_n ELSE 0 END AS BIGINT) AS n_next,
+        |  CAST(CASE WHEN next_f = f + 1 THEN next_n ELSE 0 END * (f + 1)
+        |    AS BIGINT) AS gt_num
+        |FROM nx""".stripMargin,
 
     // q270 — the same metrics as scalar selects, unioned
     "q270_dq_report" ->
