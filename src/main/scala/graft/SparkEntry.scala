@@ -3078,6 +3078,31 @@ object SparkEntry {
           (col("nl") === col("actual")).cast("long").as("correct"))
     }),
 
+    // spatial coverage-gap audit — per polygon, how much of its cell
+    // cover actually holds imagery: the polygon dimension's cell cover
+    // (CellIndex.cover at res 8 — metadata-sized, built once)
+    // left-joins the image-per-cell rollup; gaps = covered cells with
+    // zero images. The acquisition-planning query (where do we lack
+    // data?) on the flagship's own cell index.
+    "q275_coverage_gaps" -> ((s, _) => {
+      import s.implicits._
+      val cover = s.createDataset(rectPolys.flatMap(p =>
+          graft.cell.CellIndex.cover(p.rings, 8).map(c => (p.relation_id, c))))
+        .toDF("relation_id", "cell")
+      val imgCells = graft.img.ImageTable.generate(s, 400, 16).toDF()
+        .withColumn("idx", substring(col("image_id"), 5, 9).cast("long"))
+        .withColumn("lat", GraftFunctions.latOfKey(col("idx")))
+        .withColumn("lon", GraftFunctions.lonOfKey(col("idx")))
+        .withColumn("cell", GraftFunctions.cellOfCol(col("lat"), col("lon"), 8))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_img"))
+      cover.join(imgCells, Seq("cell"), "left")
+        .groupBy(col("relation_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum((col("n_img").isNotNull).cast("long")).as("n_with_images"),
+          sum(col("n_img").isNull.cast("long")).as("n_gaps"),
+          coalesce(sum(col("n_img")), lit(0L)).as("n_images"))
+    }),
+
     // hard-negative mining for contrastive training — for each query
     // embedding, the top-3 most-cosine-similar corpus items whose
     // LABEL DIFFERS (the negatives that actually teach a metric
@@ -10386,6 +10411,47 @@ object SparkEntry {
         |  CAST(sum(c*(c-1)) AS BIGINT) AS conc_num,
         |  CAST(sum(c)*(sum(c)-1) AS BIGINT) AS den
         |FROM g GROUP BY 1""".stripMargin,
+
+    // q275 — the rect covers as clamped floor ranges (the q11 cell
+    // arithmetic), the geotag formula replayed, one left join
+    "q275_coverage_gaps" ->
+      """WITH imgs AS (
+        |  SELECT range AS i,
+        |    (abs(range*9973 + 12345) % 170000)/1000.0 - 85.0 AS lat,
+        |    (abs(range*7919 + 54321) % 360000)/1000.0 - 180.0 AS lon
+        |  FROM range(0, 400)),
+        |ic AS (
+        |  SELECT 8*288230376151711744 +
+        |    LEAST(GREATEST(CAST(floor((lon+180.0)/360.0*256.0) AS BIGINT), 0), 255)*536870912 +
+        |    LEAST(GREATEST(CAST(floor((lat+90.0)/180.0*256.0) AS BIGINT), 0), 255) AS cell,
+        |    count(*) AS n_img
+        |  FROM imgs GROUP BY 1),
+        |rects AS (
+        |  SELECT 9000 + range AS relation_id,
+        |    -80.0 + range*20 + 0.0005 AS la0, -170.0 + range*40 + 0.0005 AS lo0,
+        |    -80.0 + range*20 + 14.0005 AS la1, -170.0 + range*40 + 30.0005 AS lo1
+        |  FROM range(0, 8)),
+        |xy AS (
+        |  SELECT relation_id,
+        |    LEAST(GREATEST(CAST(floor((lo0+180.0)/360.0*256.0) AS BIGINT), 0), 255) AS x0,
+        |    LEAST(GREATEST(CAST(floor((lo1+180.0)/360.0*256.0) AS BIGINT), 0), 255) AS x1,
+        |    LEAST(GREATEST(CAST(floor((la0+90.0)/180.0*256.0) AS BIGINT), 0), 255) AS y0,
+        |    LEAST(GREATEST(CAST(floor((la1+90.0)/180.0*256.0) AS BIGINT), 0), 255) AS y1
+        |  FROM rects),
+        |cov AS (
+        |  SELECT relation_id,
+        |    8*288230376151711744 + gx.x*536870912 + gy.y AS cell
+        |  FROM xy,
+        |    LATERAL (SELECT unnest(range(x0, x1 + 1)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(y0, y1 + 1)) AS y) gy)
+        |SELECT relation_id, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CASE WHEN ic.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_images,
+        |  CAST(sum(CASE WHEN ic.cell IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps,
+        |  CAST(coalesce(sum(n_img), 0) AS BIGINT) AS n_images
+        |FROM cov LEFT JOIN ic ON ic.cell = cov.cell
+        |GROUP BY 1""".stripMargin,
 
     // q273 — full cosine ranks, different-label re-rank, top-3
     "q273_hard_negatives" ->
