@@ -608,6 +608,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q273-q275 mining/audit wave: no range exchange, no cartesian, no UDF") {
+    for (q <- Seq("q273_hard_negatives", "q274_count_of_counts",
+        "q275_coverage_gaps")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"range exchange in $q plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in $q plan:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"UDF in $q plan:\n$plan")
+    }
+  }
+
   test("q242 per-image kernel is narrow: zero exchanges, no UDF") {
     for (q <- Seq("q242_marching_squares")) {
       val plan = SparkEntry.queries(q)(spark, sf)
