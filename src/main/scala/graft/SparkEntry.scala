@@ -3669,13 +3669,19 @@ object SparkEntry {
     }),
 
     // DAG critical-path layering — longest-path depth per node over a
-    // planted forward DAG (edges only i → j, i < j), by max-plus
-    // frontier relaxation: round r carries paths of length r, a node's
-    // layer is the max round that reaches it. Rounds = DAG depth (the
-    // scheduling/stage-planning primitive: layer = earliest wave a
-    // task can run in). Eager localCheckpoint per round (Bfs.hops
-    // discipline); the fixture's chord structure gives depth ≫ log n
-    // so the loop is genuinely exercised.
+    // planted forward DAG (edges only i → j, i < j): layer(v) = length
+    // of the longest path ENDING at v (the scheduling/stage-planning
+    // primitive: layer = earliest wave a task can run in). Computed by
+    // MAX-PLUS RELATION DOUBLING instead of one frontier round per
+    // depth level: R_k(u,v) holds the longest u→v path length over
+    // paths of ≤ 2^k edges, and R_{k+1} = max(R_k, R_k ∘ R_k) — one
+    // equi-self-join + one max-combine per doubling, so a depth-D DAG
+    // converges in ⌈log₂ D⌉ + 1 rounds (7 here vs the 59 the per-level
+    // loop paid; driver round-trips, not data, dominate this query).
+    // The closure is pair-sized (≤ reachable pairs — the bounded-DAG
+    // contract; at 100 TB you layer a job graph, not the raw web). The
+    // (count, sum) pair at each boundary is a complete convergence
+    // signature: path lengths only lengthen and pairs only appear.
     "q271_dag_layers" -> ((s, _) => {
       val edges = s.range(0, 60).select(col("id").as("u"))
         .select(col("u"), explode(array(
@@ -3683,31 +3689,32 @@ object SparkEntry {
           when(col("u") % 3 === 0, col("u") + 7),
           when(col("u") % 5 === 2, col("u") + 13))).as("v"))
         .filter(col("v").isNotNull && col("v") < 60)
-        .persist()
-      var layer = s.range(0, 60).select(col("id"), lit(0L).as("layer"))
-        .localCheckpoint(true)
-      var frontier = layer
-      var round = 1
+      var r = edges.select(col("u"), col("v"), lit(1L).as("len"))
+        .localCheckpoint(false)
+      def sig(df: DataFrame): (Long, Long) = {
+        val row = df.agg(count(lit(1)), sum(col("len"))).collect()(0)
+        (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+      var prev = sig(r)
+      var round = 0
       var done = false
       while (!done) {
-        val step = frontier
-          .join(edges, frontier("id") === edges("u"))
-          .select(col("v").as("id")).distinct()
-          .withColumn("layer", lit(round.toLong))
-          .localCheckpoint(true)
-        if (step.isEmpty) done = true
-        else if (round > 128) throw new IllegalStateException("q271 diverged")
-        else {
-          val acc = layer.unionByName(step)
-            .groupBy(col("id")).agg(max(col("layer")).as("layer"))
-            .localCheckpoint(true)
-          layer = acc
-          frontier = step
-          round += 1
-        }
+        val sq = r.select(col("u"), col("v").as("m"), col("len").as("l1"))
+          .join(r.select(col("u").as("m"), col("v"), col("len").as("l2")),
+            Seq("m"))
+          .select(col("u"), col("v"), (col("l1") + col("l2")).as("len"))
+        val next = r.unionByName(sq).groupBy(col("u"), col("v"))
+          .agg(max(col("len")).as("len"))
+          .localCheckpoint(false)
+        val cur = sig(next)
+        if (cur == prev) done = true
+        else if (round > 8) throw new IllegalStateException("q271 diverged")
+        else { r = next; prev = cur; round += 1 }
       }
-      edges.unpersist()
-      layer
+      s.range(0, 60).select(col("id"))
+        .join(r.groupBy(col("v").as("id")).agg(max(col("len")).as("layer")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("layer"), lit(0L)).as("layer"))
     }),
 
     // bipartiteness audit per component — 2-color by BFS-parity from

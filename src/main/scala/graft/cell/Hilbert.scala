@@ -101,9 +101,14 @@ object Hilbert {
     require(0 <= x0 && x0 <= x1 && x1 < n && 0 <= y0 && y0 <= y1 && y1 < n,
       s"bbox ($x0..$x1, $y0..$y1) outside the $n-grid")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    // withD (one projection per level), NOT dCol: the single-expression
+    // form quadruples per level and its analysis + codegen alone cost
+    // ~3 s at res 6 on a 128-cell bbox — all constant plan-compile
+    // time. The leveled form is pinned bit-identical in ZOrderSpec.
     spark.range(y0, y1 + 1).select(col("id").as("y"),
         explode(sequence(lit(x0), lit(x1))).as("x"))
-      .select(dCol(col("x"), col("y"), res).as("d"))
+      .transform(withD(_, res))
+      .select(col("d"))
       .withColumn("grp", col("d") - row_number().over(w))
       .groupBy(col("grp"))
       .agg(min(col("d")).as("d_start"), max(col("d")).as("d_end"),

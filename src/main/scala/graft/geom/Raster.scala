@@ -1,6 +1,7 @@
 package graft.geom
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -330,59 +331,56 @@ object Raster {
     * rounds, per-round eager localCheckpoint kills plan growth.
     */
   def voronoiAssign(cells: DataFrame, seeds: DataFrame,
-      idCol: String = "relation_id", maxRounds: Int = 512): DataFrame = {
+      idCol: String = "relation_id", maxRounds: Int = 512,
+      blockRounds: Int = 8): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
-        col("cy").cast("long").as("cy"))
-      .persist(lvl)
+    val occ = graft.graph.Bfs.joinSide(
+      cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy")))
     val key = Seq(idCol, "cx", "cy")
-    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
-    def scatter4(df: DataFrame): DataFrame =
-      df.select(col(idCol), col("seed"),
-          explode(array(offsets.map { case (dx, dy) =>
-            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
-          }: _*)).as("t"))
-        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
-          col("seed"))
-    var labeled = seeds
+    val init = seeds
       .select(col(idCol), col("cx").cast("long").as("cx"),
         col("cy").cast("long").as("cy"), col("seed").cast("long").as("seed"))
       .join(occ, key, "left_semi")
       .groupBy(key.map(col): _*).agg(min(col("seed")).as("seed"))
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    var frontier = labeled
-    var round = 1
-    var done = false
-    while (!done) {
-      val next = scatter4(frontier)
+      .withColumn("fresh", lit(1))
+    // blocked round fusion (the Bfs.scala device on the implicit
+    // lattice): a ×5 scatter whose (0,0) offset is the self-entry that
+    // carries every existing claim while the four real offsets expand
+    // only the still-fresh frontier — the state is referenced once per
+    // round, so blockRounds rounds chain lazily into one linear plan
+    // with a single checkpoint + count() action per block. Claiming
+    // stays exact: a fresh cell's arrivals all come from the previous
+    // round's fresh set (its geodesic-distance-(r−1) predecessors), so
+    // per-round min(seed) over arrivals reproduces the global
+    // argmin-by-(dist, seed) — the self-entry wins outright for already-
+    // claimed cells (labels never change once set).
+    val out = graft.graph.Bfs.runBlocked(init, maxRounds, blockRounds,
+        "Raster.voronoiAssign", graft.graph.Bfs.countProbe) { (cur, _) =>
+      cur.select(col(idCol), col("dist"), col("seed"), col("fresh"),
+          explode(array(
+            struct(col("cx"), col("cy"), lit(1).as("self")) +:
+            Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (dx, dy) =>
+              struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
+                lit(0).as("self"))
+            }: _*)).as("t"))
+        .filter(col("t.self") === 1 || col("fresh") === 1)
+        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+          col("t.self").as("self"), col("dist"), col("seed"))
         .join(occ, key, "left_semi")
-        .join(labeled.select(key.map(col): _*), key, "left_anti")
-        .groupBy(key.map(col): _*).agg(min(col("seed")).as("seed"))
-        .withColumn("dist", lit(round.toLong))
-        .localCheckpoint(true)
-      if (next.isEmpty) {
-        next.unpersist()
-        if (frontier ne labeled) frontier.unpersist()
-        done = true
-      } else if (round > maxRounds) {
-        next.unpersist()
-        if (frontier ne labeled) frontier.unpersist()
-        labeled.unpersist()
-        occ.unpersist()
-        throw new IllegalStateException(
-          s"Raster.voronoiAssign did not converge within $maxRounds rounds")
-      } else {
-        val acc = labeled.unionByName(next).localCheckpoint(true)
-        labeled.unpersist()
-        if (frontier ne labeled) frontier.unpersist()
-        labeled = acc
-        frontier = next
-        round += 1
-      }
+        .groupBy(key.map(col): _*)
+        .agg(max(col("self")).as("hs"),
+          min(when(col("self") === 1, col("dist"))).as("d_old"),
+          min(when(col("self") === 1, col("seed"))).as("s_old"),
+          min(when(col("self") === 0, col("dist") + 1L)).as("d_new"),
+          min(when(col("self") === 0, col("seed"))).as("s_new"))
+        .select(col(idCol), col("cx"), col("cy"),
+          when(col("hs") === 1, col("d_old")).otherwise(col("d_new")).as("dist"),
+          when(col("hs") === 1, col("s_old")).otherwise(col("s_new")).as("seed"),
+          (lit(1) - col("hs")).as("fresh"))
     }
-    occ.unpersist()
-    labeled.select(col(idCol), col("cx"), col("cy"), col("dist"), col("seed"))
+    out.select(col(idCol), col("cx"), col("cy"), col("dist"), col("seed"))
   }
 
   /** Outward buffer of a binary cell raster: every lattice cell within
@@ -459,13 +457,14 @@ object Raster {
     *
     * One scatter ×4 of the distance field (narrow), one hash
     * aggregation for the neighbor max, one left join back — the
-    * [[focalStats]] shape over [[distanceTransform]]'s output, which is
-    * already eagerly checkpointed so the BFS never re-runs for the
-    * second consumer.
+    * [[focalStats]] shape over [[distanceTransform]]'s output. The
+    * field is consumed twice (scatter + join back), so it is cut once
+    * with a lazy localCheckpoint — one field computation serves both
+    * branches and the plan stays linear.
     */
   def medialAxis(cells: DataFrame, idCol: String = "relation_id",
       maxRounds: Int = 512): DataFrame = {
-    val dt = distanceTransform(cells, idCol, maxRounds)
+    val dt = distanceTransform(cells, idCol).localCheckpoint(false)
     val key = Seq(idCol, "cx", "cy")
     val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
     val scattered = dt.select(col(idCol), col("dist"),
@@ -503,68 +502,60 @@ object Raster {
     * per-round eager localCheckpoint kills plan growth.
     */
   def costDistance(cells: DataFrame, seeds: DataFrame,
-      idCol: String = "relation_id", maxRounds: Int = 512): DataFrame = {
+      idCol: String = "relation_id", maxRounds: Int = 512,
+      blockRounds: Int = 8): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val guardedV = when(col("v") > 0, col("v"))
       .otherwise(raise_error(concat(
         lit("Raster.costDistance: non-positive cost at cell ("),
         col("cx"), lit(","), col("cy"), lit(")"))).cast("long"))
-    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
-        col("cy").cast("long").as("cy"), guardedV.cast("long").as("v"))
-      .persist(lvl)
+    val occ = graft.graph.Bfs.joinSide(
+      cells.select(col(idCol), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"), guardedV.cast("long").as("v")))
     val key = Seq(idCol, "cx", "cy")
-    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
-    def scatter4(df: DataFrame): DataFrame =
-      df.select(col(idCol), col("dist"),
-          explode(array(offsets.map { case (dx, dy) =>
-            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
-          }: _*)).as("t"))
-        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
-          col("dist"))
-    var dist = seeds
+    val init = seeds
       .select(col(idCol), col("cx").cast("long").as("cx"),
         col("cy").cast("long").as("cy"))
       .join(occ.select(key.map(col): _*), key, "left_semi")
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    var frontier = dist
-    var round = 1
-    var done = false
-    while (!done) {
-      val relaxed = scatter4(frontier)
+      .withColumn("fresh", lit(1))
+    // blocked frontier Bellman-Ford (the Bfs.scala device on the
+    // implicit lattice): the ×5 scatter's (0,0) self-entry carries every
+    // settled label while the four real offsets relax only cells whose
+    // distance improved last round; the entered cost joins in from the
+    // raster AFTER the scatter (inner join — off-lattice targets drop).
+    // min(struct(dist, fresh)) prefers the existing label on ties, so
+    // only STRICT improvements re-expand — the unfused loop's left-join
+    // filter, fused into the combine. Distances are monotone and labels
+    // only grow, so (count, sum) at block boundaries is a complete
+    // convergence signature (see Sssp.scala).
+    def probe(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("dist"))).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    val out = graft.graph.Bfs.runBlocked(init, maxRounds, blockRounds,
+        "Raster.costDistance", probe) { (cur, _) =>
+      cur.select(col(idCol), col("dist"), col("fresh"),
+          explode(array(
+            struct(col("cx"), col("cy"), lit(1).as("self")) +:
+            Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (dx, dy) =>
+              struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"),
+                lit(0).as("self"))
+            }: _*)).as("t"))
+        .filter(col("t.self") === 1 || col("fresh") === 1)
+        .select(col(idCol), col("t.cx").as("cx"), col("t.cy").as("cy"),
+          col("t.self").as("self"), col("dist"))
         .join(occ, key)
         .select(col(idCol), col("cx"), col("cy"),
-          (col("dist") + col("v")).as("nd"))
-        .groupBy(key.map(col): _*).agg(min(col("nd")).as("nd"))
-      val improved = relaxed.join(dist, key, "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col(idCol), col("cx"), col("cy"), col("nd").as("dist"))
-        .localCheckpoint(true)
-      if (improved.isEmpty) {
-        improved.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        done = true
-      } else if (round > maxRounds) {
-        improved.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist.unpersist()
-        occ.unpersist()
-        throw new IllegalStateException(
-          s"Raster.costDistance did not converge within $maxRounds rounds")
-      } else {
-        val acc = dist.join(improved.select(key.map(col): _*), key, "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(true)
-        dist.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist = acc
-        frontier = improved
-        round += 1
-      }
+          when(col("self") === 1, col("dist"))
+            .otherwise(col("dist") + col("v")).as("d"),
+          (lit(1) - col("self")).as("f"))
+        .groupBy(key.map(col): _*)
+        .agg(min(struct(col("d"), col("f"))).as("m"))
+        .select(col(idCol), col("cx"), col("cy"),
+          col("m.d").as("dist"), col("m.f").as("fresh"))
     }
-    occ.unpersist()
-    dist
+    out.select(col(idCol), col("cx"), col("cy"), col("dist"))
   }
 
   /** Bresenham-equivalent polyline rasterization: one cell per
@@ -603,7 +594,73 @@ object Raster {
           .as("cy"))
   }
 
-  def distanceTransform(cells: DataFrame, idCol: String = "relation_id",
+  /** Manhattan distance transform of a binary cell raster: per occupied
+    * cell the L1 distance to the nearest cell OUTSIDE the raster
+    * (boundary cells = 1) — equivalently the erosion-ring depth, since
+    * the L1 shortest path to the nearest complement cell can always be
+    * taken monotone (any complement cell met earlier on the path would
+    * be strictly closer), so the unconstrained L1 distance equals the
+    * geodesic erosion depth. Emits (idCol, cx, cy, dist).
+    *
+    * EXACT SEPARABLE CLOSED FORM (Rosenfeld & Pfaltz 1966, the
+    * two-pass-per-axis DP, expressed as run-partitioned window passes —
+    * the q166 summed-area-table precedent): with D(x') the vertical
+    * distance from column-x' row-cy to the nearest complement in that
+    * column, d(c) = min over x' of (|x − x'| + D(x')). Candidates
+    * beyond c's contiguous horizontal run are dominated by the run's
+    * own end gaps (the complement cell in between is strictly closer),
+    * so the row scan decomposes into per-run prefix/suffix minima:
+    *   left(x)  = x + min_{x' ≤ x in run} (dcol(x') − x')
+    *   right(x) = −x + min_{x' ≥ x in run} (dcol(x') + x')
+    *   hgap(x)  = min(x − run_start + 1, run_end − x + 1)
+    * and dcol comes from the same gaps-and-islands run decomposition
+    * per column. Three hash exchanges total — (id, cx), (id, cy),
+    * nothing else — zero driver rounds, no iteration: the former
+    * level-synchronous BFS paid one full join round per erosion ring
+    * (D rounds × 3 driver jobs); this is the identical field as ONE
+    * linear plan. Every window partitions by a per-run key (id, axis,
+    * run) — lattice-run sized, never a global sort. The BFS sibling
+    * survives as [[distanceTransformBfs]], pinned equal in RasterSpec.
+    */
+  def distanceTransform(cells: DataFrame,
+      idCol: String = "relation_id"): DataFrame = {
+    val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
+      col("cy").cast("long").as("cy"))
+    // vertical runs: within (id, cx), maximal contiguous cy intervals;
+    // nearest in-column complement is just past the run's ends
+    val wv = Window.partitionBy(col(idCol), col("cx")).orderBy(col("cy"))
+    val wvg = Window.partitionBy(col(idCol), col("cx"), col("vgrp"))
+    val dcol = occ
+      .withColumn("vgrp", col("cy") - row_number().over(wv))
+      .withColumn("dcol", least(
+        col("cy") - min(col("cy")).over(wvg) + 1L,
+        max(col("cy")).over(wvg) - col("cy") + 1L))
+      .select(col(idCol), col("cx"), col("cy"), col("dcol"))
+    // horizontal runs + the two directional prefix minima over dcol
+    val wh = Window.partitionBy(col(idCol), col("cy")).orderBy(col("cx"))
+    val whgOrd = Window.partitionBy(col(idCol), col("cy"), col("hgrp"))
+      .orderBy(col("cx"))
+    val whgAll = Window.partitionBy(col(idCol), col("cy"), col("hgrp"))
+    dcol
+      .withColumn("hgrp", col("cx") - row_number().over(wh))
+      .withColumn("lmin", min(col("dcol") - col("cx"))
+        .over(whgOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rmin", min(col("dcol") + col("cx"))
+        .over(whgOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("hgap", least(
+        col("cx") - min(col("cx")).over(whgAll) + 1L,
+        max(col("cx")).over(whgAll) - col("cx") + 1L))
+      .select(col(idCol), col("cx"), col("cy"),
+        least(col("hgap"), col("lmin") + col("cx"),
+          col("rmin") - col("cx")).as("dist"))
+  }
+
+  /** The level-synchronous inward-BFS distance transform the separable
+    * [[distanceTransform]] replaced — kept as the independent
+    * cross-oracle (RasterSpec pins the two equal on every fixture).
+    * One ×4 scatter + semi/anti join per erosion ring.
+    */
+  def distanceTransformBfs(cells: DataFrame, idCol: String = "relation_id",
       maxRounds: Int = 512): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val occ = cells.select(col(idCol), col("cx").cast("long").as("cx"),
@@ -644,7 +701,7 @@ object Raster {
         labeled.unpersist()
         occ.unpersist()
         throw new IllegalStateException(
-          s"Raster.distanceTransform did not converge within $maxRounds rounds")
+          s"Raster.distanceTransformBfs did not converge within $maxRounds rounds")
       } else {
         val acc = labeled.unionByName(next).localCheckpoint(true)
         labeled.unpersist()

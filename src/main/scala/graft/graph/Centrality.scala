@@ -72,7 +72,7 @@ object Centrality {
     * (where you'd run it per 2-edge-connected candidate region).
     */
   def bridges(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int = 256): DataFrame = {
+      maxRounds: Int = 256, blockRounds: Int = 8): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
@@ -80,55 +80,39 @@ object Centrality {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist(lvl)
-    val dir = und.select(col("a").as("s"), col("b").as("d"))
-      .union(und.select(col("b").as("s"), col("a").as("d")))
-      .persist(lvl)
-    var dist = und.select(col("a"), col("b"), col("a").as("id"))
-      .localCheckpoint(true)
-    var frontier = dist
-    var round = 1
-    var done = false
-    while (!done) {
-      val step = frontier.join(dir,
-          frontier("id") === dir("s") &&
-            !(col("a") === col("s") && col("b") === col("d")) &&
-            !(col("a") === col("d") && col("b") === col("s")))
-        .select(col("a"), col("b"), col("d").as("id")).distinct()
-        .join(dist, Seq("a", "b", "id"), "left_anti")
-        .localCheckpoint(true)
-      // retire origins whose far endpoint was just reached — nothing
-      // further from them can change the verdict
-      val reachedB = step.filter(col("id") === col("b"))
-        .select(col("a"), col("b"))
-      val next = step.join(reachedB, Seq("a", "b"), "left_anti")
-        .localCheckpoint(true)
-      val acc = dist.unionByName(step).localCheckpoint(true)
-      step.unpersist()
-      dist.unpersist()
-      if (frontier ne dist) frontier.unpersist()
-      dist = acc
-      if (next.isEmpty) {
-        next.unpersist()
-        done = true
-      } else if (round > maxRounds) {
-        next.unpersist()
-        dist.unpersist()
-        dir.unpersist()
-        und.unpersist()
-        throw new IllegalStateException(
-          s"Centrality.bridges did not converge within $maxRounds rounds")
-      } else {
-        frontier = next
-        round += 1
-      }
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    // blocked round fusion (Bfs.runBlocked): self-edges carry the
+    // visited set, real edges expand only the fresh frontier with the
+    // origin's own edge excluded by the expansion predicate. The
+    // per-round plan references the state once, so blockRounds rounds
+    // chain lazily with one checkpoint + count() per block. The old
+    // per-origin early retirement (stop once b is reached) traded
+    // per-round driver jobs for less state — with fused rounds the
+    // driver jobs dominate, so the walk simply runs to each component's
+    // fixpoint; the verdict (is b in a's masked reachable set) is
+    // unchanged.
+    val dirPlus = Bfs.joinSide(Bfs.withSelfEdges(dir, None))
+    val init = und.select(col("a"), col("b"), col("a").as("id"))
+      .withColumn("fresh", lit(1))
+    val st = Bfs.runBlocked(init, maxRounds, blockRounds,
+        "Centrality.bridges", Bfs.countProbe) { (cur, _) =>
+      cur.withColumnRenamed("id", "s")
+        .join(dirPlus.withColumnRenamed("src", "s"), Seq("s"))
+        .filter(col("self") === 1 || (col("fresh") === 1 &&
+          !(col("a") === col("s") && col("b") === col("dst")) &&
+          !(col("a") === col("dst") && col("b") === col("s"))))
+        .select(col("a"), col("b"), col("dst").as("id"),
+          (lit(1) - col("self")).as("f"))
+        .groupBy(col("a"), col("b"), col("id"))
+        .agg(min(col("f")).as("fresh"))
     }
-    val reached = dist.filter(col("id") === col("b"))
+    val reached = st.filter(col("id") === col("b"))
       .select(col("a"), col("b"), lit(0).as("is_bridge"))
     val out = und.join(reached.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), lit(1).as("is_bridge"))
       .unionByName(reached)
       .select(col("a").as("src"), col("b").as("dst"), col("is_bridge"))
-    dir.unpersist()
     out
   }
 
@@ -155,7 +139,7 @@ object Centrality {
     * every non-isolated vertex; `reached` is 0 for non-candidates.
     */
   def articulation(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int = 256): DataFrame = {
+      maxRounds: Int = 256, blockRounds: Int = 8): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
@@ -172,37 +156,24 @@ object Centrality {
       .select(col("v"), lit(0L).as("kind"), col("seed").as("id"))
     val coverSeeds = deg.select(col("v"), lit(1L).as("kind"),
       col("v").as("id"))
-    var dist = removalSeeds.unionByName(coverSeeds).localCheckpoint(true)
-    var frontier = dist
-    var round = 1
-    var done = false
-    while (!done) {
-      val step = frontier.join(dir,
-          frontier("id") === dir("s") &&
-            (frontier("kind") === 1L || dir("d") =!= frontier("v")))
-        .select(col("v"), col("kind"), col("d").as("id")).distinct()
-        .join(dist, Seq("v", "kind", "id"), "left_anti")
-        .localCheckpoint(true)
-      if (step.isEmpty) {
-        step.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        done = true
-      } else if (round > maxRounds) {
-        step.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist.unpersist()
-        dir.unpersist()
-        deg.unpersist()
-        throw new IllegalStateException(
-          s"Centrality.articulation did not converge within $maxRounds rounds")
-      } else {
-        val acc = dist.unionByName(step).localCheckpoint(true)
-        dist.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist = acc
-        frontier = step
-        round += 1
-      }
+    // blocked round fusion (Bfs.runBlocked): self-edges carry the
+    // visited set, real edges expand only the fresh frontier, with the
+    // removal walk's v-avoidance folded into the expansion predicate —
+    // one state reference per round, one checkpoint + count() per block
+    // instead of three driver jobs per round.
+    val dirPlus = Bfs.joinSide(Bfs.withSelfEdges(
+      dir.select(col("s").as("src"), col("d").as("dst")), None))
+    val init = removalSeeds.unionByName(coverSeeds).withColumn("fresh", lit(1))
+    val dist = Bfs.runBlocked(init, maxRounds, blockRounds,
+        "Centrality.articulation", Bfs.countProbe) { (cur, _) =>
+      cur.withColumnRenamed("id", "s")
+        .join(dirPlus.withColumnRenamed("src", "s"), Seq("s"))
+        .filter(col("self") === 1 || (col("fresh") === 1 &&
+          (col("kind") === 1L || col("dst") =!= col("v"))))
+        .select(col("v"), col("kind"), col("dst").as("id"),
+          (lit(1) - col("self")).as("f"))
+        .groupBy(col("v"), col("kind"), col("id"))
+        .agg(min(col("f")).as("fresh"))
     }
     val reached = dist.filter(col("kind") === 0L)
       .groupBy(col("v")).agg(count(lit(1)).as("reached"))

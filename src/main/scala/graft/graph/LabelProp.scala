@@ -31,33 +31,39 @@ object LabelProp {
     */
   def propagate(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
     val und = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist(lvl)
+    // edge view materialized once with a measured broadcast-or-shuffle
+    // decision (Bfs.joinSide); per-round state is cut with a LAZY
+    // localCheckpoint — the plan is truncated immediately (each round's
+    // frame is referenced twice: the vote join and the isolated-node
+    // fallback, so an uncut tree would double per round) but NO job
+    // runs until the caller's single action materializes the whole
+    // chained cascade, each layer cached as it computes. The fixed
+    // round count needs no convergence probe, so the loop costs zero
+    // driver round-trips — the PageRank lazy-chain shape with the
+    // double-reference hazard removed.
+    val dirB = graft.graph.Bfs.joinSide(dir)
     var labels = nodes.select(col("id").cast("long").as("id"))
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = 0
     while (r < rounds) {
-      val nbr = dir.join(labels, dir("dst") === labels("id"))
-        .select(dir("src").as("id"), col("lab"))
+      val nbr = dirB.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("lab"))
       val cnts = nbr.groupBy(col("id"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
       val voted = cnts.groupBy(col("id"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("vlab"))
-      val next = labels.join(voted, Seq("id"), "left")
+      labels = labels.join(voted, Seq("id"), "left")
         .select(col("id"), coalesce(col("vlab"), col("lab")).as("lab"))
-        .localCheckpoint(true)
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(false)
       r += 1
     }
-    dir.unpersist()
     labels.select(col("id"), col("lab").as("label"))
   }
 }

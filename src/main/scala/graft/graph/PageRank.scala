@@ -92,26 +92,33 @@ object Hits {
   def hubsAuthorities(spark: SparkSession, edges: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters")
-    // unlike PageRank's single lazy plan, every half-step here is an
-    // eager checkpoint job — without the persists each of the 2·iters
-    // jobs re-reads the edge source AND re-runs the node union+distinct
-    // shuffle (measured ~3x on the q102 fixture)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(lvl)
-    val nodes = e.select(col("src").as("doc_id"))
-      .union(e.select(col("dst").as("doc_id"))).distinct().persist(lvl)
-    var auth = nodes.withColumn("a", lit(scale))
-    var hub: DataFrame = null // assigned on round 1 (auth alone seeds HITS)
+    // the iteration runs SPARSE: a node with score 0 contributes
+    // nothing to any half-step sum and the L∞ max is always attained by
+    // a positive score (the rescale pins max = scale), so zero rows are
+    // simply absent inside the loop — the per-half-step left-join that
+    // re-attached every node (one extra node-keyed shuffle × 2·iters)
+    // is deferred to ONE final left join that coalesces absences to 0.
+    // Each half-step's raw sums are lineage-cut with a LAZY
+    // localCheckpoint (plan truncation is immediate; the broadcast max
+    // aggregation that follows materializes it in the same job): the
+    // rescale references the raw frame twice (scores + max), so an
+    // uncut tree would double per half-step — with the cut it is
+    // constant-size and each half-step costs one join + one hash
+    // aggregation, the PageRank round shape.
     def normalized(raw0: DataFrame, outCol: String): DataFrame = {
-      val raw = raw0.localCheckpoint(true)
+      val raw = raw0.localCheckpoint(false)
       // overflow-safe rescale, same split-multiply identity as PageRank's
       // damping: the only product is (v mod mx)·scale < mx·scale
-      nodes.join(raw, Seq("doc_id"), "left")
-        .crossJoin(broadcast(raw.agg(max("v").as("mx"))))
+      raw.crossJoin(broadcast(raw.agg(max("v").as("mx"))))
         .select(col("doc_id"),
-          expr(s"(coalesce(v, 0L) div mx) * ${scale}L" +
-            s" + ((coalesce(v, 0L) % mx) * ${scale}L) div mx").as(outCol))
+          expr(s"(v div mx) * ${scale}L + ((v % mx) * ${scale}L) div mx")
+            .as(outCol))
     }
+    var auth = e.select(col("dst").as("doc_id")).distinct()
+      .withColumn("a", lit(scale))
+    var hub: DataFrame = null // assigned on round 1 (auth alone seeds HITS)
     for (_ <- 0 until iters) {
       hub = normalized(
         e.join(auth.withColumnRenamed("doc_id", "dst"), Seq("dst"))
@@ -120,11 +127,17 @@ object Hits {
         e.join(hub.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id")).agg(sum("h").as("v")), "a")
     }
+    val nodes = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
     // materialize (node-sized, the house policy for iterative results —
     // see connectedComponents) so the cached inputs can be released
-    val out = hub.join(auth, Seq("doc_id")).localCheckpoint(true)
+    val out = nodes
+      .join(hub, Seq("doc_id"), "left")
+      .join(auth, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("h"),
+        coalesce(col("a"), lit(0L)).as("a"))
+      .localCheckpoint(true)
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     out
   }
 }

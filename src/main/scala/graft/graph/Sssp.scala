@@ -3,28 +3,36 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.util.chaining._
 
 /** Multi-source single-source-shortest-path over a weighted undirected
   * edge list — the weighted generalization of [[Bfs.hops]]: road-network
   * travel cost seeded at depots, weighted-hop spread over a contiguity
   * graph, link-cost crawl depth.
   *
-  * Frontier-relaxation Bellman-Ford (the Pregel SSSP shape): each round
-  * relaxes ONLY the nodes whose distance improved last round — one hash
-  * join frontier×edges, one min-combine per touched node, one left join
-  * against the accumulated labels to keep strict improvements. With
-  * positive integer weights every improvement lowers a node's Long
-  * distance, so the improved set empties in at most V rounds and each
-  * round is equi-keyed narrow work (no window, no sort, no cartesian).
-  * Negative or zero weights would unbound the loop — rejected IN-PLAN
+  * Frontier-relaxation Bellman-Ford (the Pregel SSSP shape) run with
+  * the [[Bfs]] BLOCKED round fusion: per round ONE join against the
+  * self-edge-augmented directed view (weight-0 self-edges carry every
+  * settled label; real edges relax only nodes whose distance improved
+  * in the previous round) and one min(struct(dist, fresh)) combine —
+  * the state frame is referenced once per round, so `blockRounds`
+  * rounds chain lazily into a single linear plan with one
+  * localCheckpoint + one aggregation action per block instead of three
+  * driver jobs per round. The improvement-only frontier semantics are
+  * exact: the struct-min prefers the existing label on ties (self rows
+  * carry fresh = 0), so only STRICT improvements re-expand — the same
+  * rule the unfused loop enforced with its left-join filter.
+  *
+  * Distances are monotone non-increasing once set and the label set
+  * only grows, so the (count, sum) pair at a block boundary is a
+  * complete convergence signature: equal pairs across a block of ≥ 1
+  * full relaxation rounds means a fixpoint. With positive integer
+  * weights every improvement lowers a Long, so the loop still empties
+  * in at most V rounds; negative or zero weights are rejected IN-PLAN
   * by a raise_error conjunct on the edge load (the PointPattern guard
   * pattern), so a bad weight fails the job even under filter pushdown
-  * rather than spinning the driver loop.
-  *
-  * Plan-tree state follows the [[Bfs]] lesson verbatim: frontier and
-  * accumulated labels are eagerly localCheckpoint'ed EVERY round —
-  * re-embedding a ring-assembly upstream once per relaxation round OOMs
-  * the driver on plans long before data is a problem.
+  * rather than spinning the driver loop. `maxRounds` keeps the exact
+  * [[Bfs.hops]] contract (exactly-maxRounds convergence succeeds).
   */
 object Sssp {
 
@@ -34,8 +42,7 @@ object Sssp {
     * unreached nodes don't appear.
     */
   def distances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxRounds: Int = 512): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
+      maxRounds: Int = 512, blockRounds: Int = 8): DataFrame = {
     val guardedW = when(col("w") > 0, col("w"))
       .otherwise(raise_error(concat(
         lit("Sssp: non-positive weight on edge "), col("src"),
@@ -45,46 +52,34 @@ object Sssp {
     val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .select(col("src"), col("dst"), guardedW.as("w"))
-      .persist(lvl)
-    var dist = seeds.select(col("id").cast("long").as("id")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    var frontier = dist
-    var round = 1
-    var done = false
-    while (!done) {
-      val relaxed = frontier.join(dir, frontier("id") === dir("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
-        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
-      val improved = relaxed.join(dist, Seq("id"), "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("id"), col("nd").as("dist"))
-        .localCheckpoint(true)
-      if (improved.isEmpty) {
-        improved.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        done = true
-      } else if (round > maxRounds) {
-        // non-empty improvement set past the bound — release round state
-        // before throwing (the Bfs catch-and-retry contract)
-        improved.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist.unpersist()
-        dir.unpersist()
-        throw new IllegalStateException(
-          s"Sssp.distances did not converge within $maxRounds rounds")
-      } else {
-        val acc = dist.join(improved.select(col("id")), Seq("id"), "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(true)
-        dist.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist = acc
-        frontier = improved
-        round += 1
-      }
+    val seedIds = seeds.select(col("id").cast("long").as("src")).distinct()
+    val dirPlus = dir.withColumn("self", lit(0))
+      .unionByName(dir.select(col("src")).union(seedIds).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("w"),
+          lit(1).as("self")))
+      .pipe(Bfs.joinSide) // accurate cached stats for the loop's join planning
+    val init = seedIds.select(col("src").as("id"))
+      .withColumn("dist", lit(0L)).withColumn("fresh", lit(1))
+    // distances can IMPROVE after first assignment, so the convergence
+    // signature needs the value sum alongside the label count: labels
+    // only grow and values only shrink, so (count, sum) is unchanged
+    // iff nothing was added and nothing improved
+    def probe(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("dist"))).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    val out = Bfs.runBlocked(init, maxRounds, blockRounds, "Sssp.distances",
+        probe) { (cur, _) =>
+      cur.withColumnRenamed("id", "src")
+        .join(dirPlus, Seq("src"))
+        .filter(col("self") === 1 || col("fresh") === 1)
+        .select(col("dst"),
+          when(col("self") === 1, col("dist"))
+            .otherwise(col("dist") + col("w")).as("d"),
+          (lit(1) - col("self")).as("f"))
+        .groupBy(col("dst"))
+        .agg(min(struct(col("d"), col("f"))).as("m"))
+        .select(col("dst").as("id"), col("m.d").as("dist"), col("m.f").as("fresh"))
     }
-    dir.unpersist()
-    dist
+    out.select(col("id"), col("dist"))
   }
 }

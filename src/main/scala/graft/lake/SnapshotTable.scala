@@ -191,8 +191,10 @@ object SnapshotTable {
     * files just written (delta-sized, never table-sized).
     */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
-      v: Long, bucketOf: Column, statsCol: Option[String]): Seq[FileEntry] =
-    commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v, statsCol)
+      v: Long, bucketOf: Column, statsCol: Option[String],
+      nBuckets: Int): Seq[FileEntry] =
+    commitFiles(spark, df.withColumn("__bucket", bucketOf.cast("int")), dir, v,
+      statsCol, nBuckets)
 
   /** Write a `__bucket`-carrying frame as commit-`v` files and stat them.
     * Stats come straight from the parquet FOOTERS of the files this
@@ -206,7 +208,7 @@ object SnapshotTable {
     * files — an empty delta is a clean no-op commit, not a crash.
     */
   private def commitFiles(spark: SparkSession, bucketed: DataFrame, dir: String,
-      v: Long, statsCol: Option[String]): Seq[FileEntry] = {
+      v: Long, statsCol: Option[String], nBuckets: Int): Seq[FileEntry] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.column.statistics.LongStatistics
@@ -224,7 +226,13 @@ object SnapshotTable {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
-    try bucketed.repartition(col("__bucket"))
+    // nBuckets shuffle partitions, not the session default: each bucket
+    // still lands in exactly one partition (file-per-bucket placement is
+    // preserved under ANY partition count; two buckets sharing a task
+    // just write two files), but a commit no longer schedules
+    // (default − buckets) empty write tasks — at 8-16 buckets that was
+    // 16-24 dead tasks per commit across the whole snapshot family
+    try bucketed.repartition(nBuckets, col("__bucket"))
       .write.partitionBy("__bucket").parquet(out)
     finally spark.conf.set(aqeKey, prevAqe)
     val conf = spark.sessionState.newHadoopConf()
@@ -288,7 +296,7 @@ object SnapshotTable {
     require(currentVersion(dir) == 0L, s"table already exists at $dir")
     statsCol.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(", ")}"))
-    val files = writeData(spark, df, dir, 1L, bucketOf, statsCol)
+    val files = writeData(spark, df, dir, 1L, bucketOf, statsCol, buckets)
     val m = Manifest(1L, 0L, "create", buckets, files, files.map(_.rows).sum,
       df.schema.toDDL, statsCol)
     writeManifest(dir, m, 0L); m
@@ -305,7 +313,7 @@ object SnapshotTable {
     val v = nextVersion(dir)
     val schema = evolve(parent.schema, df.schema, "append")
     val files = writeData(spark, align(df, schema), dir, v,
-      bucketOf, parent.statsCol)
+      bucketOf, parent.statsCol, parent.buckets)
     val m = Manifest(v, parent.version, "append", parent.buckets,
       parent.files ++ files, parent.totalRows + files.map(_.rows).sum,
       schema.toDDL, parent.statsCol)
@@ -356,7 +364,8 @@ object SnapshotTable {
         .unionByName(up)
       case None => up
     }
-    val files = commitFiles(spark, newData, dir, v, parent.statsCol)
+    val files = commitFiles(spark, newData, dir, v, parent.statsCol,
+      parent.buckets)
     val m = Manifest(v, parent.version, "merge", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
       schema.toDDL, parent.statsCol)
@@ -407,7 +416,7 @@ object SnapshotTable {
       .parquet(frag.values.flatten.map(_.path).toSeq: _*)
       .withColumn("__bucket",
         regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
-    val files = commitFiles(spark, df, dir, v, parent.statsCol)
+    val files = commitFiles(spark, df, dir, v, parent.statsCol, parent.buckets)
     val m = Manifest(v, parent.version, "compact", parent.buckets,
       carried ++ files, parent.totalRows, parent.schemaDdl, parent.statsCol)
     writeManifest(dir, m, parent.tsMillis); m
@@ -444,7 +453,8 @@ object SnapshotTable {
       .parquet(touched.map(_.path): _*)
       .filter(!hit)
       .withColumn("__bucket", bucketOf.cast("int"))
-    val files = commitFiles(spark, survivors, dir, v, parent.statsCol)
+    val files = commitFiles(spark, survivors, dir, v, parent.statsCol,
+      parent.buckets)
     val m = Manifest(v, parent.version, "delete", parent.buckets,
       carried ++ files, carried.map(_.rows).sum + files.map(_.rows).sum,
       parent.schemaDdl, parent.statsCol)
@@ -650,8 +660,14 @@ object SnapshotTable {
 
   private def refsDir(dir: String): Path = metaDir(dir).resolve("refs")
 
+  /** Dots are allowed INSIDE a name (v1.2-style tags) but not as the
+    * first character: a leading dot both shadows the '.name.tmp'
+    * staging files (a crash-orphaned temp must never surface as a
+    * bogus ref) and rules out the '.'/'..' path-traversal names that
+    * would let setRef/dropRef resolve outside the refs directory.
+    */
   private def validRefName(name: String): Boolean =
-    name.nonEmpty && name.length <= 128 &&
+    name.nonEmpty && name.length <= 128 && name.head != '.' &&
       name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
 
   /** Iceberg-style named ref (tag): an atomic named pointer to a

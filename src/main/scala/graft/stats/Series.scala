@@ -384,8 +384,17 @@ object Series {
     val intervals = iSide.join(jSide, Seq("grp")).filter(col("i") <= col("j"))
       .join(scale, Seq("grp"))
       .select(col("grp"), col("i"), col("j"),
-        // len divides bigl exactly, so the integer div loses nothing
-        ((col("cum") - col("pre")) *
+        // len divides bigl exactly, so the integer div loses nothing;
+        // the scaled product is guarded IN-PLAN: lcm(1..40) ≈ 5.3e15
+        // leaves < 2000 of headroom in a Long, so an interval sum past
+        // MaxValue/(bigl div len) raises loudly instead of wrapping
+        // into a silently wrong fit (the docstring bound, now enforced)
+        (when(abs(col("cum") - col("pre")) <=
+            expr("9223372036854775807L div (bigl div (j - i + 1))"),
+          col("cum") - col("pre"))
+          .otherwise(raise_error(concat(
+            lit("isotonic: interval sum overflows the lcm scale in group "),
+            col("grp").cast("string"))).cast("long")) *
           expr("bigl div (j - i + 1)")).as("v"))
     val ks = idx.select(col("grp"), col("k"))
     val inner = intervals.join(ks, Seq("grp"))

@@ -412,8 +412,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("lattice-BFS queries are scatter+join — no window, no cartesian") {
-    for (q <- Seq("q165_distance_transform", "q167_voronoi_assign",
-        "q168_cost_distance")) {
+    for (q <- Seq("q167_voronoi_assign", "q168_cost_distance")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$q must not use a window:\n$plan")
@@ -422,6 +421,23 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
         s"$q must not contain a global sort:\n$plan")
     }
+  }
+
+  test("q165 separable distance transform: run-partitioned windows, bounded exchanges") {
+    // the closed-form rewrite replaced the D-round BFS loop with four
+    // window passes over per-run partitions (id, axis, run) — assert the
+    // whole field is TWO hash exchanges, every sort partition-local,
+    // and no join/cartesian/loop remains in the plan
+    val plan = SparkEntry.queries("q165_distance_transform")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"q165 should use window passes:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"q165 must stay <= 2 hash exchanges, saw $exchanges:\n$plan")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"q165 must not contain a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q165 closed form must not join at all:\n$plan")
   }
 
   test("q192 line raster is pure column arithmetic — zero exchanges, no UDF") {

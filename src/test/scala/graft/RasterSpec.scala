@@ -228,6 +228,17 @@ class RasterSpec extends AnyFunSuite {
     assert(got.keySet === occ.map { case (id, cx, cy) => (id, cx, cy) })
   }
 
+  test("separable distanceTransform equals the level-synchronous BFS sibling") {
+    // the closed-form field and the ring-BFS it replaced, pinned equal
+    // on every concave fixture (the BFS survives as the cross-oracle)
+    val cells = Raster.rasterize(polyDF(lShape, comb, twoRings), 1.0)
+    val sep = Raster.distanceTransform(cells)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bfs = Raster.distanceTransformBfs(cells)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sep === bfs)
+  }
+
   test("voronoiAssign: equidistant tie goes to the smallest seed id") {
     // 1×5 strip, seeds 9 (left end) and 4 (right end): the center cell is
     // 2 hops from both — the tie must resolve to seed 4, NOT first-writer
