@@ -530,9 +530,11 @@ object Raster {
     // filter, fused into the combine. Distances are monotone and labels
     // only grow, so (count, sum) at block boundaries is a complete
     // convergence signature (see Sssp.scala).
-    def probe(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)), sum(col("dist"))).collect()
-        .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    def probe(df: DataFrame): (Long, Seq[Any]) = {
+      val r = df.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      val n = r.getLong(0)
+      (n, Seq(n, if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
     val out = graft.graph.Bfs.runBlocked(init, maxRounds, blockRounds,
         "Raster.costDistance", probe) { (cur, _) =>
       cur.select(col(idCol), col("dist"), col("fresh"),

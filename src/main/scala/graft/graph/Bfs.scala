@@ -47,14 +47,15 @@ object Bfs {
 
   /** Run `body(cur, roundNo)` as lazily-chained rounds with a
     * localCheckpoint + count() at each block boundary; returns the
-    * converged state. `probe` extracts the convergence signature (count
-    * alone when labels are immutable; count + sum when values can
-    * improve). Preserves the exact maxRounds contract: converging in
-    * exactly `maxRounds` rounds succeeds, needing more throws.
+    * converged state. `probe` returns (row count, convergence
+    * signature) in ONE action — count alone when labels are immutable;
+    * count + sum when values can improve. Preserves the exact maxRounds
+    * contract: converging in exactly `maxRounds` rounds succeeds,
+    * needing more throws.
     */
   private[graft] def runBlocked(init: DataFrame, maxRounds: Int,
       blockRounds: Int, what: String,
-      probe: DataFrame => Seq[Any])(body: (DataFrame, Int) => DataFrame): DataFrame = {
+      probe: DataFrame => (Long, Seq[Any]))(body: (DataFrame, Int) => DataFrame): DataFrame = {
     // AQE is scope-disabled for the fused blocks (the SnapshotTable
     // commit precedent): a block is blockRounds chained join+aggregate
     // stages whose shapes are fully known up front — tiny state, fixed
@@ -62,17 +63,31 @@ object Bfs {
     // so adaptive re-planning has nothing to improve and charges one
     // re-optimization round trip per stage to a loop whose whole cost
     // IS stage latency. Static planning submits each stage the moment
-    // its parent finishes.
+    // its parent finishes. In its place the loop sizes its own shuffle:
+    // the state row count is measured at every boundary anyway, so the
+    // next block's shuffle partition count derives from it (~100k rows
+    // per partition, clamped to the session setting) — the guide's
+    // "derive partitioning from input size" rule, which AQE coalescing
+    // would otherwise apply at per-stage replanning cost. A 128-row
+    // frontier stops paying 32 reduce tasks × blockRounds stages per
+    // block; a billion-row state keeps the session's full parallelism.
     val spark = init.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.get(aqeKey, "true")
+    val prevParts = spark.conf.get(partsKey, "200")
     spark.conf.set(aqeKey, "false")
+    def tuneParts(stateRows: Long): Unit = {
+      val p = math.max(1L, math.min(prevParts.toLong, stateRows / 100000L + 1L))
+      spark.conf.set(partsKey, p.toString)
+    }
     try {
       var state = init.localCheckpoint(false)
-      var sig = probe(state) // materializes the lazy checkpoint in the same job
+      var (n, sig) = probe(state) // materializes the lazy checkpoint too
       var steps = 0
       var done = false
       while (!done) {
+        tuneParts(n)
         val target = if (steps >= maxRounds) steps + 1 // single probe round
           else math.min(steps + blockRounds, maxRounds)
         var cur = state
@@ -80,9 +95,9 @@ object Bfs {
         val t0 = System.nanoTime()
         val next = cur.localCheckpoint(false)
         val t1 = System.nanoTime()
-        val nextSig = probe(next)
+        val (nextN, nextSig) = probe(next)
         if (sys.env.contains("GRAFT_LOOP_DEBUG")) System.err.println(
-          f"[$what] steps=$steps cp=${(t1-t0)/1e9}%.3f probe=${(System.nanoTime()-t1)/1e9}%.3f")
+          f"[$what] steps=$steps cp=${(t1-t0)/1e9}%.3f probe=${(System.nanoTime()-t1)/1e9}%.3f n=$nextN")
         if (nextSig == sig) {
           done = true
           state = next
@@ -91,14 +106,21 @@ object Bfs {
             s"$what did not converge within $maxRounds rounds")
         } else {
           state = next
+          n = nextN
           sig = nextSig
         }
       }
       state
-    } finally spark.conf.set(aqeKey, prevAqe)
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(partsKey, prevParts)
+    }
   }
 
-  private[graft] def countProbe(df: DataFrame): Seq[Any] = Seq(df.count())
+  private[graft] def countProbe(df: DataFrame): (Long, Seq[Any]) = {
+    val n = df.count()
+    (n, Seq(n))
+  }
 
   /** Materialize the loop-invariant edge view once (eager local
     * checkpoint — one job, plan cut to a leaf) and decide its join side

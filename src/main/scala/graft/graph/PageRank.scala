@@ -37,14 +37,24 @@ object PageRank {
       dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters=$iters")
     require(dampNum >= 0 && dampNum <= dampDen, s"damp $dampNum/$dampDen")
-    val nodes = edges.select(col("src").as("doc_id"))
-      .union(edges.select(col("dst").as("doc_id")))
+    // lazily lineage-cut: the edge view feeds every iteration's
+    // contribution join plus the node/outdeg builds (iters + 2 scans of
+    // a possibly expensive upstream), `nodes` is referenced once per
+    // iteration and `outdeg` once per contribution join — without the
+    // cuts each reference re-runs its subtree inside the single lazy
+    // plan; with them each materializes once on the first action and
+    // every later reference reads the cached blocks
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id")))
       .distinct()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
     val base = scale * (dampDen - dampNum) / dampDen
     var rank = nodes.withColumn("rank", lit(scale))
     for (_ <- 0 until iters) {
-      val contrib = edges
+      val contrib = e
         .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))

@@ -64,9 +64,11 @@ object Sssp {
     // signature needs the value sum alongside the label count: labels
     // only grow and values only shrink, so (count, sum) is unchanged
     // iff nothing was added and nothing improved
-    def probe(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)), sum(col("dist"))).collect()
-        .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+    def probe(df: DataFrame): (Long, Seq[Any]) = {
+      val r = df.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      val n = r.getLong(0)
+      (n, Seq(n, if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
     val out = Bfs.runBlocked(init, maxRounds, blockRounds, "Sssp.distances",
         probe) { (cur, _) =>
       cur.withColumnRenamed("id", "src")

@@ -642,14 +642,27 @@ object TextOps {
       minItem: Long, minPair: Long): DataFrame = {
     require(minItem <= minPair,
       s"apriori needs minItem <= minPair, got $minItem > $minPair")
+    // tokenized ONCE and lineage-cut: the distinct (doc, term) stream
+    // feeds both the support count and the pair pass — uncut it would
+    // tokenize the corpus twice
     val tok = docs.select(col("doc_id"),
       explode(tokensCol(col("text"))).as("term")).distinct()
+      .localCheckpoint(false)
     val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= minItem).select(col("term"))
     val ftok = tok.join(broadcast(freq), Seq("term"))
-    ftok.select(col("doc_id"), col("term").as("term_a"))
-      .join(ftok.select(col("doc_id"), col("term").as("term_b")), Seq("doc_id"))
-      .filter(col("term_a") < col("term_b"))
+    // per-doc pair generation from ONE sorted frequent-term array
+    // (posexplode + slice — builtin, codegen'd, no lambda) instead of
+    // the doc-keyed self-join: the same pair stream, minus one corpus
+    // exchange and the join build — the only remaining shuffles are the
+    // doc collect and the final (a, b) support aggregation, both with
+    // map-side partials
+    ftok.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(posexplode(col("ts")).as(Seq("i", "term_a")), col("ts"))
+      .select(col("term_a"),
+        explode(slice(col("ts"), col("i") + 2, greatest(size(col("ts")) - col("i") - 1, lit(0))))
+          .as("term_b"))
       .groupBy(col("term_a"), col("term_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minPair)
