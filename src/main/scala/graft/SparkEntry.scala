@@ -1652,10 +1652,15 @@ object SparkEntry {
     // engine.
     "q141_moran" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
       // SW bbox corner of cell (ix, iy) is exactly
       // (-60 + 15*iy, -120 + 15*ix) degrees = multiples of 15e7 decimicro
-      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      val values = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
         .select(col("relation_id"),
           (((col("min_lon_dm").cast("long") + 1200000000L) / 150000000L).cast("long") +
            ((col("min_lat_dm").cast("long") + 600000000L) / 150000000L).cast("long")).as("x"))
@@ -1670,10 +1675,15 @@ object SparkEntry {
     // integers/labels in both engines.
     "q142_lisa" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
       val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
       val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
-      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      val values = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
         .select(col("relation_id"), ((ix + iy) % 5L).as("x"))
       graft.osm.BoundaryExtract.localMoran(values, adj)
     }),
@@ -1685,10 +1695,15 @@ object SparkEntry {
     // q142, so I is near zero / C near 1 and every integer is nontrivial.
     "q143_autocorr" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
       val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
       val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
-      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      val values = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
         .select(col("relation_id"), ((ix + iy) % 5L).as("x"))
       graft.osm.BoundaryExtract.globalAutocorr(values, adj)
     }),
@@ -1701,8 +1716,13 @@ object SparkEntry {
     // form: 8 polygons and 8 exact cell-areas per region, bbox = block.
     "q144_dissolve" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
-      val st = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
+      val st = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
       // flush grid ⇒ the divisions are exact; floor() the block indices
       // explicitly (Column `/` is DOUBLE division, not integer div)
       val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
@@ -1739,10 +1759,15 @@ object SparkEntry {
     // closed-form grid edge list.
     "q146_join_counts" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
       val ix = (col("min_lon_dm").cast("long") + 1200000000L) / 150000000L
       val iy = (col("min_lat_dm").cast("long") + 600000000L) / 150000000L
-      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      val values = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
         .select(col("relation_id"),
           when((ix * 3L + iy * 5L) % 7L < 3L, 1L).otherwise(0L).as("b"))
       graft.osm.BoundaryExtract.joinCounts(values, adj)
@@ -1755,8 +1780,13 @@ object SparkEntry {
     // the exact integer sign of (n−1)·lag − degree·(S−x).
     "q148_local_g" -> ((s, dir) => {
       val (n, w, r) = OsmScenes.sharedGrid(16, 8).toDFs(s)
-      val adj = graft.osm.BoundaryExtract.contiguity(s, r, w, n)
-      val values = graft.osm.BoundaryExtract.polygonStats(s, r, w, n).toDF()
+      // ONE relSegments pass (lazily lineage-cut) feeds both the
+      // contiguity graph and the stats kernel — the scan->join->re-nest
+      // front half used to run twice per ESDA query
+      val segs = graft.osm.BoundaryExtract.relSegments(s, r, w, n)
+        .localCheckpoint(false)
+      val adj = graft.osm.BoundaryExtract.contiguityOf(s, segs)
+      val values = graft.osm.BoundaryExtract.polygonStatsOf(s, segs).toDF()
         .select(col("relation_id"),
           (((col("min_lon_dm").cast("long") + 1200000000L) / 150000000L).cast("long") +
            ((col("min_lat_dm").cast("long") + 600000000L) / 150000000L).cast("long")).as("x"))

@@ -233,9 +233,19 @@ object BoundaryExtract {
       ways: DataFrame,
       nodes: DataFrame,
       minAdmin: Int = 8,
-      maxAdmin: Int = 8): Dataset[PolygonStatsRow] = {
+      maxAdmin: Int = 8): Dataset[PolygonStatsRow] =
+    polygonStatsOf(spark, relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin))
+
+  /** [[polygonStats]] over a precomputed segment table — the sharing
+    * point for queries that need BOTH the stats and the contiguity
+    * graph of one scene: one relSegments pass (lazily checkpointed by
+    * the caller) feeds both kernels instead of re-running the
+    * scan→join→re-nest front half per consumer.
+    */
+  def polygonStatsOf(spark: SparkSession,
+      segs: Dataset[RelSegments]): Dataset[PolygonStatsRow] = {
     import spark.implicits._
-    relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin).map { rs =>
+    segs.map { rs =>
       val rings = RingAssembler.assemble(splitSegments(rs))
       val a2 = rings.map(r =>
         graft.geom.Geom.signedArea2Dm(r.map(_.latDm).toArray, r.map(_.lonDm).toArray))
@@ -304,9 +314,15 @@ object BoundaryExtract {
       ways: DataFrame,
       nodes: DataFrame,
       minAdmin: Int = 8,
-      maxAdmin: Int = 8): DataFrame = {
+      maxAdmin: Int = 8): DataFrame =
+    contiguityOf(spark, relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin))
+
+  /** [[contiguity]] over a precomputed segment table — see
+    * [[polygonStatsOf]] for the sharing rationale.
+    */
+  def contiguityOf(spark: SparkSession, segs: Dataset[RelSegments]): DataFrame = {
     import spark.implicits._
-    val edges = relSegments(spark, relations, ways, nodes, minAdmin, maxAdmin)
+    val edges = segs
       .flatMap { rs =>
         val rings = RingAssembler.assemble(splitSegments(rs))
         val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]

@@ -73,17 +73,35 @@ object Trigram {
     val grams = requiredTrigrams(pattern)
     require(grams.nonEmpty,
       s"pattern has no literal >= 3 chars - trigram pruning impossible: $pattern")
-    val index0 = idx.getOrElse(index(docs, idCol, textCol))
-    // candidates contain ALL required trigrams: |grams| is query-sized,
-    // the isin filter prunes the index scan to those slices
-    val cand = index0.filter(col("trigram").isin(grams: _*))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("ng")) // index rows are distinct per (doc, trigram)
-      .filter(col("ng") === grams.size)
-      .select(col(idCol))
-    docs.join(cand, Seq(idCol), "left_semi")
-      .filter(col(textCol).rlike(pattern))
-      .select(col(idCol))
+    idx match {
+      // pre-built (persisted/partitionBy'd) index — the production
+      // path: candidates contain ALL required trigrams; |grams| is
+      // query-sized and the isin filter prunes the scan to those
+      // slices, then the semi-join fetches candidate docs for the
+      // exact verify
+      case Some(index0) =>
+        val cand = index0.filter(col("trigram").isin(grams: _*))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("ng")) // index rows distinct per (doc, trigram)
+          .filter(col("ng") === grams.size)
+          .select(col(idCol))
+        docs.join(cand, Seq(idCol), "left_semi")
+          .filter(col(textCol).rlike(pattern))
+          .select(col(idCol))
+      // inline path: the SAME Cox prune — "text contains every required
+      // trigram" — evaluated as a conjunction of codegen'd contains()
+      // directly on the row, fused with the verify into ONE narrow scan
+      // of the corpus: no trigram array build, no explode, no index
+      // groupBy, zero shuffles. (The former shape built the full
+      // distinct-trigram index per call and immediately discarded all
+      // but |grams| rows of it.) The verify still DEFINES the result;
+      // the prune only skips regex work.
+      case None =>
+        docs
+          .filter(grams.map(g => col(textCol).contains(lit(g))).reduce(_ && _))
+          .filter(col(textCol).rlike(pattern))
+          .select(col(idCol))
+    }
   }
 
   /** Candidate count WITHOUT the verify — spec hook for pinning the
