@@ -129,13 +129,20 @@ object Bfs {
     * then exchange-free on the edge side and AQE never has to replan
     * the join), a big one keeps the plain shuffle join — the decision a
     * cost-based planner would make if checkpointed RDDs carried
-    // accurate statistics. ~64 bytes/row is the conservative unsafe-row
+    * accurate statistics. ~64 bytes/row is the conservative unsafe-row
     * estimate for the ≤ 4-column long views used here.
     */
   private[graft] def joinSide(edgeView: DataFrame): DataFrame = {
-    val cp = edgeView.localCheckpoint(true)
+    val t0 = System.nanoTime()
+    // lazy checkpoint + count: ONE job materializes the view and
+    // measures it (an eager checkpoint would pay a second, separate job
+    // for the count)
+    val cp = edgeView.localCheckpoint(false)
     val threshold = cp.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold > 0 && cp.count() * 64 <= threshold) broadcast(cp) else cp
+    val n = cp.count()
+    if (sys.env.contains("GRAFT_LOOP_DEBUG")) System.err.println(
+      f"[joinSide] rows=$n sec=${(System.nanoTime()-t0)/1e9}%.3f")
+    if (threshold > 0 && n * 64 <= threshold) broadcast(cp) else cp
   }
 
   /** Directed edge view with one self-edge per node (`self` = 1):
@@ -192,15 +199,18 @@ object Bfs {
     * pair, including (v, v, 0).
     */
   def allPairsHops(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int = 64, blockRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 64, blockRounds: Int = 4): DataFrame = {
     val und = edges.select(col("rel_a").cast("long").as("src"),
       col("rel_b").cast("long").as("dst"))
     val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val dirPlus = joinSide(withSelfEdges(dir, None))
-    val init = dir.select(col("src").as("id")).distinct()
-      .select(col("id").as("origin"), col("id"))
+    // node universe read OFF the checkpointed view (self-edge rows are
+    // exactly one per node) — the old dir.distinct() here re-evaluated
+    // the whole edge upstream a second time just to seed the state
+    val init = dirPlus.filter(col("self") === 1)
+      .select(col("src").as("origin"), col("src").as("id"))
       .withColumn("hops", lit(0L)).withColumn("fresh", lit(1))
     val out = runBlocked(init, maxRounds, blockRounds, "Bfs.allPairsHops",
         countProbe) { (cur, _) =>
@@ -233,15 +243,16 @@ object Bfs {
     * pair, with σ(v, v) = 1.
     */
   def allPairsSigma(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int = 64, blockRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 64, blockRounds: Int = 4): DataFrame = {
     val und = edges.select(col("rel_a").cast("long").as("src"),
       col("rel_b").cast("long").as("dst"))
     val dir = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val dirPlus = joinSide(withSelfEdges(dir, None))
-    val init = dir.select(col("src").as("id")).distinct()
-      .select(col("id").as("origin"), col("id"))
+    // node universe off the checkpointed view — see allPairsHops
+    val init = dirPlus.filter(col("self") === 1)
+      .select(col("src").as("origin"), col("src").as("id"))
       .withColumn("hops", lit(0L)).withColumn("sigma", lit(1L))
       .withColumn("fresh", lit(1))
     val out = runBlocked(init, maxRounds, blockRounds, "Bfs.allPairsSigma",
