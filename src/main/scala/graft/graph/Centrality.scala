@@ -35,8 +35,9 @@ object Centrality {
     */
   def stress(spark: SparkSession, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    // allPairsSigma returns an eagerly localCheckpoint'ed frame — the
-    // three legs below re-read materialized blocks, not the BFS loop
+    // allPairsSigma returns a checkpointed frame (materialized by its
+    // convergence probes) — the three legs below re-read cached blocks,
+    // not the BFS loop
     val ap = Bfs.allPairsSigma(spark, edges, maxRounds)
     val a = ap.select(col("origin").as("s"), col("id").as("v"),
       col("hops").as("h_sv"), col("sigma").as("sig_sv"))
